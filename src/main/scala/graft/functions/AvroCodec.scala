@@ -1,0 +1,171 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Avro binary codec as native Catalyst expressions.
+  *
+  * The environment ships the Avro Java library but not the spark-avro
+  * module, so `to_avro`/`from_avro` are re-implemented here over
+  * `org.apache.avro` directly. This re-expresses the reference's
+  * per-record `avro.Marshal` (`fixed2avro/ColumnBuilder.go:75-95`) as an
+  * expression: one reused encoder + record per task (the reference reuses
+  * one record per chunk, `fixed2avro/ColumnBuilder.go:67-68`), no
+  * per-row allocation beyond the output byte array.
+  *
+  * Supported field types = the reference's type universe (SURVEY.md §1.3):
+  * boolean, bytes, int, long, float, double, string, date (int days),
+  * timestamp-millis/micros (long). Flat records only, no unions — exactly
+  * the model of `common/fixed.go:86-148`.
+  */
+object AvroCodec {
+
+  /** Catalyst struct value → Avro field value converters, resolved once
+    * per (sparkType, avroField). */
+  private def encoder(dt: DataType, avro: Schema): Any => AnyRef = {
+    val logical = Option(avro.getProp("logicalType"))
+    (dt, avro.getType) match {
+      case (StringType, Schema.Type.STRING)  => v => v.asInstanceOf[UTF8String].toString
+      case (BinaryType, Schema.Type.BYTES)   => v => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case (BooleanType, Schema.Type.BOOLEAN)=> v => java.lang.Boolean.valueOf(v.asInstanceOf[Boolean])
+      case (IntegerType, Schema.Type.INT)    => v => java.lang.Integer.valueOf(v.asInstanceOf[Int])
+      case (IntegerType, Schema.Type.LONG)   => v => java.lang.Long.valueOf(v.asInstanceOf[Int].toLong)
+      case (LongType, Schema.Type.LONG)      => v => java.lang.Long.valueOf(v.asInstanceOf[Long])
+      case (FloatType, Schema.Type.FLOAT)    => v => java.lang.Float.valueOf(v.asInstanceOf[Float])
+      case (DoubleType, Schema.Type.DOUBLE)  => v => java.lang.Double.valueOf(v.asInstanceOf[Double])
+      case (DateType, Schema.Type.INT)       => v => java.lang.Integer.valueOf(v.asInstanceOf[Int])
+      // Catalyst stores TimestampType and TimestampNTZType both as long
+      // micros; Avro millis carrier divides.
+      case (TimestampType | TimestampNTZType, Schema.Type.LONG) if logical.contains("timestamp-millis") =>
+        v => java.lang.Long.valueOf(Math.floorDiv(v.asInstanceOf[Long], 1000L))
+      case (TimestampType | TimestampNTZType, Schema.Type.LONG) =>
+        v => java.lang.Long.valueOf(v.asInstanceOf[Long])
+      case (t, a) =>
+        throw new IllegalArgumentException(s"AvroCodec: cannot encode Spark $t as Avro $a")
+    }
+  }
+
+  /** Avro field value → Catalyst value converters. */
+  private def decoder(avro: Schema, dt: DataType): AnyRef => Any = {
+    val logical = Option(avro.getProp("logicalType"))
+    (avro.getType, dt) match {
+      case (Schema.Type.STRING, StringType)  => v => UTF8String.fromString(v.toString)
+      case (Schema.Type.BYTES, BinaryType)   => v => {
+        val bb = v.asInstanceOf[ByteBuffer]
+        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+      }
+      case (Schema.Type.BOOLEAN, BooleanType)=> v => v.asInstanceOf[java.lang.Boolean].booleanValue()
+      case (Schema.Type.INT, IntegerType)    => v => v.asInstanceOf[java.lang.Integer].intValue()
+      case (Schema.Type.LONG, LongType)      => v => v.asInstanceOf[java.lang.Long].longValue()
+      case (Schema.Type.LONG, IntegerType)   => v => v.asInstanceOf[java.lang.Long].intValue()
+      case (Schema.Type.FLOAT, FloatType)    => v => v.asInstanceOf[java.lang.Float].floatValue()
+      case (Schema.Type.DOUBLE, DoubleType)  => v => v.asInstanceOf[java.lang.Double].doubleValue()
+      case (Schema.Type.INT, DateType)       => v => v.asInstanceOf[java.lang.Integer].intValue()
+      case (Schema.Type.LONG, TimestampType | TimestampNTZType) if logical.contains("timestamp-millis") =>
+        v => Math.multiplyExact(v.asInstanceOf[java.lang.Long].longValue(), 1000L)
+      case (Schema.Type.LONG, TimestampType | TimestampNTZType) =>
+        v => v.asInstanceOf[java.lang.Long].longValue()
+      case (a, t) =>
+        throw new IllegalArgumentException(s"AvroCodec: cannot decode Avro $a as Spark $t")
+    }
+  }
+
+  /** struct → Avro binary (record body only, no framing). */
+  case class AvroEncode(child: Expression, avroJson: String)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "avro_encode"
+
+    @transient private lazy val avroSchema = new Schema.Parser().parse(avroJson)
+    @transient private lazy val structType = child.dataType.asInstanceOf[StructType]
+    @transient private lazy val fieldEnc: Array[Any => AnyRef] = {
+      val avroFields = avroSchema.getFields
+      require(avroFields.size == structType.size,
+        s"Avro schema has ${avroFields.size} fields, struct has ${structType.size}")
+      structType.fields.zipWithIndex.map { case (sf, i) =>
+        encoder(sf.dataType, avroFields.get(i).schema())
+      }
+    }
+    @transient private lazy val record = new GenericData.Record(avroSchema)
+    @transient private lazy val datumWriter = new GenericDatumWriter[GenericRecord](avroSchema)
+    @transient private lazy val bos = new ByteArrayOutputStream(256)
+    @transient private var binEnc: BinaryEncoder = _
+
+    override def nullSafeEval(input: Any): Any = {
+      val row = input.asInstanceOf[InternalRow]
+      val n = fieldEnc.length
+      var i = 0
+      while (i < n) {
+        if (row.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"avro_encode: null in field '${structType(i).name}' — the fixed-width " +
+              "schema model has no unions/nullable fields (SURVEY.md §1.2); " +
+              "filter or default nulls before encoding")
+        record.put(i, fieldEnc(i)(row.get(i, structType(i).dataType)))
+        i += 1
+      }
+      bos.reset()
+      binEnc = EncoderFactory.get().binaryEncoder(bos, binEnc)
+      datumWriter.write(record, binEnc)
+      binEnc.flush()
+      bos.toByteArray
+    }
+    override protected def withNewChildInternal(c: Expression): AvroEncode = copy(child = c)
+  }
+
+  /** Avro binary (record body) → struct. */
+  case class AvroDecode(child: Expression, avroJson: String, outType: StructType)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = outType
+    override def prettyName: String = "avro_decode"
+
+    @transient private lazy val avroSchema = new Schema.Parser().parse(avroJson)
+    @transient private lazy val fieldDec: Array[AnyRef => Any] = {
+      val avroFields = avroSchema.getFields
+      require(avroFields.size == outType.size,
+        s"Avro schema has ${avroFields.size} fields, struct has ${outType.size}")
+      outType.fields.zipWithIndex.map { case (sf, i) =>
+        decoder(avroFields.get(i).schema(), sf.dataType)
+      }
+    }
+    @transient private lazy val datumReader = new GenericDatumReader[GenericRecord](avroSchema)
+    @transient private var binDec: BinaryDecoder = _
+    @transient private var reuse: GenericRecord = _
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      binDec = DecoderFactory.get().binaryDecoder(bytes, binDec)
+      reuse = datumReader.read(reuse, binDec)
+      val n = fieldDec.length
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val v = reuse.get(i)
+        out(i) = if (v == null) null else fieldDec(i)(v)
+        i += 1
+      }
+      InternalRow.fromSeq(out.toIndexedSeq)
+    }
+    override protected def withNewChildInternal(c: Expression): AvroDecode = copy(child = c)
+  }
+
+  /** Column API: serialize a struct column to Avro binary. */
+  def to_avro(data: Column, avroJson: String): Column =
+    ColumnBridge.column(AvroEncode(ColumnBridge.expression(data), avroJson))
+
+  /** Column API: deserialize Avro binary into a struct column. */
+  def from_avro(data: Column, avroJson: String, outType: StructType): Column =
+    ColumnBridge.column(AvroDecode(ColumnBridge.expression(data), avroJson, outType))
+}

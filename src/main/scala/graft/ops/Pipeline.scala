@@ -1,0 +1,138 @@
+package graft.ops
+
+import graft.functions.{AvroCodec, Confluent}
+import graft.parse.{Compat, FixedWidthParser, Strict}
+import graft.registry.InMemorySchemaRegistry
+import graft.schema.FixedSchema
+import graft.sinks.KafkaStage
+import graft.sources.{FixedWidth, KafkaConsume, Ocf}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference-derived pipeline, end-to-end, as oracle-checkable
+  * queries. Each takes (spark, sfDir) and reads only the driver-provided
+  * parquet tables: the fixed-width text / Avro bytes legs are produced
+  * in-flight from `lineitem`, so the whole chain
+  *
+  *   parquet → fixed-width render → parse → Avro encode → Confluent frame
+  *   → unframe → Avro decode → typed rows
+  *
+  * must be the identity, and `SELECT ... FROM lineitem` is an exact
+  * DuckDB oracle for it (SURVEY.md §7.2).
+  */
+object Pipeline {
+
+  /** Extended Avro schema for the lineitem fixed-width rendering
+    * (FIXTURES.md §A2, lowercase names to match the parquet/oracle). */
+  val lineitemSchemaJson: String =
+    """{"type":"record","name":"lineitem","fields":[
+      |{"name":"l_orderkey","type":{"type":"long","name":"l_orderkey","len":12}},
+      |{"name":"l_partkey","type":{"type":"long","name":"l_partkey","len":12}},
+      |{"name":"l_suppkey","type":{"type":"long","name":"l_suppkey","len":12}},
+      |{"name":"l_linenumber","type":{"type":"int","name":"l_linenumber","len":4}},
+      |{"name":"l_quantity","type":{"type":"double","name":"l_quantity","len":10}},
+      |{"name":"l_extendedprice","type":{"type":"double","name":"l_extendedprice","len":14}},
+      |{"name":"l_discount","type":{"type":"double","name":"l_discount","len":6}},
+      |{"name":"l_tax","type":{"type":"double","name":"l_tax","len":6}},
+      |{"name":"l_returnflag","type":{"type":"string","name":"l_returnflag","len":1}},
+      |{"name":"l_linestatus","type":{"type":"string","name":"l_linestatus","len":1}},
+      |{"name":"l_shipdate","type":{"type":"long","logicalType":"timestamp-micros","name":"l_shipdate","len":26}}
+      |]}""".stripMargin
+
+  val lineitemFixed: FixedSchema = FixedSchema.fromJson(lineitemSchemaJson)
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+
+  private val orderCols = Seq(col("l_orderkey"), col("l_linenumber"))
+
+  val identityOracle: String =
+    "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber"
+
+  /** parquet → fixed-width lines → strict parse → typed rows ≡ input. */
+  def fixedwidthRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val rendered = FixedWidth.render(lineitem(spark, dir), lineitemFixed)
+    FixedWidthParser.parse(rendered, lineitemFixed, Strict)
+      .orderBy(orderCols: _*)
+  }
+
+  /** typed rows → Avro binary + Confluent frame → unframe → decode ≡ input. */
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val schemaId = 42
+    val df = lineitem(spark, dir)
+    val framed = df.select(
+      Confluent.frame(
+        AvroCodec.to_avro(struct(lineitemFixed.fields.map(f => col(f.name)): _*),
+          lineitemFixed.avroJson),
+        schemaId).as("value"))
+    framed
+      .filter(Confluent.hasMagic(col("value")) && Confluent.schemaId(col("value")) === schemaId)
+      .select(AvroCodec.from_avro(Confluent.payload(col("value")),
+        lineitemFixed.avroJson, lineitemFixed.sparkSchema).as("r"))
+      .select(col("r.*"))
+      .orderBy(orderCols: _*)
+  }
+
+  /** typed rows → snappy OCF files (one per partition) → read back ≡ input. */
+  def ocfRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-ocf-").toString
+    Ocf.write(lineitem(spark, dir), lineitemFixed, out)
+    Ocf.read(spark, out, lineitemFixed).orderBy(orderCols: _*)
+  }
+
+  /** typed rows → staged Kafka frame (Confluent key+value, pinned
+    * partition) → consumer decode ≡ input. */
+  def kafkaRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val registry = new InMemorySchemaRegistry
+    val (keyId, valueId) =
+      KafkaStage.registerSubjects(registry, "lineitem", lineitemFixed)
+    val staged = KafkaStage.stage(lineitem(spark, dir), lineitemFixed,
+      schemaId = valueId, topic = "lineitem", keySchemaId = keyId)
+    KafkaConsume.decode(staged, registry, lineitemFixed)
+      .orderBy(orderCols: _*)
+  }
+
+  /** Full chain on real text: render to files, read with the distributed
+    * text source (footer line appended to exercise S3), parse strict. */
+  def fixedwidthFileScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-fw-").toString
+    FixedWidth.write(lineitem(spark, dir), lineitemFixed, out)
+    FixedWidth.read(spark, out, lineitemFixed, Strict).orderBy(orderCols: _*)
+  }
+
+  /** Compat-mode parse (reference bug-parity): timestamps become Unix
+    * SECONDS longs (F1), numerics 0 on failure. Expressed over the same
+    * in-flight rendering; DuckDB oracle reproduces the semantics. */
+  def compatParse(spark: SparkSession, dir: String): DataFrame = {
+    // Zero-padded numerics: space-padded ones are a strconv failure → 0
+    // under compat (faithful to the reference; covered by unit tests).
+    val rendered = FixedWidth.render(lineitem(spark, dir), lineitemFixed,
+      zeroPadNumerics = true)
+    FixedWidthParser.parse(rendered, lineitemFixed, Compat)
+      .orderBy(orderCols: _*)
+  }
+
+  val compatOracle: String =
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+      |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+      |       CAST(epoch(l_shipdate) AS BIGINT) AS l_shipdate
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fixedwidth_roundtrip" -> (fixedwidthRoundtrip _),
+    "fixedwidth_filescan" -> (fixedwidthFileScan _),
+    "fixedwidth_compat" -> (compatParse _),
+    "avro_confluent_roundtrip" -> (avroRoundtrip _),
+    "ocf_roundtrip" -> (ocfRoundtrip _),
+    "kafka_stage_roundtrip" -> (kafkaRoundtrip _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "fixedwidth_roundtrip" -> identityOracle,
+    "fixedwidth_filescan" -> identityOracle,
+    "fixedwidth_compat" -> compatOracle,
+    "avro_confluent_roundtrip" -> identityOracle,
+    "ocf_roundtrip" -> identityOracle,
+    "kafka_stage_roundtrip" -> identityOracle,
+  )
+}

@@ -1,0 +1,147 @@
+package graft.parse
+
+import graft.schema.{FixedField, FixedSchema}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parse mode.
+  *
+  *  - [[Strict]]: engine default. Numerics are whitespace-trimmed before
+  *    casting; a failed parse yields NULL; timestamps keep their declared
+  *    precision (micros in Spark's TimestampType).
+  *  - [[Compat]]: bug-parity with the reference (SURVEY.md §2.2–2.3):
+  *    numerics are NOT trimmed and a failed parse yields the zero value
+  *    (`ColumnBuilderTypes.go:124-128` + ignored error at
+  *    `ColumnBuilder.go:219-221`); booleans look at the first character
+  *    only with J/j/Y/y→true else false; date and timestamp columns all
+  *    store Unix SECONDS as a long (fine print F1,
+  *    `ColumnBuilder.go:279,330,381`). We do NOT replicate F2 (the
+  *    inverted error checks that zero out every successfully parsed
+  *    date/timestamp-millis) — that is a plain bug, documented instead.
+  */
+sealed trait ParseMode
+case object Strict extends ParseMode
+case object Compat extends ParseMode
+
+/** Fixed-width line parser: `DataFrame[value: String]` → typed DataFrame.
+  *
+  * Spark-first re-expression of the reference's per-chunk scan loop
+  * (`fixed2avro/ColumnBuilder.go:198-227`): the chunking/CRLF alignment
+  * (`ParalizeChunks` / `FindLastNL`) is replaced by Hadoop line records in
+  * `spark.read.text`; the per-column `ColumnBuilder` family
+  * (`fixed2avro/ColumnBuilderTypes.go`) becomes a projection of built-in
+  * codegen'd expressions — `substring` is codepoint-based, which matches
+  * the reference's rune-width slicing (`fixed2avro/Util.go:45-65`, fine
+  * print F4). The whole parse is one WholeStageCodegen span: no UDFs.
+  */
+object FixedWidthParser {
+
+  /** Reference timestamp format `2020-07-09-09.59.59.993750`
+    * (`fixed2avro/ColumnBuilder.go:231`): dash between date and hour,
+    * dots inside the time, up to 6 fractional digits. */
+  val TimestampFormat = "yyyy-MM-dd-HH.mm.ss.SSSSSS"
+
+  /** Footer sentinel: a line whose first 12 chars are '*' ends the input
+    * (`fixed2avro/ColumnBuilder.go:211-214`, fine print F6). */
+  val FooterPrefix = "************"
+
+  /** Parse to NTZ wall-clock, null on failure. The session TZ is UTC in
+    * this engine (matching the reference's zero-value time.Location,
+    * `ColumnBuilder.go:229`), so the LTZ→NTZ cast is value-preserving. */
+  private def tryTimestampNtz(c: Column): Column =
+    try_to_timestamp(c, lit(TimestampFormat)).cast(TimestampNTZType)
+
+  /** Slice + type one field out of the line column. */
+  def fieldColumn(line: Column, field: FixedField, start: Int, mode: ParseMode): Column = {
+    // Spark substring positions are 1-based and codepoint-counted.
+    val raw = substring(line, start + 1, field.runeLen)
+    val typed = mode match {
+      case Strict => strictExpr(raw, field)
+      case Compat => compatExpr(raw, field)
+    }
+    typed.as(field.name)
+  }
+
+  private def strictExpr(raw: Column, f: FixedField): Column = f.parseType match {
+    case "boolean" =>
+      // Strict keeps the J/Y vocabulary but nulls out unknowns.
+      val c = upper(substring(trim(raw), 1, 1))
+      when(c.isin("J", "Y"), lit(true))
+        .when(c.isin("N"), lit(false))
+        .otherwise(lit(null).cast(BooleanType))
+    // try_cast/try_to_timestamp: null on failure regardless of the
+    // session's ANSI setting (ANSI is on by default in Spark 4).
+    case "bytes" | "Bytes" => raw.cast(BinaryType)
+    case "int"             => trim(raw).try_cast(IntegerType)
+    case "long"            => trim(raw).try_cast(LongType)
+    case "float"           => trim(raw).try_cast(FloatType)
+    case "double"          => trim(raw).try_cast(DoubleType)
+    case "string"          => raw // verbatim, padding preserved (ColumnBuilderTypes.go:157-159)
+    case "date"            => to_date(tryTimestampNtz(trim(raw)))
+    case "timestamp-millis" | "timestamp-micros" => tryTimestampNtz(trim(raw))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported type '$other' for ${f.name}")
+  }
+
+  /** Go `strconv.ParseInt` base-10 surface: optional sign + digits only.
+    * Spark's cast would trim whitespace; Go does not — a space-padded
+    * `"  42"` is a parse failure → 0 in the reference (§2.2). */
+  private val GoIntRe = "^[+-]?[0-9]+$"
+
+  /** Go `strconv.ParseFloat` surface (decimal + exponent forms; we do not
+    * model inf/nan/hex-float inputs, absent from fixed-width feeds). */
+  private val GoFloatRe = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
+  private def compatExpr(raw: Column, f: FixedField): Column = f.parseType match {
+    case "boolean" =>
+      // First byte only; J/j/Y/y → true, everything else (incl. N) → the
+      // zero value false (ColumnBuilderTypes.go:35-66).
+      upper(substring(raw, 1, 1)).isin("J", "Y")
+    case "bytes" | "Bytes" => raw.cast(BinaryType)
+    // strconv semantics on the UNtrimmed substring; failure → 0 (§2.2).
+    case "int"    => coalesce(when(raw.rlike(GoIntRe), raw.try_cast(IntegerType)), lit(0))
+    case "long"   => coalesce(when(raw.rlike(GoIntRe), raw.try_cast(LongType)), lit(0L))
+    case "float"  => coalesce(when(raw.rlike(GoFloatRe), raw.try_cast(FloatType)), lit(0.0f))
+    case "double" => coalesce(when(raw.rlike(GoFloatRe), raw.try_cast(DoubleType)), lit(0.0d))
+    case "string" => raw
+    case "date" | "timestamp-millis" | "timestamp-micros" =>
+      // F1: all three variants return Unix SECONDS as long
+      // (ColumnBuilder.go:279,330,381); parse failure → 0.
+      coalesce(unix_timestamp(try_to_timestamp(raw, lit(TimestampFormat))), lit(0L))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported type '$other' for ${f.name}")
+  }
+
+  /** Project a `value: String` line column into the typed schema.
+    *
+    * `dropFooter=true` filters footer-marker lines (a plain filter, not
+    * the reference's truncate-chunk-at-footer — acceptable deviation F6
+    * when the footer is last, the normal case).
+    */
+  def parse(
+      lines: DataFrame,
+      schema: FixedSchema,
+      mode: ParseMode = Strict,
+      dropFooter: Boolean = true,
+      lineCol: String = "value"): DataFrame = {
+    val line = col(lineCol)
+    val kept =
+      if (dropFooter) lines.filter(!line.startsWith(FooterPrefix)) else lines
+    val cols = schema.fields.zip(schema.runeStarts).map { case (f, start) =>
+      fieldColumn(line, f, start, mode)
+    }
+    kept.select(cols: _*)
+  }
+
+  /** Spark output schema under compat mode: date/timestamp → LongType
+    * seconds, boolean never null, numerics never null. */
+  def compatSchema(schema: FixedSchema): StructType =
+    StructType(schema.fields.map { f =>
+      val t = f.parseType match {
+        case "date" | "timestamp-millis" | "timestamp-micros" => LongType
+        case _                                                => f.sparkType
+      }
+      StructField(f.name, t, nullable = f.parseType == "string" || f.parseType == "Bytes" || f.parseType == "bytes")
+    })
+}
