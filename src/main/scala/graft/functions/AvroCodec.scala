@@ -161,9 +161,86 @@ object AvroCodec {
     override protected def withNewChildInternal(c: Expression): AvroDecode = copy(child = c)
   }
 
+  /** Confluent-framed bytes → struct, resolving the writer schema per
+    * message from the embedded id in ONE pass (no per-id filtered scans).
+    *
+    * This is the consumer decode of `kafkaavro/consumer.go:178-189`
+    * collapsed into a single expression: magic-byte check, 4-byte
+    * big-endian id read, writer-schema lookup from a driver-provided
+    * (broadcast-as-literal) id→schema map, then Avro decode with full
+    * writer→reader schema resolution (`GenericDatumReader(writer,
+    * reader)`), so renamed-by-alias / reordered / promoted fields land by
+    * NAME, not position. Bad magic byte or unknown id → null row
+    * (callers count/filter them), mirroring the reference's per-message
+    * error return without poisoning the batch. */
+  case class AvroDecodeFramed(child: Expression, schemasById: Map[Int, String],
+      readerJson: String, outType: StructType)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = outType
+    override def nullable: Boolean = true
+    override def prettyName: String = "avro_decode_framed"
+
+    @transient private lazy val readerSchema = new Schema.Parser().parse(readerJson)
+    @transient private lazy val fieldDec: Array[AnyRef => Any] = {
+      val readerFields = readerSchema.getFields
+      require(readerFields.size == outType.size,
+        s"reader schema has ${readerFields.size} fields, struct has ${outType.size}")
+      outType.fields.zipWithIndex.map { case (sf, i) =>
+        decoder(readerFields.get(i).schema(), sf.dataType)
+      }
+    }
+    /** One resolving reader per writer id, built lazily per task. */
+    @transient private lazy val readers =
+      new java.util.HashMap[Int, GenericDatumReader[GenericRecord]]()
+    @transient private var binDec: BinaryDecoder = _
+    @transient private var reuse: GenericRecord = _
+
+    private def readerFor(id: Int): GenericDatumReader[GenericRecord] = {
+      var r = readers.get(id)
+      if (r == null) {
+        schemasById.get(id) match {
+          case Some(writerJson) =>
+            r = new GenericDatumReader[GenericRecord](
+              new Schema.Parser().parse(writerJson), readerSchema)
+            readers.put(id, r)
+          case None => return null
+        }
+      }
+      r
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      if (bytes.length < 6 || bytes(0) != 0x00) return null // unknown magic byte
+      val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+        ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+      val reader = readerFor(id)
+      if (reader == null) return null // unknown schema id
+      binDec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, binDec)
+      reuse = reader.read(reuse, binDec)
+      val n = fieldDec.length
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val v = reuse.get(i)
+        out(i) = if (v == null) null else fieldDec(i)(v)
+        i += 1
+      }
+      InternalRow.fromSeq(out.toIndexedSeq)
+    }
+    override protected def withNewChildInternal(c: Expression): AvroDecodeFramed = copy(child = c)
+  }
+
   /** Column API: serialize a struct column to Avro binary. */
   def to_avro(data: Column, avroJson: String): Column =
     ColumnBridge.column(AvroEncode(ColumnBridge.expression(data), avroJson))
+
+  /** Column API: decode Confluent-framed bytes with per-message writer
+    * schema resolution against a reader schema. */
+  def from_avro_framed(data: Column, schemasById: Map[Int, String],
+      readerJson: String, outType: StructType): Column =
+    ColumnBridge.column(AvroDecodeFramed(ColumnBridge.expression(data),
+      schemasById, readerJson, outType))
 
   /** Column API: deserialize Avro binary into a struct column. */
   def from_avro(data: Column, avroJson: String, outType: StructType): Column =

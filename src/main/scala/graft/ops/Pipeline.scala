@@ -75,27 +75,29 @@ object Pipeline {
 
   /** typed rows → snappy OCF files (one per partition) → read back ≡ input. */
   def ocfRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-ocf-").toString
+    val out = Scratch.dir(spark, "ocf")
     Ocf.write(lineitem(spark, dir), lineitemFixed, out)
     Ocf.read(spark, out, lineitemFixed).orderBy(orderCols: _*)
   }
 
   /** typed rows → staged Kafka frame (Confluent key+value, pinned
-    * partition) → consumer decode ≡ input. */
+    * partition) → consumer decode ≡ input. The producer-side value id is
+    * passed to the decoder (the reference carries it in config, §2.4), so
+    * decode is a single pass with no data-driven id discovery. */
   def kafkaRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val registry = new InMemorySchemaRegistry
     val (keyId, valueId) =
       KafkaStage.registerSubjects(registry, "lineitem", lineitemFixed)
     val staged = KafkaStage.stage(lineitem(spark, dir), lineitemFixed,
       schemaId = valueId, topic = "lineitem", keySchemaId = keyId)
-    KafkaConsume.decode(staged, registry, lineitemFixed)
+    KafkaConsume.decode(staged, registry, lineitemFixed, knownIds = Seq(valueId))
       .orderBy(orderCols: _*)
   }
 
   /** Full chain on real text: render to files, read with the distributed
     * text source (footer line appended to exercise S3), parse strict. */
   def fixedwidthFileScan(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-fw-").toString
+    val out = Scratch.dir(spark, "fw")
     FixedWidth.write(lineitem(spark, dir), lineitemFixed, out)
     FixedWidth.read(spark, out, lineitemFixed, Strict).orderBy(orderCols: _*)
   }

@@ -30,25 +30,29 @@ object FixedWidth {
 
   /** Render one field to its fixed rune width. Strings are right-padded
     * with spaces; numerics left-padded (the usual fixed-width feed
-    * convention); timestamps use the reference format. Values wider than
-    * the declared width are rejected at parse time, not silently
-    * truncated. */
+    * convention); timestamps use the reference format. A value WIDER than
+    * its declared width raises an error at render time — lpad/rpad would
+    * otherwise truncate it to a different, silently-valid value. */
   def renderField(c: Column, f: FixedField, zeroPadNumerics: Boolean = false): Column = {
-    val s = f.parseType match {
+    val s0 = f.parseType match {
       case "date" | "timestamp-millis" | "timestamp-micros" =>
         date_format(c, FixedWidthParser.TimestampFormat)
       case "boolean" => when(c, lit("Y")).otherwise(lit("N"))
       case _         => c.cast(StringType)
     }
+    val s = coalesce(s0, lit(""))
+    val guarded = when(length(s) <= f.runeLen, s).otherwise(raise_error(concat(
+      lit(s"fixedwidth render: value wider than ${f.runeLen} runes in field '${f.name}': '"),
+      s, lit("'"))))
     f.parseType match {
-      case "string" | "Bytes" | "bytes" => rpad(coalesce(s, lit("")), f.runeLen, " ")
+      case "string" | "Bytes" | "bytes" => rpad(guarded, f.runeLen, " ")
       case "boolean" | "date" | "timestamp-millis" | "timestamp-micros" =>
-        lpad(coalesce(s, lit("")), f.runeLen, " ")
+        lpad(guarded, f.runeLen, " ")
       case _ =>
         // Numerics: space-pad (the usual feed convention; under compat
         // parsing these become 0, faithfully to Go strconv) or zero-pad
         // (parseable in both modes; non-negative values only).
-        lpad(coalesce(s, lit("")), f.runeLen, if (zeroPadNumerics) "0" else " ")
+        lpad(guarded, f.runeLen, if (zeroPadNumerics) "0" else " ")
     }
   }
 

@@ -5,6 +5,7 @@ import graft.registry.SchemaRegistryClient
 import graft.schema.FixedSchema
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Consumer-side decode of Confluent-framed Avro messages.
   *
@@ -20,28 +21,51 @@ import org.apache.spark.sql.functions._
 object KafkaConsume {
 
   /** Distinct schema ids present in the frame — metadata-scale collect
-    * (the set of schema versions, not the data). */
+    * (the set of schema versions, not the data). Only used when the
+    * caller cannot enumerate ids up front; the input should be persisted
+    * by then (see [[decode]]) so this does not recompute the pipeline. */
   def schemaIds(framed: DataFrame, valueCol: String = "value"): Seq[Int] =
     framed.select(Confluent.schemaId(col(valueCol)).as("sid"))
       .distinct().collect().map(_.getInt(0)).toSeq
 
-  /** Decode a framed `value` column into typed rows. Handles schema
-    * evolution the same way the reference does — per-message schema id →
-    * registry lookup (cached) — by decoding each id group with its own
-    * schema and unioning by column name. Messages with a bad magic byte
-    * are rejected like `consumer.go:180` ("unknown magic byte"). */
+  /** Decode a framed `value` column into typed rows in ONE pass.
+    *
+    * Schema evolution is handled the way the reference does — per-message
+    * schema id → registry lookup (cached) — but vectorized: the id→writer
+    * schema map rides inside a single [[AvroCodec.AvroDecodeFramed]]
+    * expression with full Avro writer→reader resolution (fields matched
+    * by name, type promotions applied), instead of one filtered scan per
+    * id. Messages with a bad magic byte or an id outside `knownIds` are
+    * dropped, like the per-message error return at `consumer.go:180`.
+    *
+    * @param knownIds writer-schema ids expected in the stream. Pass them
+    *   when the producer side knows its ids (normal case — the reference
+    *   carries the id in config, SURVEY.md §2.4). When empty, ids are
+    *   discovered from the data itself; the frame is persisted first so
+    *   discovery does not recompute the upstream pipeline twice.
+    */
   def decode(framed: DataFrame, registry: SchemaRegistryClient,
-      target: FixedSchema, valueCol: String = "value"): DataFrame = {
-    val ok = framed.filter(Confluent.hasMagic(col(valueCol)))
-    val ids = schemaIds(ok, valueCol)
-    require(ids.nonEmpty, "no decodable messages (empty input or bad magic bytes)")
-    val outType = target.sparkSchema
-    val parts = ids.map { id =>
-      val writerJson = registry.getById(id)
-      ok.filter(Confluent.schemaId(col(valueCol)) === id)
-        .select(AvroCodec.from_avro(Confluent.payload(col(valueCol)), writerJson, outType).as("r"))
-        .select(col("r.*"))
-    }
-    parts.reduce(_ unionByName _)
+      target: FixedSchema, knownIds: Seq[Int] = Nil,
+      valueCol: String = "value"): DataFrame = {
+    val spark = framed.sparkSession
+    // Discovery path: persist so the id scan and the decode share one
+    // materialization (round-1 ran the whole upstream pipeline N+1 times
+    // here). The cache lives until session eviction; callers that can
+    // enumerate ids never pay it.
+    val (input, ids) =
+      if (knownIds.nonEmpty) (framed, knownIds)
+      else {
+        val cached = framed.persist(StorageLevel.MEMORY_AND_DISK)
+        (cached, schemaIds(cached, valueCol))
+      }
+    if (ids.isEmpty) // empty topic / all-bad-magic batch → empty frame, not a crash
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target.sparkSchema)
+    val schemasById = ids.map(id => id -> registry.getById(id)).toMap
+    input
+      .select(AvroCodec.from_avro_framed(col(valueCol), schemasById,
+        target.avroJson, target.sparkSchema).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.*"))
   }
 }

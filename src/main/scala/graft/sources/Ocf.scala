@@ -105,6 +105,11 @@ object Ocf {
   def write(df: DataFrame, schema: FixedSchema, dir: String): Unit = {
     val avroJson = schema.avroJson
     val sparkSchema = df.schema
+    // Session Hadoop conf, serializably captured: keeps fs.defaultFS /
+    // object-store credentials working on executors (a bare
+    // `new Configuration()` only sees local defaults).
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     df.rdd.foreachPartition { rows =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val avroSchema = new Schema.Parser().parse(avroJson)
@@ -112,7 +117,7 @@ object Ocf {
         rowToAvro(f.dataType, avroSchema.getFields.get(i).schema())
       }
       val path = new Path(dir, f"part-$pid%05d.avro")
-      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = path.getFileSystem(hadoopConf.value)
       val out = fs.create(path, true)
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
       w.setCodec(CodecFactory.snappyCodec())
@@ -144,6 +149,11 @@ object Ocf {
         val readerSchema = new Schema.Parser().parse(readerJson)
         val reader = new GenericDatumReader[GenericRecord](null, readerSchema)
         val stream = new DataFileStream(pds.open(), reader)
+        // Close unconditionally at task end: a limit/take or task failure
+        // leaves the iterator partially consumed, which would otherwise
+        // leak the file handle and snappy decompressor.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => stream.close()))
         val conv = sparkSchema.fields.zipWithIndex.map { case (f, i) =>
           avroToRow(readerSchema.getFields.get(i).schema(), f.dataType)
         }
