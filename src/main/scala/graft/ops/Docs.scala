@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared accessors/expressions for the `documents` fixture table
+  * (doc_id, text, lang, source, n_chars).
+  *
+  * Tokenization is the one definition every text operator shares:
+  * whitespace-split, empty tokens dropped. Kept identical to the DuckDB
+  * oracle form `list_filter(string_split(text,' '), t -> len(t)>0)` so
+  * token counts agree exactly.
+  */
+object Docs {
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Whitespace tokens of a text column, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Distinct word 3-gram shingles; docs shorter than 3 tokens fall back
+    * to a single whole-doc shingle (mirrors the oracle's CASE arm). */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** The same shingle definition in DuckDB SQL, as a CTE body over
+    * `documents` producing (doc_id, sh). */
+  val shinglesSql: String =
+    """w AS (SELECT doc_id, list_filter(string_split(text,' '), t -> len(t)>0) AS ws FROM documents),
+      |s AS (SELECT doc_id,
+      |  CASE WHEN len(ws) >= 3
+      |       THEN list_distinct(list_transform(range(1, len(ws)-1),
+      |              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |       ELSE [array_to_string(ws, ' ')] END AS sh FROM w)""".stripMargin
+}

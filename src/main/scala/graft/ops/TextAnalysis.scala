@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis operators over the `documents` table: per-document
+  * statistics, n-gram-heuristic language ID, a quality score, and a
+  * winnowing-style document fingerprint.
+  *
+  * All pure built-in expressions (one codegen'd projection, no UDFs, no
+  * shuffle except the deterministic output sort) — the 100 TB shape is a
+  * single map-side pass over the corpus. Every formula is mirrored
+  * operation-for-operation in the DuckDB oracle so double arithmetic is
+  * bit-identical.
+  */
+object TextAnalysis {
+
+  /** Marker stopword lists for the language-ID heuristic. Deliberately
+    * tiny: the heuristic is argmax of marker hits with a fixed priority
+    * (en > de > fr > es) and 'xx' when no marker hits. */
+  val En = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val De = Seq("der", "die", "das", "und", "ist", "ein")
+  val Fr = Seq("le", "les", "et", "est", "dans", "une")
+  val Es = Seq("el", "los", "y", "es", "por", "una")
+
+  private def sqlList(ws: Seq[String]): String = ws.map("'" + _ + "'").mkString(", ")
+
+  /** Per-document stats + language guess + quality score. */
+  def textAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Docs.documents(spark, dir)
+    val toks = Docs.tokens(col("text"))
+    val d = docs.select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
+    val nTokens = size(col("toks"))
+    def hits(ws: Seq[String]) = size(filter(col("toks"), t => t.isin(ws: _*)))
+    val cEn = hits(En); val cDe = hits(De); val cFr = hits(Fr); val cEs = hits(Es)
+    val nChars = length(col("text"))
+    val punct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+    val punctRatio = punct.cast(DoubleType) / nChars
+    val stopRatio = cEn.cast(DoubleType) / nullif(nTokens, lit(0))
+    d.select(
+      col("doc_id"),
+      col("lang"),
+      nChars.cast(LongType).as("n_chars_m"),
+      nTokens.cast(LongType).as("n_tokens"),
+      size(array_distinct(col("toks"))).cast(LongType).as("n_types"),
+      size(expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)")).cast(LongType).as("n_word_runs"),
+      (aggregate(transform(col("toks"), t => length(t)), lit(0), (acc, x) => acc + x)
+        .cast(DoubleType) / nullif(nTokens, lit(0))).as("avg_token_len"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stop_ratio"),
+      when(greatest(cEn, cDe, cFr, cEs) === 0, "xx")
+        .when(cEn >= cDe && cEn >= cFr && cEn >= cEs, "en")
+        .when(cDe >= cFr && cDe >= cEs, "de")
+        .when(cFr >= cEs, "fr")
+        .otherwise("es").as("lang_guess"),
+      round(lit(0.5) * (least(nTokens, lit(100)) / lit(100.0))
+        + lit(0.3) * stopRatio + lit(0.2) * (lit(1.0) - punctRatio), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val textAnalysisOracle: String = {
+    def hitsSql(ws: Seq[String]) = s"len(list_filter(toks, t -> t IN (${sqlList(ws)})))"
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, text,
+       |         list_filter(string_split(text,' '), t -> len(t)>0) AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang, text, toks,
+       |         len(toks) AS n_tokens,
+       |         ${hitsSql(En)} AS c_en, ${hitsSql(De)} AS c_de,
+       |         ${hitsSql(Fr)} AS c_fr, ${hitsSql(Es)} AS c_es,
+       |         length(text) AS n_chars_m,
+       |         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+       |  FROM d)
+       |SELECT doc_id, lang,
+       |       CAST(n_chars_m AS BIGINT) AS n_chars_m,
+       |       CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_word_runs,
+       |       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / nullif(n_tokens, 0) AS avg_token_len,
+       |       CAST(punct AS DOUBLE) / n_chars_m AS punct_ratio,
+       |       CAST(c_en AS DOUBLE) / nullif(n_tokens, 0) AS stop_ratio,
+       |       CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'xx'
+       |            WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+       |            WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+       |            WHEN c_fr >= c_es THEN 'fr'
+       |            ELSE 'es' END AS lang_guess,
+       |       round(0.5 * (least(n_tokens, 100) / 100.0)
+       |             + 0.3 * (CAST(c_en AS DOUBLE) / nullif(n_tokens, 0))
+       |             + 0.2 * (1.0 - CAST(punct AS DOUBLE) / n_chars_m), 6) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Winnowing-style fingerprint: the minimum hash over all 8-char
+    * sliding windows of the text. Robust to local edits (an edit only
+    * perturbs 8 windows). md5 keeps the hash portable to the oracle; at
+    * scale swap in xxhash64 (same plan shape, one expression change). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Docs.documents(spark, dir)
+    val n = length(col("text"))
+    val windows = when(n >= 8,
+      transform(sequence(lit(1), n - 7), i => md5(col("text").substr(i, lit(8)))))
+      .otherwise(array(md5(col("text"))))
+    docs.select(col("doc_id"), array_min(windows).as("fingerprint"),
+      size(windows).cast(LongType).as("n_windows"))
+      .orderBy("doc_id")
+  }
+
+  val docFingerprintOracle: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(text) >= 8
+      |              THEN list_transform(range(1, length(text)-6), i -> md5(substr(text, i, 8)))
+      |              ELSE [md5(text)] END AS windows
+      |  FROM documents)
+      |SELECT doc_id, list_min(windows) AS fingerprint,
+      |       CAST(len(windows) AS BIGINT) AS n_windows
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_analysis" -> (textAnalysis _),
+    "doc_fingerprint" -> (docFingerprint _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "text_analysis" -> textAnalysisOracle,
+    "doc_fingerprint" -> docFingerprintOracle,
+  )
+}
