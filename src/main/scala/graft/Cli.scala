@@ -1,0 +1,69 @@
+package graft
+
+import graft.registry.{CachedSchemaRegistry, HttpSchemaRegistry, InMemorySchemaRegistry, SchemaRegistryClient}
+import graft.schema.FixedSchema
+import graft.sinks.KafkaStage
+import graft.sources.{FixedWidth, Ocf}
+import org.apache.spark.sql.SparkSession
+
+/** Batch CLI mirroring the reference's 7-arg entry (`CLI.go:32-49`):
+  *
+  * {{{
+  * sbt "runMain graft.Cli <sink> <registryUrl> <schemaFile> <schemaId> <topic> <cores> <dataFile>"
+  * }}}
+  *
+  *  - `sink` starting with `http://`/`https://` → Kafka path: register
+  *    subjects, stage the Confluent-framed (key,value,topic,partition)
+  *    frame (`fixed2avro/Exporters.go:140-169` dispatch). With no Kafka
+  *    connector in this offline build the staged frame is written as
+  *    parquet under `GRAFT_STAGE_DIR` (default `/tmp/graft-stage/<topic>`)
+  *    — on a cluster the same frame goes to `df.write.format("kafka")`.
+  *  - anything else → output directory: snappy Avro OCF, one file per
+  *    partition (`AvroFileExporter`, `fixed2avro/Exporters.go:105-138`).
+  *  - `registryUrl` of `mem:` uses the in-memory registry (offline runs).
+  *  - `cores` sets local parallelism ≡ the reference's chunk count.
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    if (args.length != 7) {
+      System.err.println(
+        "usage: graft.Cli <broker-or-outdir> <registryUrl|mem:> <schemaFile> " +
+          "<schemaId> <topic> <cores> <dataFile>")
+      sys.exit(2)
+    }
+    val Array(sink, registryUrl, schemaFile, schemaIdS, topic, coresS, dataFile) = args
+    val cores = coresS.toInt
+    val schemaId = schemaIdS.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    try {
+      val schema = FixedSchema.fromFile(schemaFile)
+      val parsed = FixedWidth.read(spark, dataFile, schema)
+      if (sink.startsWith("http://") || sink.startsWith("https://")) {
+        val registry: SchemaRegistryClient = new CachedSchemaRegistry(
+          if (registryUrl == "mem:") new InMemorySchemaRegistry
+          else new HttpSchemaRegistry(registryUrl))
+        val (keyId, _) = KafkaStage.registerSubjects(registry, topic, schema)
+        val staged = KafkaStage.stage(parsed, schema, schemaId = schemaId,
+          topic = topic, keySchemaId = keyId)
+        val stageDir = sys.env.getOrElse("GRAFT_STAGE_DIR", s"/tmp/graft-stage/$topic")
+        staged.write.mode("overwrite").parquet(stageDir)
+        println(s"[graft] staged Kafka frame for topic '$topic' -> $stageDir " +
+          s"(no connector jar in this build; format(\"kafka\") on a cluster)")
+      } else {
+        Ocf.write(parsed, schema, sink)
+        println(s"[graft] wrote snappy OCF (one file per partition) -> $sink")
+      }
+      val rows = parsed.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[graft] $rows rows in $secs%.2f s (${rows / secs}%.0f rows/s, $cores cores)")
+    } finally spark.stop()
+  }
+}

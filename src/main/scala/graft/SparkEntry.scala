@@ -20,11 +20,15 @@ object SparkEntry {
     * LLM-data-pipeline operator families. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Pipeline.queries ++ ops.TextAnalysis.queries ++
-      ops.Dedup.queries ++ ops.Similarity.queries
+      ops.Dedup.queries ++ ops.Similarity.queries ++
+      ops.Relational.queries ++ ops.Sessions.queries ++
+      ops.AllTypes.queries ++ ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Pipeline.oracleSql ++ ops.TextAnalysis.oracleSql ++
-      ops.Dedup.oracleSql ++ ops.Similarity.oracleSql
+      ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
+      ops.Relational.oracleSql ++ ops.Sessions.oracleSql ++
+      ops.AllTypes.oracleSql ++ ops.Multimodal.oracleSql
 }

@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+
+/** TPC-H-style relational coverage over orders/lineitem/customer/
+  * supplier/nation/region: hash aggregation, broadcast + shuffle joins,
+  * rollup, windowed top-N, distinct aggregation.
+  *
+  * Money arithmetic is done in DECIMAL end-to-end: per-row casts from
+  * the 2-dp doubles are exact (the doubles sit ~1e-13 from their decimal
+  * value, the cast boundary is 5e-3 away), and decimal sums are exact
+  * and order-independent — so Spark's parallel aggregation and DuckDB's
+  * serial one agree bit-for-bit. Outputs keep their full natural scale:
+  * a final scale-REDUCING cast would round, and Spark (half-up) and
+  * DuckDB (half-down at the .5 boundary) disagree there.
+  *
+  * Scale notes per query are on each method: dimension joins broadcast
+  * (region/nation/customer/supplier are KBs..MBs at any sf), fact-fact
+  * joins shuffle on their keys, aggregations are partial map-side first.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact 2-dp decimal view of a double money column. */
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  private val one = lit(1).cast(DecimalType(3, 2))
+
+  // -------------------------------------------------------- Q1: pricing
+
+  /** TPC-H Q1 shape: full-scan hash agg on lineitem. One shuffle of 6
+    * groups; everything else is map-side partial aggregation. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+          .cast(DecimalType(27, 4)).as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
+          * (one + dec2(col("l_tax")))).cast(DecimalType(27, 6)).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(27,4)) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(27,6)) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------- Q3: top revenue orders
+
+  /** Customer (broadcast, filtered) ⋈ orders ⋈ lineitem, revenue per
+    * order, top 10. The shuffle is orders⋈lineitem on o_orderkey; the
+    * final top-k is a single-partition sort of the aggregated orders —
+    * at 100 TB use the same plan (agg output is |orders| rows, the
+    * global limit-10 sort is a TakeOrdered, not a full sort). */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val joined = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    joined.groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+        .cast(DecimalType(27, 4)).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3Oracle: String =
+    """SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(27,4)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // -------------------------------------- Q5: revenue by nation/region
+
+  /** Six-way star join: the fact shuffle is lineitem⋈orders⋈supplier;
+    * region/nation/customer are broadcast. Customer joins on BOTH
+    * custkey and nationkey (the TPC-H Q5 "local supplier" predicate). */
+  def q5NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val joined = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+    joined.groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+        .cast(DecimalType(27, 4)).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q5Oracle: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(27,4)) AS revenue,
+      |  count(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // ----------------------------------------------------- rollup report
+
+  /** Grouping-sets coverage: ROLLUP(priority, status) with explicit
+    * NULLS FIRST ordering so Spark and DuckDB agree on subtotal row
+    * placement. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("sum_price"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  val qRollupOracle: String =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+      |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------- windowed top-N
+
+  /** Top-3 orders per customer by price: the canonical window top-N —
+    * one shuffle on custkey, rank inside the partition, no global sort
+    * of the fact table. */
+  def qWindowTopn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn").cast(IntegerType).as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val qWindowTopnOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // -------------------------------------------------- distinct agg
+
+  /** Distinct aggregation: count(distinct) forces the two-phase
+    * expand/agg plan; min/max are exact on the raw doubles. */
+  def qAggDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("o_orderpriority")
+
+  val qAggDistinctOracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  count(DISTINCT o_custkey) AS n_custs,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> (q1Pricing _),
+    "q3_top_orders" -> (q3TopOrders _),
+    "q5_nation_volume" -> (q5NationVolume _),
+    "q_rollup" -> (qRollup _),
+    "q_window_topn" -> (qWindowTopn _),
+    "q_agg_distinct" -> (qAggDistinct _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" -> q1Oracle,
+    "q3_top_orders" -> q3Oracle,
+    "q5_nation_volume" -> q5Oracle,
+    "q_rollup" -> qRollupOracle,
+    "q_window_topn" -> qWindowTopnOracle,
+    "q_agg_distinct" -> qAggDistinctOracle,
+  )
+}

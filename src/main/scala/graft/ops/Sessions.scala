@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampType}
+
+/** Event-time operators over the `events` table (event_id, ts, user_id,
+  * event_type, value, props): lag-gap sessionization and tumbling-window
+  * aggregation. These are the batch-shaped duals of the Structured
+  * Streaming operators in `graft.streaming` — same semantics, so the
+  * DuckDB oracle that checks these also pins the streaming logic.
+  *
+  * Scale: both shuffle exactly once on their natural key (user_id /
+  * window bucket); sessionization's windows are per-user ordered scans,
+  * never a global sort.
+  */
+object Sessions {
+
+  val SessionGapMicros: Long = 30L * 60 * 1000 * 1000 // 30 min
+
+  /** The events fixture carries TIMESTAMP(NANOS) — a parquet type Spark
+    * rejects outright. Read it as a long (legacy conf), then rebuild a
+    * micro-precision NTZ timestamp with integer division (a double
+    * division would lose precision above 2^53 ns). DuckDB truncates
+    * ns→us identically, so the oracle sees the same instants. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast(org.apache.spark.sql.types.TimestampNTZType))
+  }
+
+  /** Lag-gap sessionization: a new session starts where the gap to the
+    * previous event of the same user exceeds 30 minutes. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val us = unix_micros(col("ts").cast(TimestampType))
+    val withGap = events(spark, dir)
+      .withColumn("us", us)
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > SessionGapMicros, 1).otherwise(0))
+      .withColumn("session_nr", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withGap.groupBy(col("user_id"), col("session_nr"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_value"))
+      .orderBy("user_id", "session_nr")
+  }
+
+  val sessionizeOracle: String =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $SessionGapMicros
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS session_nr
+       |  FROM g)
+       |SELECT user_id, session_nr, min(ts) AS session_start, max(ts) AS session_end,
+       |       count(*) AS n_events,
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+       |FROM s GROUP BY user_id, session_nr ORDER BY user_id, session_nr""".stripMargin
+
+  /** Tumbling 1-hour event-time window per event type. */
+  def eventsWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("min_value"), col("max_value"))
+      .orderBy("window_start", "event_type")
+
+  val eventsWindowOracle: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
+      |       min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Per-user activity profile: event counts pivoted by type + total —
+    * conditional aggregation, one shuffle on user_id. */
+  def userActivity(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val aggs = count(lit(1)).as("n_events") +: types.map(tp =>
+      sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"n_$tp"))
+    events(spark, dir).groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("user_id")
+  }
+
+  val userActivityOracle: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_sessionize" -> (sessionize _),
+    "events_window" -> (eventsWindow _),
+    "events_user_activity" -> (userActivity _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "events_sessionize" -> sessionizeOracle,
+    "events_window" -> eventsWindowOracle,
+    "events_user_activity" -> userActivityOracle,
+  )
+}

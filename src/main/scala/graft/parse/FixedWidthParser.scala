@@ -52,16 +52,26 @@ object FixedWidthParser {
   private def tryTimestampNtz(c: Column): Column =
     try_to_timestamp(c, lit(TimestampFormat)).cast(TimestampNTZType)
 
-  /** Slice + type one field out of the line column. */
-  def fieldColumn(line: Column, field: FixedField, start: Int, mode: ParseMode): Column = {
+  /** Slice + type one field out of the line column (unaliased). */
+  private def fieldExpr(line: Column, field: FixedField, start: Int, mode: ParseMode): Column = {
     // Spark substring positions are 1-based and codepoint-counted.
     val raw = substring(line, start + 1, field.runeLen)
-    val typed = mode match {
+    mode match {
       case Strict => strictExpr(raw, field)
       case Compat => compatExpr(raw, field)
     }
-    typed.as(field.name)
   }
+
+  /** Slice + type one field out of the line column. */
+  def fieldColumn(line: Column, field: FixedField, start: Int, mode: ParseMode): Column =
+    fieldExpr(line, field, start, mode).as(field.name)
+
+  /** All typed field columns of a schema (for callers that project the
+    * parse alongside other columns). */
+  def fieldColumns(line: Column, schema: FixedSchema, mode: ParseMode): Seq[Column] =
+    schema.fields.zip(schema.runeStarts).map { case (f, start) =>
+      fieldColumn(line, f, start, mode)
+    }
 
   private def strictExpr(raw: Column, f: FixedField): Column = f.parseType match {
     case "boolean" =>
@@ -118,20 +128,37 @@ object FixedWidthParser {
     * `dropFooter=true` filters footer-marker lines (a plain filter, not
     * the reference's truncate-chunk-at-footer — acceptable deviation F6
     * when the footer is last, the normal case).
+    *
+    * `corruptCol=Some(name)` enables strict line-length validation
+    * (fine print F5/F8: the reference silently yields stale/garbage
+    * fields on short lines — `fixed2avro/Util.go:45-65`): a line whose
+    * rune length differs from the schema's row length parses to an
+    * all-null row with the raw line preserved in the named column
+    * (PERMISSIVE-style corrupt-record handling); well-formed lines get a
+    * null there. Without it, short lines parse best-effort (reference
+    * behavior, minus the stale-buffer artifacts).
     */
   def parse(
       lines: DataFrame,
       schema: FixedSchema,
       mode: ParseMode = Strict,
       dropFooter: Boolean = true,
-      lineCol: String = "value"): DataFrame = {
+      lineCol: String = "value",
+      corruptCol: Option[String] = None): DataFrame = {
     val line = col(lineCol)
     val kept =
       if (dropFooter) lines.filter(!line.startsWith(FooterPrefix)) else lines
+    val wellFormed = length(line) === schema.rowRuneLen
     val cols = schema.fields.zip(schema.runeStarts).map { case (f, start) =>
-      fieldColumn(line, f, start, mode)
+      val typed = fieldExpr(line, f, start, mode)
+      corruptCol match {
+        case Some(_) => when(wellFormed, typed).otherwise(lit(null)).as(f.name)
+        case None    => typed.as(f.name)
+      }
     }
-    kept.select(cols: _*)
+    val all = cols ++ corruptCol.map(name =>
+      when(!wellFormed, line).otherwise(lit(null).cast(StringType)).as(name))
+    kept.select(all: _*)
   }
 
   /** Spark output schema under compat mode: date/timestamp → LongType

@@ -56,12 +56,14 @@ object FixedWidth {
     }
   }
 
+  /** The whole-row render expression (concat of all padded fields). */
+  def renderValue(schema: FixedSchema, zeroPadNumerics: Boolean = false): Column =
+    concat(schema.fields.map(f => renderField(col(f.name), f, zeroPadNumerics)): _*)
+
   /** Typed DataFrame → single `value: String` column of fixed-width lines
     * (no line terminator; the text sink adds '\n'). */
-  def render(df: DataFrame, schema: FixedSchema, zeroPadNumerics: Boolean = false): DataFrame = {
-    val cols = schema.fields.map(f => renderField(col(f.name), f, zeroPadNumerics))
-    df.select(concat(cols: _*).as("value"))
-  }
+  def render(df: DataFrame, schema: FixedSchema, zeroPadNumerics: Boolean = false): DataFrame =
+    df.select(renderValue(schema, zeroPadNumerics).as("value"))
 
   /** Write a DataFrame as fixed-width text, one file per partition
     * (mirrors the reference's file-per-chunk output shape). */

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Event-time streaming over the `events` table shape: watermarked
+  * tumbling-window aggregation and stateful sessionization via
+  * `flatMapGroupsWithState`.
+  *
+  * Semantics intentionally match the batch operators in
+  * [[graft.ops.Sessions]] (same 30-min gap, same 1-h windows) — the
+  * DuckDB oracle that gates the batch versions therefore also pins these;
+  * the streaming specs assert stream ≡ batch on the fixture.
+  */
+object EventStream {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType), // ns since epoch
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream of events parquet (nanos read as long, rebuilt
+    * to micro NTZ exactly like the batch reader). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+  }
+
+  /** Watermarked tumbling 1-h counts per event type. Late data beyond
+    * 2 h is dropped; state for closed windows is evicted — bounded state
+    * at any scale. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast(TimestampType)) // watermarks need an instant
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").cast(TimestampNTZType).as("window_start"),
+        col("event_type"), col("n_events"))
+
+  case class Ev(user_id: Long, tsMicros: Long)
+  case class SessionState(sessionCount: Int, lastTs: Long)
+  case class UserSessions(user_id: Long, n_sessions: Int, n_events: Long)
+
+  /** Stateful sessionization: per-user session counting with the same
+    * 30-min gap rule as [[graft.ops.Sessions.sessionize]], kept in a
+    * `GroupState` so it spans micro-batches. State is O(users), the
+    * stream is never re-sorted globally.
+    *
+    * Correct only when each user's events arrive in event-time order
+    * across batches (true for the replay-a-sorted-log test shape; a
+    * production job would buffer out-of-order events with a timeout —
+    * noted rather than implemented, the fixture replay is ordered). */
+  def sessionCounts(events: DataFrame)(implicit spark: SparkSession): Dataset[UserSessions] = {
+    import spark.implicits._
+    val evs = events
+      .select(col("user_id"),
+        unix_micros(col("ts").cast(TimestampType)).as("tsMicros"))
+      .as[Ev]
+    evs.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+      (user: Long, batch: Iterator[Ev], state: GroupState[SessionState]) => {
+        val sorted = batch.toSeq.sortBy(_.tsMicros)
+        var st = state.getOption.getOrElse(SessionState(0, Long.MinValue))
+        var events = 0L
+        sorted.foreach { e =>
+          val gap = e.tsMicros - st.lastTs
+          val newSession = st.lastTs == Long.MinValue || gap > graft.ops.Sessions.SessionGapMicros
+          st = SessionState(st.sessionCount + (if (newSession) 1 else 0), e.tsMicros)
+          events += 1
+        }
+        state.update(st)
+        Iterator(UserSessions(user, st.sessionCount, events))
+      })
+  }
+
+  /** Drain to an in-memory table (test/debug sink). */
+  def runToMemory(df: DataFrame, name: String): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Drain an append-mode (watermarked) stream to parquet. */
+  def runAppendToParquet(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery = {
+    val q = df.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+}

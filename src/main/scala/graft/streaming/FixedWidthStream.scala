@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.parse.{FixedWidthParser, ParseMode, Strict}
+import graft.functions.{AvroCodec, Confluent}
+import graft.schema.FixedSchema
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming front of the fixed-width→Avro pipeline.
+  *
+  * The reference's consumer is a poll loop
+  * (`kafkaavro/consumer.go:146-189`) and its producer a one-shot batch;
+  * here the same parse/frame expressions run unchanged under
+  * `readStream`/`writeStream` with checkpointing — Spark's recovery
+  * replaces the reference's manual commit (`consumer.go:167-176`,
+  * strictly stronger: offsets and sink state commit atomically per
+  * micro-batch).
+  *
+  * Offline, the source is a file stream (new files in a directory ≡ new
+  * messages); on a real cluster swap `readStream.text(dir)` for
+  * `readStream.format("kafka")` + [[Confluent.payload]] — the
+  * transformation DAG is identical, which is the point: operators are
+  * declared once and run batch or streaming.
+  */
+object FixedWidthStream {
+
+  /** Streaming fixed-width parse: files arriving in `dir` → typed rows. */
+  def parseStream(spark: SparkSession, dir: String, schema: FixedSchema,
+      mode: ParseMode = Strict): DataFrame =
+    FixedWidthParser.parse(spark.readStream.text(dir), schema, mode)
+
+  /** Typed streaming frame → Confluent-framed Avro `value` bytes
+    * (the producer leg of the pipeline, streaming-shaped). */
+  def frameStream(parsed: DataFrame, schema: FixedSchema, schemaId: Int): DataFrame =
+    parsed.select(
+      Confluent.frame(
+        AvroCodec.to_avro(struct(schema.fields.map(f => col(f.name)): _*), schema.avroJson),
+        schemaId).as("value"))
+
+  /** Drain the stream to parquet with a checkpoint, processing all data
+    * currently available, then stop (Trigger.AvailableNow — the batch
+    * bootstrap mode; drop the trigger for a continuous run). */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

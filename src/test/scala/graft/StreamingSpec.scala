@@ -1,0 +1,106 @@
+package graft
+
+import graft.ops.{Pipeline, Sessions}
+import graft.sources.FixedWidth
+import graft.streaming.{EventStream, FixedWidthStream}
+import org.apache.spark.sql.functions._
+
+/** Streaming ≡ batch on the fixtures: the same operators produce the
+  * same results whether the input arrives as a batch or as a replayed
+  * file stream, and checkpoint/restart resumes instead of reprocessing. */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-stream-$name-").toString
+
+  /** File-stream sources need a directory; the fixture is one file —
+    * stage it into a temp dir (≡ one file landing in a watched folder). */
+  private lazy val eventsDir: String = {
+    val d = tmp("events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(d, "events.parquet"))
+    d
+  }
+
+  test("streaming fixed-width parse ≡ batch parse (availableNow over files)") {
+    val in = tmp("in"); val out = tmp("out"); val ck = tmp("ck")
+    FixedWidth.write(Pipeline.lineitem(spark, sf), Pipeline.lineitemFixed, in)
+    val parsed = FixedWidthStream.parseStream(spark, in, Pipeline.lineitemFixed)
+    assert(parsed.isStreaming)
+    FixedWidthStream.runToParquet(parsed, out, ck)
+    val streamed = spark.read.parquet(out)
+    val batch = Pipeline.lineitem(spark, sf)
+    assert(streamed.count() == batch.count())
+    val sumStream = streamed.agg(sum("l_orderkey"), sum("l_linenumber")).head()
+    val sumBatch = batch.agg(sum("l_orderkey"), sum("l_linenumber")).head()
+    assert(sumStream == sumBatch)
+  }
+
+  test("streaming restart from checkpoint does not reprocess (exactly-once files)") {
+    val in = tmp("in2"); val out = tmp("out2"); val ck = tmp("ck2")
+    FixedWidth.write(Pipeline.lineitem(spark, sf), Pipeline.lineitemFixed, in)
+    val parsed = FixedWidthStream.parseStream(spark, in, Pipeline.lineitemFixed)
+    FixedWidthStream.runToParquet(parsed, out, ck)
+    val n1 = spark.read.parquet(out).count()
+    // second run, same checkpoint, no new files → nothing appended
+    FixedWidthStream.runToParquet(
+      FixedWidthStream.parseStream(spark, in, Pipeline.lineitemFixed), out, ck)
+    val n2 = spark.read.parquet(out).count()
+    assert(n1 == n2, s"restart reprocessed: $n1 -> $n2")
+  }
+
+  test("streaming framed Avro values decode back (producer leg)") {
+    val in = tmp("in3"); val out = tmp("out3"); val ck = tmp("ck3")
+    FixedWidth.write(Pipeline.lineitem(spark, sf), Pipeline.lineitemFixed, in)
+    val framed = FixedWidthStream.frameStream(
+      FixedWidthStream.parseStream(spark, in, Pipeline.lineitemFixed),
+      Pipeline.lineitemFixed, schemaId = 7)
+    FixedWidthStream.runToParquet(framed, out, ck)
+    val vals = spark.read.parquet(out)
+    val decoded = vals.select(graft.functions.AvroCodec.from_avro_framed(col("value"),
+        Map(7 -> Pipeline.lineitemFixed.avroJson), Pipeline.lineitemFixed.avroJson,
+        Pipeline.lineitemFixed.sparkSchema).as("r"))
+      .filter(col("r").isNotNull).select(col("r.*"))
+    assert(decoded.count() == Pipeline.lineitem(spark, sf).count())
+    assert(decoded.agg(sum("l_orderkey")).head() ==
+      Pipeline.lineitem(spark, sf).agg(sum("l_orderkey")).head())
+  }
+
+  test("watermarked windowed counts ≡ batch events_window counts") {
+    val out = tmp("out4"); val ck = tmp("ck4")
+    val stream = EventStream.readEvents(spark, eventsDir)
+    assert(stream.isStreaming)
+    EventStream.runAppendToParquet(EventStream.windowedCounts(stream), out, ck)
+    val streamed = spark.read.parquet(out)
+      .select("window_start", "event_type", "n_events")
+    val batch = Sessions.eventsWindow(spark, sf)
+      .select("window_start", "event_type", "n_events")
+    // Append mode only emits windows the watermark has CLOSED: the last
+    // <= 3 hourly windows (2h watermark + the open hour) stay pending at
+    // end-of-stream — correct streaming semantics, not data loss. Every
+    // closed window must match the batch result exactly.
+    val maxTs = graft.ops.Sessions.events(spark, sf)
+      .agg(max("ts")).head().getAs[java.time.LocalDateTime](0)
+    val closedBefore = java.sql.Timestamp.valueOf(maxTs.minusHours(3))
+    val batchClosed = batch.filter(col("window_start") < lit(closedBefore))
+    assert(streamed.exceptAll(batch).isEmpty, "stream emitted a window batch doesn't have")
+    assert(batchClosed.exceptAll(streamed).isEmpty, "stream missed a closed window")
+    assert(streamed.count() >= batchClosed.count())
+  }
+
+  test("stateful session counts ≡ batch sessionization totals") {
+    implicit val s = spark
+    import s.implicits._
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream.runToMemory(
+      EventStream.sessionCounts(stream).toDF(), "sessions_mem")
+    val streamed = spark.table("sessions_mem")
+      .groupBy("user_id").agg(max("n_sessions").as("n_sessions"))
+    val batch = Sessions.sessionize(spark, sf)
+      .groupBy("user_id").agg(countDistinct("session_nr").as("n_sessions"))
+    val joined = streamed.as("a").join(batch.as("b"), "user_id")
+      .filter(col("a.n_sessions") =!= col("b.n_sessions"))
+    assert(joined.isEmpty, joined.collect().take(5).mkString(","))
+  }
+}
