@@ -8,7 +8,7 @@ import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWri
 import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -231,9 +231,42 @@ object AvroCodec {
     override protected def withNewChildInternal(c: Expression): AvroDecodeFramed = copy(child = c)
   }
 
+  /** Generator form of [[AvroDecodeFramed]]: emits the decoded fields as
+    * TOP-LEVEL columns in one evaluation per row (0 rows for bad
+    * magic/unknown id). The struct form under `select(r.*)` gets inlined
+    * by Catalyst's projection collapse into every field extraction —
+    * decoding each message once per column; a Generator is evaluated
+    * exactly once per input row. */
+  case class AvroDecodeRows(child: Expression, schemasById: Map[Int, String],
+      readerJson: String, outType: StructType)
+      extends UnaryExpression with Generator with CodegenFallback {
+    override def elementSchema: StructType = outType
+    override def prettyName: String = "avro_decode_rows"
+
+    @transient private lazy val inner =
+      AvroDecodeFramed(child, schemasById, readerJson, outType)
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val bytes = child.eval(input)
+      if (bytes == null) return Iterator.empty
+      val row = inner.nullSafeEval(bytes)
+      if (row == null) Iterator.empty
+      else Iterator.single(row.asInstanceOf[InternalRow])
+    }
+
+    override protected def withNewChildInternal(c: Expression): AvroDecodeRows = copy(child = c)
+  }
+
   /** Column API: serialize a struct column to Avro binary. */
   def to_avro(data: Column, avroJson: String): Column =
     ColumnBridge.column(AvroEncode(ColumnBridge.expression(data), avroJson))
+
+  /** Column API: decode Confluent-framed bytes into top-level columns
+    * (one generator evaluation per message; junk rows dropped). */
+  def from_avro_rows(data: Column, schemasById: Map[Int, String],
+      readerJson: String, outType: StructType): Column =
+    ColumnBridge.column(AvroDecodeRows(ColumnBridge.expression(data),
+      schemasById, readerJson, outType))
 
   /** Column API: decode Confluent-framed bytes with per-message writer
     * schema resolution against a reader schema. */

@@ -1,0 +1,185 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native vector expressions for the similarity/dedup operators.
+  *
+  * The declarative forms (`aggregate(zip_with(a, b, *), +)`) are
+  * correct but interpreted: Spark's higher-order functions evaluate
+  * per-element lambdas with boxing, which at 25M pairs x 64 dims
+  * (similarity_topk, sf0.1) is minutes of pure overhead. These
+  * expressions generate a primitive Java loop inside whole-stage
+  * codegen — the preference order of SURVEY.md §7.4: built-ins first,
+  * a custom `Expression` with `doGenCode` where built-ins measurably
+  * can't hold the hot path.
+  */
+object VectorOps {
+
+  /** Dot product of two array<double> columns (null if lengths differ —
+    * embeddings are fixed-dim, a mismatch is data corruption). */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot"
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) return null
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $s += $a.getDouble($i) * $b.getDouble($i);
+           |  }
+           |  ${ev.value} = $s;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+      copy(left = l, right = r)
+  }
+
+  /** L2 norm of an array<double> column. */
+  case class L2Norm(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_norm"
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      var s = 0.0
+      var i = 0
+      val n = x.numElements()
+      while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+      math.sqrt(s)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val v = ctx.freshName("v")
+        s"""
+           |int $n = $a.numElements();
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $v = $a.getDouble($i);
+           |  $s += $v * $v;
+           |}
+           |${ev.value} = java.lang.Math.sqrt($s);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): L2Norm = copy(child = c)
+  }
+
+  /** All random-hyperplane LSH band signatures of a vector in one
+    * compiled pass: planes is a (bands*rowsPerBand) x dim matrix; the
+    * output is `bands` strings of '0'/'1' sign bits. One expression
+    * evaluation computes every dot product exactly once — the
+    * higher-order-function formulation either recomputes the dot array
+    * per element (nested lambda) or splits into bands x rows separate
+    * expressions (interpreted, boxed). */
+  case class HyperplaneSignBands(child: Expression, planes: Array[Array[Double]],
+      rowsPerBand: Int) extends UnaryExpression {
+    require(planes.nonEmpty && planes.length % rowsPerBand == 0)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "vec_lsh_bands"
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val nBands = planes.length / rowsPerBand
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val dim = x.numElements()
+      val out = new Array[AnyRef](nBands)
+      val buf = new Array[Char](rowsPerBand)
+      var b = 0
+      while (b < nBands) {
+        var r = 0
+        while (r < rowsPerBand) {
+          val p = planes(b * rowsPerBand + r)
+          var s = 0.0
+          var i = 0
+          val n = math.min(dim, p.length)
+          while (i < n) { s += x.getDouble(i) * p(i); i += 1 }
+          buf(r) = if (s >= 0) '1' else '0'
+          r += 1
+        }
+        out(b) = UTF8String.fromString(new String(buf))
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val dim = ctx.freshName("dim")
+        val out = ctx.freshName("out")
+        val buf = ctx.freshName("buf")
+        val b = ctx.freshName("b")
+        val r = ctx.freshName("r")
+        val p = ctx.freshName("p")
+        val s = ctx.freshName("s")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $dim = $a.numElements();
+           |Object[] $out = new Object[$nBands];
+           |char[] $buf = new char[$rowsPerBand];
+           |for (int $b = 0; $b < $nBands; $b++) {
+           |  for (int $r = 0; $r < $rowsPerBand; $r++) {
+           |    double[] $p = $planesRef[$b * $rowsPerBand + $r];
+           |    double $s = 0.0;
+           |    int $n = java.lang.Math.min($dim, $p.length);
+           |    for (int $i = 0; $i < $n; $i++) {
+           |      $s += $a.getDouble($i) * $p[$i];
+           |    }
+           |    $buf[$r] = $s >= 0 ? '1' : '0';
+           |  }
+           |  $out[$b] = org.apache.spark.unsafe.types.UTF8String.fromString(new String($buf));
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): HyperplaneSignBands =
+      copy(child = c)
+  }
+
+  def vec_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def vec_norm(a: Column): Column =
+    ColumnBridge.column(L2Norm(ColumnBridge.expression(a)))
+
+  def vec_lsh_bands(a: Column, planes: Array[Array[Double]], rowsPerBand: Int): Column =
+    ColumnBridge.column(HyperplaneSignBands(ColumnBridge.expression(a), planes, rowsPerBand))
+}

@@ -51,16 +51,20 @@ object AllTypes {
     * cast dodges cross-engine BLOB stringification in the compare). */
   def alltypesRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val src = source(spark, dir)
-    val rendered = src.select(FixedWidth.renderValue(fixed).as("value"),
-      col("l_orderkey"), col("l_linenumber"))
+    val rendered = Pipeline.barrier(src.select(FixedWidth.renderValue(fixed).as("value"),
+      col("l_orderkey"), col("l_linenumber")))
     val parsed = rendered.select(
       FixedWidthParser.fieldColumns(col("value"), fixed, Strict) ++
         Seq(col("l_orderkey"), col("l_linenumber")): _*)
+    // Order by every output column: (l_orderkey, l_linenumber) is NOT
+    // unique in the fixture, and tied rows must be output-identical for
+    // the hash compare to be order-insensitive.
     parsed
-      .orderBy("l_orderkey", "l_linenumber")
       .select(col("f_bool"), col("f_bytes").cast(StringType).as("f_bytes_str"),
         col("f_int"), col("f_long"), col("f_float"), col("f_double"), col("f_string"),
         col("f_date"), col("f_ts_ms"), col("f_ts_us"))
+      .orderBy("f_long", "f_int", "f_double", "f_ts_us", "f_bool", "f_bytes_str",
+        "f_float", "f_string", "f_date", "f_ts_ms")
   }
 
   val alltypesOracle: String =
@@ -74,15 +78,16 @@ object AllTypes {
       |       CAST(l_shipdate AS DATE) AS f_date,
       |       l_shipdate AS f_ts_ms,
       |       l_shipdate + l_linenumber * INTERVAL 1 MICROSECOND AS f_ts_us
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM lineitem ORDER BY f_long, f_int, f_double, f_ts_us, f_bool, f_bytes_str,
+      |         f_float, f_string, f_date, f_ts_ms""".stripMargin
 
   /** Corrupt-record handling: lines of linenumber 7 are truncated before
     * parsing; strict validation must null them out and count them. */
   def corruptScan(spark: SparkSession, dir: String): DataFrame = {
     val li = Pipeline.lineitem(spark, dir)
     val value = FixedWidth.renderValue(Pipeline.lineitemFixed)
-    val broken = li.select(
-      when(col("l_linenumber") === 7, substring(value, 1, 20)).otherwise(value).as("value"))
+    val broken = Pipeline.barrier(li.select(
+      when(col("l_linenumber") === 7, substring(value, 1, 20)).otherwise(value).as("value")))
     val parsed = FixedWidthParser.parse(broken, Pipeline.lineitemFixed,
       corruptCol = Some("_corrupt_record"))
     parsed.agg(

@@ -57,17 +57,22 @@ object Dedup {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Docs.documents(spark, dir)
     val sh = docs.select(col("doc_id"), Docs.shingles3(Docs.tokens(col("text"))).as("sh"))
-    // 31-bit positive shingle hashes, computed once per doc.
-    val hs = sh.select(col("doc_id"), col("sh"),
-      transform(col("sh"), s => hash(s).cast(LongType).bitwiseAND(lit(0x7fffffffL))).as("hs"))
+    // Shingle hashes as ROWS (explode), minhashes as 64 partial-aggregated
+    // mins — the canonical shuffle-based MinHash at scale, and it stops
+    // Catalyst's projection collapse from inlining the shingle-hash
+    // array into all 64 permutation expressions (a 64x recompute that
+    // made the array formulation ~30x slower).
+    val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), hash(col("s")).cast(LongType).bitwiseAND(lit(0x7fffffffL)).as("h"))
+    val minCols = minHashCoef.zipWithIndex.map { case ((a, b), j) =>
+      min((col("h") * lit(a) + lit(b)) % lit(MinHashP)).as(s"m$j")
+    }
+    val sigs0 = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     // Band signature = ':'-joined minima of the r permutations in the band.
     val bandCols = (0 until MinHashBands).map { b =>
-      concat_ws(":", (0 until MinHashRows).map { r =>
-        val (a, bb) = minHashCoef(b * MinHashRows + r)
-        array_min(transform(col("hs"), h => (h * lit(a) + lit(bb)) % lit(MinHashP)))
-      }: _*)
+      concat_ws(":", (0 until MinHashRows).map(r => col(s"m${b * MinHashRows + r}")): _*)
     }
-    val sigs = hs.select(col("doc_id"), array(bandCols: _*).as("bands"))
+    val sigs = sigs0.select(col("doc_id"), array(bandCols: _*).as("bands"))
     // Candidate join on bare ids: the heavy (band, signature) shuffle
     // never carries shingle arrays — those re-attach only to the (far
     // smaller) deduplicated candidate set for verification.
@@ -195,26 +200,27 @@ object Dedup {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** (vec_id, v: array<double>, nrm) with the float column widened once. */
+  /** (vec_id, v: array<double>, nrm) with the float column widened once.
+    * Norm/dot use the codegen'd [[graft.functions.VectorOps]]
+    * expressions — the interpreted HOF forms cost minutes at bench
+    * scale (boxed per-element lambdas). */
   private def normed(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", graft.functions.VectorOps.vec_norm(col("v")))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.vec_dot(a, b)
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val n = normed(spark, dir)
-    val bandCols = (0 until HyperBands).map { b =>
-      concat((0 until HyperRows).map { r =>
-        val plane = typedLit(hyperplanes(b * HyperRows + r).toSeq)
-        when(dot(col("v"), plane) >= 0, lit("1")).otherwise(lit("0"))
-      }: _*)
-    }
+    // All 2048 plane dots + band signatures in ONE compiled pass per
+    // vector (HyperplaneSignBands): every formulation over built-in
+    // higher-order functions either recomputes the dot array per
+    // element or interprets 2048 boxed lambdas per row.
+    val bands = graft.functions.VectorOps.vec_lsh_bands(col("v"), hyperplanes, HyperRows)
     // Id-only candidate shuffle (the 64-double vectors re-attach only to
     // the deduplicated candidate pairs for exact verification).
-    val banded = n.select(col("vec_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    val banded = n.select(col("vec_id"), posexplode(bands).as(Seq("band", "sig")))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -44,14 +44,33 @@ object Pipeline {
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
 
-  private val orderCols = Seq(col("l_orderkey"), col("l_linenumber"))
+  // The fixture has ~12k duplicate (l_orderkey, l_linenumber) pairs but
+  // no fully-duplicate rows: only ordering by EVERY column is a total
+  // order, which the hash compare needs once a shuffle scrambles ties.
+  private val orderCols: Seq[org.apache.spark.sql.Column] =
+    lineitemFixed.fields.map(f => col(f.name))
+
+  private val orderColsSql: String = lineitemFixed.fields.map(_.name).mkString(", ")
+
+  /** Exchange barrier between a render and the parse that consumes it.
+    *
+    * Without it Catalyst's projection collapse inlines the whole-row
+    * render (an 11-field concat) into EVERY parse field's substring —
+    * an 11x recompute — and the verification orderBy's range-sampling
+    * pass executes the collapsed chain a second time. A round-robin
+    * shuffle of the rendered lines (~100 B/row) is far cheaper than
+    * either, and shuffle reuse serves both the sampling and final sort
+    * passes from the same files. The file-based queries (filescan,
+    * streaming) have this barrier naturally — the filesystem. */
+  private[ops] def barrier(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   val identityOracle: String =
-    "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber"
+    s"SELECT * FROM lineitem ORDER BY $orderColsSql"
 
   /** parquet → fixed-width lines → strict parse → typed rows ≡ input. */
   def fixedwidthRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val rendered = FixedWidth.render(lineitem(spark, dir), lineitemFixed)
+    val rendered = barrier(FixedWidth.render(lineitem(spark, dir), lineitemFixed))
     FixedWidthParser.parse(rendered, lineitemFixed, Strict)
       .orderBy(orderCols: _*)
   }
@@ -65,11 +84,11 @@ object Pipeline {
         AvroCodec.to_avro(struct(lineitemFixed.fields.map(f => col(f.name)): _*),
           lineitemFixed.avroJson),
         schemaId).as("value"))
-    framed
+    barrier(framed
       .filter(Confluent.hasMagic(col("value")) && Confluent.schemaId(col("value")) === schemaId)
-      .select(AvroCodec.from_avro(Confluent.payload(col("value")),
-        lineitemFixed.avroJson, lineitemFixed.sparkSchema).as("r"))
-      .select(col("r.*"))
+      .select(AvroCodec.from_avro_rows(col("value"),
+        Map(schemaId -> lineitemFixed.avroJson),
+        lineitemFixed.avroJson, lineitemFixed.sparkSchema)))
       .orderBy(orderCols: _*)
   }
 
@@ -90,7 +109,7 @@ object Pipeline {
       KafkaStage.registerSubjects(registry, "lineitem", lineitemFixed)
     val staged = KafkaStage.stage(lineitem(spark, dir), lineitemFixed,
       schemaId = valueId, topic = "lineitem", keySchemaId = keyId)
-    KafkaConsume.decode(staged, registry, lineitemFixed, knownIds = Seq(valueId))
+    barrier(KafkaConsume.decode(staged, registry, lineitemFixed, knownIds = Seq(valueId)))
       .orderBy(orderCols: _*)
   }
 
@@ -108,17 +127,17 @@ object Pipeline {
   def compatParse(spark: SparkSession, dir: String): DataFrame = {
     // Zero-padded numerics: space-padded ones are a strconv failure → 0
     // under compat (faithful to the reference; covered by unit tests).
-    val rendered = FixedWidth.render(lineitem(spark, dir), lineitemFixed,
-      zeroPadNumerics = true)
+    val rendered = barrier(FixedWidth.render(lineitem(spark, dir), lineitemFixed,
+      zeroPadNumerics = true))
     FixedWidthParser.parse(rendered, lineitemFixed, Compat)
       .orderBy(orderCols: _*)
   }
 
   val compatOracle: String =
-    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
-      |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
-      |       CAST(epoch(l_shipdate) AS BIGINT) AS l_shipdate
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+       |       CAST(epoch(l_shipdate) AS BIGINT) AS l_shipdate
+       |FROM lineitem ORDER BY $orderColsSql""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fixedwidth_roundtrip" -> (fixedwidthRoundtrip _),

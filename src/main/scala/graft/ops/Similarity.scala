@@ -26,7 +26,7 @@ object Similarity {
   private def normed(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", graft.functions.VectorOps.vec_norm(col("v")))
 
   /** Exact cosine top-k per query vector. */
   def similarityTopk(spark: SparkSession, dir: String): DataFrame = {

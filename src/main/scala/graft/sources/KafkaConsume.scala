@@ -62,10 +62,10 @@ object KafkaConsume {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target.sparkSchema)
     val schemasById = ids.map(id => id -> registry.getById(id)).toMap
-    input
-      .select(AvroCodec.from_avro_framed(col(valueCol), schemasById,
-        target.avroJson, target.sparkSchema).as("r"))
-      .filter(col("r").isNotNull)
-      .select(col("r.*"))
+    // Generator form: one decode per message emitting top-level columns
+    // (the struct + `r.*` form decodes once per OUTPUT column after
+    // projection collapse); junk messages yield zero rows.
+    input.select(AvroCodec.from_avro_rows(col(valueCol), schemasById,
+      target.avroJson, target.sparkSchema))
   }
 }

@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
 /** End-to-end pipeline legs on sf0.001 (SURVEY.md §7.2). */
 class PipelineSpec extends SparkSpec {
 
-  lazy val truth = Pipeline.lineitem(spark, sf).orderBy("l_orderkey", "l_linenumber")
+  // Total order over ALL columns — (l_orderkey, l_linenumber) is not
+  // unique in the fixture, and the queries sort by every column.
+  lazy val truth = Pipeline.lineitem(spark, sf)
+    .orderBy(Pipeline.lineitemFixed.fields.map(f => col(f.name)): _*)
   lazy val truthRows = truth.collect()
 
   test("fixed-width render → strict parse is the identity on lineitem") {
