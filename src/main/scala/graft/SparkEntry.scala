@@ -22,7 +22,7 @@ object SparkEntry {
     ops.Pipeline.queries ++ ops.TextAnalysis.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.Relational.queries ++ ops.Sessions.queries ++
-      ops.AllTypes.queries ++ ops.Multimodal.queries
+      ops.AllTypes.queries ++ ops.Multimodal.queries ++ ops.SetOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
     ops.Pipeline.oracleSql ++ ops.TextAnalysis.oracleSql ++
       ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
       ops.Relational.oracleSql ++ ops.Sessions.oracleSql ++
-      ops.AllTypes.oracleSql ++ ops.Multimodal.oracleSql
+      ops.AllTypes.oracleSql ++ ops.Multimodal.oracleSql ++ ops.SetOps.oracleSql
 }

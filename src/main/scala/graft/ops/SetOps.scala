@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Set-operation / join-variant coverage: semi and anti joins, INTERSECT
+  * / EXCEPT / UNION, CUBE grouping sets, and approximate distinct —
+  * the operator categories SURVEY.md §2.1 lists as absent from the
+  * reference that the engine platform provides.
+  */
+object SetOps {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Customers with vs without orders, per market segment — LeftSemi and
+    * LeftAnti joins (both broadcast the distinct key set at scale). */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    val withOrders = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    val withoutOrders = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+    withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qSemiAntiOracle: String =
+    """SELECT c_mktsegment,
+      |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+      |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** UNION / INTERSECT / EXCEPT over the customer-key sets of open vs
+    * finished orders (distinct set semantics, one row per op). */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    def keys(status: String) =
+      orders.filter(col("o_orderstatus") === status).select("o_custkey").distinct()
+    val o = keys("O"); val f = keys("F")
+    val rows = Seq(
+      ("except_o_minus_f", o.except(f)),
+      ("intersect", o.intersect(f)),
+      ("union", o.union(f).distinct()))
+    rows.map { case (op, df) =>
+      df.agg(count(lit(1)).as("n_custkeys")).select(lit(op).as("set_op"), col("n_custkeys"))
+    }.reduce(_ unionByName _).orderBy("set_op")
+  }
+
+  val qSetOpsOracle: String =
+    """WITH o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |     f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |SELECT 'except_o_minus_f' AS set_op,
+      |       CAST((SELECT count(*) FROM (SELECT * FROM o EXCEPT SELECT * FROM f)) AS BIGINT) AS n_custkeys
+      |UNION ALL
+      |SELECT 'intersect', CAST((SELECT count(*) FROM (SELECT * FROM o INTERSECT SELECT * FROM f)) AS BIGINT)
+      |UNION ALL
+      |SELECT 'union', CAST((SELECT count(*) FROM (SELECT * FROM o UNION SELECT * FROM f)) AS BIGINT)
+      |ORDER BY set_op""".stripMargin
+
+  /** CUBE over (status, priority): all four grouping-set combinations. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val qCubeOracle: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Approximate distinct (HLL++): per priority, approx vs exact
+    * customer count. Engines' sketches differ, so this is a rows-only
+    * query; the <2% relative-error property is pinned in SetOpsSpec. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
+        countDistinct(col("o_custkey")).as("exact_custs"))
+      .orderBy("o_orderpriority")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semi_anti" -> (qSemiAnti _),
+    "q_setops" -> (qSetOps _),
+    "q_cube" -> (qCube _),
+    "q_approx_distinct" -> (qApproxDistinct _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_semi_anti" -> qSemiAntiOracle,
+    "q_setops" -> qSetOpsOracle,
+    "q_cube" -> qCubeOracle,
+    // q_approx_distinct: sketch values are engine-specific → rows-only.
+  )
+}

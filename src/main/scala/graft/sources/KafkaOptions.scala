@@ -1,0 +1,79 @@
+package graft.sources
+
+/** Consumer/producer configuration surface mirroring the reference's
+  * env-driven setup and functional options
+  * (`kafkaavro/consumer.go:59-104`, `kafkaavro/producer.go:59-99`,
+  * `kafkaavro/option.go:11-133`).
+  *
+  * The same env names the reference documents are read (they are part
+  * of its public interface): KAFKA_BROKER, KAFKA_SCHEMA_REGISTRY,
+  * KAFKA_GROUP_ID, and the SSL triple KAFKA_CA_FILE / KAFKA_KEY_FILE /
+  * KAFKA_CERTIFICATE_FILE. On a cluster these feed
+  * `format("kafka")` options; offline they only need to parse and
+  * validate, which is what the spec covers.
+  */
+final case class KafkaOptions(
+    broker: String,
+    schemaRegistryUrl: String,
+    groupId: Option[String] = None,
+    caFile: Option[String] = None,
+    keyFile: Option[String] = None,
+    certificateFile: Option[String] = None,
+    // reference option.go surface: pluggable overrides
+    sessionTimeoutMs: Int = 6000,
+    autoOffsetReset: String = "earliest") {
+
+  def sslEnabled: Boolean = caFile.isDefined || keyFile.isDefined || certificateFile.isDefined
+
+  /** Options map for `spark.readStream/read.format("kafka")`. */
+  def toSourceOptions(topics: Seq[String]): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> broker,
+      "subscribe" -> topics.mkString(","),
+      "startingOffsets" -> autoOffsetReset,
+      "kafka.session.timeout.ms" -> sessionTimeoutMs.toString)
+    val group = groupId.map(g => "kafka.group.id" -> g)
+    val ssl =
+      if (!sslEnabled) Nil
+      else Seq(
+        Some("kafka.security.protocol" -> "ssl"),
+        caFile.map("kafka.ssl.ca.location" -> _),
+        keyFile.map("kafka.ssl.key.location" -> _),
+        certificateFile.map("kafka.ssl.certificate.location" -> _)).flatten
+    base ++ group ++ ssl
+  }
+}
+
+object KafkaOptions {
+
+  /** Build from the environment, as `NewConsumer`/`NewProducer` do.
+    * Missing required vars is an error naming the variable, matching the
+    * reference's fail-fast setup. */
+  def fromEnv(env: Map[String, String] = sys.env): KafkaOptions = {
+    def required(name: String): String = env.getOrElse(name,
+      throw new IllegalArgumentException(s"missing required env var $name"))
+    KafkaOptions(
+      broker = required("KAFKA_BROKER"),
+      schemaRegistryUrl = required("KAFKA_SCHEMA_REGISTRY"),
+      groupId = env.get("KAFKA_GROUP_ID"),
+      caFile = env.get("KAFKA_CA_FILE"),
+      keyFile = env.get("KAFKA_KEY_FILE"),
+      certificateFile = env.get("KAFKA_CERTIFICATE_FILE"))
+  }
+
+  /** Topic existence check seam (≡ `EnsureTopics`,
+    * `kafkaavro/consumer.go:193-212`): fails fast when a subscribed
+    * topic is absent instead of silently consuming nothing. Backed by an
+    * AdminClient on a live cluster; by a fake offline. */
+  trait TopicAdmin {
+    def existingTopics(): Set[String]
+    final def ensureTopics(topics: Seq[String]): Unit = {
+      val missing = topics.filterNot(existingTopics())
+      require(missing.isEmpty, s"topics do not exist: ${missing.mkString(", ")}")
+    }
+  }
+
+  final class InMemoryTopicAdmin(topics: Set[String]) extends TopicAdmin {
+    override def existingTopics(): Set[String] = topics
+  }
+}

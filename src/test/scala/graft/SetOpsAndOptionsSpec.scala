@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.SetOps
+import graft.sources.KafkaOptions
+
+/** Set-op breadth invariants + the env-driven Kafka option surface. */
+class SetOpsAndOptionsSpec extends SparkSpec {
+
+  test("approx_count_distinct within 2% of exact per group") {
+    SetOps.qApproxDistinct(spark, sf).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_custs").toDouble
+      val exact = r.getAs[Long]("exact_custs").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx $approx vs exact $exact for ${r.get(0)}")
+    }
+  }
+
+  test("semi + anti partition the customer set") {
+    val rows = SetOps.qSemiAnti(spark, sf).collect()
+    val total = rows.map(r => r.getAs[Long]("n_with_orders") + r.getAs[Long]("n_without_orders")).sum
+    assert(total == spark.read.parquet(s"$sf/customer.parquet").count())
+  }
+
+  test("set ops satisfy |union| = |A| + |B| - |intersect| over key sets") {
+    val m = SetOps.qSetOps(spark, sf).collect()
+      .map(r => r.getAs[String]("set_op") -> r.getAs[Long]("n_custkeys")).toMap
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    def n(status: String) = orders.filter(org.apache.spark.sql.functions.col("o_orderstatus") === status)
+      .select("o_custkey").distinct().count()
+    assert(m("union") == n("O") + n("F") - m("intersect"))
+    assert(m("except_o_minus_f") == n("O") - m("intersect"))
+  }
+
+  test("KafkaOptions.fromEnv reads the reference env surface and fails fast") {
+    val env = Map(
+      "KAFKA_BROKER" -> "broker:9092",
+      "KAFKA_SCHEMA_REGISTRY" -> "http://reg:8081",
+      "KAFKA_GROUP_ID" -> "g1",
+      "KAFKA_CA_FILE" -> "/ca.pem")
+    val o = KafkaOptions.fromEnv(env)
+    assert(o.broker == "broker:9092" && o.groupId.contains("g1") && o.sslEnabled)
+    val src = o.toSourceOptions(Seq("t1", "t2"))
+    assert(src("subscribe") == "t1,t2" && src("kafka.security.protocol") == "ssl")
+    val e = intercept[IllegalArgumentException](KafkaOptions.fromEnv(Map.empty))
+    assert(e.getMessage.contains("KAFKA_BROKER"))
+  }
+
+  test("ensureTopics fails fast on a missing topic (EnsureTopics parity)") {
+    val admin = new KafkaOptions.InMemoryTopicAdmin(Set("a", "b"))
+    admin.ensureTopics(Seq("a"))
+    val e = intercept[IllegalArgumentException](admin.ensureTopics(Seq("a", "zzz")))
+    assert(e.getMessage.contains("zzz"))
+  }
+}
