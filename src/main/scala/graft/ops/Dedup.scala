@@ -55,8 +55,7 @@ object Dedup {
   }
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Docs.documents(spark, dir)
-    val sh = docs.select(col("doc_id"), Docs.shingles3(Docs.tokens(col("text"))).as("sh"))
+    val sh = Docs.shingled(Docs.documents(spark, dir))
     // Shingle hashes as ROWS (explode), minhashes as 64 partial-aggregated
     // mins — the canonical shuffle-based MinHash at scale, and it stops
     // Catalyst's projection collapse from inlining the shingle-hash

@@ -20,12 +20,25 @@ object Docs {
     filter(split(text, " "), t => length(t) > 0)
 
   /** Distinct word 3-gram shingles; docs shorter than 3 tokens fall back
-    * to a single whole-doc shingle (mirrors the oracle's CASE arm). */
+    * to a single whole-doc shingle (mirrors the oracle's CASE arm).
+    *
+    * IMPORTANT: pass an ATTRIBUTE (a materialized `toks` column, e.g.
+    * via [[shingled]]), not the tokens expression itself — `element_at`
+    * re-evaluates its array operand per call, so an inline
+    * `filter(split(...))` would be recomputed ~3x per shingle. */
   def shingles3(toks: Column): Column =
     when(size(toks) >= 3,
       array_distinct(transform(sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
       .otherwise(array(concat_ws(" ", toks)))
+
+  /** (doc_id, sh): shingle sets with the token array materialized in its
+    * own projection first. The multi-reference of a non-cheap alias
+    * stops Catalyst's projection collapse from inlining the tokenizer
+    * into every element_at. */
+  def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles3(col("toks")).as("sh"))
 
   /** The same shingle definition in DuckDB SQL, as a CTE body over
     * `documents` producing (doc_id, sh). */

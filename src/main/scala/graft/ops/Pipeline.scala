@@ -139,10 +139,33 @@ object Pipeline {
        |       CAST(epoch(l_shipdate) AS BIGINT) AS l_shipdate
        |FROM lineitem ORDER BY $orderColsSql""".stripMargin
 
+  /** Compat parse over SPACE-padded numerics — the interesting compat
+    * case (SURVEY §2.2): Go strconv rejects untrimmed "  42", the error
+    * is discarded, and the field becomes the zero value. Every numeric
+    * and timestamp column therefore parses to 0 under reference
+    * semantics, and the oracle states exactly that. Strings keep their
+    * verbatim value (1-char fields); the timestamp renders to exactly
+    * 26 chars — no padding — so it parses to Unix seconds (F1) and
+    * doubles as the ordering tiebreaker. */
+  def compatSpacePad(spark: SparkSession, dir: String): DataFrame = {
+    val rendered = barrier(FixedWidth.render(lineitem(spark, dir), lineitemFixed))
+    FixedWidthParser.parse(rendered, lineitemFixed, Compat)
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+  }
+
+  val compatSpacePadOracle: String =
+    """SELECT CAST(0 AS BIGINT) AS l_orderkey, CAST(0 AS BIGINT) AS l_partkey,
+      |       CAST(0 AS BIGINT) AS l_suppkey, CAST(0 AS INTEGER) AS l_linenumber,
+      |       CAST(0.0 AS DOUBLE) AS l_quantity, CAST(0.0 AS DOUBLE) AS l_extendedprice,
+      |       CAST(0.0 AS DOUBLE) AS l_discount, CAST(0.0 AS DOUBLE) AS l_tax,
+      |       l_returnflag, l_linestatus, CAST(epoch(l_shipdate) AS BIGINT) AS l_shipdate
+      |FROM lineitem ORDER BY l_returnflag, l_linestatus, l_shipdate""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fixedwidth_roundtrip" -> (fixedwidthRoundtrip _),
     "fixedwidth_filescan" -> (fixedwidthFileScan _),
     "fixedwidth_compat" -> (compatParse _),
+    "fixedwidth_compat_spacepad" -> (compatSpacePad _),
     "avro_confluent_roundtrip" -> (avroRoundtrip _),
     "ocf_roundtrip" -> (ocfRoundtrip _),
     "kafka_stage_roundtrip" -> (kafkaRoundtrip _),
@@ -152,6 +175,7 @@ object Pipeline {
     "fixedwidth_roundtrip" -> identityOracle,
     "fixedwidth_filescan" -> identityOracle,
     "fixedwidth_compat" -> compatOracle,
+    "fixedwidth_compat_spacepad" -> compatSpacePadOracle,
     "avro_confluent_roundtrip" -> identityOracle,
     "ocf_roundtrip" -> identityOracle,
     "kafka_stage_roundtrip" -> identityOracle,

@@ -31,8 +31,7 @@ class LlmOpsSpec extends SparkSpec {
 
   test("minhash LSH recall = 1.0 on this corpus vs brute-force jaccard") {
     import spark.implicits._
-    val docs = ops.Docs.documents(spark, sf)
-      .select(col("doc_id"), ops.Docs.shingles3(ops.Docs.tokens(col("text"))).as("sh"))
+    val docs = ops.Docs.shingled(ops.Docs.documents(spark, sf))
     val brute = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
