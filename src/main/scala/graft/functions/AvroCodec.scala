@@ -142,7 +142,10 @@ object AvroCodec {
     override protected def withNewChildInternal(c: Expression): AvroEncode = copy(child = c)
   }
 
-  /** Avro binary (record body) → struct. */
+  /** Avro binary (record body) → struct. Same-shape schemas ONLY: the
+    * writer schema is assumed identical to `avroJson` and fields map
+    * positionally — use [[AvroDecodeFramed]] (writer→reader resolution
+    * by name) whenever the writer can differ. */
   case class AvroDecode(child: Expression, avroJson: String, outType: StructType)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = outType

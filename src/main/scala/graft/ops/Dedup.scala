@@ -54,13 +54,14 @@ object Dedup {
       (rnd.nextInt((MinHashP - 1).toInt).toLong + 1L, rnd.nextInt(MinHashP.toInt).toLong))
   }
 
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Docs.shingled(Docs.documents(spark, dir))
-    // Shingle hashes as ROWS (explode), minhashes as 64 partial-aggregated
-    // mins — the canonical shuffle-based MinHash at scale, and it stops
-    // Catalyst's projection collapse from inlining the shingle-hash
-    // array into all 64 permutation expressions (a 64x recompute that
-    // made the array formulation ~30x slower).
+  /** MinHash-LSH candidate pairs for any (doc_id, sh: array<string>)
+    * frame: shingle hashes as ROWS (explode), minhashes as 64
+    * partial-aggregated mins — the canonical shuffle-based MinHash at
+    * scale, and it stops Catalyst's projection collapse from inlining
+    * the shingle-hash array into all 64 permutation expressions (a 64x
+    * recompute that made the array formulation ~30x slower). The
+    * candidate join carries bare ids only. */
+  private[ops] def minhashCandidates(sh: DataFrame): DataFrame = {
     val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), hash(col("s")).cast(LongType).bitwiseAND(lit(0x7fffffffL)).as("h"))
     val minCols = minHashCoef.zipWithIndex.map { case ((a, b), j) =>
@@ -72,25 +73,31 @@ object Dedup {
       concat_ws(":", (0 until MinHashRows).map(r => col(s"m${b * MinHashRows + r}")): _*)
     }
     val sigs = sigs0.select(col("doc_id"), array(bandCols: _*).as("bands"))
-    // Candidate join on bare ids: the heavy (band, signature) shuffle
-    // never carries shingle arrays — those re-attach only to the (far
-    // smaller) deduplicated candidate set for verification.
     val exploded = sigs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "sig")))
-    val cands = exploded.as("x").join(exploded.as("y"),
+    exploded.as("x").join(exploded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Exact verification: true jaccard over the shingle sets.
+  }
+
+  /** Exact-jaccard verification of candidate pairs against shingle sets
+    * (the sets re-attach only to the deduplicated candidates). */
+  private[ops] def verifyJaccard(cands: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame =
     cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType) /
           size(array_union(col("sa.sh"), col("sb.sh")))).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
+      .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Docs.shingled(Docs.documents(spark, dir))
+    verifyJaccard(minhashCandidates(sh), sh, JaccardThreshold)
   }
 
   val dedupMinhashOracle: String =
@@ -102,6 +109,45 @@ object Dedup {
        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM j
        |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------------------------------------- word-bigram Jaccard
+
+  /** n-gram Jaccard dedup at n=2 (word bigrams): a different shingle
+    * granularity than [[dedupMinhash]]'s trigrams — bigrams catch
+    * shorter shared runs at the cost of a higher background similarity.
+    * Same scale shape: MinHash-banded candidates over the bigram sets,
+    * exact-Jaccard verification, so the brute-force oracle is valid.
+    * (A char-5-gram variant was tried and rejected: on a
+    * shared-vocabulary corpus the background char-gram similarity makes
+    * any blocking near-quadratic; word shingles keep it ~0.) */
+  val NgramJaccardThreshold = 0.6
+
+  private def bigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Docs.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= 2,
+          array_distinct(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))))
+          .otherwise(array(concat_ws(" ", col("toks")))).as("sh"))
+
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val sh = bigrams(Docs.documents(spark, dir))
+    verifyJaccard(minhashCandidates(sh), sh, NgramJaccardThreshold)
+  }
+
+  val dedupNgramOracle: String =
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), t -> len(t)>0) AS ws FROM documents),
+       |s AS (SELECT doc_id,
+       |  CASE WHEN len(ws) >= 2
+       |       THEN list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))
+       |       ELSE [array_to_string(ws, ' ')] END AS sh FROM w)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.sh, b.sh))) >= $NgramJaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // --------------------------------------------------------- SimHash near
 
@@ -249,6 +295,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_ngram" -> (dedupNgram _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
   )
@@ -256,6 +303,7 @@ object Dedup {
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactOracle,
     "dedup_minhash" -> dedupMinhashOracle,
+    "dedup_ngram" -> dedupNgramOracle,
     "dedup_simhash" -> dedupSimhashOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,
   )
