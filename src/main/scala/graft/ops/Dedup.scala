@@ -292,7 +292,43 @@ object Dedup {
        |SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM p
        |WHERE cosine >= $CosineThreshold ORDER BY vec_a, vec_b""".stripMargin
 
+  // ------------------------------------------------- corpus cleaning
+
+  /** End-to-end corpus cleaning — the composition a training-data
+    * pipeline actually runs: drop short documents, then drop the
+    * higher-id member of every near-duplicate pair (anti-join against
+    * the [[dedupMinhash]] victims). One extra shuffle (the anti-join on
+    * doc_id) beyond the dedup itself; the victim set is broadcast-sized
+    * (dup fraction << corpus). */
+  val MinTokens = 20
+
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val victims = dedupMinhash(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    Docs.documents(spark, dir)
+      .withColumn("n_tokens", size(Docs.tokens(col("text"))).cast(LongType))
+      .filter(col("n_tokens") >= MinTokens)
+      .join(victims, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val corpusCleanOracle: String =
+    s"""WITH ${Docs.shinglesSql},
+       |victims AS (
+       |  SELECT DISTINCT b.doc_id AS doc_id
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.sh, b.sh))) >= $JaccardThreshold)
+       |SELECT doc_id, lang, source,
+       |       CAST(len(list_filter(string_split(text,' '), t -> len(t)>0)) AS BIGINT) AS n_tokens
+       |FROM documents
+       |WHERE len(list_filter(string_split(text,' '), t -> len(t)>0)) >= $MinTokens
+       |  AND doc_id NOT IN (SELECT doc_id FROM victims)
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_clean" -> (corpusClean _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_ngram" -> (dedupNgram _),
@@ -301,6 +337,7 @@ object Dedup {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "corpus_clean" -> corpusCleanOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_minhash" -> dedupMinhashOracle,
     "dedup_ngram" -> dedupNgramOracle,
