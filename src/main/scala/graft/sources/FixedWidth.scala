@@ -36,7 +36,9 @@ object FixedWidth {
   def renderField(c: Column, f: FixedField, zeroPadNumerics: Boolean = false): Column = {
     val s0 = f.parseType match {
       case "date" | "timestamp-millis" | "timestamp-micros" =>
-        date_format(c, FixedWidthParser.TimestampFormat)
+        // Fixed-layout formatter (inverse of the parser, codegen'd);
+        // date/instant inputs widen to NTZ micros first.
+        graft.functions.RefTimestamp.format_ref_timestamp(c.cast(TimestampNTZType))
       case "boolean" => when(c, lit("Y")).otherwise(lit("N"))
       case _         => c.cast(StringType)
     }
