@@ -43,10 +43,15 @@ object Sessions {
           col("us") - lag(col("us"), 1).over(w) > SessionGapMicros, 1).otherwise(0))
       .withColumn("session_nr", sum(col("new_s")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // Aggregate in DECIMAL (order-independent, exact) but emit the final
+    // column as DOUBLE: the driver's compare hashes dtypes, and DuckDB's
+    // DECIMAL surfaces differently from parquet decimal even when every
+    // value is equal. Same decimal → same nearest double, deterministically.
     withGap.groupBy(col("user_id"), col("session_nr"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
+          .cast("double").as("sum_value"))
       .orderBy("user_id", "session_nr")
   }
 
@@ -62,9 +67,10 @@ object Sessions {
        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |                             ROWS UNBOUNDED PRECEDING) AS session_nr
        |  FROM g)
-       |SELECT user_id, session_nr, min(ts) AS session_start, max(ts) AS session_end,
+       |SELECT user_id, CAST(session_nr AS BIGINT) AS session_nr,
+       |       min(ts) AS session_start, max(ts) AS session_end,
        |       count(*) AS n_events,
-       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+       |       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
        |FROM s GROUP BY user_id, session_nr ORDER BY user_id, session_nr""".stripMargin
 
   /** Tumbling 1-hour event-time window per event type. */
@@ -72,7 +78,8 @@ object Sessions {
     events(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_value"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
+          .cast("double").as("sum_value"),
         min(col("value")).as("min_value"), max(col("value")).as("max_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"), col("min_value"), col("max_value"))
@@ -81,7 +88,7 @@ object Sessions {
   val eventsWindowOracle: String =
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
       |       count(*) AS n_events,
-      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value,
       |       min(value) AS min_value, max(value) AS max_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
@@ -98,11 +105,11 @@ object Sessions {
 
   val userActivityOracle: String =
     """SELECT user_id, count(*) AS n_events,
-      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
