@@ -34,14 +34,7 @@ object Cli {
     val Array(sink, registryUrl, schemaFile, schemaIdS, topic, coresS, dataFile) = args
     val cores = coresS.toInt
     val schemaId = schemaIdS.toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName("graft-cli")
-      .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(cores, "graft-cli")
     val t0 = System.nanoTime()
     try {
       val schema = FixedSchema.fromFile(schemaFile)

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-construction defaults shared by every graft entry point
+  * (Verify, Bench, Cli, tests, tools).
+  *
+  * `spark.sql.legacy.parquet.nanosAsLong` lives HERE, not inside a
+  * query builder: the events fixture carries TIMESTAMP(NANOS), a
+  * parquet type Spark rejects outright unless the conf is on, and the
+  * conf is read at scan time — so it must be session-scoped, set once
+  * at construction, never mutated mid-plan (a `conf.set` inside a
+  * query builder is a global side effect on every subsequently planned
+  * query).
+  */
+object GraftSession {
+
+  /** Apply graft's required session confs to a builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Standard local session for mains: `local[cores]`, shuffle
+    * parallelism = cores (not the 200 default — sized to the machine;
+    * on a real cluster this is cores×executors, set by the submitter). */
+  def local(cores: Int, appName: String): SparkSession = {
+    val s = configure(SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

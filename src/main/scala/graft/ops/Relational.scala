@@ -15,11 +15,17 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType}
   * and order-independent — so Spark's parallel aggregation and DuckDB's
   * serial one agree bit-for-bit. Outputs keep their full natural scale:
   * a final scale-REDUCING cast would round, and Spark (half-up) and
-  * DuckDB (half-down at the .5 boundary) disagree there.
+  * DuckDB (half-down at the .5 boundary) disagree there. The final
+  * column is then cast to DOUBLE on BOTH the engine and oracle sides:
+  * the driver's compare hashes dtypes, and DuckDB's DECIMAL surfaces
+  * differently from parquet decimal even when every value is equal.
+  * Same decimal → same nearest double, deterministically.
   *
-  * Scale notes per query are on each method: dimension joins broadcast
-  * (region/nation/customer/supplier are KBs..MBs at any sf), fact-fact
-  * joins shuffle on their keys, aggregations are partial map-side first.
+  * Scale notes per query are on each method: region/nation are
+  * constant-size (broadcast always safe); customer/supplier grow
+  * linearly with sf, so their joins carry NO broadcast hint — AQE
+  * decides from runtime sizes. Fact-fact joins shuffle on their keys,
+  * aggregations are partial map-side first.
   */
 object Relational {
 
@@ -39,48 +45,54 @@ object Relational {
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_base_price"),
+        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2))
+          .cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2))
+          .cast("double").as("sum_base_price"),
         sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
-          .cast(DecimalType(27, 4)).as("sum_disc_price"),
+          .cast(DecimalType(27, 4)).cast("double").as("sum_disc_price"),
         sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
-          * (one + dec2(col("l_tax")))).cast(DecimalType(27, 6)).as("sum_charge"),
+          * (one + dec2(col("l_tax")))).cast(DecimalType(27, 6))
+          .cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q1Oracle: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(27,4)) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
-      |           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(27,6)) AS sum_charge,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(27,4)) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(27,6)) AS DOUBLE) AS sum_charge,
       |  count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // ------------------------------------------- Q3: top revenue orders
 
-  /** Customer (broadcast, filtered) ⋈ orders ⋈ lineitem, revenue per
-    * order, top 10. The shuffle is orders⋈lineitem on o_orderkey; the
-    * final top-k is a single-partition sort of the aggregated orders —
-    * at 100 TB use the same plan (agg output is |orders| rows, the
-    * global limit-10 sort is a TakeOrdered, not a full sort). */
+  /** Customer (filtered) ⋈ orders ⋈ lineitem, revenue per order, top
+    * 10. The shuffle is orders⋈lineitem on o_orderkey; the final top-k
+    * is a single-partition sort of the aggregated orders — at 100 TB
+    * use the same plan (agg output is |orders| rows, the global
+    * limit-10 sort is a TakeOrdered, not a full sort). Customer grows
+    * linearly with sf, so no broadcast hint: AQE broadcasts the
+    * filtered side when it fits and falls back to a shuffle join when
+    * it doesn't. */
   def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val joined = t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
     joined.groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
-        .cast(DecimalType(27, 4)).as("revenue"))
+        .cast(DecimalType(27, 4)).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
   }
 
   val q3Oracle: String =
     """SELECT o_orderkey, o_orderdate, o_orderpriority,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(27,4)) AS revenue
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(27,4)) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -90,27 +102,31 @@ object Relational {
 
   // -------------------------------------- Q5: revenue by nation/region
 
-  /** Six-way star join: the fact shuffle is lineitem⋈orders⋈supplier;
-    * region/nation/customer are broadcast. Customer joins on BOTH
-    * custkey and nationkey (the TPC-H Q5 "local supplier" predicate). */
+  /** Six-way star join: the fact shuffle is lineitem⋈orders⋈supplier
+    * ⋈customer; nation/region are constant-size (25/5 rows at every
+    * sf) so their broadcast hints are safe. Customer grows linearly
+    * with sf — it gets NO hint, AQE picks broadcast vs shuffle from
+    * runtime sizes (a forced broadcast would hit the 8 GB limit at
+    * scale). Customer joins on BOTH custkey and nationkey (the TPC-H
+    * Q5 "local supplier" predicate). */
   def q5NationVolume(spark: SparkSession, dir: String): DataFrame = {
     val joined = t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(t(spark, dir, "customer")),
+      .join(t(spark, dir, "customer"),
         col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
     joined.groupBy(col("r_name"), col("n_name"))
       .agg(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
-        .cast(DecimalType(27, 4)).as("revenue"),
+        .cast(DecimalType(27, 4)).cast("double").as("revenue"),
         count(lit(1)).as("n_lineitems"))
       .orderBy("r_name", "n_name")
   }
 
   val q5Oracle: String =
     """SELECT r_name, n_name,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(27,4)) AS revenue,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(27,4)) AS DOUBLE) AS revenue,
       |  count(*) AS n_lineitems
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -129,12 +145,13 @@ object Relational {
     t(spark, dir, "orders")
       .rollup(col("o_orderpriority"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("sum_price"))
+        sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2))
+          .cast("double").as("sum_price"))
       .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
 
   val qRollupOracle: String =
     """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
       |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
 

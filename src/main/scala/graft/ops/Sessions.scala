@@ -20,12 +20,17 @@ object Sessions {
   val SessionGapMicros: Long = 30L * 60 * 1000 * 1000 // 30 min
 
   /** The events fixture carries TIMESTAMP(NANOS) — a parquet type Spark
-    * rejects outright. Read it as a long (legacy conf), then rebuild a
-    * micro-precision NTZ timestamp with integer division (a double
-    * division would lose precision above 2^53 ns). DuckDB truncates
-    * ns→us identically, so the oracle sees the same instants. */
+    * rejects outright. Read it as a long (`nanosAsLong`, session-scoped
+    * in [[graft.GraftSession]] — NOT mutated here: a `conf.set` inside
+    * a query builder would side-effect every subsequently planned
+    * query), then rebuild a micro-precision NTZ timestamp with integer
+    * division (a double division would lose precision above 2^53 ns).
+    * DuckDB truncates ns→us identically, so the oracle sees the same
+    * instants. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet carries TIMESTAMP(NANOS): build the session via " +
+        "graft.GraftSession (sets spark.sql.legacy.parquet.nanosAsLong)")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts",
         timestamp_micros(expr("ts div 1000")).cast(org.apache.spark.sql.types.TimestampNTZType))

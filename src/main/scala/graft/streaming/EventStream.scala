@@ -21,10 +21,14 @@ object EventStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream of events parquet (nanos read as long, rebuilt
-    * to micro NTZ exactly like the batch reader). */
+  /** File-source stream of events parquet (nanos read as long via the
+    * session-scoped `nanosAsLong` conf — see [[graft.GraftSession]] —
+    * rebuilt to micro NTZ exactly like the batch reader). The schema is
+    * supplied explicitly so the stream never infers. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events parquet carries TIMESTAMP(NANOS): build the session via " +
+        "graft.GraftSession (sets spark.sql.legacy.parquet.nanosAsLong)")
     spark.readStream.schema(eventsSchema).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
   }
