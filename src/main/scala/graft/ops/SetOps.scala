@@ -75,14 +75,34 @@ object SetOps {
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
   /** Approximate distinct (HLL++): per priority, approx vs exact
-    * customer count. Engines' sketches differ, so this is a rows-only
-    * query; the <2% relative-error property is pinned in SetOpsSpec. */
-  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    * customer count. Sketch estimates are engine-specific, so the
+    * oracle-visible contract is the BOUND, not the estimate: the query
+    * emits the exact count plus `approx_within_bound` (relative error
+    * <= ApproxDistinctBound, 2.5x the 2% target rsd), and the oracle
+    * reproduces the exact count with a constant-true bound column —
+    * hash-matches iff every group's estimate is in bound. The raw
+    * estimate's <2% error on this fixture stays pinned in SetOpsSpec. */
+  val ApproxDistinctBound = 0.05
+
+  /** Raw estimate vs exact — the spec pins <=2% on the fixture here. */
+  private[graft] def qApproxDistinctRaw(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .groupBy("o_orderpriority")
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
         countDistinct(col("o_custkey")).as("exact_custs"))
+
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    qApproxDistinctRaw(spark, dir)
+      .select(col("o_orderpriority"), col("exact_custs"),
+        (abs(col("approx_custs") - col("exact_custs")).cast("double") / col("exact_custs")
+          <= ApproxDistinctBound).as("approx_within_bound"))
       .orderBy("o_orderpriority")
+
+  val qApproxDistinctOracle: String =
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_custkey) AS exact_custs,
+      |  CAST(TRUE AS BOOLEAN) AS approx_within_bound
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_semi_anti" -> (qSemiAnti _),
@@ -95,6 +115,6 @@ object SetOps {
     "q_semi_anti" -> qSemiAntiOracle,
     "q_setops" -> qSetOpsOracle,
     "q_cube" -> qCubeOracle,
-    // q_approx_distinct: sketch values are engine-specific → rows-only.
+    "q_approx_distinct" -> qApproxDistinctOracle,
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.TopK.topk_by_score
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
@@ -8,41 +9,58 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType}
 /** Similarity search over the `embeddings` table (vec_id,
   * embedding: array<float>, label).
   *
-  * `similarity_topk` is the exact baseline: a block-partitioned
-  * self-join computing cosine in double (cast once), windowed
-  * row_number <= k. At 100 TB the quadratic baseline is what you run on
-  * a filtered candidate set; for full-corpus ANN, `similarity_ann_ivf`
-  * is the scale path: deterministic IVF — assign every vector to its
-  * nearest of C pivot centroids (one broadcast of C*dim doubles), probe
-  * the nProbe nearest cells per query, exact cosine only within probed
-  * cells. Recall is validated in the test suite against the exact
-  * baseline; the ANN result is approximate by construction, so it gets
-  * a rows-only check rather than a value oracle.
+  * `similarity_topk` is the exact baseline, in the scale-safe shape:
+  * a BLOCKED equi-join (queries replicated across B neighbor blocks —
+  * never a cartesian/broadcast-nested-loop plan, so no 8 GB broadcast
+  * wall and bounded per-task working sets) feeding a bounded
+  * map-side top-k aggregate ([[graft.functions.TopK]]). Exact top-k is
+  * inherently O(N^2) COMPUTE — that cost stands — but the SHUFFLE
+  * drops from O(N^2) scored pairs (the window formulation) to
+  * O(N * B) replicated queries in and O(queries * k) aggregate
+  * buffers out. At 100 TB you run this exact form on a filtered
+  * candidate set; for full-corpus ANN, `similarity_ann_ivf` is the
+  * scale path: deterministic IVF — assign every vector to its nearest
+  * of C pivot centroids (one broadcast of C*dim doubles), probe the
+  * nProbe nearest cells per query, exact cosine only within probed
+  * cells, same bounded top-k rerank. Recall is validated in the test
+  * suite against the exact baseline; the ANN result is approximate by
+  * construction, so its oracle entry is the self-reported recall
+  * check (see `annRecallOracle`) rather than a value compare.
   */
 object Similarity {
 
   val K = 5
+
+  /** Neighbor blocks for the exact baseline: each join task sees all
+    * queries x 1/B of the corpus. B bounds the per-task neighbor slice;
+    * at larger corpora raise B with N (B ~ N * rowBytes / targetTask). */
+  val Blocks = 16
 
   private def normed(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
       .withColumn("nrm", graft.functions.VectorOps.vec_norm(col("v")))
 
-  /** Exact cosine top-k per query vector. */
+  /** (query_id, nn: array<struct<id,score>>) → ranked output rows. */
+  private def ranked(agg: DataFrame): DataFrame =
+    agg.select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        round(col("s.score"), 6).as("sim"),
+        (col("pos") + 1).cast(IntegerType).as("rank"))
+      .orderBy("query_id", "rank")
+
+  /** Exact cosine top-k per query vector (blocked join + bounded agg). */
   def similarityTopk(spark: SparkSession, dir: String): DataFrame = {
     val n = normed(spark, dir)
     val a = n.select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
+      .withColumn("blk", explode(typedLit((0 until Blocks).toArray)))
     val b = n.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
-    val pairs = a.crossJoin(b).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("blk", pmod(hash(col("neighbor_id")), lit(Blocks)))
+    val pairs = a.join(b, "blk").filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (Dedup.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    pairs.select(col("query_id"), col("neighbor_id"), col("sim"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"),
-        col("rank").cast(IntegerType).as("rank"))
-      .orderBy("query_id", "rank")
+    ranked(pairs.groupBy("query_id")
+      .agg(topk_by_score(col("sim"), col("neighbor_id"), K).as("nn")))
   }
 
   val similarityTopkOracle: String =
@@ -93,27 +111,46 @@ object Similarity {
       explode(slice(expr(
         "transform(array_sort(zip_with(cellSims, sequence(0, size(cellSims)-1), (s, i) -> struct(-s AS negs, i AS idx))), p -> p.idx)"),
         1, IvfProbes)).as("cell"))
+    // Exact rerank within probed cells, bounded top-k aggregation — the
+    // same shape as the exact baseline, over nProbe/C of the pairs.
     val pairs = probes.join(assigned, "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (Dedup.dot(col("va"), col("v")) / (col("na") * col("nrm"))).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    pairs.select(col("query_id"), col("neighbor_id"), col("sim"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"),
-        col("rank").cast(IntegerType).as("rank"))
-      .orderBy("query_id", "rank")
+    ranked(pairs.groupBy("query_id")
+      .agg(topk_by_score(col("sim"), col("neighbor_id"), K).as("nn")))
   }
+
+  /** Driver-visible ANN quality gate: recall@K of the IVF result against
+    * the exact baseline, computed engine-side; the oracle side is the
+    * same inequality as a constant row. Hash-matches iff recall >= the
+    * floor (and both engines agree the floor is 0.5 — nProbe/C = 6/16 of
+    * a shared-cluster corpus; raise IvfProbes to trade cost for recall). */
+  val AnnRecallFloor = 0.5
+
+  def similarityAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = similarityTopk(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val ann = similarityAnnIvf(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hit = ann.withColumn("hit", lit(1L))
+    exact.join(hit, Seq("query_id", "neighbor_id"), "left_outer")
+      .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1L))).as("recall"))
+      .select((col("recall") >= AnnRecallFloor).as("recall_ok"),
+        lit(AnnRecallFloor).as("floor"))
+  }
+
+  val annRecallOracle: String =
+    s"SELECT CAST(TRUE AS BOOLEAN) AS recall_ok, CAST($AnnRecallFloor AS DOUBLE) AS floor"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_topk" -> (similarityTopk _),
     "similarity_ann_ivf" -> (similarityAnnIvf _),
+    "similarity_ann_recall" -> (similarityAnnRecall _),
   )
 
   def oracleSql: Map[String, String] = Map(
     "similarity_topk" -> similarityTopkOracle,
     // similarity_ann_ivf: approximate by construction → rows-only check;
-    // recall vs the exact baseline is asserted in SimilaritySpec.
+    // its quality gate is the oracle-visible similarity_ann_recall row.
+    "similarity_ann_recall" -> annRecallOracle,
   )
 }

@@ -7,12 +7,17 @@ import graft.sources.KafkaOptions
 class SetOpsAndOptionsSpec extends SparkSpec {
 
   test("approx_count_distinct within 2% of exact per group") {
-    SetOps.qApproxDistinct(spark, sf).collect().foreach { r =>
+    SetOps.qApproxDistinctRaw(spark, sf).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_custs").toDouble
       val exact = r.getAs[Long]("exact_custs").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
+      assert(math.abs(approx - exact) / exact <= 0.02,
         s"approx $approx vs exact $exact for ${r.get(0)}")
     }
+  }
+
+  test("q_approx_distinct oracle row reports every group in bound") {
+    val rows = SetOps.qApproxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("approx_within_bound")))
   }
 
   test("semi + anti partition the customer set") {

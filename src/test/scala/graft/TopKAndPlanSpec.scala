@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.TopK.topk_by_score
+import graft.ops.{Relational, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The bounded top-k aggregate and the scale-shape plan assertions the
+  * round-3 verdict demanded: similarity_topk must never plan a
+  * cartesian / broadcast-nested-loop join, and the big relational
+  * joins must survive (and stay correct) with broadcast disabled. */
+class TopKAndPlanSpec extends SparkSpec {
+
+  private def executed(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("topk_by_score ≡ window row_number top-k (ties broken by id asc)") {
+    import spark.implicits._
+    // deliberate score ties (score = v % 3) to pin the id tie-break
+    val rows = (1L to 97L).map(v => (v % 7, (v % 3).toDouble, v))
+    val df = rows.toDF("g", "score", "id")
+    val viaAgg = df.groupBy("g")
+      .agg(topk_by_score(col("score"), col("id"), 4).as("nn"))
+      .select(col("g"), posexplode(col("nn")).as(Seq("pos", "s")))
+      .select(col("g"), (col("pos") + 1).as("rank"), col("s.id").as("id"),
+        col("s.score").as("score"))
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df.select(col("g"), col("score"), col("id"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= 4)
+      .select(col("g"), col("rank"), col("id"), col("score"))
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
+  test("topk_by_score keeps fewer than k when the group is small") {
+    import spark.implicits._
+    val out = Seq((1L, 0.5, 10L), (1L, 0.7, 11L)).toDF("g", "score", "id")
+      .groupBy("g").agg(topk_by_score(col("score"), col("id"), 5).as("nn"))
+      .select(size(col("nn"))).as[Int].head()
+    assert(out == 2)
+  }
+
+  test("similarity_topk plans no CartesianProduct / BroadcastNestedLoopJoin") {
+    val plan = executed(Similarity.similarityTopk(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"quadratic join shape in plan:\n${plan.take(1200)}")
+  }
+
+  test("q3/q5 survive with broadcast disabled (no forced broadcast hint)") {
+    val q5Rows = Relational.q5NationVolume(spark, sf).count()
+    val q3Rows = Relational.q3TopOrders(spark, sf).count()
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    val prevAqe = scala.util.Try(
+      conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")).toOption
+      .flatMap(Option(_))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val q5 = Relational.q5NationVolume(spark, sf)
+      val plan5 = executed(q5)
+      // nation/region keep their constant-size hints; the customer join
+      // must have degraded gracefully to a shuffle join, not a broadcast
+      assert(plan5.contains("SortMergeJoin") || plan5.contains("ShuffledHashJoin"),
+        s"q5 has no shuffle join with broadcast disabled:\n${plan5.take(1200)}")
+      assert(q5.count() == q5Rows)
+      assert(Relational.q3TopOrders(spark, sf).count() == q3Rows)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  test("similarity_ann_recall reports the floor met on the fixture") {
+    val row = Similarity.similarityAnnRecall(spark, sf).collect()
+    assert(row.length == 1 && row(0).getAs[Boolean]("recall_ok"))
+  }
+}
