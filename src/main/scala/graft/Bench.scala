@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.Pipeline
 import graft.parse.Strict
+import graft.schema.FixedSchema
 import graft.sources.FixedWidth
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -9,116 +10,221 @@ import org.apache.spark.sql.functions._
 /** Benchmark main. Emits ONE JSON line:
   *
   * {{{
-  * {"metric":"total","value":<sum query secs>,"unit":"sec",
-  *  "queries":{name:secs,...},            // every SparkEntry query
+  * {"metric":"total","value":<sum of per-query medians>,"unit":"sec",
+  *  "queries":{name:medianSec,...},       // median of RUNS per query
+  *  "queries_runs":{name:[s,s,s],...},    // raw per-run times (drift diagnosis)
   *  "errors":{name:message,...},          // failures, NOT fake timings
-  *  "parsed":{"lines":N,"bytes":N,"scan_s":..,"parse_s":..,
-  *            "lines_per_s":..,"mb_per_s":..,"per_core_mb_per_s":..},
-  *  "stages":{"scan":..,"parse":..,"encode":..,"ocf_write":..},
-  *  "cores":N,"sf":"dir"}
+  *  "parsed":{...},"parsed_weblog":{...}, // per-corpus throughput legs
+  *  "stages":{...},"stages_weblog":{...}, // per-stage medians + runs
+  *  "cores":N,"runs":3,"sf":"dir"}
   * }}}
   *
-  * The `parsed` block is the honest throughput figure comparable to the
-  * reference's per-core MB/s (BASELINE.md: ~220 MB/s/core): a >= 1 GB
-  * fixed-width corpus is rendered ONCE (cached across runs under
-  * /tmp/graft-bench-corpus), then scan and scan+parse are timed
-  * separately via the noop sink — no render cost, no verification sort,
-  * no parquet write in the measured path. `stages` mirrors the
-  * reference's per-stage report (`fixed2avro/Util.go:66-86`):
-  * read/parse/serialize/export deltas over the same corpus.
+  * Two fixed-width corpora, both >= 1 GiB, rendered once and cached
+  * under /tmp/graft-bench-corpus:
+  *
+  *  - `lineitem`: 11 columns, 105 runes/row — short-line corpus, heavy
+  *    per-line fixed cost.
+  *  - `weblog`: 30 columns, 528 runes/row — the REFERENCE's corpus
+  *    shape (BASELINE.md: 30 cols, 528 runes/row), so its
+  *    per-core MB/s and lines/s are directly comparable to the
+  *    baseline's 110 MB/s/core and 213k lines/s/core without a
+  *    row-shape correction.
+  *
+  * Every measured leg and every query is run RUNS times and reported as
+  * the median with the raw runs alongside — a single-run bench cannot
+  * distinguish machine noise from regression (the round-3 16% drift was
+  * unattributable for exactly that reason). The first (cold) run of the
+  * parse leg is timed separately: it carries codegen + page-cache
+  * warmup. `stages` mirrors the reference's per-stage report
+  * (`fixed2avro/Util.go:66-86`): read/parse/serialize/export deltas
+  * over the same corpus.
   */
 object Bench {
 
+  val Runs = 3
+
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def times(f: => Unit): Seq[Double] = Seq.fill(Runs)(time(f))
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
   /** Force a full computation without collecting (noop DSv2 sink). */
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  private val TargetBytes = 1L << 30 // 1 GiB corpus for the parse legs
+  private def fmt(d: Double): String = f"$d%.3f"
+  private def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
 
-  /** Render the throughput corpus once; reuse across runs. */
-  private def corpus(spark: SparkSession, sfDir: String): (String, Long, Long) = {
+  private val TargetBytes = 1L << 30 // >= 1 GiB per corpus for the parse legs
+
+  // ------------------------------------------------- weblog-shaped corpus
+
+  /** The reference corpus shape (BASELINE.md / reference README.md:19):
+    * 30 columns, 528 runes/row — timestamps, ids, counters, sizes, and
+    * token/path-like strings, all derived deterministically from
+    * lineitem so the corpus needs no external data. */
+  val weblogSchemaJson: String = {
+    def f(name: String, tpe: String, len: Int, logical: Option[String] = None) = {
+      val lt = logical.map(l => s""","logicalType":"$l"""").getOrElse("")
+      s"""{"name":"$name","type":{"type":"$tpe"$lt,"name":"$name","len":$len}}"""
+    }
+    val fields = Seq(
+      f("w_ts", "long", 26, Some("timestamp-micros")),
+      f("w_ts_end", "long", 26, Some("timestamp-micros")),
+      f("w_req_id", "long", 12), f("w_user_id", "long", 12),
+      f("w_session_id", "long", 12), f("w_conn_id", "long", 12),
+      f("w_upstream_id", "long", 12), f("w_tenant_id", "long", 12),
+      f("w_status", "int", 6), f("w_port", "int", 6),
+      f("w_retries", "int", 6), f("w_shard", "int", 6),
+      f("w_bytes_in", "double", 14), f("w_bytes_out", "double", 14),
+      f("w_dur_ms", "double", 14), f("w_cpu_ms", "double", 14),
+      f("w_queue_ms", "double", 14), f("w_cache_ratio", "double", 14),
+      f("w_sample_rate", "double", 14), f("w_weight", "double", 14),
+      f("w_method", "string", 8), f("w_proto", "string", 8),
+      f("w_host", "string", 16), f("w_client", "string", 16),
+      f("w_region", "string", 16), f("w_dc", "string", 16),
+      f("w_path", "string", 48), f("w_referer", "string", 40),
+      f("w_trace", "string", 36), f("w_agent", "string", 64))
+    s"""{"type":"record","name":"weblog","fields":[${fields.mkString(",")}]}"""
+  }
+
+  val weblogFixed: FixedSchema = FixedSchema.fromJson(weblogSchemaJson)
+  require(weblogFixed.rowRuneLen == 528 && weblogFixed.fields.size == 30,
+    s"weblog shape drifted: ${weblogFixed.fields.size} cols, ${weblogFixed.rowRuneLen} runes")
+
+  /** Deterministic weblog frame from lineitem columns (ASCII only, so
+    * bytes == runes and the corpus byte math stays exact). */
+  def weblogFrame(li: DataFrame): DataFrame = {
+    def tok(n: Int, salt: String, cols: org.apache.spark.sql.Column*) = {
+      val h = md5(concat_ws(":", (lit(salt) +: cols): _*))
+      if (n <= 32) substring(h, 1, n)
+      else substring(concat(h, md5(concat(h, lit(salt)))), 1, n)
+    }
+    val k = col("l_orderkey"); val p = col("l_partkey"); val s = col("l_suppkey")
+    li.select(
+      col("l_shipdate").as("w_ts"), col("l_shipdate").as("w_ts_end"),
+      k.as("w_req_id"), p.as("w_user_id"), s.as("w_session_id"),
+      k.as("w_conn_id"), p.as("w_upstream_id"), s.as("w_tenant_id"),
+      col("l_linenumber").as("w_status"), col("l_linenumber").as("w_port"),
+      col("l_linenumber").as("w_retries"), col("l_linenumber").as("w_shard"),
+      col("l_extendedprice").as("w_bytes_in"), col("l_extendedprice").as("w_bytes_out"),
+      col("l_quantity").as("w_dur_ms"), col("l_quantity").as("w_cpu_ms"),
+      col("l_discount").as("w_queue_ms"), col("l_discount").as("w_cache_ratio"),
+      col("l_tax").as("w_sample_rate"), col("l_tax").as("w_weight"),
+      col("l_returnflag").as("w_method"), col("l_linestatus").as("w_proto"),
+      tok(16, "host", k).as("w_host"), tok(16, "client", p).as("w_client"),
+      tok(16, "region", s).as("w_region"), tok(16, "dc", k, p).as("w_dc"),
+      tok(48, "path", k, s).as("w_path"), tok(40, "ref", p, s).as("w_referer"),
+      tok(36, "trace", k, p, s).as("w_trace"), tok(64, "agent", k).as("w_agent"))
+  }
+
+  /** Render a corpus once (>= TargetBytes of fixed-width text); reuse
+    * across runs and rounds. */
+  private def corpus(spark: SparkSession, sfDir: String, key: String,
+      schema: FixedSchema, frame: DataFrame): (String, Long, Long) = {
     val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = s"/tmp/graft-bench-corpus/$name"
+    val dir = s"/tmp/graft-bench-corpus/$name-$key"
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val li = Pipeline.lineitem(spark, sfDir)
-    val rowBytes = Pipeline.lineitemFixed.rowRuneLen + 1L // ASCII + '\n'
+    val rowBytes = schema.rowRuneLen + 1L // ASCII + '\n'
     if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
-      val rows = li.count()
+      val rows = frame.count()
       val copies = math.max(1, math.ceil(TargetBytes.toDouble / (rows * rowBytes)).toInt)
-      val big = Iterator.fill(copies)(li).reduce(_ union _)
+      val big = Iterator.fill(copies)(frame).reduce(_ union _)
         .repartition(spark.sparkContext.defaultParallelism)
-      FixedWidth.write(big, Pipeline.lineitemFixed, dir)
+      FixedWidth.write(big, schema, dir)
     }
     val lines = spark.read.text(dir).count()
     (dir, lines, lines * rowBytes)
+  }
+
+  /** The reference's four-stage report over one corpus: scan, parse
+    * (typed projection), encode (Avro + Confluent frame), OCF write. */
+  private def corpusLegs(spark: SparkSession, sfDir: String, key: String,
+      schema: FixedSchema, frame: DataFrame, nCores: Int): (String, String) = {
+    val (dir, lines, bytes) = corpus(spark, sfDir, key, schema, frame)
+    val lineDf = spark.read.text(dir)
+    val parsed = graft.parse.FixedWidthParser.parse(lineDf, schema, Strict)
+    val framed = parsed.select(graft.functions.Confluent.frame(
+      graft.functions.AvroCodec.to_avro(
+        struct(schema.fields.map(f => col(f.name)): _*),
+        schema.avroJson), 42).as("value"))
+    val parseColdS = time(force(parsed)) // codegen + page-cache warmup
+    val scanRuns = times(force(lineDf))
+    val parseRuns = times(force(parsed))
+    val encodeRuns = times(force(framed))
+    val ocfDir = s"/tmp/graft-bench-ocf-$key"
+    val ocfRuns = times(graft.sources.Ocf.write(parsed, schema, ocfDir))
+    val scanS = median(scanRuns); val parseS = median(parseRuns)
+    val encodeS = median(encodeRuns); val ocfS = median(ocfRuns)
+    val mbPerS = bytes / 1e6 / parseS
+    val parsedJson =
+      s"""{"lines":$lines,"bytes":$bytes,"cols":${schema.fields.size},""" +
+      s""""runes_per_row":${schema.rowRuneLen},"scan_s":${fmt(scanS)},""" +
+      s""""parse_cold_s":${fmt(parseColdS)},"parse_s":${fmt(parseS)},""" +
+      s""""parse_runs":${arr(parseRuns)},""" +
+      s""""lines_per_s":${fmt(lines / parseS)},"mb_per_s":${fmt(mbPerS)},""" +
+      s""""per_core_mb_per_s":${fmt(mbPerS / nCores)},""" +
+      s""""per_core_lines_per_s":${fmt(lines / parseS / nCores)}}"""
+    val stagesJson =
+      s"""{"scan":${fmt(scanS)},"parse":${fmt(parseS)},"encode":${fmt(encodeS)},""" +
+      s""""ocf_write":${fmt(ocfS)},"scan_runs":${arr(scanRuns)},""" +
+      s""""encode_runs":${arr(encodeRuns)},"ocf_write_runs":${arr(ocfRuns)}}"""
+    (parsedJson, stagesJson)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt, "graft-bench")
-
-    // ---- honest parse throughput on a >=1 GiB corpus, FIRST (fresh JVM
-    // state — running the query sweep before this left enough heap/JIT
-    // debris to multiply the measured parse time ~9x). Cold run warms
-    // codegen + page cache; the warm run is the steady-state number.
-    val (dir, lines, bytes) = corpus(spark, sfDir)
-    val lineDf = spark.read.text(dir)
-    val parsed = graft.parse.FixedWidthParser.parse(lineDf, Pipeline.lineitemFixed, Strict)
-    val framed = parsed.select(graft.functions.Confluent.frame(
-      graft.functions.AvroCodec.to_avro(
-        struct(Pipeline.lineitemFixed.fields.map(f => col(f.name)): _*),
-        Pipeline.lineitemFixed.avroJson), 42).as("value"))
-    val scanS = time(force(lineDf))
-    val parseColdS = time(force(parsed))
-    val parseS = time(force(parsed))
-    val encodeS = time(force(framed))
-    val ocfDir = s"/tmp/graft-bench-ocf"
-    val ocfS = time {
-      graft.sources.Ocf.write(parsed, Pipeline.lineitemFixed, ocfDir)
-    }
     val nCores = cpus.toInt
-    val mbPerS = bytes / 1e6 / parseS
 
-    // ---- per-query wall times (errors reported, never fake timings)
+    // ---- honest parse throughput on >= 1 GiB corpora, FIRST (fresh JVM
+    // state — running the query sweep before this left enough heap/JIT
+    // debris to multiply the measured parse time ~9x).
+    val li = Pipeline.lineitem(spark, sfDir)
+    val (parsedJson, stagesJson) =
+      corpusLegs(spark, sfDir, "lineitem", Pipeline.lineitemFixed, li, nCores)
+    val (parsedWeblogJson, stagesWeblogJson) =
+      corpusLegs(spark, sfDir, "weblog", weblogFixed, weblogFrame(li), nCores)
+
+    // ---- per-query wall times: median of Runs (errors reported once,
+    // never fake timings; a failed query contributes its attempts' time)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      val runs = (1 to Runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, median(runs), runs)
     }
 
-    def fmt(d: Double): String = f"$d%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + fmt(m) }
+      .mkString("{", ",", "}")
+    val qruns = results.map { case (k, _, r) => "\"" + k + "\":" + arr(r) }
+      .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val parsedJson =
-      s"""{"lines":$lines,"bytes":$bytes,"scan_s":${fmt(scanS)},""" +
-      s""""parse_cold_s":${fmt(parseColdS)},"parse_s":${fmt(parseS)},""" +
-      s""""lines_per_s":${fmt(lines / parseS)},"mb_per_s":${fmt(mbPerS)},""" +
-      s""""per_core_mb_per_s":${fmt(mbPerS / nCores)}}"""
-    val stages =
-      s"""{"scan":${fmt(scanS)},"parse":${fmt(parseS)},"encode":${fmt(encodeS)},"ocf_write":${fmt(ocfS)}}"""
-    // Context for the baseline comparison: the reference's lines are 528
-    // runes (BASELINE.md) vs this corpus's 105, so per-LINE cost is the
-    // comparable basis for parse overhead; per-byte follows from it.
-    val perCoreLinesPerS = lines / parseS / nCores
-    val notes = "\"parse_s is warm steady-state under the noop sink; " +
-      f"per-core ${perCoreLinesPerS}%.0f lines/s vs reference ~213k lines/s-per-core " +
-      "(2.56M lines/s on 12 cores, 528-rune lines vs 105 here); " +
-      "scan leg is the same corpus without the typed projection\""
+    val notes = "\"parse_s is the median warm steady-state under the noop sink; " +
+      "parsed_weblog is the reference-shaped corpus (30 cols, 528 runes/row) — " +
+      "compare its per_core_mb_per_s / per_core_lines_per_s directly to " +
+      "BASELINE.md's 110 MB/s/core and 213k lines/s/core\""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""errors":$errs,"parsed":$parsedJson,"stages":$stages,"cores":$nCores,""" +
+      s""""queries_runs":$qruns,"errors":$errs,"parsed":$parsedJson,""" +
+      s""""parsed_weblog":$parsedWeblogJson,"stages":$stagesJson,""" +
+      s""""stages_weblog":$stagesWeblogJson,"cores":$nCores,"runs":$Runs,""" +
       s""""notes":$notes,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,88 @@
+package graft.functions
+
+import graft.schema.FixedSchema
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All fixed-width column slices of a line in ONE forward scan.
+  *
+  * The naive parse projection — one `substring(line, start, len)` per
+  * column — re-walks the line from byte 0 for every column (Spark's
+  * codepoint-counted substring has no entry index), so a 30-column,
+  * 528-rune row costs O(cols x row_len) byte inspections plus 30
+  * copies. This expression walks the line's UTF-8 bytes exactly once,
+  * emitting a ZERO-COPY `UTF8String` slice per field (the downstream
+  * trim/cast/timestamp expressions read it in the same row scope, and
+  * the output writer copies — so sharing the backing bytes is safe).
+  * Slicing is still codepoint-based, preserving the reference's
+  * rune-width semantics (`fixed2avro/Util.go:45-65`, fine print F4);
+  * for pure-ASCII lines the walk degenerates to pointer arithmetic.
+  *
+  * The parser references the SAME expression subtree from every output
+  * column; whole-stage codegen's subexpression elimination evaluates
+  * it once per row.
+  */
+object FixedSlice {
+
+  /** One-pass slicer (called from both eval and generated code).
+    * Fields must be contiguous ascending (FixedSchema.runeStarts is).
+    * A short line yields empty slices past its end — the same shape
+    * Spark's substring gives, preserved for best-effort short-line
+    * parsing (F5/F8 handling lives in the parser's wellFormed guard). */
+  def slices(line: UTF8String, starts: Array[Int], lens: Array[Int]): GenericArrayData = {
+    val nFields = starts.length
+    val out = new Array[AnyRef](nFields)
+    val numBytes = line.numBytes()
+    val base = line.getBaseObject
+    val offset = line.getBaseOffset
+    var byteIdx = 0
+    var charIdx = 0
+    var f = 0
+    while (f < nFields) {
+      val startChar = starts(f)
+      val endChar = startChar + lens(f)
+      while (charIdx < startChar && byteIdx < numBytes) {
+        byteIdx += UTF8String.numBytesForFirstByte(line.getByte(byteIdx))
+        charIdx += 1
+      }
+      val startByte = byteIdx
+      while (charIdx < endChar && byteIdx < numBytes) {
+        byteIdx += UTF8String.numBytesForFirstByte(line.getByte(byteIdx))
+        charIdx += 1
+      }
+      out(f) = UTF8String.fromAddress(base, offset + startByte, byteIdx - startByte)
+      f += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class FixedSlices(child: Expression, starts: Array[Int], lens: Array[Int])
+      extends UnaryExpression {
+    require(starts.length == lens.length && starts.length > 0)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "fixed_slices"
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      slices(input.asInstanceOf[UTF8String], starts, lens)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val startsRef = ctx.addReferenceObj("starts", starts, "int[]")
+      val lensRef = ctx.addReferenceObj("lens", lens, "int[]")
+      nullSafeCodeGen(ctx, ev, line =>
+        s"${ev.value} = graft.functions.FixedSlice.slices($line, $startsRef, $lensRef);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): FixedSlices =
+      copy(child = c)
+  }
+
+  def fixed_slices(line: Column, schema: FixedSchema): Column =
+    ColumnBridge.column(FixedSlices(ColumnBridge.expression(line),
+      schema.runeStarts.toArray, schema.fields.map(_.runeLen).toArray))
+}

@@ -156,8 +156,19 @@ object FixedWidthParser {
     val kept =
       if (dropFooter) lines.filter(!line.startsWith(FooterPrefix)) else lines
     val wellFormed = length(line) === schema.rowRuneLen
-    val cols = schema.fields.zip(schema.runeStarts).map { case (f, start) =>
-      val typed = fieldExpr(line, f, start, mode)
+    // All raw slices come from ONE single-pass expression
+    // (graft.functions.FixedSlice): every field references the same
+    // subtree, which whole-stage codegen's subexpression elimination
+    // evaluates once per row — the per-field substring formulation
+    // re-scanned the line per column (O(cols x row_len) per row, the
+    // dominant cost on wide rows).
+    val sliced = graft.functions.FixedSlice.fixed_slices(line, schema)
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      val raw = element_at(sliced, i + 1)
+      val typed = mode match {
+        case Strict => strictExpr(raw, f)
+        case Compat => compatExpr(raw, f)
+      }
       corruptCol match {
         case Some(_) => when(wellFormed, typed).otherwise(lit(null)).as(f.name)
         case None    => typed.as(f.name)
