@@ -31,32 +31,42 @@ object Cli {
           "<schemaId> <topic> <cores> <dataFile>")
       sys.exit(2)
     }
-    val Array(sink, registryUrl, schemaFile, schemaIdS, topic, coresS, dataFile) = args
+    val Array(_, _, _, _, _, coresS, _) = args
     val cores = coresS.toInt
-    val schemaId = schemaIdS.toInt
     val spark = GraftSession.local(cores, "graft-cli")
+    try run(spark, args)
+    finally spark.stop()
+  }
+
+  /** Sink dispatch (`fixed2avro/Exporters.go:140-169`), separated from
+    * the session lifecycle so tests can drive it on a shared session.
+    * Returns the row count and the resolved output location. */
+  def run(spark: SparkSession, args: Array[String]): (Long, String) = {
+    val Array(sink, registryUrl, schemaFile, schemaIdS, topic, coresS, dataFile) = args
+    val schemaId = schemaIdS.toInt
     val t0 = System.nanoTime()
-    try {
-      val schema = FixedSchema.fromFile(schemaFile)
-      val parsed = FixedWidth.read(spark, dataFile, schema)
-      if (sink.startsWith("http://") || sink.startsWith("https://")) {
-        val registry: SchemaRegistryClient = new CachedSchemaRegistry(
-          if (registryUrl == "mem:") new InMemorySchemaRegistry
-          else new HttpSchemaRegistry(registryUrl))
-        val (keyId, _) = KafkaStage.registerSubjects(registry, topic, schema)
-        val staged = KafkaStage.stage(parsed, schema, schemaId = schemaId,
-          topic = topic, keySchemaId = keyId)
-        val stageDir = sys.env.getOrElse("GRAFT_STAGE_DIR", s"/tmp/graft-stage/$topic")
-        staged.write.mode("overwrite").parquet(stageDir)
-        println(s"[graft] staged Kafka frame for topic '$topic' -> $stageDir " +
-          s"(no connector jar in this build; format(\"kafka\") on a cluster)")
-      } else {
-        Ocf.write(parsed, schema, sink)
-        println(s"[graft] wrote snappy OCF (one file per partition) -> $sink")
-      }
-      val rows = parsed.count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[graft] $rows rows in $secs%.2f s (${rows / secs}%.0f rows/s, $cores cores)")
-    } finally spark.stop()
+    val schema = FixedSchema.fromFile(schemaFile)
+    val parsed = FixedWidth.read(spark, dataFile, schema)
+    val out = if (sink.startsWith("http://") || sink.startsWith("https://")) {
+      val registry: SchemaRegistryClient = new CachedSchemaRegistry(
+        if (registryUrl == "mem:") new InMemorySchemaRegistry
+        else new HttpSchemaRegistry(registryUrl))
+      val (keyId, _) = KafkaStage.registerSubjects(registry, topic, schema)
+      val staged = KafkaStage.stage(parsed, schema, schemaId = schemaId,
+        topic = topic, keySchemaId = keyId)
+      val stageDir = sys.env.getOrElse("GRAFT_STAGE_DIR", s"/tmp/graft-stage/$topic")
+      staged.write.mode("overwrite").parquet(stageDir)
+      println(s"[graft] staged Kafka frame for topic '$topic' -> $stageDir " +
+        s"(no connector jar in this build; format(\"kafka\") on a cluster)")
+      stageDir
+    } else {
+      Ocf.write(parsed, schema, sink)
+      println(s"[graft] wrote snappy OCF (one file per partition) -> $sink")
+      sink
+    }
+    val rows = parsed.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[graft] $rows rows in $secs%.2f s (${rows / secs}%.0f rows/s, $coresS cores)")
+    (rows, out)
   }
 }

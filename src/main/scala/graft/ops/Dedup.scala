@@ -19,6 +19,39 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   */
 object Dedup {
 
+  /** Widest LSH bucket the candidate self-joins will pair up. A bucket
+    * of n rows yields n*(n-1)/2 candidate pairs — quadratic — so one
+    * degenerate bucket (a corpus of mass-identical band signatures:
+    * boilerplate, empty docs, crawler error pages) can dominate the
+    * whole job. Buckets wider than this are SKIPPED: at that width the
+    * members are pathological near-identical content better handled by
+    * exact dedup, and the skip count is observable per-query via the
+    * "lsh_buckets" observation (`dropped_rows` / `widest_bucket`).
+    * Far above any bucket this corpus produces (oracle parity holds);
+    * a pathological-fixture spec pins the bound. */
+  val MaxBucketWidth = 1024
+
+  /** Banded-signature candidate self-join with the bucket-width cap:
+    * input is (id, band, sig), output deduplicated (a, b) id pairs with
+    * a < b from rows sharing a (band, sig) bucket of tolerable width.
+    * The window count runs on the same (band, sig) hash partitioning
+    * the self-join needs, so the cap adds no extra shuffle of the
+    * banded rows. */
+  private[graft] def bandedCandidates(banded: DataFrame, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+    val kept = banded
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .observe("lsh_buckets",
+        sum(when(col("bucket_n") > MaxBucketWidth, 1L).otherwise(0L)).as("dropped_rows"),
+        max(col("bucket_n")).as("widest_bucket"))
+      .filter(col("bucket_n") <= MaxBucketWidth)
+    kept.as("x").join(kept.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .dropDuplicates("a", "b")
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: group by content hash, keep the smallest doc_id.
@@ -75,11 +108,8 @@ object Dedup {
     val sigs = sigs0.select(col("doc_id"), array(bandCols: _*).as("bands"))
     val exploded = sigs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "sig")))
-    exploded.as("x").join(exploded.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    bandedCandidates(exploded, "doc_id")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
   }
 
   /** Exact-jaccard verification of candidate pairs against shingle sets
@@ -180,20 +210,22 @@ object Dedup {
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashSig(spark, dir)
-    val banded = sig.select(col("doc_id"), col("sim_hi"), col("sim_lo"), posexplode(array(
+    val banded = sig.select(col("doc_id"), posexplode(array(
       col("sim_hi").bitwiseAND(lit(0xffffL)),
       shiftright(col("sim_hi"), 16).bitwiseAND(lit(0xffffL)),
       col("sim_lo").bitwiseAND(lit(0xffffL)),
-      shiftright(col("sim_lo"), 16).bitwiseAND(lit(0xffffL)))).as(Seq("band", "key")))
+      shiftright(col("sim_lo"), 16).bitwiseAND(lit(0xffffL)))).as(Seq("band", "sig")))
+    // Id-only capped candidate join; the 64-bit signatures re-attach
+    // only to the deduplicated candidate pairs for the exact hamming
+    // verification (same shape as the minhash/embedding verifiers).
     val hamming =
-      bit_count(col("x.sim_hi").bitwiseXOR(col("y.sim_hi"))) +
-      bit_count(col("x.sim_lo").bitwiseXOR(col("y.sim_lo")))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        hamming.cast(IntegerType).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+      bit_count(col("sa.sim_hi").bitwiseXOR(col("sb.sim_hi"))) +
+      bit_count(col("sa.sim_lo").bitwiseXOR(col("sb.sim_lo")))
+    bandedCandidates(banded, "doc_id")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), hamming.cast(IntegerType).as("hamming"))
       .filter(col("hamming") <= HammingMax)
       .orderBy("doc_a", "doc_b")
   }
@@ -266,11 +298,8 @@ object Dedup {
     // Id-only candidate shuffle (the 64-double vectors re-attach only to
     // the deduplicated candidate pairs for exact verification).
     val banded = n.select(col("vec_id"), posexplode(bands).as(Seq("band", "sig")))
-    val cands = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
+    val cands = bandedCandidates(banded, "vec_id")
+      .select(col("a").as("vec_a"), col("b").as("vec_b"))
     cands
       .join(n.as("a"), col("vec_a") === col("a.vec_id"))
       .join(n.as("b"), col("vec_b") === col("b.vec_id"))

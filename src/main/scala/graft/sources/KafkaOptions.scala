@@ -21,7 +21,17 @@ final case class KafkaOptions(
     certificateFile: Option[String] = None,
     // reference option.go surface: pluggable overrides
     sessionTimeoutMs: Int = 6000,
-    autoOffsetReset: String = "earliest") {
+    autoOffsetReset: String = "earliest",
+    // Non-message event dispatch (≡ `eventHandler`,
+    // `kafkaavro/consumer.go:132-144`: poll events that are not
+    // messages go to a pluggable handler, default log). Spark's dual:
+    // consumer-level notifications surface as streaming-query
+    // lifecycle/progress events — adapt with KafkaOptions.listener.
+    eventHandler: KafkaOptions.ConsumerEvent => Unit = KafkaOptions.logHandler) {
+
+  /** ≡ `WithEventHandler` (`kafkaavro/option.go:108-112`). */
+  def withEventHandler(h: KafkaOptions.ConsumerEvent => Unit): KafkaOptions =
+    copy(eventHandler = h)
 
   def sslEnabled: Boolean = caFile.isDefined || keyFile.isDefined || certificateFile.isDefined
 
@@ -45,6 +55,45 @@ final case class KafkaOptions(
 }
 
 object KafkaOptions {
+
+  /** The non-message events a consumer can observe — the counterpart of
+    * the reference's `kafka.Event` cases that are not `*kafka.Message`
+    * (rebalances, errors, informational events). In Spark these arrive
+    * through the streaming-query listener bus rather than a poll loop. */
+  sealed trait ConsumerEvent { def description: String }
+  object ConsumerEvent {
+    final case class Started(queryId: String) extends ConsumerEvent {
+      def description: String = s"query $queryId started"
+    }
+    final case class Progress(queryId: String, batchId: Long, numInputRows: Long)
+        extends ConsumerEvent {
+      def description: String = s"query $queryId batch $batchId: $numInputRows rows"
+    }
+    final case class Terminated(queryId: String, error: Option[String])
+        extends ConsumerEvent {
+      def description: String =
+        s"query $queryId terminated${error.map(e => s" with error: $e").getOrElse("")}"
+    }
+  }
+
+  /** Default handler, like the reference's `log.Println(event)`
+    * fallback (`kafkaavro/consumer.go:111-115`). */
+  val logHandler: ConsumerEvent => Unit =
+    e => System.err.println(s"[graft-kafka] ${e.description}")
+
+  /** Adapt an event handler to the streaming listener bus: register
+    * with `spark.streams.addListener(KafkaOptions.listener(opts))`. */
+  def listener(opts: KafkaOptions): org.apache.spark.sql.streaming.StreamingQueryListener =
+    new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        opts.eventHandler(ConsumerEvent.Started(e.id.toString))
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        opts.eventHandler(ConsumerEvent.Progress(
+          e.progress.id.toString, e.progress.batchId, e.progress.numInputRows))
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        opts.eventHandler(ConsumerEvent.Terminated(e.id.toString, e.exception))
+    }
 
   /** Build from the environment, as `NewConsumer`/`NewProducer` do.
     * Missing required vars is an error naming the variable, matching the

@@ -56,4 +56,33 @@ class SetOpsAndOptionsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](admin.ensureTopics(Seq("a", "zzz")))
     assert(e.getMessage.contains("zzz"))
   }
+
+  test("event-handler seam dispatches non-message events (WithEventHandler parity)") {
+    import graft.sources.KafkaOptions.ConsumerEvent
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[ConsumerEvent]()
+    val opts = KafkaOptions(broker = "b:9092", schemaRegistryUrl = "mem:")
+      .withEventHandler(seen.add(_))
+    val listener = KafkaOptions.listener(opts)
+    spark.streams.addListener(listener)
+    try {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+      Seq(1L, 2L, 3L).toDF("v").write.mode("overwrite").parquet(dir)
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(dir)
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      // the listener bus is async: poll briefly for the lifecycle events
+      val deadline = System.nanoTime() + 15e9.toLong
+      def kinds = seen.toArray(Array.empty[ConsumerEvent]).map(_.getClass.getSimpleName).toSet
+      while (System.nanoTime() < deadline &&
+        !(kinds.contains("Started") && kinds.contains("Terminated"))) Thread.sleep(100)
+      assert(kinds.contains("Started"), s"events seen: $kinds")
+      assert(kinds.contains("Terminated"), s"events seen: $kinds")
+    } finally spark.streams.removeListener(listener)
+  }
 }
