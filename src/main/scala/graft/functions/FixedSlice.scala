@@ -33,8 +33,16 @@ object FixedSlice {
     * Fields must be contiguous ascending (FixedSchema.runeStarts is).
     * A short line yields empty slices past its end — the same shape
     * Spark's substring gives, preserved for best-effort short-line
-    * parsing (F5/F8 handling lives in the parser's wellFormed guard). */
-  def slices(line: UTF8String, starts: Array[Int], lens: Array[Int]): GenericArrayData = {
+    * parsing (F5/F8 handling lives in the parser's wellFormed guard).
+    *
+    * `trimmed(f)` shrinks that field's byte bounds past leading and
+    * trailing 0x20 — zero-copy space trimming for the padded numeric /
+    * timestamp fields, replacing a per-field `trim()` allocation
+    * (ASCII space can never be a UTF-8 continuation byte, so the byte
+    * test is codepoint-safe; the semantics match Spark's `trim`, which
+    * strips the space character only). */
+  def slices(line: UTF8String, starts: Array[Int], lens: Array[Int],
+      trimmed: Array[Boolean]): GenericArrayData = {
     val nFields = starts.length
     val out = new Array[AnyRef](nFields)
     val numBytes = line.numBytes()
@@ -50,39 +58,50 @@ object FixedSlice {
         byteIdx += UTF8String.numBytesForFirstByte(line.getByte(byteIdx))
         charIdx += 1
       }
-      val startByte = byteIdx
+      var startByte = byteIdx
       while (charIdx < endChar && byteIdx < numBytes) {
         byteIdx += UTF8String.numBytesForFirstByte(line.getByte(byteIdx))
         charIdx += 1
       }
-      out(f) = UTF8String.fromAddress(base, offset + startByte, byteIdx - startByte)
+      var endByte = byteIdx
+      if (trimmed(f)) {
+        while (startByte < endByte && line.getByte(startByte) == 0x20) startByte += 1
+        while (endByte > startByte && line.getByte(endByte - 1) == 0x20) endByte -= 1
+      }
+      out(f) = UTF8String.fromAddress(base, offset + startByte, endByte - startByte)
       f += 1
     }
     new GenericArrayData(out)
   }
 
-  case class FixedSlices(child: Expression, starts: Array[Int], lens: Array[Int])
-      extends UnaryExpression {
-    require(starts.length == lens.length && starts.length > 0)
+  case class FixedSlices(child: Expression, starts: Array[Int], lens: Array[Int],
+      trimmed: Array[Boolean]) extends UnaryExpression {
+    require(starts.length == lens.length && starts.length == trimmed.length
+      && starts.length > 0)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "fixed_slices"
     override def nullIntolerant: Boolean = true
 
     override def nullSafeEval(input: Any): Any =
-      slices(input.asInstanceOf[UTF8String], starts, lens)
+      slices(input.asInstanceOf[UTF8String], starts, lens, trimmed)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val startsRef = ctx.addReferenceObj("starts", starts, "int[]")
       val lensRef = ctx.addReferenceObj("lens", lens, "int[]")
+      val trimRef = ctx.addReferenceObj("trimmed", trimmed, "boolean[]")
       nullSafeCodeGen(ctx, ev, line =>
-        s"${ev.value} = graft.functions.FixedSlice.slices($line, $startsRef, $lensRef);")
+        s"${ev.value} = graft.functions.FixedSlice.slices($line, $startsRef, $lensRef, $trimRef);")
     }
 
     override protected def withNewChildInternal(c: Expression): FixedSlices =
       copy(child = c)
   }
 
-  def fixed_slices(line: Column, schema: FixedSchema): Column =
+  /** `trimFields`: which fields get the zero-copy space trim (the
+    * parser trims numerics/timestamps in Strict mode; Compat keeps Go
+    * strconv's untrimmed-input semantics). */
+  def fixed_slices(line: Column, schema: FixedSchema,
+      trimFields: Array[Boolean]): Column =
     ColumnBridge.column(FixedSlices(ColumnBridge.expression(line),
-      schema.runeStarts.toArray, schema.fields.map(_.runeLen).toArray))
+      schema.runeStarts.toArray, schema.fields.map(_.runeLen).toArray, trimFields))
 }

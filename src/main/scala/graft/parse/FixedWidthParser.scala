@@ -56,12 +56,19 @@ object FixedWidthParser {
   private def tryTimestampNtz(c: Column): Column =
     graft.functions.RefTimestamp.parse_ref_timestamp(c)
 
+  /** Should the raw slice be space-trimmed before typing in Strict
+    * mode? (strings/bytes keep their padding verbatim). */
+  private def strictTrims(f: FixedField): Boolean = f.parseType match {
+    case "string" | "bytes" | "Bytes" => false
+    case _                            => true
+  }
+
   /** Slice + type one field out of the line column (unaliased). */
   private def fieldExpr(line: Column, field: FixedField, start: Int, mode: ParseMode): Column = {
     // Spark substring positions are 1-based and codepoint-counted.
     val raw = substring(line, start + 1, field.runeLen)
     mode match {
-      case Strict => strictExpr(raw, field)
+      case Strict => strictExpr(if (strictTrims(field)) trim(raw) else raw, field)
       case Compat => compatExpr(raw, field)
     }
   }
@@ -77,23 +84,26 @@ object FixedWidthParser {
       fieldColumn(line, f, start, mode)
     }
 
+  /** Type a raw slice. `raw` is expected ALREADY space-trimmed for the
+    * trimmable types (see [[strictTrims]]) — the single-pass slicer
+    * trims zero-copy; the legacy substring path trims explicitly. */
   private def strictExpr(raw: Column, f: FixedField): Column = f.parseType match {
     case "boolean" =>
       // Strict keeps the J/Y vocabulary but nulls out unknowns.
-      val c = upper(substring(trim(raw), 1, 1))
+      val c = upper(substring(raw, 1, 1))
       when(c.isin("J", "Y"), lit(true))
         .when(c.isin("N"), lit(false))
         .otherwise(lit(null).cast(BooleanType))
     // try_cast/try_to_timestamp: null on failure regardless of the
     // session's ANSI setting (ANSI is on by default in Spark 4).
     case "bytes" | "Bytes" => raw.cast(BinaryType)
-    case "int"             => trim(raw).try_cast(IntegerType)
-    case "long"            => trim(raw).try_cast(LongType)
-    case "float"           => trim(raw).try_cast(FloatType)
-    case "double"          => trim(raw).try_cast(DoubleType)
+    case "int"             => raw.try_cast(IntegerType)
+    case "long"            => raw.try_cast(LongType)
+    case "float"           => raw.try_cast(FloatType)
+    case "double"          => raw.try_cast(DoubleType)
     case "string"          => raw // verbatim, padding preserved (ColumnBuilderTypes.go:157-159)
-    case "date"            => to_date(tryTimestampNtz(trim(raw)))
-    case "timestamp-millis" | "timestamp-micros" => tryTimestampNtz(trim(raw))
+    case "date"            => to_date(tryTimestampNtz(raw))
+    case "timestamp-millis" | "timestamp-micros" => tryTimestampNtz(raw)
     case other =>
       throw new IllegalArgumentException(s"unsupported type '$other' for ${f.name}")
   }
@@ -161,8 +171,11 @@ object FixedWidthParser {
     // subtree, which whole-stage codegen's subexpression elimination
     // evaluates once per row — the per-field substring formulation
     // re-scanned the line per column (O(cols x row_len) per row, the
-    // dominant cost on wide rows).
-    val sliced = graft.functions.FixedSlice.fixed_slices(line, schema)
+    // dominant cost on wide rows). In Strict mode the slicer also
+    // space-trims the numeric/timestamp fields zero-copy (Compat keeps
+    // Go strconv's untrimmed-input semantics).
+    val trims = schema.fields.map(f => mode == Strict && strictTrims(f)).toArray
+    val sliced = graft.functions.FixedSlice.fixed_slices(line, schema, trims)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       val raw = element_at(sliced, i + 1)
       val typed = mode match {
