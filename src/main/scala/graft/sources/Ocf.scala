@@ -24,30 +24,56 @@ import org.apache.spark.sql.types._
   */
 object Ocf {
 
-  /** Internal (Tungsten) value → Avro value, per field. Reads the
-    * primitive straight out of the `InternalRow` — timestamps and dates
-    * are ALREADY epoch micros / days internally, so the external-Row
-    * path's per-value `LocalDateTime`/`java.sql.Timestamp` round-trip
-    * (the dominant cost of the old writer) disappears, and strings wrap
-    * the UTF-8 bytes without a char decode. */
-  private def internalToAvro(dt: DataType, avro: Schema): (org.apache.spark.sql.catalyst.InternalRow, Int) => AnyRef = {
+  /** Encode one `InternalRow` field straight to the Avro binary
+    * encoder. Reads the primitive out of Tungsten memory — timestamps
+    * and dates are ALREADY epoch micros / days internally, so the
+    * external-Row path's per-value `LocalDateTime` round-trip
+    * disappears — and writes it without the `GenericData.Record` store
+    * + `GenericDatumWriter` schema-walk + boxing of the generic path.
+    * Strings write their UTF-8 bytes via `writeBytes`: Avro wire
+    * encoding of `string` and `bytes` is identical (length + data), so
+    * no char decode and no `Utf8` wrapper is needed. */
+  private type FieldEncoder =
+    (org.apache.spark.sql.catalyst.InternalRow, Int, org.apache.avro.io.Encoder) => Unit
+
+  private def fieldEncoder(dt: DataType, avro: Schema): FieldEncoder = {
     val logical = Option(avro.getProp("logicalType"))
     dt match {
-      case StringType  => (r, i) => new org.apache.avro.util.Utf8(r.getUTF8String(i).getBytes)
-      case BinaryType  => (r, i) => java.nio.ByteBuffer.wrap(r.getBinary(i))
-      case BooleanType => (r, i) => java.lang.Boolean.valueOf(r.getBoolean(i))
+      case StringType  => (r, i, e) => {
+        val b = r.getUTF8String(i).getBytes; e.writeBytes(b, 0, b.length)
+      }
+      case BinaryType  => (r, i, e) => { val b = r.getBinary(i); e.writeBytes(b, 0, b.length) }
+      case BooleanType => (r, i, e) => e.writeBoolean(r.getBoolean(i))
       case IntegerType if avro.getType == Schema.Type.LONG =>
-        (r, i) => java.lang.Long.valueOf(r.getInt(i).toLong)
-      case IntegerType => (r, i) => java.lang.Integer.valueOf(r.getInt(i))
-      case LongType    => (r, i) => java.lang.Long.valueOf(r.getLong(i))
-      case FloatType   => (r, i) => java.lang.Float.valueOf(r.getFloat(i))
-      case DoubleType  => (r, i) => java.lang.Double.valueOf(r.getDouble(i))
-      case DateType    => (r, i) => java.lang.Integer.valueOf(r.getInt(i))
+        (r, i, e) => e.writeLong(r.getInt(i).toLong)
+      case IntegerType => (r, i, e) => e.writeInt(r.getInt(i))
+      case LongType    => (r, i, e) => e.writeLong(r.getLong(i))
+      case FloatType   => (r, i, e) => e.writeFloat(r.getFloat(i))
+      case DoubleType  => (r, i, e) => e.writeDouble(r.getDouble(i))
+      case DateType    => (r, i, e) => e.writeInt(r.getInt(i))
       case TimestampType | TimestampNTZType =>
         if (logical.contains("timestamp-millis"))
-          (r, i) => java.lang.Long.valueOf(Math.floorDiv(r.getLong(i), 1000L))
-        else (r, i) => java.lang.Long.valueOf(r.getLong(i))
+          (r, i, e) => e.writeLong(Math.floorDiv(r.getLong(i), 1000L))
+        else (r, i, e) => e.writeLong(r.getLong(i))
       case t => throw new IllegalArgumentException(s"Ocf: unsupported Spark type $t")
+    }
+  }
+
+  /** `DatumWriter` over `InternalRow` built from the per-field encoder
+    * plan; rows must be non-null in every field (the schema re-emitted
+    * by [[graft.schema.FixedSchema.avroJson]] carries no unions, the
+    * same contract the generic-record path enforced). */
+  private final class InternalRowDatumWriter(avroSchema: Schema, sparkSchema: StructType)
+      extends org.apache.avro.io.DatumWriter[org.apache.spark.sql.catalyst.InternalRow] {
+    private val encoders: Array[FieldEncoder] =
+      sparkSchema.fields.zipWithIndex.map { case (f, i) =>
+        fieldEncoder(f.dataType, avroSchema.getFields.get(i).schema())
+      }.toArray
+    override def setSchema(s: Schema): Unit = ()
+    override def write(row: org.apache.spark.sql.catalyst.InternalRow,
+        out: org.apache.avro.io.Encoder): Unit = {
+      var i = 0
+      while (i < encoders.length) { encoders(i)(row, i, out); i += 1 }
     }
   }
 
@@ -109,26 +135,18 @@ object Ocf {
     df.queryExecution.toRdd.foreachPartition { rows =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val avroSchema = new Schema.Parser().parse(avroJson)
-      val conv = sparkSchema.fields.zipWithIndex.map { case (f, i) =>
-        internalToAvro(f.dataType, avroSchema.getFields.get(i).schema())
-      }
       val path = new Path(dir, f"part-$pid%05d.avro")
       val fs = path.getFileSystem(hadoopConf.value)
       val out = fs.create(path, true)
-      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
+      val w = new DataFileWriter(new InternalRowDatumWriter(avroSchema, sparkSchema))
       w.setCodec(CodecFactory.snappyCodec())
+      // 1 MiB blocks (default 64 KB): fewer snappy calls + sync markers
+      // per byte, better compression ratio; block-level read parallelism
+      // is irrelevant here because reads parallelize per FILE.
+      w.setSyncInterval(1 << 20)
       w.create(avroSchema, out)
-      try {
-        val rec = new GenericData.Record(avroSchema)
-        rows.foreach { row =>
-          var i = 0
-          while (i < conv.length) {
-            rec.put(i, if (row.isNullAt(i)) null else conv(i)(row, i))
-            i += 1
-          }
-          w.append(rec)
-        }
-      } finally w.close()
+      try rows.foreach(w.append) // append encodes eagerly: row-buffer reuse is safe
+      finally w.close()
     }
   }
 
