@@ -88,8 +88,11 @@ object AllTypes {
     val value = FixedWidth.renderValue(Pipeline.lineitemFixed)
     val broken = Pipeline.barrier(li.select(
       when(col("l_linenumber") === 7, substring(value, 1, 20)).otherwise(value).as("value")))
+    // dropFooter=false: in-flight rendered lines carry no footer, and
+    // the footer filter would push below the barrier and re-render
+    // every row (see Pipeline.fixedwidthRoundtrip).
     val parsed = FixedWidthParser.parse(broken, Pipeline.lineitemFixed,
-      corruptCol = Some("_corrupt_record"))
+      dropFooter = false, corruptCol = Some("_corrupt_record"))
     parsed.agg(
       sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
       sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),

@@ -68,10 +68,17 @@ object Pipeline {
   val identityOracle: String =
     s"SELECT * FROM lineitem ORDER BY $orderColsSql"
 
-  /** parquet → fixed-width lines → strict parse → typed rows ≡ input. */
+  /** parquet → fixed-width lines → strict parse → typed rows ≡ input.
+    *
+    * In-flight rendered frames pass `dropFooter = false`: no footer
+    * line can exist in them, and the footer FILTER would be
+    * predicate-pushed below the barrier and substituted through the
+    * render projection — re-rendering every row a second time just to
+    * test its first 12 chars. (File inputs keep the filter: there the
+    * pushdown lands IN the text scan, where it is free.) */
   def fixedwidthRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val rendered = barrier(FixedWidth.render(lineitem(spark, dir), lineitemFixed))
-    FixedWidthParser.parse(rendered, lineitemFixed, Strict)
+    FixedWidthParser.parse(rendered, lineitemFixed, Strict, dropFooter = false)
       .orderBy(orderCols: _*)
   }
 
@@ -129,7 +136,7 @@ object Pipeline {
     // under compat (faithful to the reference; covered by unit tests).
     val rendered = barrier(FixedWidth.render(lineitem(spark, dir), lineitemFixed,
       zeroPadNumerics = true))
-    FixedWidthParser.parse(rendered, lineitemFixed, Compat)
+    FixedWidthParser.parse(rendered, lineitemFixed, Compat, dropFooter = false)
       .orderBy(orderCols: _*)
   }
 
@@ -149,7 +156,7 @@ object Pipeline {
     * doubles as the ordering tiebreaker. */
   def compatSpacePad(spark: SparkSession, dir: String): DataFrame = {
     val rendered = barrier(FixedWidth.render(lineitem(spark, dir), lineitemFixed))
-    FixedWidthParser.parse(rendered, lineitemFixed, Compat)
+    FixedWidthParser.parse(rendered, lineitemFixed, Compat, dropFooter = false)
       .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
   }
 

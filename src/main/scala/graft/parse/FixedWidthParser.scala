@@ -78,11 +78,19 @@ object FixedWidthParser {
     fieldExpr(line, field, start, mode).as(field.name)
 
   /** All typed field columns of a schema (for callers that project the
-    * parse alongside other columns). */
-  def fieldColumns(line: Column, schema: FixedSchema, mode: ParseMode): Seq[Column] =
-    schema.fields.zip(schema.runeStarts).map { case (f, start) =>
-      fieldColumn(line, f, start, mode)
+    * parse alongside other columns) — the same shared single-pass
+    * slicer the full parse uses. */
+  def fieldColumns(line: Column, schema: FixedSchema, mode: ParseMode): Seq[Column] = {
+    val trims = schema.fields.map(f => mode == Strict && strictTrims(f)).toArray
+    val sliced = graft.functions.FixedSlice.fixed_slices(line, schema, trims)
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      val raw = element_at(sliced, i + 1)
+      (mode match {
+        case Strict => strictExpr(raw, f)
+        case Compat => compatExpr(raw, f)
+      }).as(f.name)
     }
+  }
 
   /** Type a raw slice. `raw` is expected ALREADY space-trimmed for the
     * trimmable types (see [[strictTrims]]) — the single-pass slicer
@@ -176,16 +184,29 @@ object FixedWidthParser {
     // Go strconv's untrimmed-input semantics).
     val trims = schema.fields.map(f => mode == Strict && strictTrims(f)).toArray
     val sliced = graft.functions.FixedSlice.fixed_slices(line, schema, trims)
+    // Corrupt-record guard on the slices ARRAY, not per field: a
+    // per-field `when(wellFormed, typed)` puts every field's slice
+    // inside its own CASE branch, which codegen subexpression
+    // elimination will not hoist — re-walking the line per column. One
+    // guarded array keeps the single shared walk; a corrupt line's
+    // null array propagates null through every typed field.
+    val effSliced = corruptCol match {
+      case Some(_) => when(wellFormed, sliced)
+      case None    => sliced
+    }
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
-      val raw = element_at(sliced, i + 1)
-      val typed = mode match {
-        case Strict => strictExpr(raw, f)
-        case Compat => compatExpr(raw, f)
-      }
-      corruptCol match {
-        case Some(_) => when(wellFormed, typed).otherwise(lit(null)).as(f.name)
-        case None    => typed.as(f.name)
-      }
+      val raw = element_at(effSliced, i + 1)
+      (mode match {
+        case Strict => strictExpr(raw, f) // null slice → null field
+        case Compat => corruptCol match {
+          // Compat zero-fills failures, so a null slice would surface
+          // as 0, not null — keep the explicit per-field guard here
+          // (corrupt scanning is a strict-mode feature; this path is
+          // for completeness).
+          case Some(_) => when(wellFormed, compatExpr(raw, f))
+          case None    => compatExpr(raw, f)
+        }
+      }).as(f.name)
     }
     val all = cols ++ corruptCol.map(name =>
       when(!wellFormed, line).otherwise(lit(null).cast(StringType)).as(name))
