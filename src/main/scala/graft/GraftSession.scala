@@ -15,10 +15,23 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Apply graft's required session confs to a builder. */
+  /** Apply graft's required session confs to a builder.
+    *
+    * `InferFiltersFromGenerate` is excluded: it plants a
+    * `size(generatorInput) > 0` filter under every explode, and when
+    * the generator input is a computed array (the dedup shingle sets,
+    * LSH band arrays, IVF probe lists — all non-empty BY CONSTRUCTION)
+    * the filter substitutes the whole array expression — interpreted
+    * higher-order functions included — into a per-row scan filter,
+    * evaluating it twice. Measured: dedup_minhash 7.5s -> 1.6s,
+    * corpus_clean 7.2s -> 1.7s at sf0.1/8 cores. The rule only pays
+    * off for stored array columns that are frequently empty, which
+    * this engine does not have. */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
 
   /** Standard local session for mains: `local[cores]`, shuffle
