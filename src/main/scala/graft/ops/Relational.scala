@@ -19,7 +19,12 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType}
   * column is then cast to DOUBLE on BOTH the engine and oracle sides:
   * the driver's compare hashes dtypes, and DuckDB's DECIMAL surfaces
   * differently from parquet decimal even when every value is equal.
-  * Same decimal → same nearest double, deterministically.
+  * Same decimal → same nearest double, deterministically — PROVIDED
+  * the unscaled value stays below 2^53 (~9e13 at scale 2), where both
+  * engines' decimal→double conversions are exact-then-rounded the
+  * same way; above that DuckDB's two-step int64/10^scale rounding can
+  * differ by 1 ulp. Sums at the tested scale factors peak ~2.4e13
+  * unscaled (sf0.1); revisit if run at sf >= 10.
   *
   * Scale notes per query are on each method: region/nation are
   * constant-size (broadcast always safe); customer/supplier grow

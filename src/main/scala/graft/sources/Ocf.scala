@@ -77,11 +77,18 @@ object Ocf {
     }
   }
 
-  /** Avro value → external (Row-API) value, per field. */
-  private def avroToRow(avro: Schema, dt: DataType): AnyRef => Any = {
+  /** Avro value → internal (Tungsten) value, per field — the read-side
+    * mirror of the writer: timestamps/dates stay epoch micros/days
+    * longs/ints (no LocalDateTime round-trip), strings wrap the Avro
+    * Utf8 buffer's bytes without a char decode. */
+  private def avroToInternal(avro: Schema, dt: DataType): AnyRef => Any = {
     val logical = Option(avro.getProp("logicalType"))
     dt match {
-      case StringType  => v => v.toString
+      case StringType  => {
+        case u: org.apache.avro.util.Utf8 =>
+          org.apache.spark.unsafe.types.UTF8String.fromBytes(u.getBytes, 0, u.getByteLength)
+        case v => org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
+      }
       case BinaryType  => v => {
         val bb = v.asInstanceOf[java.nio.ByteBuffer]
         val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
@@ -93,26 +100,12 @@ object Ocf {
       case LongType   => v => v
       case FloatType  => v => v
       case DoubleType => v => v
-      case DateType   => v => java.sql.Date.valueOf(
-        java.time.LocalDate.ofEpochDay(v.asInstanceOf[java.lang.Integer].longValue()))
-      case TimestampType =>
-        val fromMicros: Long => java.sql.Timestamp = micros => {
-          val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000L))
-          ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
-          ts
-        }
+      case DateType   => v => v // epoch days int, both sides
+      case TimestampType | TimestampNTZType => // internal = epoch micros
         if (logical.contains("timestamp-millis"))
-          v => fromMicros(Math.multiplyExact(v.asInstanceOf[java.lang.Long].longValue(), 1000L))
-        else v => fromMicros(v.asInstanceOf[java.lang.Long].longValue())
-      case TimestampNTZType =>
-        val fromMicros: Long => java.time.LocalDateTime = micros =>
-          java.time.LocalDateTime.ofEpochSecond(
-            Math.floorDiv(micros, 1000000L),
-            (Math.floorMod(micros, 1000000L) * 1000L).toInt,
-            java.time.ZoneOffset.UTC)
-        if (logical.contains("timestamp-millis"))
-          v => fromMicros(Math.multiplyExact(v.asInstanceOf[java.lang.Long].longValue(), 1000L))
-        else v => fromMicros(v.asInstanceOf[java.lang.Long].longValue())
+          v => java.lang.Long.valueOf(
+            Math.multiplyExact(v.asInstanceOf[java.lang.Long].longValue(), 1000L))
+        else v => v
       case t => throw new IllegalArgumentException(s"Ocf: unsupported Spark type $t")
     }
   }
@@ -169,19 +162,24 @@ object Ocf {
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => stream.close()))
         val conv = sparkSchema.fields.zipWithIndex.map { case (f, i) =>
-          avroToRow(readerSchema.getFields.get(i).schema(), f.dataType)
+          avroToInternal(readerSchema.getFields.get(i).schema(), f.dataType)
         }
-        new Iterator[Row] {
+        new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
           def hasNext: Boolean = { val h = stream.hasNext; if (!h) stream.close(); h }
-          def next(): Row = {
+          def next(): org.apache.spark.sql.catalyst.InternalRow = {
             val rec = stream.next()
-            Row.fromSeq(conv.indices.map { i =>
-              val v = rec.get(i); if (v == null) null else conv(i)(v)
-            })
+            val values = new Array[Any](conv.length)
+            var i = 0
+            while (i < conv.length) {
+              val v = rec.get(i)
+              values(i) = if (v == null) null else conv(i)(v)
+              i += 1
+            }
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
           }
         }
       }
-    spark.createDataFrame(rdd, sparkSchema)
+    org.apache.spark.sql.graftbridge.ColumnBridge.internalDataFrame(spark, rdd, sparkSchema)
   }
 
   /** In-memory OCF decode used by tests: bytes of one container file →
