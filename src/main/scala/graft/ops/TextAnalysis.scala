@@ -95,18 +95,29 @@ object TextAnalysis {
   /** Winnowing-style fingerprint: the minimum hash over all 8-char
     * sliding windows of the text. Robust to local edits (an edit only
     * perturbs 8 windows). md5 keeps the hash portable to the oracle; at
-    * scale swap in xxhash64 (same plan shape, one expression change). */
+    * scale swap in xxhash64 (same plan shape, one expression change).
+    *
+    * Computed by the one-pass codegen'd [[graft.functions.Winnow]]
+    * expression — the declarative
+    * `array_min(transform(sequence, i -> md5(substr)))` materializes an
+    * n-element hex array per document through interpreted lambdas
+    * (measured ~3x slower); a spec pins the two forms equal. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Docs.documents(spark, dir)
+    val n = length(col("text"))
+    docs.select(col("doc_id"),
+      graft.functions.Winnow.winnow_fingerprint(col("text"), 8).as("fingerprint"),
+      when(n >= 8, n - 7).otherwise(1).cast(LongType).as("n_windows"))
+      .orderBy("doc_id")
+  }
+
+  /** The declarative formulation, kept as the spec's cross-check. */
+  private[graft] def docFingerprintDeclarative(spark: SparkSession, dir: String): DataFrame = {
     val docs = Docs.documents(spark, dir)
     val n = length(col("text"))
     val windows = when(n >= 8,
       transform(sequence(lit(1), n - 7), i => md5(col("text").substr(i, lit(8)))))
       .otherwise(array(md5(col("text"))))
-    // Both references to `windows` sit in ONE projection: interpreted
-    // subexpression elimination evaluates the HOF once, and keeping a
-    // single operator avoids materializing the (large) window array
-    // into an intermediate row. (A two-projection split was measured
-    // ~25% slower.)
     docs.select(col("doc_id"), array_min(windows).as("fingerprint"),
       size(windows).cast(LongType).as("n_windows"))
       .orderBy("doc_id")

@@ -123,4 +123,23 @@ class LlmOpsSpec extends SparkSpec {
     }
     assert(fp(ext) <= fp(base))
   }
+
+  test("winnow_fingerprint ≡ declarative array_min(md5 windows) form") {
+    // the one-pass expression against the built-in formulation, on the
+    // fixture plus multibyte / shorter-than-window edge rows
+    import spark.implicits._
+    val fast = TextAnalysis.docFingerprint(spark, sf).collect().toSeq
+    val slow = TextAnalysis.docFingerprintDeclarative(spark, sf).collect().toSeq
+    assert(fast == slow)
+    val edge = Seq((1L, "短い"), (2L, "ascii-and-日本語のテキストです"), (3L, "exactly8"))
+      .toDF("doc_id", "text")
+    val n = length(col("text"))
+    val windows = when(n >= 8,
+      transform(sequence(lit(1), n - 7), i => md5(col("text").substr(i, lit(8)))))
+      .otherwise(array(md5(col("text"))))
+    val viaExpr = edge.select(col("doc_id"),
+      graft.functions.Winnow.winnow_fingerprint(col("text"), 8).as("fp")).collect().toSeq
+    val viaHof = edge.select(col("doc_id"), array_min(windows).as("fp")).collect().toSeq
+    assert(viaExpr == viaHof)
+  }
 }
