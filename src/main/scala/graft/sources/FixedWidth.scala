@@ -58,8 +58,17 @@ object FixedWidth {
     }
   }
 
-  /** The whole-row render expression (concat of all padded fields). */
+  /** The whole-row render expression: one single-pass buffer write per
+    * row ([[graft.functions.FixedRender]]) instead of ~2-3 intermediate
+    * strings per field; the declarative concat-of-padded-fields form
+    * stays below as the spec's cross-check. */
   def renderValue(schema: FixedSchema, zeroPadNumerics: Boolean = false): Column =
+    graft.functions.FixedRender.render_line(schema, zeroPadNumerics)
+
+  /** The declarative formulation (concat of per-field pads), kept as
+    * the equality cross-check for the single-pass renderer. */
+  private[graft] def renderValueDeclarative(schema: FixedSchema,
+      zeroPadNumerics: Boolean = false): Column =
     concat(schema.fields.map(f => renderField(col(f.name), f, zeroPadNumerics)): _*)
 
   /** Typed DataFrame → single `value: String` column of fixed-width lines

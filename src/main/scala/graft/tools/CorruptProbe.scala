@@ -1,11 +1,7 @@
 package graft.tools
-import org.apache.spark.sql.functions._
-import graft.ops.Pipeline
-import graft.sources.FixedWidth
-import graft.parse.FixedWidthParser
 object CorruptProbe {
   def main(args: Array[String]): Unit = {
-    val spark = graft.GraftSession.local(8, "corrupt-probe")
+    val spark = graft.GraftSession.local(8, "render-probe")
     val sf = "/root/testdata/sf0.1"
     def t(name: String)(f: => Unit): Unit = {
       f
@@ -14,15 +10,11 @@ object CorruptProbe {
       }
       println(f"[$name] warm: ${runs.map(r => f"$r%.2f").mkString(", ")}")
     }
-    val li = Pipeline.lineitem(spark, sf)
-    val value = FixedWidth.renderValue(Pipeline.lineitemFixed)
-    def broken = li.select(
-      when(col("l_linenumber") === 7, substring(value, 1, 20)).otherwise(value).as("value"))
-      .repartition(spark.sparkContext.defaultParallelism)
     def noop(df: org.apache.spark.sql.DataFrame) = df.write.format("noop").mode("overwrite").save()
-    t("dropFooter_true")(noop(FixedWidthParser.parse(broken, Pipeline.lineitemFixed)))
-    t("dropFooter_false")(noop(FixedWidthParser.parse(broken, Pipeline.lineitemFixed,
-      dropFooter = false)))
+    t("fixedwidth_roundtrip")(noop(graft.ops.Pipeline.fixedwidthRoundtrip(spark, sf)))
+    t("fixedwidth_compat")(noop(graft.ops.Pipeline.compatParse(spark, sf)))
+    t("alltypes_roundtrip")(noop(graft.ops.AllTypes.alltypesRoundtrip(spark, sf)))
+    t("fixedwidth_corrupt")(noop(graft.ops.AllTypes.corruptScan(spark, sf)))
     spark.stop()
   }
 }
