@@ -80,6 +80,29 @@ object Multimodal {
       val side = math.max(1, math.sqrt(bytes.length.toDouble).toInt)
       MediaFeatures(id, mime, bytes.length.toLong, side, side, features)
     }
+
+    /** STUB resize — stands in for a pixel-resampling kernel: nearest-
+      * neighbor decimation of the "decoded" byte plane to a target
+      * side. Deterministic; real codecs swap in behind the same
+      * signature (bytes in, resized bytes + dims out). */
+    def resize(bytes: Array[Byte], targetSide: Int): (Int, Int, Array[Byte]) = {
+      val srcSide = math.max(1, math.sqrt(bytes.length.toDouble).toInt)
+      val side = math.min(targetSide, srcSide)
+      val out = new Array[Byte](side * side)
+      var y = 0
+      while (y < side) {
+        var x = 0
+        while (x < side) {
+          val sx = x * srcSide / side
+          val sy = y * srcSide / side
+          val idx = sy * srcSide + sx
+          out(y * side + x) = if (idx < bytes.length) bytes(idx) else 0
+          x += 1
+        }
+        y += 1
+      }
+      (side, side, out)
+    }
   }
 
   /** Partition-batched decode + feature extraction: one decoder per
@@ -98,6 +121,35 @@ object Multimodal {
       }
   }
 
+  case class ResizedMedia(media_id: Long, src_w: Int, src_h: Int,
+      out_w: Int, out_h: Int, out_md5: String)
+
+  val ResizeTarget = 16
+
+  /** Partition-batched resize lane (same shape as [[extractFeatures]]:
+    * one decoder per partition, streaming iterator). Rows-only check —
+    * the stub kernel is not SQL-expressible; determinism and the
+    * dimension contract are pinned in the spec. */
+  def resizeMedia(spark: SparkSession, dir: String): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media(spark, dir)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new FakeDecoder
+        rows.map { case (id, bytes) =>
+          val srcSide = math.max(1, math.sqrt(bytes.length.toDouble).toInt)
+          val (w, h, out) = decoder.resize(bytes, ResizeTarget)
+          ResizedMedia(id, srcSide, srcSide, w, h,
+            java.security.MessageDigest.getInstance("MD5").digest(out)
+              .map("%02x".format(_)).mkString)
+        }
+      }
+  }
+
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame =
+    resizeMedia(spark, dir).toDF().orderBy("media_id")
+
   /** Feature query (rows-only check: the fake decode is not
     * SQL-expressible; determinism + shape are pinned by MultimodalSpec). */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
@@ -107,13 +159,56 @@ object Multimodal {
         round(element_at(col("features"), 2), 6).as("f1"))
       .orderBy("media_id")
 
+  // ------------------------------------------------------ frame sampling
+
+  /** Stub "video" frame geometry: content is treated as fixed-size
+    * frames of FrameBytes, and every SampleEvery-th frame is kept —
+    * the standard decimation step before feature extraction. The
+    * sampling itself is fully declarative (byte-true `substring` over
+    * the binary content, exploded frame indices): no codec involved,
+    * so unlike the decode stub this lane IS oracle-checked. */
+  val FrameBytes = 64
+  val SampleEvery = 4
+
+  def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val lastSample =
+      expr(s"CAST((greatest(meta.n_bytes, 1) - 1) div $FrameBytes AS INT) div $SampleEvery")
+    val frame = expr(s"substring(content, frame_idx * $FrameBytes + 1, $FrameBytes)")
+    media(spark, dir)
+      .select(col("media_id"), col("content"),
+        posexplode(transform(sequence(lit(0), lastSample), k => (k * SampleEvery)))
+          .as(Seq("pos", "frame_idx")))
+      .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+        length(frame).cast(LongType).as("frame_len"),
+        md5(frame).as("frame_md5"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** Oracle note: the engine slices BYTES of the opaque content; the
+    * fixture's documents are pure ASCII (verified), so the oracle's
+    * VARCHAR substring is byte-identical. A non-ASCII corpus would need
+    * a blob-capable oracle, not a different engine plan. */
+  val multimodalFrameSampleOracle: String =
+    s"""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+       |f AS (SELECT media_id, text,
+       |             unnest(list_transform(range(0, (greatest(n, 1) - 1) // $FrameBytes // $SampleEvery + 1),
+       |                                   k -> k * $SampleEvery)) AS frame_idx
+       |      FROM m)
+       |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       |       CAST(length(substring(text, frame_idx * $FrameBytes + 1, $FrameBytes)) AS BIGINT) AS frame_len,
+       |       md5(substring(text, frame_idx * $FrameBytes + 1, $FrameBytes)) AS frame_md5
+       |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_resize" -> (multimodalResize _),
+    "multimodal_frame_sample" -> (multimodalFrameSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaOracle,
     // multimodal_features: stub decode → rows-only check (see Scaladoc).
+    "multimodal_frame_sample" -> multimodalFrameSampleOracle,
   )
 }

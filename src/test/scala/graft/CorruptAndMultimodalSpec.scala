@@ -65,6 +65,32 @@ class CorruptAndMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodal resize is deterministic and honors the dimension contract") {
+    val a = Multimodal.multimodalResize(spark, sf).collect()
+    val b = Multimodal.multimodalResize(spark, sf).collect()
+    assert(a.toSeq == b.toSeq && a.length == 500)
+    a.foreach { r =>
+      val (srcW, outW, outH) = (r.getAs[Int]("src_w"), r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(outW == outH && outW >= 1 && outW <= Multimodal.ResizeTarget && outW <= srcW)
+      assert(r.getAs[String]("out_md5").length == 32)
+    }
+  }
+
+  test("multimodal frame sampling: every SampleEvery-th frame, byte-true slices") {
+    val rows = Multimodal.multimodalFrameSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("frame_idx") % Multimodal.SampleEvery == 0))
+    assert(rows.forall(r => r.getAs[Long]("frame_len") >= 1 &&
+      r.getAs[Long]("frame_len") <= Multimodal.FrameBytes))
+    // frame 0 of a media equals the md5 of its first FrameBytes bytes
+    val m = Multimodal.media(spark, sf)
+      .select(col("media_id"), md5(expr(s"substring(content, 1, ${Multimodal.FrameBytes})")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.filter(_.getAs[Int]("frame_idx") == 0).foreach { r =>
+      assert(r.getAs[String]("frame_md5") == m(r.getAs[Long]("media_id")))
+    }
+  }
+
   test("multimodal meta matches the binary content actually staged") {
     val m = Multimodal.media(spark, sf)
       .select(col("media_id"), md5(col("content")).as("h"), col("meta.n_bytes").as("n"))
