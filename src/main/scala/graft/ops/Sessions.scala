@@ -156,11 +156,36 @@ object Sessions {
       |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** JSON-function coverage over the `props` column: extract a typed
+    * value from the JSON payload, aggregate per event type. The
+    * average derives from the EXACT integer sum on both sides (one
+    * double division each) — never from a float accumulation, whose
+    * order would differ between engines. */
+  def eventsJsonProps(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    events(spark, dir)
+      .select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .withColumn("avg_k", col("sum_k").cast("double") / col("n_events"))
+      .orderBy("event_type")
+  }
+
+  val eventsJsonPropsOracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+      |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+      |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionize" -> (sessionize _),
     "events_sessionize_native" -> (sessionizeNative _),
     "events_window" -> (eventsWindow _),
     "events_user_activity" -> (userActivity _),
+    "events_json_props" -> (eventsJsonProps _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -168,5 +193,6 @@ object Sessions {
     "events_sessionize_native" -> sessionizeNativeOracle,
     "events_window" -> eventsWindowOracle,
     "events_user_activity" -> userActivityOracle,
+    "events_json_props" -> eventsJsonPropsOracle,
   )
 }
