@@ -7,17 +7,24 @@ import graft.sources.FixedWidth
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Benchmark main. Emits ONE JSON line:
+/** Benchmark main. Emits ONE COMPACT JSON line as its LAST stdout line:
   *
   * {{{
   * {"metric":"total","value":<sum of per-query medians>,"unit":"sec",
   *  "queries":{name:medianSec,...},       // median of RUNS per query
-  *  "queries_runs":{name:[s,s,s],...},    // raw per-run times (drift diagnosis)
   *  "errors":{name:message,...},          // failures, NOT fake timings
-  *  "parsed":{...},"parsed_weblog":{...}, // per-corpus throughput legs
-  *  "stages":{...},"stages_weblog":{...}, // per-stage medians + runs
+  *  "parsed":{...},"parsed_weblog":{...}, // headline throughput per corpus
+  *  "stages":{...},"stages_weblog":{...}, // per-stage medians
   *  "cores":N,"runs":3,"sf":"dir"}
   * }}}
+  *
+  * The line is deliberately SMALL (< ~1.8 KB): the round driver keeps
+  * only the final 2 KB of stdout (plus sbt's trailing "[success]" line)
+  * and JSON-parses what it finds there — rounds 1-4 emitted one
+  * everything-included line that outgrew that window, so the driver
+  * recorded `parsed: null` every single round. Full detail — raw
+  * per-run times, notes, corpus geometry — goes to `bench_details.json`
+  * in the working directory instead.
   *
   * Two fixed-width corpora, both >= 1 GiB, rendered once and cached
   * under /tmp/graft-bench-corpus:
@@ -43,11 +50,25 @@ object Bench {
 
   val Runs = 3
 
+  /** The two parse legs are the headline baseline comparison, so they
+    * get more runs than the query sweep: r04's lineitem parse runs
+    * spread [4.5, 0.9, 3.7] s — a median over 3 can land anywhere in
+    * that range; over 5 (with a GC barrier first) it stabilizes. */
+  val LegRuns = 5
+
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  private def times(f: => Unit): Seq[Double] = Seq.fill(Runs)(time(f))
+  /** GC barrier before a timed group: collect the previous leg's debris
+    * (corpus render, prior stage buffers) so it isn't charged — as a
+    * mid-run full GC — to whichever timed run it lands in. */
+  private def gcBarrier(): Unit = { System.gc(); Thread.sleep(200) }
+
+  private def times(f: => Unit, n: Int = Runs): Seq[Double] = {
+    gcBarrier()
+    Seq.fill(n)(time(f))
+  }
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -147,7 +168,7 @@ object Bench {
   /** The reference's four-stage report over one corpus: scan, parse
     * (typed projection), encode (Avro + Confluent frame), OCF write. */
   private def corpusLegs(spark: SparkSession, sfDir: String, key: String,
-      schema: FixedSchema, frame: DataFrame, nCores: Int): (String, String) = {
+      schema: FixedSchema, frame: DataFrame, nCores: Int): (String, String, String) = {
     val (dir, lines, bytes) = corpus(spark, sfDir, key, schema, frame)
     val lineDf = spark.read.text(dir)
     val parsed = graft.parse.FixedWidthParser.parse(lineDf, schema, Strict)
@@ -157,26 +178,32 @@ object Bench {
         schema.avroJson), 42).as("value"))
     val parseColdS = time(force(parsed)) // codegen + page-cache warmup
     val scanRuns = times(force(lineDf))
-    val parseRuns = times(force(parsed))
-    val encodeRuns = times(force(framed))
+    val parseRuns = times(force(parsed), LegRuns)
+    val encodeRuns = times(force(framed), LegRuns)
     val ocfDir = s"/tmp/graft-bench-ocf-$key"
     val ocfRuns = times(graft.sources.Ocf.write(parsed, schema, ocfDir))
     val scanS = median(scanRuns); val parseS = median(parseRuns)
     val encodeS = median(encodeRuns); val ocfS = median(ocfRuns)
     val mbPerS = bytes / 1e6 / parseS
+    // Compact headline (goes on the driver-parsed stdout line)…
     val parsedJson =
-      s"""{"lines":$lines,"bytes":$bytes,"cols":${schema.fields.size},""" +
-      s""""runes_per_row":${schema.rowRuneLen},"scan_s":${fmt(scanS)},""" +
-      s""""parse_cold_s":${fmt(parseColdS)},"parse_s":${fmt(parseS)},""" +
-      s""""parse_runs":${arr(parseRuns)},""" +
-      s""""lines_per_s":${fmt(lines / parseS)},"mb_per_s":${fmt(mbPerS)},""" +
+      s"""{"parse_s":${fmt(parseS)},"mb_per_s":${fmt(mbPerS)},""" +
       s""""per_core_mb_per_s":${fmt(mbPerS / nCores)},""" +
       s""""per_core_lines_per_s":${fmt(lines / parseS / nCores)}}"""
     val stagesJson =
       s"""{"scan":${fmt(scanS)},"parse":${fmt(parseS)},"encode":${fmt(encodeS)},""" +
-      s""""ocf_write":${fmt(ocfS)},"scan_runs":${arr(scanRuns)},""" +
-      s""""encode_runs":${arr(encodeRuns)},"ocf_write_runs":${arr(ocfRuns)}}"""
-    (parsedJson, stagesJson)
+      s""""ocf_write":${fmt(ocfS)}}"""
+    // …and the full leg record (goes to bench_details.json).
+    val detailJson =
+      s"""{"lines":$lines,"bytes":$bytes,"cols":${schema.fields.size},""" +
+      s""""runes_per_row":${schema.rowRuneLen},"scan_s":${fmt(scanS)},""" +
+      s""""parse_cold_s":${fmt(parseColdS)},"parse_s":${fmt(parseS)},""" +
+      s""""scan_runs":${arr(scanRuns)},"parse_runs":${arr(parseRuns)},""" +
+      s""""encode_runs":${arr(encodeRuns)},"ocf_write_runs":${arr(ocfRuns)},""" +
+      s""""lines_per_s":${fmt(lines / parseS)},"mb_per_s":${fmt(mbPerS)},""" +
+      s""""per_core_mb_per_s":${fmt(mbPerS / nCores)},""" +
+      s""""per_core_lines_per_s":${fmt(lines / parseS / nCores)}}"""
+    (parsedJson, stagesJson, detailJson)
   }
 
   def main(args: Array[String]): Unit = {
@@ -189,9 +216,9 @@ object Bench {
     // state — running the query sweep before this left enough heap/JIT
     // debris to multiply the measured parse time ~9x).
     val li = Pipeline.lineitem(spark, sfDir)
-    val (parsedJson, stagesJson) =
+    val (parsedJson, stagesJson, detailJson) =
       corpusLegs(spark, sfDir, "lineitem", Pipeline.lineitemFixed, li, nCores)
-    val (parsedWeblogJson, stagesWeblogJson) =
+    val (parsedWeblogJson, stagesWeblogJson, detailWeblogJson) =
       corpusLegs(spark, sfDir, "weblog", weblogFixed, weblogFrame(li), nCores)
 
     // ---- per-query wall times: median of Runs (errors reported once,
@@ -221,11 +248,28 @@ object Bench {
       "parsed_weblog is the reference-shaped corpus (30 cols, 528 runes/row) — " +
       "compare its per_core_mb_per_s / per_core_lines_per_s directly to " +
       "BASELINE.md's 110 MB/s/core and 213k lines/s/core\""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""queries_runs":$qruns,"errors":$errs,"parsed":$parsedJson,""" +
+
+    // Full detail to a file (raw runs, corpus geometry, notes)…
+    val detail =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""queries_runs":$qruns,"errors":$errs,"parsed":$detailJson,""" +
+      s""""parsed_weblog":$detailWeblogJson,"stages":$stagesJson,""" +
+      s""""stages_weblog":$stagesWeblogJson,"cores":$nCores,""" +
+      s""""runs":$Runs,"leg_runs":$LegRuns,"notes":$notes,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_details.json"), detail)
+
+    // …and the compact headline as the LAST stdout line, inside the
+    // driver's 2 KB tail window (see the class doc).
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""errors":$errs,"parsed":$parsedJson,""" +
       s""""parsed_weblog":$parsedWeblogJson,"stages":$stagesJson,""" +
       s""""stages_weblog":$stagesWeblogJson,"cores":$nCores,"runs":$Runs,""" +
-      s""""notes":$notes,"sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    if (line.length > 1800) // never regrow past the driver's tail window
+      System.err.println(s"[bench] WARNING: headline line ${line.length} chars")
+    println(line)
     spark.stop()
   }
 }

@@ -36,8 +36,15 @@ object TopK {
     val ids = new Array[Long](k)
     var size = 0
 
-    @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && i1 < i2)
+    // Spark's double TOTAL order (java.lang.Double.compare): NaN ranks
+    // above every score and -0.0 < 0.0 — matching the window
+    // `row_number() over (order by score desc)` formulation this
+    // aggregate claims equivalence to (Spark sorts NaN FIRST under
+    // desc). A plain `>` would silently drop NaN scores instead.
+    @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && i1 < i2)
+    }
 
     def offer(score: Double, id: Long): Unit = {
       if (size == k) {

@@ -31,6 +31,15 @@ object Dedup {
     * a pathological-fixture spec pins the bound. */
   val MaxBucketWidth = 1024
 
+  /** When true (`spark.conf.set(StrictCapConf, "true")`), a bucket wider
+    * than [[MaxBucketWidth]] FAILS the query instead of being silently
+    * skipped. Off by default: the skip is the right degraded mode for
+    * exploratory runs (and is always observable via "lsh_buckets"), but
+    * on an oracle-checked corpus a silent drop would surface as a value
+    * mismatch with no explanation — strict mode turns it into a loud,
+    * attributable error at the source. */
+  val StrictCapConf = "spark.graft.lsh.strictCap"
+
   /** Banded-signature candidate self-join with the bucket-width cap:
     * input is (id, band, sig), output deduplicated (a, b) id pairs with
     * a < b from rows sharing a (band, sig) bucket of tolerable width.
@@ -39,12 +48,19 @@ object Dedup {
     * banded rows. */
   private[graft] def bandedCandidates(banded: DataFrame, idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-    val kept = banded
+    val strict = banded.sparkSession.conf.get(StrictCapConf, "false").toBoolean
+    val counted = banded
       .withColumn("bucket_n", count(lit(1)).over(w))
       .observe("lsh_buckets",
         sum(when(col("bucket_n") > MaxBucketWidth, 1L).otherwise(0L)).as("dropped_rows"),
         max(col("bucket_n")).as("widest_bucket"))
-      .filter(col("bucket_n") <= MaxBucketWidth)
+    val kept =
+      if (strict) counted.filter(when(col("bucket_n") > MaxBucketWidth,
+          raise_error(concat(lit(s"LSH bucket wider than cap $MaxBucketWidth: "),
+            col("bucket_n").cast("string"), lit(" rows in band="),
+            col("band").cast("string"), lit(" sig="), col("sig").cast("string"))))
+        .otherwise(lit(true)))
+      else counted.filter(col("bucket_n") <= MaxBucketWidth)
     kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col(s"x.$idCol") < col(s"y.$idCol"))

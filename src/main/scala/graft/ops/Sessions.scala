@@ -174,7 +174,7 @@ object Sessions {
 
   val eventsJsonPropsOracle: String =
     """SELECT event_type, count(*) AS n_events,
-      |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
       |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
       |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*) AS avg_k

@@ -124,8 +124,11 @@ object Similarity {
       val vec = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
       cell -> vec
     }
-    seeds.map { case (cls, seedVec, seedNrm) =>
-      byCell.get(cls) match {
+    // `cell` is the argmax POSITION in the sims array — i.e. the seed's
+    // index in `seeds` — not its residue class. The two coincide only
+    // when every residue class is inhabited, so key the lookup by index.
+    seeds.zipWithIndex.map { case ((cls, seedVec, seedNrm), idx) =>
+      byCell.get(idx.toLong) match {
         case Some(vec) =>
           val nrm = math.sqrt(vec.map(x => x * x).sum)
           if (nrm > 0) (cls, vec, nrm) else (cls, seedVec, seedNrm)

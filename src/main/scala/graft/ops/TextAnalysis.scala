@@ -47,9 +47,11 @@ object TextAnalysis {
       size(expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)")).cast(LongType).as("n_word_runs"),
       // BPE-ish piece count: letter runs / digit runs / punctuation runs
       // (the pre-tokenization split BPE vocabularies are trained over) —
-      // the corpus-level token-budget estimator. Same regex dialect in
-      // Java and RE2, so the oracle shares the pattern verbatim.
-      size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]+', 0)"))
+      // the corpus-level token-budget estimator. The whitespace class is
+      // spelled out as [ \t\n\f\r] because Java's \s includes vertical
+      // tab (\x0B) while RE2's does not — with the explicit class the
+      // pattern means the same thing in both engines on ANY corpus.
+      size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\\\t\\\\n\\\\f\\\\r]+', 0)"))
         .cast(LongType).as("n_bpe_pieces"),
       (aggregate(transform(col("toks"), t => length(t)), lit(0), (acc, x) => acc + x)
         .cast(DoubleType) / nullif(nTokens, lit(0))).as("avg_token_len"),
@@ -84,7 +86,7 @@ object TextAnalysis {
        |       CAST(n_tokens AS BIGINT) AS n_tokens,
        |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_word_runs,
-       |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_pieces,
+       |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]+')) AS BIGINT) AS n_bpe_pieces,
        |       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / nullif(n_tokens, 0) AS avg_token_len,
        |       CAST(punct AS DOUBLE) / n_chars_m AS punct_ratio,
        |       CAST(c_en AS DOUBLE) / nullif(n_tokens, 0) AS stop_ratio,

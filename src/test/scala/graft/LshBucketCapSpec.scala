@@ -26,6 +26,20 @@ class LshBucketCapSpec extends SparkSpec {
     assert(metrics.getAs[Long]("widest_bucket") == Dedup.MaxBucketWidth + 100L)
   }
 
+  test("strict mode fails loudly on an oversized bucket instead of dropping") {
+    import spark.implicits._
+    val degenerate = (1L to (Dedup.MaxBucketWidth + 10L)).map(id => (id, 0, "same-sig"))
+    val banded = degenerate.toDF("doc_id", "band", "sig")
+    spark.conf.set(Dedup.StrictCapConf, "true")
+    try {
+      val e = intercept[Exception](Dedup.bandedCandidates(banded, "doc_id").collect())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("LSH bucket wider than cap")),
+        s"unexpected failure: ${messages(e).mkString(" | ")}")
+    } finally spark.conf.unset(Dedup.StrictCapConf)
+  }
+
   test("bucket exactly at MaxBucketWidth still pairs (cap is exclusive)") {
     import spark.implicits._
     val banded = (1L to Dedup.MaxBucketWidth.toLong)

@@ -33,6 +33,25 @@ class TopKAndPlanSpec extends SparkSpec {
     assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
   }
 
+  test("topk_by_score ranks NaN scores first, like the window desc sort") {
+    import spark.implicits._
+    // Spark's double total order sorts NaN above every value under
+    // desc; the aggregate must agree (a zero-norm embedding yields a
+    // NaN cosine, and the two formulations must not diverge on it).
+    val rows = Seq((1L, Double.NaN, 1L), (1L, 0.9, 2L), (1L, Double.NaN, 3L),
+      (1L, 0.7, 4L), (1L, 0.8, 5L))
+    val df = rows.toDF("g", "score", "id")
+    val viaAgg = df.groupBy("g")
+      .agg(topk_by_score(col("score"), col("id"), 3).as("nn"))
+      .select(posexplode(col("nn")).as(Seq("pos", "s")))
+      .select(col("s.id")).as[Long].collect().toSeq
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df.select(col("id"), row_number().over(w).as("rank"))
+      .filter(col("rank") <= 3).orderBy("rank")
+      .select(col("id")).as[Long].collect().toSeq
+    assert(viaAgg == viaWindow && viaAgg == Seq(1L, 3L, 2L))
+  }
+
   test("topk_by_score keeps fewer than k when the group is small") {
     import spark.implicits._
     val out = Seq((1L, 0.5, 10L), (1L, 0.7, 11L)).toDF("g", "score", "id")
