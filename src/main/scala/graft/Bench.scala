@@ -211,6 +211,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt, "graft-bench")
     val nCores = cpus.toInt
+    // Scan granularity is left at the default: FilePartition sizing
+    // already caps splits at totalBytes/defaultParallelism (~35 MB here),
+    // so the ~1.1 GB corpora scan as one split per file = one wave on 32
+    // cores. (Measured: forcing 16 MB splits -> 3 waves of 96 tasks cost
+    // ~25% on the weblog parse leg; packing to 128 MB never happens.)
 
     // ---- honest parse throughput on >= 1 GiB corpora, FIRST (fresh JVM
     // state — running the query sweep before this left enough heap/JIT

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Allocation-free string→double parse for fixed-width numeric fields,
+  * with `try_cast(... as double)` semantics (null on failure).
+  *
+  * Spark's string→double cast materializes a `java.lang.String` per value
+  * and calls `Double.parseDouble` — two allocations plus a general-form
+  * parse for every row. Fixed-width feeds are overwhelmingly plain
+  * decimals (`[+-]?digits[.digits]?`), which this expression parses
+  * straight from the UTF-8 bytes: mantissa accumulated in a long capped
+  * at 15 significant digits (< 2^53, so exact in double), then ONE
+  * correctly-rounded division by an exactly-representable power of ten.
+  * A single correctly-rounded operation on exact inputs equals the
+  * correctly-rounded value of the decimal itself — bit-identical to
+  * `Double.parseDouble` — so the fast path cannot diverge from the cast.
+  * Anything else (exponents, >15 digits, specials, garbage) falls back
+  * to the cast's own surface: trim → special literals (nan/inf…)
+  * case-insensitively → `parseDouble`, null on failure. A property spec
+  * pins `fast_try_double(s) === try_cast(s as double)` on adversarial
+  * inputs.
+  */
+object FastDouble {
+
+  // 10^0..10^22 are exactly representable in double (5^22 < 2^53).
+  private val Pow10: Array[Double] = Array.tabulate(23)(i => math.pow(10d, i))
+
+  /** Boxed Double, or null on parse failure — `try_cast` semantics. */
+  def tryParse(s: UTF8String): java.lang.Double = {
+    val n = s.numBytes()
+    var i = 0
+    var neg = false
+    if (n > 0) {
+      val b0 = s.getByte(0)
+      if (b0 == '-') { neg = true; i = 1 } else if (b0 == '+') i = 1
+    }
+    var m = 0L
+    var anyDigit = false
+    var frac = -1 // digits seen after the dot; -1 = no dot yet
+    var fast = i < n
+    var j = i
+    while (fast && j < n) {
+      val b = s.getByte(j)
+      if (b >= '0' && b <= '9') {
+        anyDigit = true
+        // cap at 15 significant digits: m stays < 2^53 (exact in double)
+        if (m >= 100000000000000L) fast = false
+        else {
+          m = m * 10 + (b - '0')
+          if (frac >= 0) frac += 1
+        }
+      } else if (b == '.' && frac < 0) frac = 0
+      else fast = false
+      j += 1
+    }
+    if (fast && anyDigit) {
+      val v = if (frac <= 0) m.toDouble else m.toDouble / Pow10(frac)
+      java.lang.Double.valueOf(if (neg) -v else v)
+    } else slowParse(s)
+  }
+
+  /** The cast's general surface (Cast.processFloatingPointSpecialLiterals
+    * shape): trim, special literals, else parseDouble; null on failure. */
+  private def slowParse(s: UTF8String): java.lang.Double = {
+    val str = s.toString.trim
+    str.toLowerCase(java.util.Locale.ROOT) match {
+      case "inf" | "+inf" | "infinity" | "+infinity" =>
+        java.lang.Double.valueOf(Double.PositiveInfinity)
+      case "-inf" | "-infinity" =>
+        java.lang.Double.valueOf(Double.NegativeInfinity)
+      case "nan" => java.lang.Double.valueOf(Double.NaN)
+      case _ =>
+        try java.lang.Double.valueOf(java.lang.Double.parseDouble(str))
+        catch { case _: NumberFormatException => null }
+    }
+  }
+
+  case class FastTryDouble(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "fast_try_double"
+
+    override def nullSafeEval(input: Any): Any =
+      tryParse(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in => {
+        val tmp = ctx.freshName("parsed")
+        s"""java.lang.Double $tmp = graft.functions.FastDouble.tryParse($in);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): FastTryDouble =
+      copy(child = c)
+  }
+
+  def fast_try_double(c: Column): Column =
+    ColumnBridge.column(FastTryDouble(ColumnBridge.expression(c)))
+}

@@ -108,7 +108,10 @@ object FixedWidthParser {
     case "int"             => raw.try_cast(IntegerType)
     case "long"            => raw.try_cast(LongType)
     case "float"           => raw.try_cast(FloatType)
-    case "double"          => raw.try_cast(DoubleType)
+    // try_cast-identical semantics, allocation-free on the common plain-
+    // decimal form (doubles were ~20% of the weblog parse leg under the
+    // cast's String + parseDouble per value).
+    case "double"          => graft.functions.FastDouble.fast_try_double(raw)
     case "string"          => raw // verbatim, padding preserved (ColumnBuilderTypes.go:157-159)
     case "date"            => to_date(tryTimestampNtz(raw))
     case "timestamp-millis" | "timestamp-micros" => tryTimestampNtz(raw)
