@@ -32,30 +32,57 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object AvroCodec {
 
-  /** Catalyst struct value → Avro field value converters, resolved once
-    * per (sparkType, avroField). */
-  private def encoder(dt: DataType, avro: Schema): Any => AnyRef = {
+  /** Encode one `InternalRow` field straight to the Avro binary
+    * encoder — no boxing, no `GenericData.Record` store, no
+    * `GenericDatumWriter` schema walk. Timestamps/dates are already
+    * epoch micros/days in Tungsten; strings write their UTF-8 bytes via
+    * `writeBytes` (Avro wire encoding of `string` and `bytes` is
+    * identical: length + data), skipping the UTF8String→String decode +
+    * re-encode round trip. */
+  private[graft] type FieldWriter = (InternalRow, Int, org.apache.avro.io.Encoder) => Unit
+
+  private def fieldWriter(dt: DataType, avro: Schema): FieldWriter = {
     val logical = Option(avro.getProp("logicalType"))
-    (dt, avro.getType) match {
-      case (StringType, Schema.Type.STRING)  => v => v.asInstanceOf[UTF8String].toString
-      case (BinaryType, Schema.Type.BYTES)   => v => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
-      case (BooleanType, Schema.Type.BOOLEAN)=> v => java.lang.Boolean.valueOf(v.asInstanceOf[Boolean])
-      case (IntegerType, Schema.Type.INT)    => v => java.lang.Integer.valueOf(v.asInstanceOf[Int])
-      case (IntegerType, Schema.Type.LONG)   => v => java.lang.Long.valueOf(v.asInstanceOf[Int].toLong)
-      case (LongType, Schema.Type.LONG)      => v => java.lang.Long.valueOf(v.asInstanceOf[Long])
-      case (FloatType, Schema.Type.FLOAT)    => v => java.lang.Float.valueOf(v.asInstanceOf[Float])
-      case (DoubleType, Schema.Type.DOUBLE)  => v => java.lang.Double.valueOf(v.asInstanceOf[Double])
-      case (DateType, Schema.Type.INT)       => v => java.lang.Integer.valueOf(v.asInstanceOf[Int])
-      // Catalyst stores TimestampType and TimestampNTZType both as long
-      // micros; Avro millis carrier divides.
-      case (TimestampType | TimestampNTZType, Schema.Type.LONG) if logical.contains("timestamp-millis") =>
-        v => java.lang.Long.valueOf(Math.floorDiv(v.asInstanceOf[Long], 1000L))
-      case (TimestampType | TimestampNTZType, Schema.Type.LONG) =>
-        v => java.lang.Long.valueOf(v.asInstanceOf[Long])
-      case (t, a) =>
-        throw new IllegalArgumentException(s"AvroCodec: cannot encode Spark $t as Avro $a")
+    dt match {
+      case StringType  => (r, i, e) => {
+        val b = r.getUTF8String(i).getBytes; e.writeBytes(b, 0, b.length)
+      }
+      case BinaryType  => (r, i, e) => { val b = r.getBinary(i); e.writeBytes(b, 0, b.length) }
+      case BooleanType => (r, i, e) => e.writeBoolean(r.getBoolean(i))
+      case IntegerType if avro.getType == Schema.Type.LONG =>
+        (r, i, e) => e.writeLong(r.getInt(i).toLong)
+      case IntegerType => (r, i, e) => e.writeInt(r.getInt(i))
+      case LongType    => (r, i, e) => e.writeLong(r.getLong(i))
+      case FloatType   => (r, i, e) => e.writeFloat(r.getFloat(i))
+      case DoubleType  => (r, i, e) => e.writeDouble(r.getDouble(i))
+      case DateType    => (r, i, e) => e.writeInt(r.getInt(i))
+      case TimestampType | TimestampNTZType =>
+        if (logical.contains("timestamp-millis"))
+          (r, i, e) => e.writeLong(Math.floorDiv(r.getLong(i), 1000L))
+        else (r, i, e) => e.writeLong(r.getLong(i))
+      case t => throw new IllegalArgumentException(s"AvroCodec: unsupported Spark type $t")
     }
   }
+
+  /** `DatumWriter` over `InternalRow` built from the per-field writer
+    * plan; rows must be non-null in every field (the flat reference
+    * schema model has no unions). Shared by [[AvroEncode]] and the OCF
+    * sink ([[graft.sources.Ocf.write]]). */
+  private[graft] final class InternalRowDatumWriter(avroSchema: Schema, sparkSchema: StructType)
+      extends org.apache.avro.io.DatumWriter[InternalRow] {
+    private val writers: Array[FieldWriter] =
+      sparkSchema.fields.zipWithIndex.map { case (f, i) =>
+        fieldWriter(f.dataType, avroSchema.getFields.get(i).schema())
+      }.toArray
+    override def setSchema(s: Schema): Unit = ()
+    override def write(row: InternalRow, out: org.apache.avro.io.Encoder): Unit = {
+      var i = 0
+      while (i < writers.length) { writers(i)(row, i, out); i += 1 }
+    }
+  }
+
+  private[graft] def internalRowDatumWriter(avroSchema: Schema, sparkSchema: StructType)
+      : InternalRowDatumWriter = new InternalRowDatumWriter(avroSchema, sparkSchema)
 
   /** Avro field value → Catalyst value converters. */
   private def decoder(avro: Schema, dt: DataType): AnyRef => Any = {
@@ -107,22 +134,17 @@ object AvroCodec {
 
     @transient private lazy val avroSchema = new Schema.Parser().parse(avroJson)
     @transient private lazy val structType = child.dataType.asInstanceOf[StructType]
-    @transient private lazy val fieldEnc: Array[Any => AnyRef] = {
-      val avroFields = avroSchema.getFields
-      require(avroFields.size == structType.size,
-        s"Avro schema has ${avroFields.size} fields, struct has ${structType.size}")
-      structType.fields.zipWithIndex.map { case (sf, i) =>
-        encoder(sf.dataType, avroFields.get(i).schema())
-      }
+    @transient private lazy val irWriter: InternalRowDatumWriter = {
+      require(avroSchema.getFields.size == structType.size,
+        s"Avro schema has ${avroSchema.getFields.size} fields, struct has ${structType.size}")
+      new InternalRowDatumWriter(avroSchema, structType)
     }
-    @transient private lazy val record = new GenericData.Record(avroSchema)
-    @transient private lazy val datumWriter = new GenericDatumWriter[GenericRecord](avroSchema)
     @transient private lazy val bos = new ByteArrayOutputStream(256)
     @transient private var binEnc: BinaryEncoder = _
 
     override def nullSafeEval(input: Any): Any = {
       val row = input.asInstanceOf[InternalRow]
-      val n = fieldEnc.length
+      val n = structType.size
       var i = 0
       while (i < n) {
         if (row.isNullAt(i))
@@ -130,12 +152,11 @@ object AvroCodec {
             s"avro_encode: null in field '${structType(i).name}' — the fixed-width " +
               "schema model has no unions/nullable fields (SURVEY.md §1.2); " +
               "filter or default nulls before encoding")
-        record.put(i, fieldEnc(i)(row.get(i, structType(i).dataType)))
         i += 1
       }
       bos.reset()
       binEnc = EncoderFactory.get().binaryEncoder(bos, binEnc)
-      datumWriter.write(record, binEnc)
+      irWriter.write(row, binEnc)
       binEnc.flush()
       bos.toByteArray
     }

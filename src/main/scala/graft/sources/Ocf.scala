@@ -24,58 +24,13 @@ import org.apache.spark.sql.types._
   */
 object Ocf {
 
-  /** Encode one `InternalRow` field straight to the Avro binary
-    * encoder. Reads the primitive out of Tungsten memory — timestamps
-    * and dates are ALREADY epoch micros / days internally, so the
-    * external-Row path's per-value `LocalDateTime` round-trip
-    * disappears — and writes it without the `GenericData.Record` store
-    * + `GenericDatumWriter` schema-walk + boxing of the generic path.
-    * Strings write their UTF-8 bytes via `writeBytes`: Avro wire
-    * encoding of `string` and `bytes` is identical (length + data), so
-    * no char decode and no `Utf8` wrapper is needed. */
-  private type FieldEncoder =
-    (org.apache.spark.sql.catalyst.InternalRow, Int, org.apache.avro.io.Encoder) => Unit
-
-  private def fieldEncoder(dt: DataType, avro: Schema): FieldEncoder = {
-    val logical = Option(avro.getProp("logicalType"))
-    dt match {
-      case StringType  => (r, i, e) => {
-        val b = r.getUTF8String(i).getBytes; e.writeBytes(b, 0, b.length)
-      }
-      case BinaryType  => (r, i, e) => { val b = r.getBinary(i); e.writeBytes(b, 0, b.length) }
-      case BooleanType => (r, i, e) => e.writeBoolean(r.getBoolean(i))
-      case IntegerType if avro.getType == Schema.Type.LONG =>
-        (r, i, e) => e.writeLong(r.getInt(i).toLong)
-      case IntegerType => (r, i, e) => e.writeInt(r.getInt(i))
-      case LongType    => (r, i, e) => e.writeLong(r.getLong(i))
-      case FloatType   => (r, i, e) => e.writeFloat(r.getFloat(i))
-      case DoubleType  => (r, i, e) => e.writeDouble(r.getDouble(i))
-      case DateType    => (r, i, e) => e.writeInt(r.getInt(i))
-      case TimestampType | TimestampNTZType =>
-        if (logical.contains("timestamp-millis"))
-          (r, i, e) => e.writeLong(Math.floorDiv(r.getLong(i), 1000L))
-        else (r, i, e) => e.writeLong(r.getLong(i))
-      case t => throw new IllegalArgumentException(s"Ocf: unsupported Spark type $t")
-    }
-  }
-
-  /** `DatumWriter` over `InternalRow` built from the per-field encoder
-    * plan; rows must be non-null in every field (the schema re-emitted
-    * by [[graft.schema.FixedSchema.avroJson]] carries no unions, the
-    * same contract the generic-record path enforced). */
-  private final class InternalRowDatumWriter(avroSchema: Schema, sparkSchema: StructType)
-      extends org.apache.avro.io.DatumWriter[org.apache.spark.sql.catalyst.InternalRow] {
-    private val encoders: Array[FieldEncoder] =
-      sparkSchema.fields.zipWithIndex.map { case (f, i) =>
-        fieldEncoder(f.dataType, avroSchema.getFields.get(i).schema())
-      }.toArray
-    override def setSchema(s: Schema): Unit = ()
-    override def write(row: org.apache.spark.sql.catalyst.InternalRow,
-        out: org.apache.avro.io.Encoder): Unit = {
-      var i = 0
-      while (i < encoders.length) { encoders(i)(row, i, out); i += 1 }
-    }
-  }
+  /** `DatumWriter` over `InternalRow`: reads primitives straight out of
+    * Tungsten memory (timestamps/dates are already epoch micros/days —
+    * no `LocalDateTime` round trip, no boxing, no `GenericDatumWriter`
+    * schema walk). Shared with the `to_avro` expression — see
+    * [[graft.functions.AvroCodec.InternalRowDatumWriter]]. */
+  private def internalRowDatumWriter(avroSchema: Schema, sparkSchema: StructType) =
+    graft.functions.AvroCodec.internalRowDatumWriter(avroSchema, sparkSchema)
 
   /** Avro value → internal (Tungsten) value, per field — the read-side
     * mirror of the writer: timestamps/dates stay epoch micros/days
@@ -110,6 +65,11 @@ object Ocf {
     }
   }
 
+  /** Probe/bench access to the InternalRow datum writer. */
+  private[graft] def datumWriter(avroSchema: Schema, sparkSchema: StructType)
+      : org.apache.avro.io.DatumWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    internalRowDatumWriter(avroSchema, sparkSchema)
+
   /** Write `df` as snappy OCF, one file per partition named
     * `<dir>/part-<partitionId>.avro` (≡ `<dir><chunkNr>`,
     * `fixed2avro/Exporters.go:112-123`). */
@@ -130,8 +90,16 @@ object Ocf {
       val avroSchema = new Schema.Parser().parse(avroJson)
       val path = new Path(dir, f"part-$pid%05d.avro")
       val fs = path.getFileSystem(hadoopConf.value)
-      val out = fs.create(path, true)
-      val w = new DataFileWriter(new InternalRowDatumWriter(avroSchema, sparkSchema))
+      // OCF blocks already carry sync markers and the container is
+      // seekable/splittable without Hadoop's client-side CRC — the
+      // shadow .crc files cost a second pass over every byte (measured
+      // ~25% of the write leg on local disk). Object stores ignore this
+      // flag; HDFS deployments that want client CRC can re-enable it.
+      fs.setWriteChecksum(false)
+      // 1 MiB stream buffer: the default 4 KB forces a syscall per few
+      // rows once the encoder flushes its blocks.
+      val out = fs.create(path, true, 1 << 20)
+      val w = new DataFileWriter(internalRowDatumWriter(avroSchema, sparkSchema))
       w.setCodec(CodecFactory.snappyCodec())
       // 1 MiB blocks (default 64 KB): fewer snappy calls + sync markers
       // per byte, better compression ratio; block-level read parallelism
