@@ -127,9 +127,12 @@ object Multimodal {
   val ResizeTarget = 16
 
   /** Partition-batched resize lane (same shape as [[extractFeatures]]:
-    * one decoder per partition, streaming iterator). Rows-only check —
-    * the stub kernel is not SQL-expressible; determinism and the
-    * dimension contract are pinned in the spec. */
+    * one decoder per partition, streaming iterator). Oracle-checked:
+    * nearest-neighbor decimation indices satisfy `sy*src+sx <= src²-1
+    * <= n-1`, so the zero-fill branch never fires on non-empty content
+    * and the resized plane is a pure character permutation DuckDB can
+    * rebuild and md5 over the ASCII fixture (empty content — absent
+    * here — is the hardcoded md5 of one NUL byte). */
   def resizeMedia(spark: SparkSession, dir: String): Dataset[ResizedMedia] = {
     import spark.implicits._
     media(spark, dir)
@@ -150,14 +153,55 @@ object Multimodal {
   def multimodalResize(spark: SparkSession, dir: String): DataFrame =
     resizeMedia(spark, dir).toDF().orderBy("media_id")
 
-  /** Feature query (rows-only check: the fake decode is not
-    * SQL-expressible; determinism + shape are pinned by MultimodalSpec). */
+  val multimodalResizeOracle: String =
+    s"""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+       |p AS (SELECT media_id, text, n,
+       |             greatest(CAST(floor(sqrt(n)) AS INTEGER), 1) AS src FROM m),
+       |q AS (SELECT media_id, text, n, src, least($ResizeTarget, src) AS side FROM p),
+       |r AS (SELECT media_id, n, src, side,
+       |             CASE WHEN n = 0 THEN '93b885adfe0da089cdf634904fd59f71'
+       |                  ELSE md5(array_to_string(list_transform(range(0, side*side),
+       |                       i -> substr(text, CAST(((i // side) * src // side) * src + ((i % side) * src // side) + 1 AS INTEGER), 1)), ''))
+       |             END AS out_md5
+       |      FROM q)
+       |SELECT media_id, CAST(src AS INTEGER) AS src_w, CAST(src AS INTEGER) AS src_h,
+       |       CAST(side AS INTEGER) AS out_w, CAST(side AS INTEGER) AS out_h, out_md5
+       |FROM r ORDER BY media_id""".stripMargin
+
+  /** Feature query — oracle-checked: the stub decode is a high-nibble
+    * byte histogram folded to 8 float ratios, and on the pure-ASCII
+    * fixture DuckDB can mirror it exactly — per-nibble char-class counts
+    * via regex, the SAME float32 arithmetic (DuckDB REAL division and
+    * addition are true float32), then one exact float→double widening
+    * before the rounded output. All 8 feature slots are emitted; on this
+    * corpus the punctuation/lowercase buckets (f2, f6, f7) carry real
+    * signal. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(spark, dir).toDF()
-      .select(col("media_id"), col("mime"), col("n_bytes"), col("width"), col("height"),
-        round(element_at(col("features"), 1), 6).as("f0"),
-        round(element_at(col("features"), 2), 6).as("f1"))
+      .select(Seq(col("media_id"), col("mime"), col("n_bytes"),
+        col("width"), col("height")) ++
+        (0 until FeatureDim).map(i =>
+          round(element_at(col("features"), i + 1)
+            .cast(org.apache.spark.sql.types.DoubleType), 6).as(s"f$i")): _*)
       .orderBy("media_id")
+
+  /** DuckDB mirror of [[FakeDecoder.decode]] over ASCII content: char
+    * class `[\x{k0}-\x{kf}]` counts == high-nibble byte histogram, REAL
+    * (float32) ratio arithmetic == the decoder's Float fold. */
+  val multimodalFeaturesOracle: String = {
+    def bucket(k: Int) =
+      f"(n - length(regexp_replace(text, '[\\x${16 * k}%02x-\\x${16 * k + 15}%02x]', '', 'g')))"
+    val feats = (0 until FeatureDim).map { j =>
+      s"round(CAST(CAST(${bucket(j)} AS REAL)/CAST(n AS REAL) + " +
+        s"CAST(${bucket(j + 8)} AS REAL)/CAST(n AS REAL) AS DOUBLE), 6) AS f$j"
+    }.mkString(",\n       ")
+    s"""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents)
+       |SELECT media_id, 'text/plain' AS mime, CAST(n AS BIGINT) AS n_bytes,
+       |       CAST(greatest(CAST(floor(sqrt(n)) AS INTEGER), 1) AS INTEGER) AS width,
+       |       CAST(greatest(CAST(floor(sqrt(n)) AS INTEGER), 1) AS INTEGER) AS height,
+       |       $feats
+       |FROM m ORDER BY media_id""".stripMargin
+  }
 
   // ------------------------------------------------------ frame sampling
 
@@ -208,7 +252,8 @@ object Multimodal {
 
   def oracleSql: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaOracle,
-    // multimodal_features: stub decode → rows-only check (see Scaladoc).
+    "multimodal_features" -> multimodalFeaturesOracle,
+    "multimodal_resize" -> multimodalResizeOracle,
     "multimodal_frame_sample" -> multimodalFrameSampleOracle,
   )
 }
