@@ -84,6 +84,60 @@ object AvroCodec {
   private[graft] def internalRowDatumWriter(avroSchema: Schema, sparkSchema: StructType)
       : InternalRowDatumWriter = new InternalRowDatumWriter(avroSchema, sparkSchema)
 
+  /** Decode one Avro field straight off the binary decoder into its
+    * Tungsten representation — the read-side mirror of [[FieldWriter]]:
+    * no `GenericRecord` store, no schema walk, no `Utf8` wrapper.
+    * String/bytes read through `readBytes(null)` (fresh buffer per
+    * value — the returned row must not alias decoder-reused memory). */
+  private[graft] type FieldReader = org.apache.avro.io.Decoder => Any
+
+  private def fieldReader(avro: Schema, dt: DataType): FieldReader = {
+    val logical = Option(avro.getProp("logicalType"))
+    (avro.getType, dt) match {
+      case (Schema.Type.STRING, StringType) => d => {
+        val bb = d.readBytes(null)
+        UTF8String.fromBytes(bb.array(), bb.position(), bb.remaining())
+      }
+      case (Schema.Type.BYTES, BinaryType) => d => {
+        val bb = d.readBytes(null)
+        val a = new Array[Byte](bb.remaining()); bb.get(a); a
+      }
+      case (Schema.Type.BOOLEAN, BooleanType) => d => d.readBoolean()
+      case (Schema.Type.INT, IntegerType)     => d => d.readInt()
+      case (Schema.Type.LONG, LongType)       => d => d.readLong()
+      case (Schema.Type.LONG, IntegerType)    => d => d.readLong().toInt
+      case (Schema.Type.FLOAT, FloatType)     => d => d.readFloat()
+      case (Schema.Type.DOUBLE, DoubleType)   => d => d.readDouble()
+      case (Schema.Type.INT, DateType)        => d => d.readInt()
+      case (Schema.Type.LONG, TimestampType | TimestampNTZType)
+          if logical.contains("timestamp-millis") =>
+        d => Math.multiplyExact(d.readLong(), 1000L)
+      case (Schema.Type.LONG, TimestampType | TimestampNTZType) => d => d.readLong()
+      case (a, t) =>
+        throw new IllegalArgumentException(s"AvroCodec: cannot decode Avro $a as Spark $t")
+    }
+  }
+
+  /** Sequential-field decoder for the writer == reader case (flat
+    * schema, no unions → the wire layout IS the field order). Callers
+    * MUST verify schema equality first; mismatched writers go through
+    * the resolving `GenericDatumReader` path. */
+  private[graft] final class InternalRowDatumReader(avroSchema: Schema, sparkSchema: StructType) {
+    private val readers: Array[FieldReader] =
+      sparkSchema.fields.zipWithIndex.map { case (f, i) =>
+        fieldReader(avroSchema.getFields.get(i).schema(), f.dataType)
+      }.toArray
+    def read(d: org.apache.avro.io.Decoder): InternalRow = {
+      val out = new Array[Any](readers.length)
+      var i = 0
+      while (i < readers.length) { out(i) = readers(i)(d); i += 1 }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+    }
+  }
+
+  private[graft] def internalRowDatumReader(avroSchema: Schema, sparkSchema: StructType)
+      : InternalRowDatumReader = new InternalRowDatumReader(avroSchema, sparkSchema)
+
   /** Avro field value → Catalyst value converters. */
   private def decoder(avro: Schema, dt: DataType): AnyRef => Any = {
     val logical = Option(avro.getProp("logicalType"))
@@ -165,39 +219,27 @@ object AvroCodec {
 
   /** Avro binary (record body) → struct. Same-shape schemas ONLY: the
     * writer schema is assumed identical to `avroJson` and fields map
-    * positionally — use [[AvroDecodeFramed]] (writer→reader resolution
-    * by name) whenever the writer can differ. */
+    * positionally (that contract is exactly what lets the sequential
+    * [[InternalRowDatumReader]] decode without a `GenericRecord`) — use
+    * [[AvroDecodeFramed]] (writer→reader resolution by name) whenever
+    * the writer can differ. */
   case class AvroDecode(child: Expression, avroJson: String, outType: StructType)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = outType
     override def prettyName: String = "avro_decode"
 
     @transient private lazy val avroSchema = new Schema.Parser().parse(avroJson)
-    @transient private lazy val fieldDec: Array[AnyRef => Any] = {
-      val avroFields = avroSchema.getFields
-      require(avroFields.size == outType.size,
-        s"Avro schema has ${avroFields.size} fields, struct has ${outType.size}")
-      outType.fields.zipWithIndex.map { case (sf, i) =>
-        decoder(avroFields.get(i).schema(), sf.dataType)
-      }
+    @transient private lazy val irReader: InternalRowDatumReader = {
+      require(avroSchema.getFields.size == outType.size,
+        s"Avro schema has ${avroSchema.getFields.size} fields, struct has ${outType.size}")
+      new InternalRowDatumReader(avroSchema, outType)
     }
-    @transient private lazy val datumReader = new GenericDatumReader[GenericRecord](avroSchema)
     @transient private var binDec: BinaryDecoder = _
-    @transient private var reuse: GenericRecord = _
 
     override def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[Array[Byte]]
       binDec = DecoderFactory.get().binaryDecoder(bytes, binDec)
-      reuse = datumReader.read(reuse, binDec)
-      val n = fieldDec.length
-      val out = new Array[Any](n)
-      var i = 0
-      while (i < n) {
-        val v = reuse.get(i)
-        out(i) = if (v == null) null else fieldDec(i)(v)
-        i += 1
-      }
-      InternalRow.fromSeq(out.toIndexedSeq)
+      irReader.read(binDec)
     }
     override protected def withNewChildInternal(c: Expression): AvroDecode = copy(child = c)
   }
@@ -250,24 +292,28 @@ object AvroCodec {
         decoder(readerFields.get(i).schema(), sf.dataType)
       }
     }
-    /** One resolving reader per writer id, built lazily per task. */
-    @transient private lazy val readers =
-      new java.util.HashMap[Int, GenericDatumReader[GenericRecord]]()
+    /** One decode plan per writer id, built lazily per task: the
+      * sequential [[InternalRowDatumReader]] when the writer schema
+      * EQUALS the reader (the overwhelmingly common steady state — no
+      * GenericRecord, no schema walk), the resolving
+      * `GenericDatumReader` for genuinely evolved writers. */
+    @transient private lazy val plans = new java.util.HashMap[Int, AnyRef]()
     @transient private var binDec: BinaryDecoder = _
     @transient private var reuse: GenericRecord = _
 
-    private def readerFor(id: Int): GenericDatumReader[GenericRecord] = {
-      var r = readers.get(id)
-      if (r == null) {
+    private def planFor(id: Int): AnyRef = {
+      var p = plans.get(id)
+      if (p == null) {
         schemasById.get(id) match {
           case Some(writerJson) =>
-            r = new GenericDatumReader[GenericRecord](
-              new Schema.Parser().parse(writerJson), readerSchema)
-            readers.put(id, r)
+            val writer = new Schema.Parser().parse(writerJson)
+            p = if (writer == readerSchema) new InternalRowDatumReader(readerSchema, outType)
+                else new GenericDatumReader[GenericRecord](writer, readerSchema)
+            plans.put(id, p)
           case None => return null
         }
       }
-      r
+      p
     }
 
     override def nullSafeEval(input: Any): Any = {
@@ -275,19 +321,23 @@ object AvroCodec {
       if (bytes.length < 6 || bytes(0) != 0x00) return null // unknown magic byte
       val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
         ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
-      val reader = readerFor(id)
-      if (reader == null) return null // unknown schema id
+      val plan = planFor(id)
+      if (plan == null) return null // unknown schema id
       binDec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, binDec)
-      reuse = reader.read(reuse, binDec)
-      val n = fieldDec.length
-      val out = new Array[Any](n)
-      var i = 0
-      while (i < n) {
-        val v = reuse.get(i)
-        out(i) = if (v == null) null else fieldDec(i)(v)
-        i += 1
+      plan match {
+        case direct: InternalRowDatumReader => direct.read(binDec)
+        case resolving: GenericDatumReader[GenericRecord @unchecked] =>
+          reuse = resolving.read(reuse, binDec)
+          val n = fieldDec.length
+          val out = new Array[Any](n)
+          var i = 0
+          while (i < n) {
+            val v = reuse.get(i)
+            out(i) = if (v == null) null else fieldDec(i)(v)
+            i += 1
+          }
+          InternalRow.fromSeq(out.toIndexedSeq)
       }
-      InternalRow.fromSeq(out.toIndexedSeq)
     }
     override protected def withNewChildInternal(c: Expression): AvroDecodeFramed = copy(child = c)
   }

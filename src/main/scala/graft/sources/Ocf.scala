@@ -122,8 +122,26 @@ object Ocf {
       .binaryFiles(dir + "/*.avro")
       .flatMap { case (_, pds) =>
         val readerSchema = new Schema.Parser().parse(readerJson)
-        val reader = new GenericDatumReader[GenericRecord](null, readerSchema)
-        val stream = new DataFileStream(pds.open(), reader)
+        // Adaptive datum reader: when the file's writer schema EQUALS the
+        // reader schema (reading our own output — the steady state), each
+        // record decodes straight to InternalRow with no GenericRecord /
+        // schema walk; an evolved writer falls back to the resolving
+        // generic path, converted per field below.
+        val reader = new org.apache.avro.io.DatumReader[AnyRef] {
+          var direct: graft.functions.AvroCodec.InternalRowDatumReader = _
+          var generic: GenericDatumReader[GenericRecord] = _
+          override def setSchema(writer: Schema): Unit =
+            if (writer == readerSchema)
+              direct = graft.functions.AvroCodec.internalRowDatumReader(readerSchema, sparkSchema)
+            else generic = new GenericDatumReader[GenericRecord](writer, readerSchema)
+          override def read(reuse: AnyRef, in: org.apache.avro.io.Decoder): AnyRef =
+            if (direct != null) direct.read(in)
+            else generic.read(reuse match {
+              case r: GenericRecord => r
+              case _ => null
+            }, in)
+        }
+        val stream = new DataFileStream[AnyRef](pds.open(), reader)
         // Close unconditionally at task end: a limit/take or task failure
         // leaves the iterator partially consumed, which would otherwise
         // leak the file handle and snappy decompressor.
@@ -134,16 +152,17 @@ object Ocf {
         }
         new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
           def hasNext: Boolean = { val h = stream.hasNext; if (!h) stream.close(); h }
-          def next(): org.apache.spark.sql.catalyst.InternalRow = {
-            val rec = stream.next()
-            val values = new Array[Any](conv.length)
-            var i = 0
-            while (i < conv.length) {
-              val v = rec.get(i)
-              values(i) = if (v == null) null else conv(i)(v)
-              i += 1
-            }
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+          def next(): org.apache.spark.sql.catalyst.InternalRow = stream.next() match {
+            case row: org.apache.spark.sql.catalyst.InternalRow => row
+            case rec: GenericRecord =>
+              val values = new Array[Any](conv.length)
+              var i = 0
+              while (i < conv.length) {
+                val v = rec.get(i)
+                values(i) = if (v == null) null else conv(i)(v)
+                i += 1
+              }
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
           }
         }
       }
