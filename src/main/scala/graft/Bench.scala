@@ -182,8 +182,17 @@ object Bench {
     val encodeRuns = times(force(framed), LegRuns)
     val ocfDir = s"/tmp/graft-bench-ocf-$key"
     val ocfRuns = times(graft.sources.Ocf.write(parsed, schema, ocfDir))
+    // Same path, discarding sink: the leg's CPU cost. ocf_write minus
+    // ocf_cpu is device time — this box's /tmp writes ~1.0 GB/s, 5×
+    // below the baseline hardware's NVMe (BASELINE.md), so the disk
+    // share is not comparable across machines but the CPU share is.
+    val ocfCpuRuns = times(graft.sources.Ocf.writeCpu(parsed, schema))
+    val ocfOutMb = new java.io.File(ocfDir).listFiles match {
+      case null => 0.0; case fs => fs.map(_.length).sum / 1e6
+    }
     val scanS = median(scanRuns); val parseS = median(parseRuns)
     val encodeS = median(encodeRuns); val ocfS = median(ocfRuns)
+    val ocfCpuS = median(ocfCpuRuns)
     val mbPerS = bytes / 1e6 / parseS
     // Compact headline (goes on the driver-parsed stdout line)…
     val parsedJson =
@@ -192,7 +201,7 @@ object Bench {
       s""""per_core_lines_per_s":${fmt(lines / parseS / nCores)}}"""
     val stagesJson =
       s"""{"scan":${fmt(scanS)},"parse":${fmt(parseS)},"encode":${fmt(encodeS)},""" +
-      s""""ocf_write":${fmt(ocfS)}}"""
+      s""""ocf_write":${fmt(ocfS)},"ocf_cpu":${fmt(ocfCpuS)}}"""
     // …and the full leg record (goes to bench_details.json).
     val detailJson =
       s"""{"lines":$lines,"bytes":$bytes,"cols":${schema.fields.size},""" +
@@ -200,6 +209,7 @@ object Bench {
       s""""parse_cold_s":${fmt(parseColdS)},"parse_s":${fmt(parseS)},""" +
       s""""scan_runs":${arr(scanRuns)},"parse_runs":${arr(parseRuns)},""" +
       s""""encode_runs":${arr(encodeRuns)},"ocf_write_runs":${arr(ocfRuns)},""" +
+      s""""ocf_cpu_runs":${arr(ocfCpuRuns)},"ocf_out_mb":${fmt(ocfOutMb)},""" +
       s""""lines_per_s":${fmt(lines / parseS)},"mb_per_s":${fmt(mbPerS)},""" +
       s""""per_core_mb_per_s":${fmt(mbPerS / nCores)},""" +
       s""""per_core_lines_per_s":${fmt(lines / parseS / nCores)}}"""
@@ -252,7 +262,10 @@ object Bench {
     val notes = "\"parse_s is the median warm steady-state under the noop sink; " +
       "parsed_weblog is the reference-shaped corpus (30 cols, 528 runes/row) — " +
       "compare its per_core_mb_per_s / per_core_lines_per_s directly to " +
-      "BASELINE.md's 110 MB/s/core and 213k lines/s/core\""
+      "BASELINE.md's 110 MB/s/core and 213k lines/s/core. ocf_cpu is the " +
+      "ocf_write path into a discarding sink (pure CPU); the difference is " +
+      "device time — this box writes /tmp at ~1.0 GB/s vs the baseline " +
+      "hardware's 5 GB/s NVMe, so ocf_write wall time is device-bound here\""
 
     // Full detail to a file (raw runs, corpus geometry, notes)…
     val detail =

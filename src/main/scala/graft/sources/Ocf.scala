@@ -111,6 +111,29 @@ object Ocf {
     }
   }
 
+  /** Bench/probe-only: the exact `write` path (datum write + snappy +
+    * container framing) into a discarding sink — isolates the leg's CPU
+    * cost from device throughput, which on this box (~1.0 GB/s /tmp)
+    * is 5× below the reference baseline's NVMe (BASELINE.md: 980 Pro,
+    * 5 GB/s write) and dominates the measured `ocf_write` wall time. */
+  private[graft] def writeCpu(df: DataFrame, schema: FixedSchema): Unit = {
+    val avroJson = schema.avroJson
+    val sparkSchema = df.schema
+    df.queryExecution.toRdd.foreachPartition { rows =>
+      val avroSchema = new Schema.Parser().parse(avroJson)
+      val out = new java.io.OutputStream {
+        override def write(b: Int): Unit = ()
+        override def write(b: Array[Byte], off: Int, len: Int): Unit = ()
+      }
+      val w = new DataFileWriter(internalRowDatumWriter(avroSchema, sparkSchema))
+      w.setCodec(CodecFactory.snappyCodec())
+      w.setSyncInterval(1 << 20)
+      w.create(avroSchema, out)
+      try rows.foreach(w.append)
+      finally w.close()
+    }
+  }
+
   /** Read a directory of OCF files into a DataFrame with the strict
     * schema of `schema`. Decoding uses each file's embedded writer
     * schema (implicit evolution, like the consumer read path —
