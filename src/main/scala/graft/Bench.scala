@@ -172,10 +172,8 @@ object Bench {
     val (dir, lines, bytes) = corpus(spark, sfDir, key, schema, frame)
     val lineDf = spark.read.text(dir)
     val parsed = graft.parse.FixedWidthParser.parse(lineDf, schema, Strict)
-    val framed = parsed.select(graft.functions.Confluent.frame(
-      graft.functions.AvroCodec.to_avro(
-        struct(schema.fields.map(f => col(f.name)): _*),
-        schema.avroJson), 42).as("value"))
+    val framed = parsed.select(graft.functions.AvroCodec.to_avro_confluent(
+      schema.fields.map(f => col(f.name)), schema.avroJson, 42).as("value"))
     val parseColdS = time(force(parsed)) // codegen + page-cache warmup
     val scanRuns = times(force(lineDf))
     val parseRuns = times(force(parsed), LegRuns)

@@ -368,6 +368,207 @@ object AvroCodec {
     override protected def withNewChildInternal(c: Expression): AvroDecodeRows = copy(child = c)
   }
 
+  /** Reusable Avro-binary output buffer: the wire format per the public
+    * Avro 1.11 spec (zigzag varint ints/longs, raw-bits little-endian
+    * float/double, zigzag-length-prefixed bytes/string, 1-byte boolean).
+    *
+    * Exists because the generic stack costs ~3 monitorenter ops per row
+    * on JDK 17 (ByteArrayOutputStream is synchronized and biased locking
+    * is gone) plus a buffered-encoder flush copy; this writes straight
+    * into one growable array and copies out exactly once. Byte output is
+    * verified identical to `BinaryEncoder`'s in `AvroDirectSpec`. */
+  private[graft] final class AvroWire(initial: Int = 1024) {
+    private var buf = new Array[Byte](initial)
+    private var pos = 0
+    def reset(): Unit = pos = 0
+    private def ensure(n: Int): Unit = if (pos + n > buf.length) {
+      var cap = buf.length << 1
+      while (cap < pos + n) cap <<= 1
+      buf = java.util.Arrays.copyOf(buf, cap)
+    }
+    def writeRaw(b: Array[Byte]): Unit = {
+      ensure(b.length); System.arraycopy(b, 0, buf, pos, b.length); pos += b.length
+    }
+    def writeBoolean(v: Boolean): Unit = { ensure(1); buf(pos) = if (v) 1 else 0; pos += 1 }
+    /** zigzag-int == zigzag-long numerically over the whole int range,
+      * so one varint loop serves both Avro `int` and `long`. */
+    def writeInt(v: Int): Unit = writeLong(v.toLong)
+    def writeLong(v: Long): Unit = {
+      var n = (v << 1) ^ (v >> 63)
+      ensure(10)
+      while ((n & ~0x7fL) != 0) { buf(pos) = ((n & 0x7f) | 0x80).toByte; pos += 1; n >>>= 7 }
+      buf(pos) = n.toByte; pos += 1
+    }
+    def writeFloat(v: Float): Unit = {
+      ensure(4)
+      val bits = java.lang.Float.floatToRawIntBits(v)
+      buf(pos) = bits.toByte; buf(pos + 1) = (bits >> 8).toByte
+      buf(pos + 2) = (bits >> 16).toByte; buf(pos + 3) = (bits >> 24).toByte
+      pos += 4
+    }
+    def writeDouble(v: Double): Unit = {
+      ensure(8)
+      val bits = java.lang.Double.doubleToRawLongBits(v)
+      var i = 0
+      while (i < 8) { buf(pos + i) = (bits >> (8 * i)).toByte; i += 1 }
+      pos += 8
+    }
+    def writeBytes(b: Array[Byte]): Unit = { writeInt(b.length); writeRaw(b) }
+    /** UTF8String straight into the buffer — ONE copy (the old path's
+      * `getBytes` materialized sliced strings first, then copied again
+      * into the encoder buffer). */
+    def writeUtf8(s: UTF8String): Unit = {
+      val n = s.numBytes()
+      writeInt(n)
+      ensure(n)
+      s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+      pos += n
+    }
+    def result(): Array[Byte] = java.util.Arrays.copyOf(buf, pos)
+  }
+
+  // Field kinds for AvroEncodeDirect's interpreted eval + codegen dispatch.
+  private[graft] final val KBool = 0; private[graft] final val KInt = 1
+  private[graft] final val KLong = 2; private[graft] final val KIntAsLong = 3
+  private[graft] final val KFloat = 4; private[graft] final val KDouble = 5
+  private[graft] final val KStr = 6; private[graft] final val KBytes = 7
+  private[graft] final val KTsMillis = 8
+
+  private def fieldKind(dt: DataType, avro: Schema): Int = {
+    val logical = Option(avro.getProp("logicalType"))
+    dt match {
+      case StringType => KStr
+      case BinaryType => KBytes
+      case BooleanType => KBool
+      case IntegerType if avro.getType == Schema.Type.LONG => KIntAsLong
+      case IntegerType | DateType => KInt
+      case LongType => KLong
+      case FloatType => KFloat
+      case DoubleType => KDouble
+      case TimestampType | TimestampNTZType =>
+        if (logical.contains("timestamp-millis")) KTsMillis else KLong
+      case t => throw new IllegalArgumentException(s"AvroCodec: unsupported Spark type $t")
+    }
+  }
+
+  /** Fused serialize: field expressions → (optional Confluent header +)
+    * Avro record body, in one pass into a reusable per-task buffer.
+    *
+    * Versus `Confluent.frame(to_avro(struct(cols)))` this removes, per
+    * row: the struct's UnsafeRow materialization (a full copy of the
+    * row), the synchronized ByteArrayOutputStream + BinaryEncoder flush
+    * copy, the megamorphic per-field lambda dispatch (codegen emits a
+    * direct typed call per field instead), and the frame `concat`'s
+    * second output array + copy. The reference's equivalent is the
+    * per-chunk reused record + marshal at
+    * `fixed2avro/ColumnBuilder.go:67-95`.
+    *
+    * `frameId >= 0` prepends the 5-byte Confluent header
+    * (`[0x00][id:4B BE]`, `kafkaavro/producer.go:201-207`); -1 emits the
+    * bare record body (OCF / unframed use). */
+  case class AvroEncodeDirect(children: Seq[Expression], avroJson: String, frameId: Int)
+      extends Expression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def prettyName: String = "avro_encode_direct"
+
+    @transient private lazy val avroSchema = new Schema.Parser().parse(avroJson)
+    @transient private[graft] lazy val kinds: Array[Int] = {
+      require(avroSchema.getFields.size == children.size,
+        s"Avro schema has ${avroSchema.getFields.size} fields, ${children.size} exprs given")
+      children.zipWithIndex.map { case (c, i) =>
+        fieldKind(c.dataType, avroSchema.getFields.get(i).schema())
+      }.toArray
+    }
+    @transient private lazy val header: Array[Byte] =
+      if (frameId >= 0) Confluent.prefixBytes(frameId) else Array.emptyByteArray
+    @transient private lazy val wire = new AvroWire(1024)
+    @transient private lazy val childArray = children.toArray
+
+    // --- called from generated code (must be public) ---
+    def begin(): Unit = { wire.reset(); if (header.length > 0) wire.writeRaw(header) }
+    def finish(): Array[Byte] = wire.result()
+    def wBool(v: Boolean): Unit = wire.writeBoolean(v)
+    def wInt(v: Int): Unit = wire.writeInt(v)
+    def wLong(v: Long): Unit = wire.writeLong(v)
+    def wFloat(v: Float): Unit = wire.writeFloat(v)
+    def wDouble(v: Double): Unit = wire.writeDouble(v)
+    def wStr(v: UTF8String): Unit = wire.writeUtf8(v)
+    def wBytes(v: Array[Byte]): Unit = wire.writeBytes(v)
+    def wTsMillis(v: Long): Unit = wire.writeLong(Math.floorDiv(v, 1000L))
+    def nullField(i: Int): Unit =
+      throw new IllegalArgumentException(
+        s"avro_encode: null in field '${avroSchema.getFields.get(i).name}' — the " +
+          "fixed-width schema model has no unions/nullable fields (SURVEY.md §1.2)")
+
+    override def eval(input: InternalRow): Any = {
+      begin()
+      var i = 0
+      while (i < childArray.length) {
+        val v = childArray(i).eval(input)
+        if (v == null) nullField(i)
+        kinds(i) match {
+          case KBool => wBool(v.asInstanceOf[Boolean])
+          case KInt => wInt(v.asInstanceOf[Int])
+          case KLong | KIntAsLong => wLong(v.asInstanceOf[Number].longValue())
+          case KFloat => wFloat(v.asInstanceOf[Float])
+          case KDouble => wDouble(v.asInstanceOf[Double])
+          case KStr => wStr(v.asInstanceOf[UTF8String])
+          case KBytes => wBytes(v.asInstanceOf[Array[Byte]])
+          case KTsMillis => wTsMillis(v.asInstanceOf[Long])
+        }
+        i += 1
+      }
+      finish()
+    }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val ref = ctx.addReferenceObj("avroDirect", this, classOf[AvroEncodeDirect].getName)
+      val evals = children.map(_.genCode(ctx))
+      val writes = evals.zip(kinds).zipWithIndex.map { case ((e, kind), i) =>
+        val call = kind match {
+          case KBool => s"$ref.wBool(${e.value});"
+          case KInt => s"$ref.wInt(${e.value});"
+          case KLong => s"$ref.wLong(${e.value});"
+          case KIntAsLong => s"$ref.wLong((long) ${e.value});"
+          case KFloat => s"$ref.wFloat(${e.value});"
+          case KDouble => s"$ref.wDouble(${e.value});"
+          case KStr => s"$ref.wStr(${e.value});"
+          case KBytes => s"$ref.wBytes(${e.value});"
+          case KTsMillis => s"$ref.wTsMillis(${e.value});"
+        }
+        s"""
+           |${e.code}
+           |if (${e.isNull}) $ref.nullField($i);
+           |$call
+         """.stripMargin
+      }
+      ev.copy(
+        code = code"""
+          |$ref.begin();
+          |${writes.mkString("\n")}
+          |final byte[] ${ev.value} = $ref.finish();
+         """.stripMargin,
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): AvroEncodeDirect = copy(children = newChildren)
+  }
+
+  /** Column API: fused field-expressions → Confluent-framed Avro bytes
+    * (one buffer pass, one output allocation — see [[AvroEncodeDirect]]). */
+  def to_avro_confluent(fields: Seq[Column], avroJson: String, schemaId: Int): Column =
+    ColumnBridge.column(AvroEncodeDirect(fields.map(ColumnBridge.expression), avroJson, schemaId))
+
+  /** Column API: fused field-expressions → bare Avro record body. */
+  def to_avro_fields(fields: Seq[Column], avroJson: String): Column =
+    ColumnBridge.column(AvroEncodeDirect(fields.map(ColumnBridge.expression), avroJson, -1))
+
   /** Column API: serialize a struct column to Avro binary. */
   def to_avro(data: Column, avroJson: String): Column =
     ColumnBridge.column(AvroEncode(ColumnBridge.expression(data), avroJson))

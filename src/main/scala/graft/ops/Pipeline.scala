@@ -87,10 +87,8 @@ object Pipeline {
     val schemaId = 42
     val df = lineitem(spark, dir)
     val framed = df.select(
-      Confluent.frame(
-        AvroCodec.to_avro(struct(lineitemFixed.fields.map(f => col(f.name)): _*),
-          lineitemFixed.avroJson),
-        schemaId).as("value"))
+      AvroCodec.to_avro_confluent(lineitemFixed.fields.map(f => col(f.name)),
+        lineitemFixed.avroJson, schemaId).as("value"))
     barrier(framed
       .filter(Confluent.hasMagic(col("value")) && Confluent.schemaId(col("value")) === schemaId)
       .select(AvroCodec.from_avro_rows(col("value"),

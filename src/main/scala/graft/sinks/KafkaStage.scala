@@ -44,13 +44,15 @@ object KafkaStage {
     (keyId, valueId)
   }
 
-  /** Stage a typed DataFrame for the Kafka sink. */
+  /** Stage a typed DataFrame for the Kafka sink. The value column is the
+    * fused header+body encoder ([[AvroCodec.AvroEncodeDirect]]) — one
+    * buffer pass, one output allocation per message. */
   def stage(df: DataFrame, schema: FixedSchema, schemaId: Int, topic: String,
       keySchemaId: Int = 1): DataFrame = {
-    val structCols: Column = struct(schema.fields.map(f => col(f.name)): _*)
+    val fieldCols: Seq[Column] = schema.fields.map(f => col(f.name))
     df.select(
       Confluent.frame(lit(KeyBytes), keySchemaId).as("key"),
-      Confluent.frame(AvroCodec.to_avro(structCols, schema.avroJson), schemaId).as("value"),
+      AvroCodec.to_avro_confluent(fieldCols, schema.avroJson, schemaId).as("value"),
       lit(topic).as("topic"),
       spark_partition_id().as("partition"))
   }

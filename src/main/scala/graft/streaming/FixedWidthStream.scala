@@ -34,9 +34,8 @@ object FixedWidthStream {
     * (the producer leg of the pipeline, streaming-shaped). */
   def frameStream(parsed: DataFrame, schema: FixedSchema, schemaId: Int): DataFrame =
     parsed.select(
-      Confluent.frame(
-        AvroCodec.to_avro(struct(schema.fields.map(f => col(f.name)): _*), schema.avroJson),
-        schemaId).as("value"))
+      AvroCodec.to_avro_confluent(schema.fields.map(f => col(f.name)),
+        schema.avroJson, schemaId).as("value"))
 
   /** Drain the stream to parquet with a checkpoint, processing all data
     * currently available, then stop (Trigger.AvailableNow — the batch
