@@ -140,12 +140,13 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val decoder = new FakeDecoder
+        val md5 = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, bytes) =>
           val srcSide = math.max(1, math.sqrt(bytes.length.toDouble).toInt)
           val (w, h, out) = decoder.resize(bytes, ResizeTarget)
+          md5.reset()
           ResizedMedia(id, srcSide, srcSide, w, h,
-            java.security.MessageDigest.getInstance("MD5").digest(out)
-              .map("%02x".format(_)).mkString)
+            md5.digest(out).map("%02x".format(_)).mkString)
         }
       }
   }

@@ -137,6 +137,25 @@ object Similarity {
     }
   }
 
+  /** Index-build factoring: the pivot array is built ONCE per (corpus
+    * dir, cell count) and shared by every subsequent `similarity_ann_ivf`
+    * / `similarity_ann_recall` invocation in the process — the build's
+    * two full corpus passes (seed scan + one Lloyd refinement) are index
+    * CONSTRUCTION, not query work, and at 100 TB must not ride along
+    * with each query. The cache key is the corpus path: an IVF index is
+    * valid for the immutable snapshot it was built from (rebuilds on a
+    * new path; a real deployment persists the centroids next to the
+    * data). Value size is IvfCells x dim doubles — metadata scale. */
+  private val pivotCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Array[(Long, Array[Double], Double)]]()
+
+  private[graft] def ivfPivots(spark: SparkSession, dir: String)
+      : Array[(Long, Array[Double], Double)] =
+    pivotCache.computeIfAbsent((dir, IvfCells), _ => {
+      val n = normed(spark, dir)
+      refinedPivots(n, seedPivots(n))
+    })
+
   /** Approximate top-k: IVF with deterministically seeded,
     * one-iteration-refined centroids. Returns the same schema as
     * similarityTopk. */
@@ -146,7 +165,7 @@ object Similarity {
   private[graft] def similarityAnnIvf(spark: SparkSession, dir: String,
       nProbe: Int): DataFrame = {
     val n = normed(spark, dir)
-    val pivots = refinedPivots(n, seedPivots(n))
+    val pivots = ivfPivots(spark, dir)
     // Cell similarity array → assigned cell (argmax) per vector, probe
     // list (top nProbe cells) per query.
     val cellSims = array(pivots.map(cosTo): _*)

@@ -28,6 +28,34 @@ object FixedWidth {
       mode: ParseMode = Strict): DataFrame =
     FixedWidthParser.parse(spark.read.text(path), schema, mode)
 
+  /** Strict footer parity (fine print F6). The reference does not skip
+    * the footer line alone — it ends the WHOLE chunk at the first
+    * footer, skipping everything after it in that chunk
+    * (`fixed2avro/ColumnBuilder.go:211-214`: `break`, not `continue`).
+    * The chunk ≡ Hadoop split under the S2 mapping, so a per-partition
+    * `takeWhile` over the text scan's in-order lines reproduces the
+    * reference exactly, split-parallel — no global ordering needed, and
+    * at 100 TB each task still streams its own split once.
+    *
+    * The reference's footer test is `len(line) > 12 && line[:12] ==
+    * "************"` — a line of EXACTLY 12 asterisks is data, not a
+    * footer — replicated verbatim here (the default [[read]] FILTER
+    * drops any footer-prefixed line wherever it sits and keeps parsing,
+    * which matches the reference whenever footers are last-in-chunk,
+    * the normal feed shape; the filter also pushes into the scan for
+    * free, while this parity mode pays a mapPartitions pass). */
+  def readTruncateAtFooter(
+      spark: SparkSession,
+      path: String,
+      schema: FixedSchema,
+      mode: ParseMode = Strict): DataFrame = {
+    import spark.implicits._
+    val prefix = FixedWidthParser.FooterPrefix
+    val truncated = spark.read.textFile(path).mapPartitions(
+      _.takeWhile(l => !(l.length > prefix.length && l.startsWith(prefix))))
+    FixedWidthParser.parse(truncated.toDF("value"), schema, mode, dropFooter = false)
+  }
+
   /** Render one field to its fixed rune width. Strings are right-padded
     * with spaces; numerics left-padded (the usual fixed-width feed
     * convention); timestamps use the reference format. A value WIDER than

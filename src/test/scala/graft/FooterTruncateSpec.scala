@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.parse.Strict
+import graft.schema.FixedSchema
+import graft.sources.FixedWidth
+
+/** Fine print F6: the reference ends the whole chunk at the first footer
+  * line (`fixed2avro/ColumnBuilder.go:211-214` breaks the scan loop), so
+  * data AFTER a mid-chunk footer is silently skipped. The default read
+  * keeps the documented filter deviation; `readTruncateAtFooter` is the
+  * strict parity mode. */
+class FooterTruncateSpec extends SparkSpec {
+
+  // name(4 runes string) + qty(4 runes int)
+  private val json =
+    """{"type":"record","name":"t","fields":[
+      |{"name":"name","type":{"type":"string","name":"name","len":4}},
+      |{"name":"qty","type":{"type":"int","name":"qty","len":4}}
+      |]}""".stripMargin
+  private val fixed = FixedSchema.fromJson(json)
+
+  private def fixture(lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory("graft-footer").toString
+    Files.write(Paths.get(dir, "part-00000.txt"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    dir
+  }
+
+  test("strict parity mode truncates from the first footer; default filter keeps parsing") {
+    val dir = fixture(Seq(
+      "aaaa   1",
+      "************* ignored footer payload", // > 12 asterisks → footer
+      "bbbb   2",
+      "cccc   3"))
+    val strict = FixedWidth.readTruncateAtFooter(spark, dir, fixed, Strict)
+      .collect().map(_.getString(0).trim).sorted
+    assert(strict.toSeq == Seq("aaaa"),
+      "reference semantics: everything after a mid-chunk footer is skipped")
+    val filtered = FixedWidth.read(spark, dir, fixed, Strict)
+      .collect().map(_.getString(0).trim).sorted
+    assert(filtered.toSeq == Seq("aaaa", "bbbb", "cccc"),
+      "default filter semantics: footer dropped, later lines kept")
+  }
+
+  test("a line of EXACTLY 12 asterisks is data, not a footer (len > 12 in the reference)") {
+    val dir = fixture(Seq(
+      "aaaa   1",
+      "************", // len == 12 → NOT a footer per ColumnBuilder.go:211
+      "bbbb   2"))
+    val strict = FixedWidth.readTruncateAtFooter(spark, dir, fixed, Strict)
+    // 12-asterisk line is short for this 8-rune schema → best-effort row;
+    // the point is that parsing CONTINUES past it.
+    val names = strict.collect().map(_.getString(0)).toSeq
+    assert(names.exists(_ == "aaaa") && names.exists(_ == "bbbb"))
+    assert(names.length == 3)
+  }
+
+  test("footer as last line: strict parity and default filter agree (the normal feed)") {
+    val dir = fixture(Seq("aaaa   1", "bbbb   2", "************* trailer"))
+    val strict = FixedWidth.readTruncateAtFooter(spark, dir, fixed, Strict)
+      .collect().map(r => (r.getString(0).trim, r.getInt(1))).sorted.toSeq
+    val filtered = FixedWidth.read(spark, dir, fixed, Strict)
+      .collect().map(r => (r.getString(0).trim, r.getInt(1))).sorted.toSeq
+    assert(strict == filtered && strict == Seq(("aaaa", 1), ("bbbb", 2)))
+  }
+}
