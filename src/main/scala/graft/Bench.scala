@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   * per-run times, notes, corpus geometry — goes to `bench_details.json`
   * in the working directory instead.
   *
-  * Two fixed-width corpora, both >= 1 GiB, rendered once and cached
-  * under /tmp/graft-bench-corpus:
+  * Two headline fixed-width corpora, both >= 4 GiB (large enough that
+  * scheduler fixed costs vanish from the per-core numbers), plus a
+  * 1 GiB multibyte diagnostic twin, rendered once and cached under
+  * /tmp/graft-bench-corpus:
   *
   *  - `lineitem`: 11 columns, 105 runes/row — short-line corpus, heavy
   *    per-line fixed cost.
@@ -65,9 +67,19 @@ object Bench {
     * mid-run full GC — to whichever timed run it lands in. */
   private def gcBarrier(): Unit = { System.gc(); Thread.sleep(200) }
 
-  private def times(f: => Unit, n: Int = Runs): Seq[Double] = {
+  /** Barrier PER RUN, not per group: a single up-front collect lets one
+    * run in the group eat a mid-run full GC of the previous run's debris
+    * (r4: parse runs spread [4.5, 0.9, 3.7] s with a per-group barrier). */
+  private def times(f: => Unit, n: Int = Runs): Seq[Double] =
+    Seq.fill(n) { gcBarrier(); time(f) }
+
+  /** I/O barrier between interleaved write/CPU runs: drain dirty pages
+    * (the OCF output) so background writeback is not charged to the NEXT
+    * timed run — the r5 `ocf_cpu` median landing ABOVE `ocf_write` wall
+    * was exactly this distortion. `sync` blocks until flushed. */
+  private def ioBarrier(): Unit = {
+    try { new ProcessBuilder("sync").start().waitFor() } catch { case _: Exception => () }
     gcBarrier()
-    Seq.fill(n)(time(f))
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -82,7 +94,12 @@ object Bench {
   private def fmt(d: Double): String = f"$d%.3f"
   private def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
 
-  private val TargetBytes = 1L << 30 // >= 1 GiB per corpus for the parse legs
+  /** >= 4 GiB per headline corpus: at the r5 sizes the weblog parse leg
+    * ran 0.45 s wall, so scheduler fixed costs were a visible share of
+    * the per-core numbers; 4x the bytes quarters that distortion. The
+    * multibyte leg stays at 1 GiB (details-only diagnostics). */
+  private val TargetBytes = 4L << 30
+  private val TargetBytesMb = 1L << 30
 
   // ------------------------------------------------- weblog-shaped corpus
 
@@ -145,52 +162,107 @@ object Bench {
       tok(36, "trace", k, p, s).as("w_trace"), tok(64, "agent", k).as("w_agent"))
   }
 
-  /** Render a corpus once (>= TargetBytes of fixed-width text); reuse
-    * across runs and rounds. */
+  /** The multibyte twin of the weblog corpus: same 30-col / 528-rune
+    * shape, but the four 16-rune token columns are mapped to Greek
+    * letters (2 bytes/rune in UTF-8), so every line fails the slicer's
+    * ASCII fast path and the rune-aware walk
+    * ([[graft.functions.FixedSlice]]'s slow path) gets priced — the
+    * headline corpora are deliberately ASCII and never exercise it. */
+  def weblogFrameMultibyte(li: DataFrame): DataFrame = {
+    val ascii = "0123456789abcdef"
+    val greek = "αβγδεζηθικλμνξοπ"
+    Seq("w_host", "w_client", "w_region", "w_dc").foldLeft(weblogFrame(li)) {
+      (df, c) => df.withColumn(c, translate(col(c), ascii, greek))
+    }.select(weblogFixed.fields.map(f => col(f.name)): _*)
+  }
+
+  /** Render a corpus once (>= targetBytes of fixed-width text); reuse
+    * across runs and rounds. Corpus BYTES are the real on-disk file
+    * sizes (= runes + '\n' only for ASCII corpora; the multibyte corpus
+    * has 2-byte runes, so the rune formula would under-count). */
   private def corpus(spark: SparkSession, sfDir: String, key: String,
-      schema: FixedSchema, frame: DataFrame): (String, Long, Long) = {
+      schema: FixedSchema, frame: DataFrame, targetBytes: Long): (String, Long, Long) = {
     val name = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = s"/tmp/graft-bench-corpus/$name-$key"
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rowBytes = schema.rowRuneLen + 1L // ASCII + '\n'
+    val dir = s"/tmp/graft-bench-corpus/$name-$key-${targetBytes >> 30}g"
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
       val rows = frame.count()
-      val copies = math.max(1, math.ceil(TargetBytes.toDouble / (rows * rowBytes)).toInt)
+      val rowBytes = schema.rowRuneLen + 1L // lower bound (>= for multibyte)
+      val copies = math.max(1, math.ceil(targetBytes.toDouble / (rows * rowBytes)).toInt)
       val big = Iterator.fill(copies)(frame).reduce(_ union _)
         .repartition(spark.sparkContext.defaultParallelism)
       FixedWidth.write(big, schema, dir)
+      // A fresh multi-GB render leaves ~25 s of dirty-page writeback on
+      // this box (devcal ~176 MB/s); drain it NOW or it lands inside the
+      // first timed legs (observed: a 12.6 s "parse" run).
+      ioBarrier()
     }
+    val bytes = fs.listStatus(path)
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
     val lines = spark.read.text(dir).count()
-    (dir, lines, lines * rowBytes)
+    (dir, lines, bytes)
+  }
+
+  /** One shot of raw sequential device throughput on the OCF target
+    * filesystem — the dd-style calibration that anchors the
+    * device-vs-CPU attribution of the write legs: 2 GiB in 8 MiB chunks
+    * + a blocking force, so page-cache absorption cannot flatter it. */
+  private def deviceCalibration(): Double = {
+    val p = java.nio.file.Paths.get("/tmp/graft-bench-devcal.bin")
+    val chunk = new Array[Byte](8 << 20)
+    java.util.Arrays.fill(chunk, 0x5a.toByte) // non-zero: no sparse shortcut
+    val total = 2L << 30
+    val t0 = System.nanoTime()
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      var written = 0L
+      val bb = java.nio.ByteBuffer.wrap(chunk)
+      while (written < total) { bb.clear(); ch.write(bb); written += chunk.length }
+      ch.force(false)
+    } finally ch.close()
+    val s = (System.nanoTime() - t0) / 1e9
+    java.nio.file.Files.deleteIfExists(p)
+    total / 1e6 / s
   }
 
   /** The reference's four-stage report over one corpus: scan, parse
-    * (typed projection), encode (Avro + Confluent frame), OCF write. */
+    * (typed projection), encode (Avro + Confluent frame), OCF write.
+    * The write and CPU-only OCF runs are INTERLEAVED with an I/O+GC
+    * barrier between every run: grouped runs let the write leg's dirty
+    * pages flush inside the CPU leg's timing (the r5 physical
+    * impossibility of ocf_cpu > ocf_write), and min-of-N alongside the
+    * median is the honest compute figure for a bimodal write path. */
   private def corpusLegs(spark: SparkSession, sfDir: String, key: String,
-      schema: FixedSchema, frame: DataFrame, nCores: Int): (String, String, String) = {
-    val (dir, lines, bytes) = corpus(spark, sfDir, key, schema, frame)
+      schema: FixedSchema, frame: DataFrame, nCores: Int,
+      targetBytes: Long = TargetBytes): (String, String, String) = {
+    val (dir, lines, bytes) = corpus(spark, sfDir, key, schema, frame, targetBytes)
     val lineDf = spark.read.text(dir)
     val parsed = graft.parse.FixedWidthParser.parse(lineDf, schema, Strict)
     val framed = parsed.select(graft.functions.AvroCodec.to_avro_confluent(
       schema.fields.map(f => col(f.name)), schema.avroJson, 42).as("value"))
+    ioBarrier() // previous group's OCF output may still be flushing
     val parseColdS = time(force(parsed)) // codegen + page-cache warmup
     val scanRuns = times(force(lineDf))
     val parseRuns = times(force(parsed), LegRuns)
     val encodeRuns = times(force(framed), LegRuns)
     val ocfDir = s"/tmp/graft-bench-ocf-$key"
-    val ocfRuns = times(graft.sources.Ocf.write(parsed, schema, ocfDir))
-    // Same path, discarding sink: the leg's CPU cost. ocf_write minus
-    // ocf_cpu is device time — this box's /tmp writes ~1.0 GB/s, 5×
-    // below the baseline hardware's NVMe (BASELINE.md), so the disk
-    // share is not comparable across machines but the CPU share is.
-    val ocfCpuRuns = times(graft.sources.Ocf.writeCpu(parsed, schema))
+    val ocfRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ocfCpuRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to LegRuns).foreach { _ =>
+      ioBarrier()
+      ocfRuns += time(graft.sources.Ocf.write(parsed, schema, ocfDir))
+      ioBarrier() // drain the write's dirty pages before timing CPU
+      ocfCpuRuns += time(graft.sources.Ocf.writeCpu(parsed, schema))
+    }
     val ocfOutMb = new java.io.File(ocfDir).listFiles match {
       case null => 0.0; case fs => fs.map(_.length).sum / 1e6
     }
     val scanS = median(scanRuns); val parseS = median(parseRuns)
-    val encodeS = median(encodeRuns); val ocfS = median(ocfRuns)
-    val ocfCpuS = median(ocfCpuRuns)
+    val encodeS = median(encodeRuns); val ocfS = median(ocfRuns.toSeq)
+    val ocfCpuS = median(ocfCpuRuns.toSeq)
     val mbPerS = bytes / 1e6 / parseS
     // Compact headline (goes on the driver-parsed stdout line)…
     val parsedJson =
@@ -199,19 +271,39 @@ object Bench {
       s""""per_core_lines_per_s":${fmt(lines / parseS / nCores)}}"""
     val stagesJson =
       s"""{"scan":${fmt(scanS)},"parse":${fmt(parseS)},"encode":${fmt(encodeS)},""" +
-      s""""ocf_write":${fmt(ocfS)},"ocf_cpu":${fmt(ocfCpuS)}}"""
+      s""""ocf_write":${fmt(ocfS)},"ocf_write_min":${fmt(ocfRuns.min)},""" +
+      s""""ocf_cpu":${fmt(ocfCpuS)},"ocf_cpu_min":${fmt(ocfCpuRuns.min)}}"""
     // …and the full leg record (goes to bench_details.json).
     val detailJson =
       s"""{"lines":$lines,"bytes":$bytes,"cols":${schema.fields.size},""" +
       s""""runes_per_row":${schema.rowRuneLen},"scan_s":${fmt(scanS)},""" +
       s""""parse_cold_s":${fmt(parseColdS)},"parse_s":${fmt(parseS)},""" +
       s""""scan_runs":${arr(scanRuns)},"parse_runs":${arr(parseRuns)},""" +
-      s""""encode_runs":${arr(encodeRuns)},"ocf_write_runs":${arr(ocfRuns)},""" +
-      s""""ocf_cpu_runs":${arr(ocfCpuRuns)},"ocf_out_mb":${fmt(ocfOutMb)},""" +
+      s""""encode_runs":${arr(encodeRuns)},"ocf_write_runs":${arr(ocfRuns.toSeq)},""" +
+      s""""ocf_cpu_runs":${arr(ocfCpuRuns.toSeq)},"ocf_out_mb":${fmt(ocfOutMb)},""" +
       s""""lines_per_s":${fmt(lines / parseS)},"mb_per_s":${fmt(mbPerS)},""" +
       s""""per_core_mb_per_s":${fmt(mbPerS / nCores)},""" +
       s""""per_core_lines_per_s":${fmt(lines / parseS / nCores)}}"""
     (parsedJson, stagesJson, detailJson)
+  }
+
+  /** Details-only parse leg (cold + warm runs) — used for the multibyte
+    * corpus, which diagnoses the rune-aware slow path without growing
+    * the driver-parsed headline line. */
+  private def parseLegOnly(spark: SparkSession, sfDir: String, key: String,
+      schema: FixedSchema, frame: DataFrame, nCores: Int, targetBytes: Long): String = {
+    val (dir, lines, bytes) = corpus(spark, sfDir, key, schema, frame, targetBytes)
+    val parsed = graft.parse.FixedWidthParser.parse(spark.read.text(dir), schema, Strict)
+    ioBarrier()
+    val parseColdS = time(force(parsed))
+    val parseRuns = times(force(parsed), LegRuns)
+    val parseS = median(parseRuns)
+    val mbPerS = bytes / 1e6 / parseS
+    s"""{"lines":$lines,"bytes":$bytes,"cols":${schema.fields.size},""" +
+    s""""runes_per_row":${schema.rowRuneLen},"parse_cold_s":${fmt(parseColdS)},""" +
+    s""""parse_s":${fmt(parseS)},"parse_runs":${arr(parseRuns)},""" +
+    s""""mb_per_s":${fmt(mbPerS)},"per_core_mb_per_s":${fmt(mbPerS / nCores)},""" +
+    s""""per_core_lines_per_s":${fmt(lines / parseS / nCores)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -233,6 +325,15 @@ object Bench {
       corpusLegs(spark, sfDir, "lineitem", Pipeline.lineitemFixed, li, nCores)
     val (parsedWeblogJson, stagesWeblogJson, detailWeblogJson) =
       corpusLegs(spark, sfDir, "weblog", weblogFixed, weblogFrame(li), nCores)
+    // Multibyte diagnostic leg (details only): prices the rune-aware
+    // slicer slow path that the ASCII headline corpora never hit.
+    val detailWeblogMbJson = parseLegOnly(spark, sfDir, "weblogmb", weblogFixed,
+      weblogFrameMultibyte(li), nCores, TargetBytesMb)
+    // Raw device throughput on the OCF target fs, AFTER the timed legs
+    // (it floods the page cache); anchors the write-leg attribution.
+    ioBarrier()
+    val devcalMbPerS = deviceCalibration()
+    ioBarrier()
 
     // ---- per-query wall times: median of Runs (errors reported once,
     // never fake timings; a failed query contributes its attempts' time)
@@ -261,15 +362,20 @@ object Bench {
       "parsed_weblog is the reference-shaped corpus (30 cols, 528 runes/row) — " +
       "compare its per_core_mb_per_s / per_core_lines_per_s directly to " +
       "BASELINE.md's 110 MB/s/core and 213k lines/s/core. ocf_cpu is the " +
-      "ocf_write path into a discarding sink (pure CPU); the difference is " +
-      "device time — this box writes /tmp at ~1.0 GB/s vs the baseline " +
-      "hardware's 5 GB/s NVMe, so ocf_write wall time is device-bound here\""
+      "ocf_write path into a discarding sink (pure CPU); runs are interleaved " +
+      "with sync+GC barriers and min is reported alongside median. " +
+      "devcal_mb_per_s is raw sequential device throughput on the same fs " +
+      "(2 GiB write + force) — the ocf_write minus ocf_cpu delta is device " +
+      "time, bounded by it. parsed_weblog_mb is the multibyte twin corpus " +
+      "(4 Greek token columns) pricing the rune-aware slicer slow path\""
 
     // Full detail to a file (raw runs, corpus geometry, notes)…
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""queries_runs":$qruns,"errors":$errs,"parsed":$detailJson,""" +
-      s""""parsed_weblog":$detailWeblogJson,"stages":$stagesJson,""" +
+      s""""parsed_weblog":$detailWeblogJson,""" +
+      s""""parsed_weblog_mb":$detailWeblogMbJson,""" +
+      s""""devcal_mb_per_s":${fmt(devcalMbPerS)},"stages":$stagesJson,""" +
       s""""stages_weblog":$stagesWeblogJson,"cores":$nCores,""" +
       s""""runs":$Runs,"leg_runs":$LegRuns,"notes":$notes,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(

@@ -425,6 +425,11 @@ object AvroCodec {
       pos += n
     }
     def result(): Array[Byte] = java.util.Arrays.copyOf(buf, pos)
+    def size: Int = pos
+    /** Zero-copy view of (buffer, length) — valid until the next
+      * write/reset; block-oriented consumers (OCF writer) compress
+      * straight out of it. */
+    def raw(): (Array[Byte], Int) = (buf, pos)
   }
 
   // Field kinds for AvroEncodeDirect's interpreted eval + codegen dispatch.

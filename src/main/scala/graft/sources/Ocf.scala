@@ -99,15 +99,23 @@ object Ocf {
       // 1 MiB stream buffer: the default 4 KB forces a syscall per few
       // rows once the encoder flushes its blocks.
       val out = fs.create(path, true, 1 << 20)
-      val w = new DataFileWriter(internalRowDatumWriter(avroSchema, sparkSchema))
-      w.setCodec(CodecFactory.snappyCodec())
-      // 1 MiB blocks (default 64 KB): fewer snappy calls + sync markers
-      // per byte, better compression ratio; block-level read parallelism
-      // is irrelevant here because reads parallelize per FILE.
-      w.setSyncInterval(1 << 20)
-      w.create(avroSchema, out)
-      try rows.foreach(w.append) // append encodes eagerly: row-buffer reuse is safe
-      finally w.close()
+      // Flat reference-model schemas take the direct wire writer (row →
+      // block buffer → snappy, no DatumWriter/encoder machinery); other
+      // shapes keep the stock DataFileWriter. Both emit spec-conformant
+      // snappy OCF — 1 MiB blocks (default 64 KB): fewer snappy calls +
+      // sync markers per byte; block-level read parallelism is
+      // irrelevant because reads parallelize per FILE.
+      if (OcfWire.supports(avroSchema, sparkSchema)) {
+        val w = new OcfWire.Writer(avroSchema, sparkSchema, out, 1 << 20)
+        try { rows.foreach(w.append) } finally w.close()
+      } else {
+        val w = new DataFileWriter(internalRowDatumWriter(avroSchema, sparkSchema))
+        w.setCodec(CodecFactory.snappyCodec())
+        w.setSyncInterval(1 << 20)
+        w.create(avroSchema, out)
+        try rows.foreach(w.append) // append encodes eagerly: row-buffer reuse is safe
+        finally w.close()
+      }
     }
   }
 
@@ -125,12 +133,18 @@ object Ocf {
         override def write(b: Int): Unit = ()
         override def write(b: Array[Byte], off: Int, len: Int): Unit = ()
       }
-      val w = new DataFileWriter(internalRowDatumWriter(avroSchema, sparkSchema))
-      w.setCodec(CodecFactory.snappyCodec())
-      w.setSyncInterval(1 << 20)
-      w.create(avroSchema, out)
-      try rows.foreach(w.append)
-      finally w.close()
+      // Mirrors `write` exactly (same two paths) minus the device.
+      if (OcfWire.supports(avroSchema, sparkSchema)) {
+        val w = new OcfWire.Writer(avroSchema, sparkSchema, out, 1 << 20)
+        try { rows.foreach(w.append) } finally w.close()
+      } else {
+        val w = new DataFileWriter(internalRowDatumWriter(avroSchema, sparkSchema))
+        w.setCodec(CodecFactory.snappyCodec())
+        w.setSyncInterval(1 << 20)
+        w.create(avroSchema, out)
+        try rows.foreach(w.append)
+        finally w.close()
+      }
     }
   }
 
