@@ -121,9 +121,10 @@ object Ocf {
 
   /** Bench/probe-only: the exact `write` path (datum write + snappy +
     * container framing) into a discarding sink — isolates the leg's CPU
-    * cost from device throughput, which on this box (~1.0 GB/s /tmp)
-    * is 5× below the reference baseline's NVMe (BASELINE.md: 980 Pro,
-    * 5 GB/s write) and dominates the measured `ocf_write` wall time. */
+    * cost from device throughput, which on this box's /tmp is far below
+    * the reference baseline's NVMe (BASELINE.md: 980 Pro, ~5 GB/s
+    * write; the bench JSON's devcal_mb_per_s carries the live local
+    * figure) and dominates the measured `ocf_write` wall time. */
   private[graft] def writeCpu(df: DataFrame, schema: FixedSchema): Unit = {
     val avroJson = schema.avroJson
     val sparkSchema = df.schema

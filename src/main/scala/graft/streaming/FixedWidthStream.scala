@@ -30,6 +30,22 @@ object FixedWidthStream {
       mode: ParseMode = Strict): DataFrame =
     FixedWidthParser.parse(spark.readStream.text(dir), schema, mode)
 
+  /** Streaming twin of [[graft.sources.FixedWidth.readTruncateAtFooter]]
+    * (fine print F6 strict parity): the reference ends the WHOLE chunk at
+    * the first footer line (`fixed2avro/ColumnBuilder.go:211-214`, `break`
+    * not `continue`). Chunk ≡ split holds in streaming exactly as in
+    * batch — each micro-batch file split is one partition scanned in
+    * order — so the identical per-partition `takeWhile` is stateless and
+    * needs no watermark or cross-batch state. */
+  def parseStreamTruncateAtFooter(spark: SparkSession, dir: String, schema: FixedSchema,
+      mode: ParseMode = Strict): DataFrame = {
+    import spark.implicits._
+    val prefix = FixedWidthParser.FooterPrefix
+    val truncated = spark.readStream.textFile(dir).mapPartitions(
+      _.takeWhile(l => !(l.length > prefix.length && l.startsWith(prefix))))
+    FixedWidthParser.parse(truncated.toDF("value"), schema, mode, dropFooter = false)
+  }
+
   /** Typed streaming frame → Confluent-framed Avro `value` bytes
     * (the producer leg of the pipeline, streaming-shaped). */
   def frameStream(parsed: DataFrame, schema: FixedSchema, schemaId: Int): DataFrame =

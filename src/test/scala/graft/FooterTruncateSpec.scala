@@ -57,6 +57,25 @@ class FooterTruncateSpec extends SparkSpec {
     assert(names.length == 3)
   }
 
+  test("streaming strict parity ≡ batch strict parity (mid-file footer truncates)") {
+    val dir = fixture(Seq(
+      "aaaa   1",
+      "************* ignored footer payload",
+      "bbbb   2"))
+    val out = java.nio.file.Files.createTempDirectory("graft-footer-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-footer-ck").toString
+    val stream = graft.streaming.FixedWidthStream
+      .parseStreamTruncateAtFooter(spark, dir, fixed, Strict)
+    assert(stream.isStreaming)
+    graft.streaming.FixedWidthStream.runToParquet(stream, out, ck)
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0).trim, r.getInt(1))).sorted.toSeq
+    val batch = FixedWidth.readTruncateAtFooter(spark, dir, fixed, Strict).collect()
+      .map(r => (r.getString(0).trim, r.getInt(1))).sorted.toSeq
+    assert(streamed == batch && streamed == Seq(("aaaa", 1)),
+      s"streaming F6 parity drifted from batch: $streamed vs $batch")
+  }
+
   test("footer as last line: strict parity and default filter agree (the normal feed)") {
     val dir = fixture(Seq("aaaa   1", "bbbb   2", "************* trailer"))
     val strict = FixedWidth.readTruncateAtFooter(spark, dir, fixed, Strict)
