@@ -11,11 +11,16 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   * {"metric":"total","value":<sum of per-query medians>,"unit":"sec",
-  *  "queries":{name:medianSec,...},       // median of RUNS per query
-  *  "errors":{name:message,...},          // failures, NOT fake timings
+  *  "queries":{name:medianSec,...},       // median of RUNS counted runs
+  *                                        // (each query also gets ONE
+  *                                        // discarded warmup run first)
+  *  "total_min":N,"outliers":{...},       // sum of per-query mins; queries
+  *                                        // whose median >> min (stall flag)
+  *  "errors":{name:message,...},          // counted-run failures, NOT fake
+  *                                        // timings (warmup-only → stderr)
   *  "parsed":{...},"parsed_weblog":{...}, // headline throughput per corpus
   *  "stages":{...},"stages_weblog":{...}, // per-stage medians
-  *  "cores":N,"runs":3,"sf":"dir"}
+  *  "cores":N,"runs":3,"sf":"dir"}        // runs EXCLUDES the +1 warmup
   * }}}
   *
   * The line is deliberately SMALL (< ~1.8 KB): the round driver keeps
@@ -262,7 +267,7 @@ object Bench {
     // not inferred from devcal. `SPARK_GRAFT_RAM_DIR` overrides the
     // mount; if none is writable the leg is skipped and reported null.
     val ramBase = sys.env.getOrElse("SPARK_GRAFT_RAM_DIR", "/dev/shm")
-    val ramOk = { val f = new java.io.File(ramBase); f.isDirectory && f.canWrite }
+    var ramLegOk = { val f = new java.io.File(ramBase); f.isDirectory && f.canWrite }
     val ramDir = s"$ramBase/graft-bench-ocf-$key"
     val ocfRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
     val ocfCpuRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -272,12 +277,22 @@ object Bench {
       ocfRuns += time(graft.sources.Ocf.write(parsed, schema, ocfDir))
       ioBarrier() // drain the write's dirty pages before timing CPU
       ocfCpuRuns += time(graft.sources.Ocf.writeCpu(parsed, schema))
-      if (ramOk) { // tmpfs: nothing to sync — pages ARE the storage
+      if (ramLegOk) { // tmpfs: nothing to sync — pages ARE the storage
         gcBarrier()
-        ocfRamRuns += time(graft.sources.Ocf.write(parsed, schema, ramDir))
+        // Delete the GBs of tmpfs output IMMEDIATELY after the timed run
+        // (not once after the loop): RAM-resident output pages would
+        // otherwise evict the corpus from page cache under the next
+        // iteration's timed disk runs. A failed ram write (ENOSPC —
+        // /dev/shm caps at half of RAM by default) disables the leg and
+        // reports it null instead of aborting the whole bench.
+        try ocfRamRuns += time(graft.sources.Ocf.write(parsed, schema, ramDir))
+        catch { case e: Exception =>
+          ramLegOk = false
+          System.err.println(s"[bench] ocf_write_ram leg disabled ($ramBase): " +
+            Option(e.getMessage).getOrElse(e.getClass.getName))
+        } finally deleteRecursively(new java.io.File(ramDir))
       }
     }
-    if (ramOk) deleteRecursively(new java.io.File(ramDir)) // don't hold GBs of RAM
     val ocfOutMb = new java.io.File(ocfDir).listFiles match {
       case null => 0.0; case fs => fs.map(_.length).sum / 1e6
     }
@@ -285,7 +300,7 @@ object Bench {
     val encodeS = median(encodeRuns); val ocfS = median(ocfRuns.toSeq)
     val ocfCpuS = median(ocfCpuRuns.toSeq)
     val ramJson =
-      if (ramOk) s""""ocf_write_ram":${fmt(median(ocfRamRuns.toSeq))},""" +
+      if (ocfRamRuns.nonEmpty) s""""ocf_write_ram":${fmt(median(ocfRamRuns.toSeq))},""" +
         s""""ocf_write_ram_min":${fmt(ocfRamRuns.min)}"""
       else """"ocf_write_ram":null,"ocf_write_ram_min":null"""
     val mbPerS = bytes / 1e6 / parseS
@@ -306,7 +321,7 @@ object Bench {
       s""""scan_runs":${arr(scanRuns)},"parse_runs":${arr(parseRuns)},""" +
       s""""encode_runs":${arr(encodeRuns)},"ocf_write_runs":${arr(ocfRuns.toSeq)},""" +
       s""""ocf_cpu_runs":${arr(ocfCpuRuns.toSeq)},""" +
-      s""""ocf_ram_runs":${arr(ocfRamRuns.toSeq)},"ram_dir":"${if (ramOk) ramBase else ""}",""" +
+      s""""ocf_ram_runs":${arr(ocfRamRuns.toSeq)},"ram_dir":"${if (ocfRamRuns.nonEmpty) ramBase else ""}",""" +
       s""""ocf_out_mb":${fmt(ocfOutMb)},""" +
       s""""lines_per_s":${fmt(lines / parseS)},"mb_per_s":${fmt(mbPerS)},""" +
       s""""per_core_mb_per_s":${fmt(mbPerS / nCores)},""" +
@@ -366,34 +381,58 @@ object Bench {
     val devcalMbPerS = deviceCalibration()
     ioBarrier()
 
-    // ---- per-query wall times: one discarded warmup + median of Runs.
-    // The first run of a query carries its codegen/JIT/page-cache cost —
-    // r7 raw runs: alltypes_roundtrip [6.84, 3.01, 2.04] reported 3.01 s
-    // vs a 2.04 s steady state — so it is timed (kept in queries_runs,
-    // index 0) but excluded from the median, exactly like the headline
-    // legs' separately-timed cold run. (Errors reported once, never fake
-    // timings; a failed query contributes its attempts' time.)
+    // ---- per-query wall times: one discarded warmup + median of Runs,
+    // every run behind the headline legs' sync+GC barrier. The first run
+    // of a query carries its codegen/JIT/page-cache cost — r7 raw runs:
+    // alltypes_roundtrip [6.84, 3.01, 2.04] reported 3.01 s vs a 2.04 s
+    // steady state — so it is timed (kept in queries_runs, index 0) but
+    // excluded from the median. The per-run barrier is the sweep's
+    // outlier defense: r8's fixedwidth_filescan raw runs
+    // [1.5, 1.1, 15.5, 3.5] reported 3.53 s for a ~1.1 s-steady-state
+    // query because a writeback/GC stall (several sweep queries write to
+    // /tmp every run, and nothing drained the dirty pages) landed inside
+    // the unbarriered 3-run window. Per-query min is reported alongside
+    // the median (queries_min in bench_details.json, mirroring the
+    // headline legs' *_min), and the stdout headline carries total_min
+    // plus an `outliers` map — [min, median] for any query whose median
+    // still exceeds 1.5x its min by > 0.3 s — so a residual stall is
+    // visible, never silent. (Errors reported once from COUNTED runs
+    // only — a warmup-only failure goes to stderr, not the errors map —
+    // and never as fake timings; a failed query contributes its
+    // attempts' time.)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (0 to Runs).map { _ =>
+      val runs = (0 to Runs).map { i =>
+        ioBarrier() // drain the previous run's writes; collect its debris
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          if (i > 0) errors(name) = msg
+          else System.err.println(s"[bench] warmup-only failure in $name: $msg")
         }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, median(runs.drop(1)), runs)
+      val counted = runs.drop(1)
+      (name, median(counted), counted.min, runs)
     }
 
-    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + fmt(m) }
+    val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
-    val qruns = results.map { case (k, _, r) => "\"" + k + "\":" + arr(r) }
+    val qmins = results.map { case (k, _, mn, _) => "\"" + k + "\":" + fmt(mn) }
+      .mkString("{", ",", "}")
+    val qruns = results.map { case (k, _, _, r) => "\"" + k + "\":" + arr(r) }
+      .mkString("{", ",", "}")
+    val outliers = results
+      .filter { case (_, m, mn, _) => m > mn * 1.5 && m - mn > 0.3 }
+      .sortBy { case (_, m, mn, _) => -(m / mn) }.take(6)
+      .map { case (k, m, mn, _) => "\"" + k + "\":[" + fmt(mn) + "," + fmt(m) + "]" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalMin = results.map(_._3).sum
     val notes = "\"parse_s is the median warm steady-state under the noop sink; " +
       "parsed_weblog is the reference-shaped corpus (30 cols, 528 runes/row) — " +
       "compare its per_core_mb_per_s / per_core_lines_per_s directly to " +
@@ -406,13 +445,18 @@ object Bench {
       "devcal_mb_per_s is raw sequential device throughput on the same fs " +
       "as ocf_write (2 GiB write + force) — the ocf_write minus ocf_cpu " +
       "delta is device time, bounded by it. queries are the median of runs " +
-      "AFTER one discarded warmup (kept as queries_runs[0]). " +
+      "AFTER one discarded warmup (kept as queries_runs[0]), every run " +
+      "behind a sync+GC barrier; queries_min / total_min are the per-query " +
+      "and summed minima of the counted runs, and outliers flags " +
+      "[min,median] for any query whose median still exceeds 1.5x min " +
+      "by >0.3s (empty = clean sweep). " +
       "parsed_weblog_mb is the multibyte twin corpus " +
       "(4 Greek token columns) pricing the rune-aware slicer slow path\""
 
     // Full detail to a file (raw runs, corpus geometry, notes)…
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""queries_min":$qmins,"total_min":${fmt(totalMin)},"outliers":$outliers,""" +
       s""""queries_runs":$qruns,"errors":$errs,"parsed":$detailJson,""" +
       s""""parsed_weblog":$detailWeblogJson,""" +
       s""""parsed_weblog_mb":$detailWeblogMbJson,""" +
@@ -426,6 +470,7 @@ object Bench {
     // driver's 2 KB tail window (see the class doc).
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""total_min":${fmt(totalMin)},"outliers":$outliers,""" +
       s""""errors":$errs,"parsed":$parsedJson,""" +
       s""""parsed_weblog":$parsedWeblogJson,"stages":$stagesJson,""" +
       s""""stages_weblog":$stagesWeblogJson,"cores":$nCores,"runs":$Runs,""" +

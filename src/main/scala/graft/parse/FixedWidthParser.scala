@@ -174,8 +174,14 @@ object FixedWidthParser {
       lineCol: String = "value",
       corruptCol: Option[String] = None): DataFrame = {
     val line = col(lineCol)
+    // The reference's footer test is `len(line) > 12 && line[:12] ==
+    // "************"` (`fixed2avro/ColumnBuilder.go:211`) — strictly
+    // GREATER, so a line of exactly 12 asterisks is data, not a footer.
+    // Same conjunct here and in both truncate-at-footer parity modes.
     val kept =
-      if (dropFooter) lines.filter(!line.startsWith(FooterPrefix)) else lines
+      if (dropFooter)
+        lines.filter(!(length(line) > FooterPrefix.length && line.startsWith(FooterPrefix)))
+      else lines
     val wellFormed = length(line) === schema.rowRuneLen
     // All raw slices come from ONE single-pass expression
     // (graft.functions.FixedSlice): every field references the same

@@ -39,11 +39,12 @@ object FixedWidth {
     *
     * The reference's footer test is `len(line) > 12 && line[:12] ==
     * "************"` — a line of EXACTLY 12 asterisks is data, not a
-    * footer — replicated verbatim here (the default [[read]] FILTER
-    * drops any footer-prefixed line wherever it sits and keeps parsing,
-    * which matches the reference whenever footers are last-in-chunk,
-    * the normal feed shape; the filter also pushes into the scan for
-    * free, while this parity mode pays a mapPartitions pass). */
+    * footer — replicated verbatim here AND in the default [[read]]
+    * FILTER (the filter drops any footer line wherever it sits and
+    * keeps parsing, which matches the reference whenever footers are
+    * last-in-chunk, the normal feed shape; the filter also pushes into
+    * the scan for free, while this parity mode pays a mapPartitions
+    * pass). */
   def readTruncateAtFooter(
       spark: SparkSession,
       path: String,

@@ -33,10 +33,16 @@ object FixedWidthStream {
   /** Streaming twin of [[graft.sources.FixedWidth.readTruncateAtFooter]]
     * (fine print F6 strict parity): the reference ends the WHOLE chunk at
     * the first footer line (`fixed2avro/ColumnBuilder.go:211-214`, `break`
-    * not `continue`). Chunk ≡ split holds in streaming exactly as in
-    * batch — each micro-batch file split is one partition scanned in
-    * order — so the identical per-partition `takeWhile` is stateless and
-    * needs no watermark or cross-batch state. */
+    * not `continue`). Chunk ≡ split in both modes, so the identical
+    * per-partition `takeWhile` is stateless and needs no watermark or
+    * cross-batch state — but splits themselves can differ between batch
+    * and streaming on MANY-SMALL-FILES inputs: FilePartition packing may
+    * place several small files in one batch partition (a mid-file footer
+    * then truncates the files packed behind it) while a streaming
+    * micro-batch splits them differently. For per-FILE chunk semantics —
+    * and batch ≡ streaming — set `spark.sql.files.openCostInBytes` to
+    * `spark.sql.files.maxPartitionBytes` (one file per split; pinned by
+    * FooterTruncateSpec's multi-file case). */
   def parseStreamTruncateAtFooter(spark: SparkSession, dir: String, schema: FixedSchema,
       mode: ParseMode = Strict): DataFrame = {
     import spark.implicits._

@@ -55,6 +55,16 @@ class FooterTruncateSpec extends SparkSpec {
     val names = strict.collect().map(_.getString(0)).toSeq
     assert(names.exists(_ == "aaaa") && names.exists(_ == "bbbb"))
     assert(names.length == 3)
+    // The DEFAULT filter applies the same strictly-greater test: the
+    // 12-star line must be KEPT as (malformed) data, not dropped.
+    val filtered = FixedWidth.read(spark, dir, fixed, Strict)
+      .collect().map(_.getString(0)).toSeq
+    assert(filtered.length == 3,
+      s"default filter must keep the exactly-12-asterisk data line: $filtered")
+    // A 13-asterisk line IS a footer for both modes.
+    val dir13 = fixture(Seq("aaaa   1", "*************", "bbbb   2"))
+    assert(FixedWidth.read(spark, dir13, fixed, Strict).count() == 2)
+    assert(FixedWidth.readTruncateAtFooter(spark, dir13, fixed, Strict).count() == 1)
   }
 
   test("streaming strict parity ≡ batch strict parity (mid-file footer truncates)") {
@@ -74,6 +84,40 @@ class FooterTruncateSpec extends SparkSpec {
       .map(r => (r.getString(0).trim, r.getInt(1))).sorted.toSeq
     assert(streamed == batch && streamed == Seq(("aaaa", 1)),
       s"streaming F6 parity drifted from batch: $streamed vs $batch")
+  }
+
+  test("multi-file dir at one-file-per-split: footer truncates only its own file, streaming ≡ batch") {
+    // Batch FilePartition packing can place several SMALL files in one
+    // partition (each costs size + openCostInBytes, default 4 MB, against
+    // a 128 MB bin) — a footer in the first-read file would then truncate
+    // the whole partition, files behind it included, while streaming that
+    // ingests the files in separate splits keeps them. Pin the conf that
+    // restores per-file chunks (openCost = bin size → one file per split)
+    // and assert the two modes agree on it.
+    val dir = Files.createTempDirectory("graft-footer-multi").toString
+    Files.write(Paths.get(dir, "f0.txt"),
+      Seq("aaaa   1", "************* trailer", "bbbb   2")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "f1.txt"),
+      Seq("cccc   3", "dddd   4").mkString("", "\n", "\n").getBytes("UTF-8"))
+    val key = "spark.sql.files.openCostInBytes"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, (128L << 20).toString)
+    try {
+      val batch = FixedWidth.readTruncateAtFooter(spark, dir, fixed, Strict)
+        .collect().map(r => (r.getString(0).trim, r.getInt(1))).sorted.toSeq
+      assert(batch == Seq(("aaaa", 1), ("cccc", 3), ("dddd", 4)),
+        s"footer in f0 must not swallow f1: $batch")
+      val out = Files.createTempDirectory("graft-footer-mout").toString
+      val ck = Files.createTempDirectory("graft-footer-mck").toString
+      val stream = graft.streaming.FixedWidthStream
+        .parseStreamTruncateAtFooter(spark, dir, fixed, Strict)
+      graft.streaming.FixedWidthStream.runToParquet(stream, out, ck)
+      val streamed = spark.read.parquet(out).collect()
+        .map(r => (r.getString(0).trim, r.getInt(1))).sorted.toSeq
+      assert(streamed == batch,
+        s"streaming multi-file F6 parity drifted from batch: $streamed vs $batch")
+    } finally spark.conf.set(key, prev)
   }
 
   test("footer as last line: strict parity and default filter agree (the normal feed)") {
