@@ -220,11 +220,12 @@ object Bench {
     * filesystem — the dd-style calibration that anchors the
     * device-vs-CPU attribution of the write legs: 2 GiB in 8 MiB chunks
     * + a blocking force, so page-cache absorption cannot flatter it. */
-  private def deviceCalibration(): Double = {
-    val p = java.nio.file.Paths.get("/tmp/graft-bench-devcal.bin")
+  private def deviceCalibration(
+      base: String = "/tmp", totalBytes: Long = 2L << 30): Double = {
+    val p = java.nio.file.Paths.get(s"$base/graft-bench-devcal.bin")
     val chunk = new Array[Byte](8 << 20)
     java.util.Arrays.fill(chunk, 0x5a.toByte) // non-zero: no sparse shortcut
-    val total = 2L << 30
+    val total = totalBytes
     val t0 = System.nanoTime()
     val ch = java.nio.channels.FileChannel.open(p,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE,
@@ -318,6 +319,11 @@ object Bench {
       s"""{"lines":$lines,"bytes":$bytes,"cols":${schema.fields.size},""" +
       s""""runes_per_row":${schema.rowRuneLen},"scan_s":${fmt(scanS)},""" +
       s""""parse_cold_s":${fmt(parseColdS)},"parse_s":${fmt(parseS)},""" +
+      // Regression guard: parse-stage cost NET of the shared scan. The r9
+      // footer-filter regression showed as every parse-containing leg
+      // +~1.05 s while scan stayed flat — this field makes that uniform
+      // parse-stage shift visible in one number across rounds.
+      s""""parse_minus_scan_s":${fmt(parseS - scanS)},""" +
       s""""scan_runs":${arr(scanRuns)},"parse_runs":${arr(parseRuns)},""" +
       s""""encode_runs":${arr(encodeRuns)},"ocf_write_runs":${arr(ocfRuns.toSeq)},""" +
       s""""ocf_cpu_runs":${arr(ocfCpuRuns.toSeq)},""" +
@@ -380,6 +386,20 @@ object Bench {
     ioBarrier()
     val devcalMbPerS = deviceCalibration()
     ioBarrier()
+    // Same calibration on the tmpfs mount (1 GiB — it competes with the
+    // page cache): attributes the ocf_write_ram-minus-ocf_cpu delta the
+    // way devcal attributes the disk leg. A sandbox whose /dev/shm
+    // writes at disk-like speed shows up HERE, not as an engine
+    // regression. Null when the ram leg itself is disabled.
+    val ramCalBase = sys.env.getOrElse("SPARK_GRAFT_RAM_DIR", "/dev/shm")
+    val devcalRamMbPerS: Option[Double] = {
+      val f = new java.io.File(ramCalBase)
+      if (f.isDirectory && f.canWrite)
+        try Some(deviceCalibration(ramCalBase, 1L << 30))
+        catch { case _: Exception => None }
+      else None
+    }
+    gcBarrier()
 
     // ---- per-query wall times: one discarded warmup + median of Runs,
     // every run behind the headline legs' sync+GC barrier. The first run
@@ -401,6 +421,11 @@ object Bench {
     // and never as fake timings; a failed query contributes its
     // attempts' time.)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Warmup-only failures (query failed on run 0 but self-healed) stay
+    // out of the headline errors map but ARE recorded in
+    // bench_details.json — a deterministic cold-path regression must
+    // leave a trace the round driver can see, not just stderr.
+    val warmupErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (0 to Runs).map { i =>
         ioBarrier() // drain the previous run's writes; collect its debris
@@ -409,7 +434,10 @@ object Bench {
         catch { case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           if (i > 0) errors(name) = msg
-          else System.err.println(s"[bench] warmup-only failure in $name: $msg")
+          else {
+            warmupErrors(name) = msg
+            System.err.println(s"[bench] warmup-only failure in $name: $msg")
+          }
         }
         (System.nanoTime() - t0) / 1e9
       }
@@ -428,9 +456,12 @@ object Bench {
       .sortBy { case (_, m, mn, _) => -(m / mn) }.take(6)
       .map { case (k, m, mn, _) => "\"" + k + "\":[" + fmt(mn) + "," + fmt(m) + "]" }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\"" }.mkString("{", ",", "}")
+    def errMap(m: scala.collection.Map[String, String]): String =
+      m.map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replaceAll("[\\n\\r\\t]", " ") + "\"" }.mkString("{", ",", "}")
+    val errs = errMap(errors)
+    val warmupErrs = errMap(warmupErrors)
     val total = results.map(_._2).sum
     val totalMin = results.map(_._3).sum
     val notes = "\"parse_s is the median warm steady-state under the noop sink; " +
@@ -444,12 +475,16 @@ object Bench {
       "inferred; null if no tmpfs is writable. " +
       "devcal_mb_per_s is raw sequential device throughput on the same fs " +
       "as ocf_write (2 GiB write + force) — the ocf_write minus ocf_cpu " +
-      "delta is device time, bounded by it. queries are the median of runs " +
+      "delta is device time, bounded by it; devcal_ram_mb_per_s is the " +
+      "same calibration (1 GiB) on the tmpfs mount, attributing the " +
+      "ocf_write_ram minus ocf_cpu delta. queries are the median of runs " +
       "AFTER one discarded warmup (kept as queries_runs[0]), every run " +
       "behind a sync+GC barrier; queries_min / total_min are the per-query " +
       "and summed minima of the counted runs, and outliers flags " +
       "[min,median] for any query whose median still exceeds 1.5x min " +
-      "by >0.3s (empty = clean sweep). " +
+      "by >0.3s (empty = clean sweep; if the stdout headline would " +
+      "exceed its 1800-char budget the headline's outliers degrades to " +
+      "{count:N} — this file always carries the full map). " +
       "parsed_weblog_mb is the multibyte twin corpus " +
       "(4 Greek token columns) pricing the rune-aware slicer slow path\""
 
@@ -457,26 +492,38 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qmins,"total_min":${fmt(totalMin)},"outliers":$outliers,""" +
-      s""""queries_runs":$qruns,"errors":$errs,"parsed":$detailJson,""" +
+      s""""queries_runs":$qruns,"errors":$errs,"warmup_errors":$warmupErrs,""" +
+      s""""parsed":$detailJson,""" +
       s""""parsed_weblog":$detailWeblogJson,""" +
       s""""parsed_weblog_mb":$detailWeblogMbJson,""" +
-      s""""devcal_mb_per_s":${fmt(devcalMbPerS)},"stages":$stagesJson,""" +
+      s""""devcal_mb_per_s":${fmt(devcalMbPerS)},""" +
+      s""""devcal_ram_mb_per_s":${devcalRamMbPerS.map(fmt).getOrElse("null")},""" +
+      s""""stages":$stagesJson,""" +
       s""""stages_weblog":$stagesWeblogJson,"cores":$nCores,""" +
       s""""runs":$Runs,"leg_runs":$LegRuns,"notes":$notes,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_details.json"), detail)
 
     // …and the compact headline as the LAST stdout line, inside the
-    // driver's 2 KB tail window (see the class doc).
-    val line =
+    // driver's 2 KB tail window (see the class doc). A stall round can
+    // add ~270 chars of outlier entries plus error strings — exactly
+    // when the line must stay parseable — so if the full form would
+    // overflow, the outliers map degrades to a COUNT (the full map is
+    // already in bench_details.json).
+    def headline(outliersJson: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""total_min":${fmt(totalMin)},"outliers":$outliers,""" +
+      s""""total_min":${fmt(totalMin)},"outliers":$outliersJson,""" +
       s""""errors":$errs,"parsed":$parsedJson,""" +
       s""""parsed_weblog":$parsedWeblogJson,"stages":$stagesJson,""" +
       s""""stages_weblog":$stagesWeblogJson,"cores":$nCores,"runs":$Runs,""" +
       s""""sf":"$sfDir"}"""
-    if (line.length > 1800) // never regrow past the driver's tail window
-      System.err.println(s"[bench] WARNING: headline line ${line.length} chars")
+    var line = headline(outliers)
+    if (line.length > 1800) { // never regrow past the driver's tail window
+      val nOutliers = results.count { case (_, m, mn, _) => m > mn * 1.5 && m - mn > 0.3 }
+      line = headline(s"""{"count":$nOutliers}""")
+      System.err.println(s"[bench] headline overflowed; outliers -> count " +
+        s"(full map in bench_details.json); now ${line.length} chars")
+    }
     println(line)
     spark.stop()
   }

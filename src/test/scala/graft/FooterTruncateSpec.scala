@@ -102,7 +102,11 @@ class FooterTruncateSpec extends SparkSpec {
       Seq("cccc   3", "dddd   4").mkString("", "\n", "\n").getBytes("UTF-8"))
     val key = "spark.sql.files.openCostInBytes"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, (128L << 20).toString)
+    // The one-file-per-split recipe (FixedWidthStream.scala doc) is
+    // openCost = maxPartitionBytes — read the ACTUAL bin size rather
+    // than hardcoding the 128 MB default, so the guarantee holds even
+    // if the suite session runs with a non-default maxPartitionBytes.
+    spark.conf.set(key, spark.conf.get("spark.sql.files.maxPartitionBytes"))
     try {
       val batch = FixedWidth.readTruncateAtFooter(spark, dir, fixed, Strict)
         .collect().map(r => (r.getString(0).trim, r.getInt(1))).sorted.toSeq
