@@ -113,7 +113,7 @@ object Similarity {
     * index build. */
   private def refinedPivots(n: DataFrame,
       seeds: Array[(Long, Array[Double], Double)]): Array[(Long, Array[Double], Double)] = {
-    val sims = array(seeds.map(cosTo): _*)
+    val sims = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(seeds.map(cosTo)): _*)
     val assigned = n.withColumn("cellSims", sims)
       .withColumn("cell", expr("array_position(cellSims, array_max(cellSims)) - 1"))
     val centroidRows = assigned
@@ -168,7 +168,7 @@ object Similarity {
     val pivots = ivfPivots(spark, dir)
     // Cell similarity array → assigned cell (argmax) per vector, probe
     // list (top nProbe cells) per query.
-    val cellSims = array(pivots.map(cosTo): _*)
+    val cellSims = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(pivots.map(cosTo)): _*)
     val withCells = n.withColumn("cellSims", cellSims)
       .withColumn("cell", expr(
         s"array_position(cellSims, array_max(cellSims)) - 1"))
