@@ -67,6 +67,28 @@ class FooterTruncateSpec extends SparkSpec {
     assert(FixedWidth.readTruncateAtFooter(spark, dir13, fixed, Strict).count() == 1)
   }
 
+  test("footer filter physical plan: StartsWith short-circuits before an O(1) length test") {
+    // The r9 regression: `length()` (a full per-row codepoint walk) as
+    // the LEFT conjunct ran on every row, +0.20-0.24 s/GB on all parse
+    // legs. Pin the fixed shape — in the physical Filter the 12-byte
+    // StartsWith must come first, and the residual length test must be
+    // O(1) octet_length, never the codepoint-walking `length`.
+    val dir = fixture(Seq("aaaa   1"))
+    val df = FixedWidth.read(spark, dir, fixed, Strict)
+    val filterLines = df.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("Filter")).toSeq
+    val footer = filterLines.filter(_.contains("StartsWith"))
+    assert(footer.nonEmpty, s"no footer Filter in plan: $filterLines")
+    footer.foreach { f =>
+      val sw = f.indexOf("StartsWith")
+      val ol = f.indexOf("octet_length")
+      assert(ol >= 0, s"footer filter must use O(1) octet_length: $f")
+      assert(sw < ol, s"StartsWith must evaluate before the length test: $f")
+      assert(!f.replace("octet_length", "OL").contains("length("),
+        s"codepoint-walking length() is back in the hot footer filter: $f")
+    }
+  }
+
   test("streaming strict parity ≡ batch strict parity (mid-file footer truncates)") {
     val dir = fixture(Seq(
       "aaaa   1",
