@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   *
   * Two headline fixed-width corpora, both >= 4 GiB (large enough that
   * scheduler fixed costs vanish from the per-core numbers), plus a
-  * 1 GiB multibyte diagnostic twin, rendered once and cached under
+  * same-size multibyte diagnostic twin, rendered once and cached under
   * /tmp/graft-bench-corpus:
   *
   *  - `lineitem`: 11 columns, 105 runes/row — short-line corpus, heavy
@@ -105,12 +105,16 @@ object Bench {
   private def fmt(d: Double): String = f"$d%.3f"
   private def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
 
-  /** >= 4 GiB per headline corpus: at the r5 sizes the weblog parse leg
-    * ran 0.45 s wall, so scheduler fixed costs were a visible share of
-    * the per-core numbers; 4x the bytes quarters that distortion. The
-    * multibyte leg stays at 1 GiB (details-only diagnostics). */
+  /** >= 4 GiB per corpus: at the r5 sizes the weblog parse leg ran
+    * 0.45 s wall, so scheduler fixed costs were a visible share of the
+    * per-core numbers; 4x the bytes quarters that distortion. The
+    * multibyte twin moved from 1 GiB to the same 4 GiB in r11 for the
+    * same reason: at 1 GiB the leg ran ~0.6 s in a single 32-task wave,
+    * so per-job fixed cost + wave-tail stragglers — not the rune walk —
+    * were a double-digit share of its per-core MB/s, making the
+    * slow-path ratio unattributable. */
   private val TargetBytes = 4L << 30
-  private val TargetBytesMb = 1L << 30
+  private val TargetBytesMb = 4L << 30
 
   // ------------------------------------------------- weblog-shaped corpus
 
@@ -235,10 +239,16 @@ object Bench {
       val bb = java.nio.ByteBuffer.wrap(chunk)
       while (written < total) { bb.clear(); ch.write(bb); written += chunk.length }
       ch.force(false)
-    } finally ch.close()
-    val s = (System.nanoTime() - t0) / 1e9
-    java.nio.file.Files.deleteIfExists(p)
-    total / 1e6 / s
+      total / 1e6 / ((System.nanoTime() - t0) / 1e9)
+    } finally {
+      // Delete in finally, not on the success path only: a throw
+      // mid-write (ENOSPC on a memory-pressured tmpfs — exactly the
+      // environment the 1 GiB ram calibration targets) must not leak a
+      // GiB-scale RAM-backed file that would shrink /dev/shm under the
+      // subsequent ocf_write_ram leg and query sweep.
+      ch.close()
+      java.nio.file.Files.deleteIfExists(p)
+    }
   }
 
   /** The reference's four-stage report over one corpus: scan, parse
@@ -254,8 +264,10 @@ object Bench {
     val (dir, lines, bytes) = corpus(spark, sfDir, key, schema, frame, targetBytes)
     val lineDf = spark.read.text(dir)
     val parsed = graft.parse.FixedWidthParser.parse(lineDf, schema, Strict)
-    val framed = parsed.select(graft.functions.AvroCodec.to_avro_confluent(
-      schema.fields.map(f => col(f.name)), schema.avroJson, 42).as("value"))
+    // The encode leg is the engine's hot export path: the fused
+    // line→Avro expression (byte-identical to parse + to_avro_confluent,
+    // FixedAvroSpec) — the same fusion the reference's toAvro stage is.
+    val framed = graft.parse.FixedWidthParser.toAvro(lineDf, schema, 42)
     ioBarrier() // previous group's OCF output may still be flushing
     val parseColdS = time(force(parsed)) // codegen + page-cache warmup
     val scanRuns = times(force(lineDf))
@@ -273,11 +285,15 @@ object Bench {
     val ocfRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
     val ocfCpuRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
     val ocfRamRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // OCF legs run the engine's fused file→OCF pipeline (scan → fused
+    // line→Avro expression → block append, Ocf.writeFixed) — the same
+    // dataflow the reference's OCF sink benches, with record bytes
+    // pinned identical to the typed path by FixedAvroSpec.
     (1 to LegRuns).foreach { _ =>
       ioBarrier()
-      ocfRuns += time(graft.sources.Ocf.write(parsed, schema, ocfDir))
+      ocfRuns += time(graft.sources.Ocf.writeFixed(lineDf, schema, ocfDir))
       ioBarrier() // drain the write's dirty pages before timing CPU
-      ocfCpuRuns += time(graft.sources.Ocf.writeCpu(parsed, schema))
+      ocfCpuRuns += time(graft.sources.Ocf.writeCpuFixed(lineDf, schema))
       if (ramLegOk) { // tmpfs: nothing to sync — pages ARE the storage
         gcBarrier()
         // Delete the GBs of tmpfs output IMMEDIATELY after the timed run
@@ -286,7 +302,7 @@ object Bench {
         // iteration's timed disk runs. A failed ram write (ENOSPC —
         // /dev/shm caps at half of RAM by default) disables the leg and
         // reports it null instead of aborting the whole bench.
-        try ocfRamRuns += time(graft.sources.Ocf.write(parsed, schema, ramDir))
+        try ocfRamRuns += time(graft.sources.Ocf.writeFixed(lineDf, schema, ramDir))
         catch { case e: Exception =>
           ramLegOk = false
           System.err.println(s"[bench] ocf_write_ram leg disabled ($ramBase): " +
@@ -451,11 +467,16 @@ object Bench {
       .mkString("{", ",", "}")
     val qruns = results.map { case (k, _, _, r) => "\"" + k + "\":" + arr(r) }
       .mkString("{", ",", "}")
-    val outliers = results
+    val flagged = results
       .filter { case (_, m, mn, _) => m > mn * 1.5 && m - mn > 0.3 }
-      .sortBy { case (_, m, mn, _) => -(m / mn) }.take(6)
-      .map { case (k, m, mn, _) => "\"" + k + "\":[" + fmt(mn) + "," + fmt(m) + "]" }
-      .mkString("{", ",", "}")
+      .sortBy { case (_, m, mn, _) => -(m / mn) }
+    def outlierMap(xs: Seq[(String, Double, Double, Seq[Double])]): String =
+      xs.map { case (k, m, mn, _) => "\"" + k + "\":[" + fmt(mn) + "," + fmt(m) + "]" }
+        .mkString("{", ",", "}")
+    // Headline map is capped (stdout budget); the detail file carries the
+    // UNcapped map — the notes promise the full map lives there.
+    val outliers = outlierMap(flagged.take(6))
+    val outliersFull = outlierMap(flagged)
     def errMap(m: scala.collection.Map[String, String]): String =
       m.map { case (k, v) =>
         "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -491,7 +512,7 @@ object Bench {
     // Full detail to a file (raw runs, corpus geometry, notes)…
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""queries_min":$qmins,"total_min":${fmt(totalMin)},"outliers":$outliers,""" +
+      s""""queries_min":$qmins,"total_min":${fmt(totalMin)},"outliers":$outliersFull,""" +
       s""""queries_runs":$qruns,"errors":$errs,"warmup_errors":$warmupErrs,""" +
       s""""parsed":$detailJson,""" +
       s""""parsed_weblog":$detailWeblogJson,""" +
@@ -519,8 +540,7 @@ object Bench {
       s""""sf":"$sfDir"}"""
     var line = headline(outliers)
     if (line.length > 1800) { // never regrow past the driver's tail window
-      val nOutliers = results.count { case (_, m, mn, _) => m > mn * 1.5 && m - mn > 0.3 }
-      line = headline(s"""{"count":$nOutliers}""")
+      line = headline(s"""{"count":${flagged.size}}""")
       System.err.println(s"[bench] headline overflowed; outliers -> count " +
         s"(full map in bench_details.json); now ${line.length} chars")
     }

@@ -60,7 +60,10 @@ object Cli {
         s"(no connector jar in this build; format(\"kafka\") on a cluster)")
       stageDir
     } else {
-      Ocf.write(parsed, schema, sink)
+      // Fused hot path: line → Avro record bytes in one expression →
+      // block append (no typed-row materialization); byte-identical to
+      // Ocf.write(parsed, ...) per FixedAvroSpec.
+      Ocf.writeFixed(spark.read.text(dataFile), schema, sink)
       println(s"[graft] wrote snappy OCF (one file per partition) -> $sink")
       sink
     }

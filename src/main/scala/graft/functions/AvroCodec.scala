@@ -414,6 +414,17 @@ object AvroCodec {
       pos += 8
     }
     def writeBytes(b: Array[Byte]): Unit = { writeInt(b.length); writeRaw(b) }
+    /** Length-prefixed write straight from raw memory (an UnsafeRow /
+      * UTF8String backing region) — the zero-wrapper twin of
+      * [[writeUtf8]], used by the fused fixed→Avro encoder to ship a
+      * string field from the line buffer in one copy. */
+    def writeMemory(base: AnyRef, off: Long, n: Int): Unit = {
+      writeInt(n)
+      ensure(n)
+      org.apache.spark.unsafe.Platform.copyMemory(base, off, buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos, n)
+      pos += n
+    }
     /** UTF8String straight into the buffer — ONE copy (the old path's
       * `getBytes` materialized sliced strings first, then copied again
       * into the encoder buffer). */

@@ -31,13 +31,22 @@ object FastDouble {
   // 10^0..10^22 are exactly representable in double (5^22 < 2^53).
   private val Pow10: Array[Double] = Array.tabulate(23)(i => math.pow(10d, i))
 
-  /** Boxed Double, or null on parse failure — `try_cast` semantics. */
-  def tryParse(s: UTF8String): java.lang.Double = {
-    val n = s.numBytes()
+  /** Fast-path sentinel: NaN bits. Unreachable from the fast path itself
+    * (digit mantissas and exact power-of-ten divisions are always
+    * finite), so it unambiguously means "needs the slow surface". */
+  final val FallbackBits = 0x7ff8000000000000L
+
+  /** Raw-memory fast path: bits of the parsed double, or [[FallbackBits]]
+    * when the input needs the slow surface (exponents, >15 significant
+    * digits, specials, garbage). Shared by [[tryParse]] and the fused
+    * fixed→Avro encoder, which slices fields as (base, offset, len)
+    * without UTF8String wrappers. */
+  def fastBits(base: AnyRef, off: Long, n: Int): Long = {
+    @inline def at(i: Int): Byte = org.apache.spark.unsafe.Platform.getByte(base, off + i)
     var i = 0
     var neg = false
     if (n > 0) {
-      val b0 = s.getByte(0)
+      val b0 = at(0)
       if (b0 == '-') { neg = true; i = 1 } else if (b0 == '+') i = 1
     }
     var m = 0L
@@ -46,7 +55,7 @@ object FastDouble {
     var fast = i < n
     var j = i
     while (fast && j < n) {
-      val b = s.getByte(j)
+      val b = at(j)
       if (b >= '0' && b <= '9') {
         anyDigit = true
         // cap at 15 significant digits: m stays < 2^53 (exact in double)
@@ -61,8 +70,15 @@ object FastDouble {
     }
     if (fast && anyDigit) {
       val v = if (frac <= 0) m.toDouble else m.toDouble / Pow10(frac)
-      java.lang.Double.valueOf(if (neg) -v else v)
-    } else slowParse(s)
+      java.lang.Double.doubleToRawLongBits(if (neg) -v else v)
+    } else FallbackBits
+  }
+
+  /** Boxed Double, or null on parse failure — `try_cast` semantics. */
+  def tryParse(s: UTF8String): java.lang.Double = {
+    val bits = fastBits(s.getBaseObject, s.getBaseOffset, s.numBytes())
+    if (bits != FallbackBits) java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(bits))
+    else slowParse(s)
   }
 
   /** The cast's general surface (Cast.processFloatingPointSpecialLiterals

@@ -41,24 +41,44 @@ object FixedSlice {
     * (ASCII space can never be a UTF-8 continuation byte, so the byte
     * test is codepoint-safe; the semantics match Spark's `trim`, which
     * strips the space character only). */
-  /** Word-at-a-time ASCII test: 8 sign bits per load. A 528-byte line is
-    * 66 long-loads — ~100 ns — and buys the slicing fast path below
-    * (x86/arm handle the unaligned loads natively). */
-  private def isAscii(line: UTF8String): Boolean = {
+  /** Byte index of the first non-ASCII byte (== numBytes for a pure-
+    * ASCII line), word-at-a-time: 8 sign bits per long-load — a 528-byte
+    * ASCII line is 66 loads, ~100 ns — buying the offset-arithmetic
+    * slicing below for every field inside the prefix (x86/arm handle the
+    * unaligned loads natively). */
+  private[functions] def asciiPrefixLen(line: UTF8String): Int = {
     val n = line.numBytes()
     val base = line.getBaseObject
     val off = line.getBaseOffset
     var i = 0
-    while (i + 8 <= n) {
-      if ((org.apache.spark.unsafe.Platform.getLong(base, off + i)
-            & 0x8080808080808080L) != 0L) return false
-      i += 8
+    while (i + 8 <= n && (org.apache.spark.unsafe.Platform.getLong(base, off + i)
+          & 0x8080808080808080L) == 0L) i += 8
+    while (i < n && line.getByte(i) >= 0) i += 1
+    i
+  }
+
+  /** Advance a (byte, char) cursor to `targetChar`, returned packed as
+    * `(byteIdx << 32) | charIdx`. ASCII stretches hop 8 bytes per step
+    * (sign-bit word test — IDENTICAL semantics to the byte step, which
+    * counts an ASCII byte as one rune, so well-formed and malformed
+    * input alike slice exactly as the per-codepoint walk would);
+    * multibyte stretches step per codepoint. Mixed real corpora are
+    * mostly-ASCII lines, so this keeps the walk near offset-arithmetic
+    * speed everywhere except inside genuinely multibyte runs. */
+  private[functions] def advance(line: UTF8String, base: AnyRef, off: Long, numBytes: Int,
+      byte0: Int, char0: Int, targetChar: Int): Long = {
+    var b = byte0
+    var c = char0
+    while (c < targetChar && b < numBytes) {
+      if (c + 8 <= targetChar && b + 8 <= numBytes &&
+          (org.apache.spark.unsafe.Platform.getLong(base, off + b)
+            & 0x8080808080808080L) == 0L) {
+        b += 8; c += 8
+      } else {
+        b += UTF8String.numBytesForFirstByte(line.getByte(b)); c += 1
+      }
     }
-    while (i < n) {
-      if (line.getByte(i) < 0) return false
-      i += 1
-    }
-    true
+    (b.toLong << 32) | (c.toLong & 0xffffffffL)
   }
 
   def slices(line: UTF8String, starts: Array[Int], lens: Array[Int],
@@ -68,17 +88,42 @@ object FixedSlice {
     val numBytes = line.numBytes()
     val base = line.getBaseObject
     val offset = line.getBaseOffset
-    if (isAscii(line)) {
-      // ASCII: rune index == byte index, so slicing is pure offset
-      // arithmetic — no per-byte walk. This is the overwhelmingly common
-      // case (the reference's corpora are ASCII) and the walk was the
-      // dominant cost of the whole parse leg (~5 us/row for 30 fields x
-      // 528 runes; this path measures ~6x cheaper). Short lines still
-      // yield empty slices past the end via the min() bounds.
-      var f = 0
+    // Rune index == byte index everywhere inside the ASCII prefix, so a
+    // field wholly inside it slices by pure offset arithmetic — no walk.
+    // That is the WHOLE line for ASCII corpora (the overwhelmingly
+    // common case — the reference's corpora are ASCII, and the walk was
+    // the dominant cost of the parse leg: ~5 us/row for 30 fields x 528
+    // runes vs ~6x cheaper here), and the leading columns of a mostly-
+    // ASCII line in a mixed corpus. Short lines still yield empty
+    // slices past the end via the min() bounds.
+    val ascii = asciiPrefixLen(line)
+    val allAscii = ascii == numBytes
+    var f = 0
+    while (f < nFields && (allAscii || starts(f) + lens(f) <= ascii)) {
+      var startByte = Math.min(starts(f), numBytes)
+      var endByte = Math.min(starts(f) + lens(f), numBytes)
+      if (trimmed(f)) {
+        while (startByte < endByte && line.getByte(startByte) == 0x20) startByte += 1
+        while (endByte > startByte && line.getByte(endByte - 1) == 0x20) endByte -= 1
+      }
+      val s = UTF8String.fromAddress(base, offset + startByte, endByte - startByte)
+      out(f) = if (copyOut) s.clone() else s
+      f += 1
+    }
+    if (f < nFields) {
+      // Rune-aware walk for the remaining fields, entered AT the prefix
+      // boundary (chars == bytes there), not at byte 0.
+      var charIdx = Math.min(starts(f), ascii)
+      var byteIdx = charIdx
       while (f < nFields) {
-        var startByte = Math.min(starts(f), numBytes)
-        var endByte = Math.min(starts(f) + lens(f), numBytes)
+        val startChar = starts(f)
+        val endChar = startChar + lens(f)
+        var cur = advance(line, base, offset, numBytes, byteIdx, charIdx, startChar)
+        var startByte = (cur >>> 32).toInt
+        cur = advance(line, base, offset, numBytes, startByte, cur.toInt, endChar)
+        byteIdx = (cur >>> 32).toInt
+        charIdx = cur.toInt
+        var endByte = byteIdx
         if (trimmed(f)) {
           while (startByte < endByte && line.getByte(startByte) == 0x20) startByte += 1
           while (endByte > startByte && line.getByte(endByte - 1) == 0x20) endByte -= 1
@@ -87,31 +132,6 @@ object FixedSlice {
         out(f) = if (copyOut) s.clone() else s
         f += 1
       }
-      return new GenericArrayData(out)
-    }
-    var byteIdx = 0
-    var charIdx = 0
-    var f = 0
-    while (f < nFields) {
-      val startChar = starts(f)
-      val endChar = startChar + lens(f)
-      while (charIdx < startChar && byteIdx < numBytes) {
-        byteIdx += UTF8String.numBytesForFirstByte(line.getByte(byteIdx))
-        charIdx += 1
-      }
-      var startByte = byteIdx
-      while (charIdx < endChar && byteIdx < numBytes) {
-        byteIdx += UTF8String.numBytesForFirstByte(line.getByte(byteIdx))
-        charIdx += 1
-      }
-      var endByte = byteIdx
-      if (trimmed(f)) {
-        while (startByte < endByte && line.getByte(startByte) == 0x20) startByte += 1
-        while (endByte > startByte && line.getByte(endByte - 1) == 0x20) endByte -= 1
-      }
-      val s = UTF8String.fromAddress(base, offset + startByte, endByte - startByte)
-      out(f) = if (copyOut) s.clone() else s
-      f += 1
     }
     new GenericArrayData(out)
   }

@@ -39,11 +39,18 @@ object RefTimestamp {
   private val DaysInMonth = Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
 
   /** Parse bytes of `yyyy-MM-dd-HH.mm.ss[.frac]` → micros since epoch,
-    * or Long.MinValue on any malformed input (null at the SQL layer). */
-  def parseMicros(s: UTF8String): Long = {
-    val b = s.getBytes
-    val n = b.length
+    * or Long.MinValue on any malformed input (null at the SQL layer).
+    * Reads straight off the UTF8String's backing memory — the previous
+    * `getBytes` materialized a fresh 26-byte array per value (a copy
+    * allocation per timestamp field per row on the parse hot path). */
+  def parseMicros(s: UTF8String): Long =
+    parseMicros(s.getBaseObject, s.getBaseOffset, s.numBytes())
+
+  /** Raw-memory variant (shared by the fused fixed→Avro encoder, which
+    * slices fields as (base, offset, len) without UTF8String wrappers). */
+  def parseMicros(base: AnyRef, off: Long, n: Int): Long = {
     if (n < 19) return Long.MinValue
+    @inline def b(i: Int): Byte = org.apache.spark.unsafe.Platform.getByte(base, off + i)
     @inline def dig(i: Int): Int = {
       val c = b(i) - '0'
       if (c < 0 || c > 9) -1 else c

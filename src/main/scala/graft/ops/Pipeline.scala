@@ -97,6 +97,23 @@ object Pipeline {
       .orderBy(orderCols: _*)
   }
 
+  /** fixed-width lines → FUSED line→Avro expression
+    * ([[graft.functions.FixedAvro]], the hot export path) → unframe →
+    * decode ≡ input. FixedAvroSpec pins the wire bytes identical to the
+    * composable parse+encode chain; this query pins the end-to-end
+    * VALUES against the DuckDB oracle, so the fused path sits behind
+    * the same correctness gate as the chain it shortcuts. */
+  def fixedToAvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val schemaId = 42
+    val rendered = barrier(FixedWidth.render(lineitem(spark, dir), lineitemFixed))
+    val framed = FixedWidthParser.toAvro(rendered, lineitemFixed, schemaId,
+      dropFooter = false)
+    barrier(framed.select(AvroCodec.from_avro_rows(col("value"),
+      Map(schemaId -> lineitemFixed.avroJson),
+      lineitemFixed.avroJson, lineitemFixed.sparkSchema)))
+      .orderBy(orderCols: _*)
+  }
+
   /** typed rows → snappy OCF files (one per partition) → read back ≡ input. */
   def ocfRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = Scratch.dir(spark, "ocf")
@@ -172,6 +189,7 @@ object Pipeline {
     "fixedwidth_compat" -> (compatParse _),
     "fixedwidth_compat_spacepad" -> (compatSpacePad _),
     "avro_confluent_roundtrip" -> (avroRoundtrip _),
+    "fixedwidth_toavro_fused" -> (fixedToAvroRoundtrip _),
     "ocf_roundtrip" -> (ocfRoundtrip _),
     "kafka_stage_roundtrip" -> (kafkaRoundtrip _),
   )
@@ -182,6 +200,7 @@ object Pipeline {
     "fixedwidth_compat" -> compatOracle,
     "fixedwidth_compat_spacepad" -> compatSpacePadOracle,
     "avro_confluent_roundtrip" -> identityOracle,
+    "fixedwidth_toavro_fused" -> identityOracle,
     "ocf_roundtrip" -> identityOracle,
     "kafka_stage_roundtrip" -> identityOracle,
   )

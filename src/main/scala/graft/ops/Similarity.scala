@@ -195,8 +195,26 @@ object Similarity {
     * probes; see [[IvfProbes]]). */
   val AnnRecallFloor = 0.9
 
+  /** Exact-baseline top-k pairs, built ONCE per (corpus dir, K) and
+    * persisted — the same build-once factoring as [[pivotCache]]: the
+    * exact O(N^2) pass is ground-truth CONSTRUCTION for an immutable
+    * corpus snapshot, not per-query work, and must not ride along with
+    * every recall evaluation. Persisted size is queries x K id pairs —
+    * id-scale, fine to hold distributed at 100 TB (and a real
+    * deployment persists it next to the index it validates). */
+  private val exactPairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), DataFrame]()
+
+  private def exactTopkPairs(spark: SparkSession, dir: String): DataFrame =
+    exactPairsCache.computeIfAbsent((dir, K), _ => {
+      val df = similarityTopk(spark, dir).select(col("query_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize now so every later recall check is a cache read
+      df
+    })
+
   def similarityAnnRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = similarityTopk(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val exact = exactTopkPairs(spark, dir)
     val ann = similarityAnnIvf(spark, dir).select(col("query_id"), col("neighbor_id"))
     val hit = ann.withColumn("hit", lit(1L))
     exact.join(hit, Seq("query_id", "neighbor_id"), "left_outer")

@@ -229,6 +229,28 @@ object FixedWidthParser {
     kept.select(all: _*)
   }
 
+  /** Fused parse+serialize: fixed-width lines → Confluent-framed (or
+    * bare, `schemaId = -1`) Avro record bytes in ONE expression per row
+    * ([[graft.functions.FixedAvro]]) — the hot export path, matching the
+    * reference's fused toAvro stage. Strict semantics; byte-identical to
+    * `parse(...).select(to_avro_confluent(fields))` (FixedAvroSpec), but
+    * with none of the composable chain's per-field wrapper traffic. */
+  def toAvro(
+      lines: DataFrame,
+      schema: FixedSchema,
+      schemaId: Int,
+      dropFooter: Boolean = true,
+      lineCol: String = "value",
+      outCol: String = "value"): DataFrame = {
+    val line = col(lineCol)
+    val kept =
+      if (dropFooter)
+        lines.filter(!(line.startsWith(FooterPrefix) && octet_length(line) > FooterPrefix.length))
+      else lines
+    kept.select(
+      graft.functions.FixedAvro.fixed_to_avro_confluent(line, schema, schemaId).as(outCol))
+  }
+
   /** Spark output schema under compat mode: date/timestamp → LongType
     * seconds, boolean never null, numerics never null. */
   def compatSchema(schema: FixedSchema): StructType =

@@ -119,6 +119,52 @@ object Ocf {
     }
   }
 
+  /** Fixed-width LINES → snappy OCF, one file per partition, through the
+    * fused line→Avro expression ([[graft.functions.FixedAvro]]): each
+    * line becomes its Avro record bytes inside whole-stage codegen, and
+    * the sink appends those bytes straight to the wire writer's block
+    * buffer — no typed-row materialization anywhere in the pipeline.
+    * This is the engine's whole-pipeline hot path for the reference's
+    * file→OCF dataflow (`CLI.go:32-49` with the OCF sink); record bytes
+    * are pinned byte-identical to the typed path by FixedAvroSpec, and
+    * the container read-back is pinned in OcfWireSpec. */
+  def writeFixed(lines: DataFrame, schema: FixedSchema, dir: String,
+      dropFooter: Boolean = true): Unit = {
+    val encoded = graft.parse.FixedWidthParser.toAvro(lines, schema, -1, dropFooter)
+    val avroJson = schema.avroJson
+    val sparkSchema = schema.sparkSchema
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      lines.sparkSession.sparkContext.hadoopConfiguration)
+    encoded.queryExecution.toRdd.foreachPartition { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val avroSchema = new Schema.Parser().parse(avroJson)
+      val path = new Path(dir, f"part-$pid%05d.avro")
+      val fs = path.getFileSystem(hadoopConf.value)
+      fs.setWriteChecksum(false)
+      val out = fs.create(path, true, 1 << 20)
+      val w = new OcfWire.Writer(avroSchema, sparkSchema, out, 1 << 20)
+      try rows.foreach(r => w.appendEncoded(r.getBinary(0)))
+      finally w.close()
+    }
+  }
+
+  /** Bench/probe-only CPU twin of [[writeFixed]] (discarding sink). */
+  private[graft] def writeCpuFixed(lines: DataFrame, schema: FixedSchema): Unit = {
+    val encoded = graft.parse.FixedWidthParser.toAvro(lines, schema, -1)
+    val avroJson = schema.avroJson
+    val sparkSchema = schema.sparkSchema
+    encoded.queryExecution.toRdd.foreachPartition { rows =>
+      val avroSchema = new Schema.Parser().parse(avroJson)
+      val out = new java.io.OutputStream {
+        override def write(b: Int): Unit = ()
+        override def write(b: Array[Byte], off: Int, len: Int): Unit = ()
+      }
+      val w = new OcfWire.Writer(avroSchema, sparkSchema, out, 1 << 20)
+      try rows.foreach(r => w.appendEncoded(r.getBinary(0)))
+      finally w.close()
+    }
+  }
+
   /** Bench/probe-only: the exact `write` path (datum write + snappy +
     * container framing) into a discarding sink — isolates the leg's CPU
     * cost from device throughput, which on this box's /tmp is far below

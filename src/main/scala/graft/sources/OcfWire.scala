@@ -137,6 +137,17 @@ private[graft] object OcfWire {
       if (block.size >= syncInterval) flushBlock()
     }
 
+    /** Append a pre-encoded Avro record body (the fused fixed→Avro
+      * expression's output, `graft.functions.FixedAvro`): the bytes land
+      * straight in the block buffer — no field dispatch at all. The
+      * caller guarantees the bytes are a record of this writer's schema
+      * (FixedAvroSpec pins them byte-identical to the typed encode). */
+    def appendEncoded(body: Array[Byte]): Unit = {
+      block.writeRaw(body)
+      rowCount += 1L
+      if (block.size >= syncInterval) flushBlock()
+    }
+
     private def flushBlock(): Unit = {
       if (rowCount == 0) return
       val (buf, len) = block.raw()

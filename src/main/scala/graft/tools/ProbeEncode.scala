@@ -24,7 +24,7 @@ object ProbeEncode {
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local(32, "probe-encode")
-    val dir = "/tmp/graft-bench-corpus/_root_testdata_sf0.1-weblog"
+    val dir = "/tmp/graft-bench-corpus/_root_testdata_sf0.1-weblog-4g"
     val schema = graft.Bench.weblogFixed
     val parsed = FixedWidthParser.parse(spark.read.text(dir), schema, Strict)
     val cols = schema.fields.map(f => col(f.name))

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 object ProbeParse {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local(32, "probe-parse")
-    val dir = "/tmp/graft-bench-corpus/_root_testdata_sf0.1-weblog"
+    val dir = "/tmp/graft-bench-corpus/_root_testdata_sf0.1-weblog-4g"
     val lines = spark.read.text(dir)
     def force(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
     def t(f: => Unit): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
