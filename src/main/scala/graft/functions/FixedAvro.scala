@@ -8,7 +8,7 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{BinaryType, DataType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Fused fixed-width line → Avro record bytes, in ONE expression.
+/** Fused fixed-width line → Avro record bytes, in ONE pass.
   *
   * This is the Spark re-expression of the reference's fused toAvro
   * stage (`fixed2avro/ColumnBuilder.go:198-227`: slice each line,
@@ -20,20 +20,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * slicer, 30 `element_at` dispatches, and per-field boxing on the
   * fallback parse surfaces. Profiled on the weblog shape (30 cols, 528
   * runes), that wrapper traffic — NOT the typed parsing and NOT the
-  * Avro buffer — is the dominant cost. This expression slices and
+  * Avro buffer — is the dominant cost. [[LineEncoder]] slices and
   * parses each field straight off the line's backing memory as
   * `(base, offset, len)` and writes the Avro wire bytes immediately:
   * zero per-field allocations on the fast paths, strings ship with a
   * single copy (line buffer → wire buffer).
+  *
+  * Two consumers:
+  *  - [[FixedEncode]], the Column expression (line → framed `byte[]`)
+  *    — the Kafka-frame shape, where the output IS a bytes column;
+  *  - the OCF sink (`Ocf.writeFixed`), which hands [[LineEncoder]] the
+  *    container BLOCK buffer itself, so record bytes land directly in
+  *    the block with no per-row `byte[]`/UnsafeRow materialization at
+  *    all — the whole file→OCF pipeline allocates nothing per row,
+  *    like the reference's reused-record chunk loop.
   *
   * Semantics are EXACTLY the Strict parse + encode chain's, pinned by
   * `FixedAvroSpec` byte-identity: slicing is the same rune-aware
   * single pass ([[FixedSlice.advance]]), numeric/timestamp fields are
   * space-trimmed zero-copy, parse surfaces reuse the SAME primitives
   * ([[FastDouble.fastBits]], [[RefTimestamp.parseMicros]],
-  * `UTF8String.toLong/toInt` — what Spark's cast calls), and a field
-  * whose strict parse would yield null throws the same no-unions
-  * error as [[AvroCodec.AvroEncodeDirect]] (SURVEY.md §1.2).
+  * `UTF8String.toLong` — what Spark's cast calls), and a field whose
+  * strict parse would yield null throws the same no-unions error as
+  * [[AvroCodec.AvroEncodeDirect]] (SURVEY.md §1.2).
   */
 object FixedAvro {
 
@@ -78,34 +87,24 @@ object FixedAvro {
     }
   }
 
-  /** line → (optional Confluent header +) Avro record body.
-    * `frameId >= 0` prepends `[0x00][id:4B BE]`; -1 emits the bare body
-    * (OCF / unframed use). Strict parse mode only — Compat's zero-fill
-    * semantics stay on the composable chain, which is not a hot path. */
-  case class FixedEncode(child: Expression, fixed: FixedSchema, frameId: Int)
-      extends UnaryExpression {
-    override def dataType: DataType = BinaryType
-    override def prettyName: String = "fixed_to_avro"
-    override def nullIntolerant: Boolean = true
-
-    @transient private lazy val nFields = fixed.fields.size
-    @transient private lazy val starts: Array[Int] = fixed.runeStarts.toArray
-    @transient private lazy val lens: Array[Int] = fixed.fields.map(_.runeLen).toArray
+  /** One-pass line → Avro-record-bytes encoder writing into a
+    * CALLER-SUPPLIED [[AvroCodec.AvroWire]]. NOT thread-safe (holds a
+    * reused parse wrapper); one instance per task. */
+  final class LineEncoder(fixed: FixedSchema, frameId: Int) extends Serializable {
+    private val nFields = fixed.fields.size
+    private val starts: Array[Int] = fixed.runeStarts.toArray
+    private val lens: Array[Int] = fixed.fields.map(_.runeLen).toArray
     // Same trim set as the Strict parser: numerics/timestamps trimmed,
     // strings/bytes verbatim (FixedWidthParser.strictTrims).
-    @transient private lazy val trims: Array[Boolean] =
+    private val trims: Array[Boolean] =
       fixed.fields.map(f => f.parseType match {
         case "string" | "bytes" | "Bytes" => false
         case _                            => true
       }).toArray
-    @transient private lazy val kinds: Array[Int] =
+    private val kinds: Array[Int] =
       fixed.fields.map(f => planKind(f.parseType, f.name)).toArray
-    @transient private lazy val header: Array[Byte] =
+    private val header: Array[Byte] =
       if (frameId >= 0) Confluent.prefixBytes(frameId) else Array.emptyByteArray
-    @transient private lazy val wire = new AvroCodec.AvroWire(1024)
-    // Reused per-task parse scratch (expressions are deserialized per
-    // task, so instance state is single-threaded — same contract as
-    // AvroEncodeDirect's wire buffer).
     @transient private lazy val longWrapper = new UTF8String.LongWrapper
 
     private def fail(f: Int): Nothing =
@@ -146,8 +145,11 @@ object FixedAvro {
       if (s.toLong(longWrapper)) longWrapper.value else fail(f)
     }
 
-    def encodeLine(line: UTF8String): Array[Byte] = {
-      wire.reset()
+    /** Append `line`'s (optional Confluent header +) record body to
+      * `wire`. Throws on any field whose strict parse would be null;
+      * the wire may then hold a partial record — callers that continue
+      * past failures must reset it (both current callers abort). */
+    def encodeInto(line: UTF8String, wire: AvroCodec.AvroWire): Unit = {
       if (header.length > 0) wire.writeRaw(header)
       val numBytes = line.numBytes()
       val base = line.getBaseObject
@@ -237,6 +239,28 @@ object FixedAvro {
         }
         f += 1
       }
+    }
+  }
+
+  /** line → (optional Confluent header +) Avro record body as a bytes
+    * column. `frameId >= 0` prepends `[0x00][id:4B BE]`; -1 emits the
+    * bare body. Strict parse mode only — Compat's zero-fill semantics
+    * stay on the composable chain, which is not a hot path. */
+  case class FixedEncode(child: Expression, fixed: FixedSchema, frameId: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "fixed_to_avro"
+    override def nullIntolerant: Boolean = true
+
+    // Reused per-task state (expressions are deserialized per task, so
+    // instance state is single-threaded — same contract as
+    // AvroEncodeDirect's wire buffer).
+    @transient private lazy val encoder = new LineEncoder(fixed, frameId)
+    @transient private lazy val wire = new AvroCodec.AvroWire(1024)
+
+    def encodeLine(line: UTF8String): Array[Byte] = {
+      wire.reset()
+      encoder.encodeInto(line, wire)
       wire.result()
     }
 

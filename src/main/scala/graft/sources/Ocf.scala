@@ -128,39 +128,56 @@ object Ocf {
     * file→OCF dataflow (`CLI.go:32-49` with the OCF sink); record bytes
     * are pinned byte-identical to the typed path by FixedAvroSpec, and
     * the container read-back is pinned in OcfWireSpec. */
+  /** The footer-filtered single-column line plan (the filter runs inside
+    * the scan's codegen stage; rows are one-string UnsafeRows whose
+    * UTF8String is consumed immediately, so no copy is needed). */
+  private def keptLines(lines: DataFrame, dropFooter: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, octet_length}
+    val line = col("value")
+    val fp = graft.parse.FixedWidthParser.FooterPrefix
+    if (dropFooter)
+      lines.filter(!(line.startsWith(fp) && octet_length(line) > fp.length)).select(line)
+    else lines.select(line)
+  }
+
   def writeFixed(lines: DataFrame, schema: FixedSchema, dir: String,
       dropFooter: Boolean = true): Unit = {
-    val encoded = graft.parse.FixedWidthParser.toAvro(lines, schema, -1, dropFooter)
     val avroJson = schema.avroJson
     val sparkSchema = schema.sparkSchema
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       lines.sparkSession.sparkContext.hadoopConfiguration)
-    encoded.queryExecution.toRdd.foreachPartition { rows =>
+    val enc = new graft.functions.FixedAvro.LineEncoder(schema, -1)
+    keptLines(lines, dropFooter).queryExecution.toRdd.foreachPartition { rows =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val avroSchema = new Schema.Parser().parse(avroJson)
       val path = new Path(dir, f"part-$pid%05d.avro")
       val fs = path.getFileSystem(hadoopConf.value)
       fs.setWriteChecksum(false)
       val out = fs.create(path, true, 1 << 20)
+      // Lines encode STRAIGHT into the container block buffer (see
+      // OcfWire.appendLine): the whole file→OCF pipeline allocates
+      // nothing per row — the first writeFixed cut (line → byte[] rows →
+      // block) measured ~0.7 s/4.4 GB slower on the tmpfs wall leg from
+      // exactly that per-row byte[]/UnsafeRow garbage.
       val w = new OcfWire.Writer(avroSchema, sparkSchema, out, 1 << 20)
-      try rows.foreach(r => w.appendEncoded(r.getBinary(0)))
+      try rows.foreach(r => w.appendLine(enc, r.getUTF8String(0)))
       finally w.close()
     }
   }
 
   /** Bench/probe-only CPU twin of [[writeFixed]] (discarding sink). */
   private[graft] def writeCpuFixed(lines: DataFrame, schema: FixedSchema): Unit = {
-    val encoded = graft.parse.FixedWidthParser.toAvro(lines, schema, -1)
     val avroJson = schema.avroJson
     val sparkSchema = schema.sparkSchema
-    encoded.queryExecution.toRdd.foreachPartition { rows =>
+    val enc = new graft.functions.FixedAvro.LineEncoder(schema, -1)
+    keptLines(lines, dropFooter = true).queryExecution.toRdd.foreachPartition { rows =>
       val avroSchema = new Schema.Parser().parse(avroJson)
       val out = new java.io.OutputStream {
         override def write(b: Int): Unit = ()
         override def write(b: Array[Byte], off: Int, len: Int): Unit = ()
       }
       val w = new OcfWire.Writer(avroSchema, sparkSchema, out, 1 << 20)
-      try rows.foreach(r => w.appendEncoded(r.getBinary(0)))
+      try rows.foreach(r => w.appendLine(enc, r.getUTF8String(0)))
       finally w.close()
     }
   }

@@ -148,6 +148,18 @@ private[graft] object OcfWire {
       if (block.size >= syncInterval) flushBlock()
     }
 
+    /** Encode a fixed-width LINE straight into the block buffer via the
+      * fused line encoder — the zero-per-row-allocation whole-pipeline
+      * path (no `byte[]`, no UnsafeRow between parse and container):
+      * line bytes → block buffer → snappy, exactly the reference's
+      * reused-record chunk loop shape. */
+    def appendLine(encoder: graft.functions.FixedAvro.LineEncoder,
+        line: UTF8String): Unit = {
+      encoder.encodeInto(line, block)
+      rowCount += 1L
+      if (block.size >= syncInterval) flushBlock()
+    }
+
     private def flushBlock(): Unit = {
       if (rowCount == 0) return
       val (buf, len) = block.raw()

@@ -44,7 +44,7 @@ object ProbeR11 {
       force(mbSlice)
       runs("mb_slice_only", 5)(force(mbSlice))
     }
-    if (legs("weblog") || legs("encode") || legs("ocf")) {
+    if (legs("weblog") || legs("encode") || legs("ocf") || legs("ram")) {
       val lines = spark.read.text("/tmp/graft-bench-corpus/_root_testdata_sf0.1-weblog-4g")
       val parsed = FixedWidthParser.parse(lines, schema, Strict)
       force(parsed)
@@ -69,6 +69,21 @@ object ProbeR11 {
         runs("ocf_cpu_typed", 5)(graft.sources.Ocf.writeCpu(parsed, schema))
         graft.sources.Ocf.writeCpuFixed(lines, schema)
         runs("ocf_cpu_fused", 5)(graft.sources.Ocf.writeCpuFixed(lines, schema))
+      }
+      if (legs("ram")) {
+        // fresh subdir per run; deletion happens untimed afterwards
+        var i = 0
+        def del(n: Int): Unit = (0 to n).foreach { k =>
+          val d = new java.io.File(s"/dev/shm/graft-probe-ocf-$k")
+          Option(d.listFiles).foreach(_.foreach(_.delete())); d.delete(); ()
+        }
+        graft.sources.Ocf.writeFixed(lines, schema, "/dev/shm/graft-probe-ocf-0")
+        del(0)
+        runs("ocf_ram_fused", 5) {
+          graft.sources.Ocf.writeFixed(lines, schema, s"/dev/shm/graft-probe-ocf-$i")
+          i += 1
+        }
+        del(i)
       }
     }
     spark.stop()
