@@ -59,6 +59,15 @@ object FixedWidthStream {
       AvroCodec.to_avro_confluent(schema.fields.map(f => col(f.name)),
         schema.avroJson, schemaId).as("value"))
 
+  /** Streaming twin of the FUSED line→Avro hot path
+    * ([[FixedWidthParser.toAvro]]): the expression is a stateless
+    * projection, so the micro-batch plan is exactly the batch plan —
+    * same footer filter, same wire bytes (stream ≡ batch pinned in
+    * StreamingSpec). */
+  def toAvroStream(spark: SparkSession, dir: String, schema: FixedSchema,
+      schemaId: Int): DataFrame =
+    FixedWidthParser.toAvro(spark.readStream.text(dir), schema, schemaId)
+
   /** Drain the stream to parquet with a checkpoint, processing all data
     * currently available, then stop (Trigger.AvailableNow — the batch
     * bootstrap mode; drop the trigger for a continuous run). */

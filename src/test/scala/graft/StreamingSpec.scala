@@ -67,6 +67,20 @@ class StreamingSpec extends SparkSpec {
       Pipeline.lineitem(spark, sf).agg(sum("l_orderkey")).head())
   }
 
+  test("streaming fused line→Avro ≡ batch fused toAvro (same wire bytes)") {
+    val in = tmp("in4"); val out = tmp("out4"); val ck = tmp("ck4")
+    FixedWidth.write(Pipeline.lineitem(spark, sf), Pipeline.lineitemFixed, in)
+    val fused = FixedWidthStream.toAvroStream(spark, in, Pipeline.lineitemFixed, 7)
+    assert(fused.isStreaming)
+    FixedWidthStream.runToParquet(fused, out, ck)
+    val streamed = spark.read.parquet(out).select(md5(col("value")).as("h"))
+    val batch = graft.parse.FixedWidthParser.toAvro(
+      spark.read.text(in), Pipeline.lineitemFixed, 7).select(md5(col("value")).as("h"))
+    // same multiset of record byte-strings, order-free
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
   test("watermarked windowed counts ≡ batch events_window counts") {
     val out = tmp("out4"); val ck = tmp("ck4")
     val stream = EventStream.readEvents(spark, eventsDir)
