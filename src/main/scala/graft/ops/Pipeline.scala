@@ -57,13 +57,22 @@ object Pipeline {
     * Without it Catalyst's projection collapse inlines the whole-row
     * render (an 11-field concat) into EVERY parse field's substring —
     * an 11x recompute — and the verification orderBy's range-sampling
-    * pass executes the collapsed chain a second time. A round-robin
-    * shuffle of the rendered lines (~100 B/row) is far cheaper than
-    * either, and shuffle reuse serves both the sampling and final sort
-    * passes from the same files. The file-based queries (filescan,
-    * streaming) have this barrier naturally — the filesystem. */
+    * pass executes the collapsed chain a second time. A shuffle of the
+    * rendered lines (~100 B/row) is far cheaper than either, and
+    * shuffle reuse serves both the sampling and final sort passes from
+    * the same files. HASH partitioning on the full row, not round-robin
+    * `repartition(n)`: round-robin placement depends on row order, so
+    * Spark inserts a defensive per-partition sort before it
+    * (`spark.sql.execution.sortBeforeRepartition`) to stay deterministic
+    * under task retry — measured ~0.35 s/600k rows of pure overhead per
+    * barrier. Hash placement is order-independent (retry-deterministic
+    * by construction), needs no sort, and distributes uniformly here
+    * because the barriered frames have no duplicate rows. The
+    * file-based queries (filescan, streaming) get this barrier
+    * naturally — the filesystem. */
   private[ops] def barrier(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      df.columns.map(col): _*)
 
   val identityOracle: String =
     s"SELECT * FROM lineitem ORDER BY $orderColsSql"

@@ -36,3 +36,58 @@ object ProbeCompat {
     spark.stop()
   }
 }
+
+/** Dev probe: decompose the render scaffolding cost shared by the
+  * roundtrip queries: parquet scan vs render vs barrier shuffle. */
+object ProbeRender {
+  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+  private def t(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+  private def runs(label: String)(f: => Unit): Unit = {
+    System.gc(); Thread.sleep(200)
+    println(f"[probe] $label: " + Seq.fill(3)(t(f)).map(x => f"$x%.3f").mkString(" "))
+  }
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local(32, "probe-render")
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.1"
+    val li = graft.ops.Pipeline.lineitem(spark, sf)
+    val rendered = graft.sources.FixedWidth.render(li, graft.ops.Pipeline.lineitemFixed)
+    val barriered = rendered.repartition(spark.sparkContext.defaultParallelism)
+    force(barriered)
+    runs("parquet_scan")(force(li))
+    runs("scan_render")(force(rendered))
+    runs("scan_render_barrier")(force(barriered))
+    spark.stop()
+  }
+}
+
+/** Dev probe: round-robin vs hash repartition as the render barrier. */
+object ProbeBarrier {
+  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+  private def t(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+  private def runs(label: String)(f: => Unit): Unit = {
+    System.gc(); Thread.sleep(200)
+    println(f"[probe] $label: " + Seq.fill(3)(t(f)).map(x => f"$x%.3f").mkString(" "))
+  }
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local(32, "probe-barrier")
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.1"
+    val li = graft.ops.Pipeline.lineitem(spark, sf)
+    val rendered = graft.sources.FixedWidth.render(li, graft.ops.Pipeline.lineitemFixed)
+    val n = spark.sparkContext.defaultParallelism
+    val rr = rendered.repartition(n)
+    val hash = rendered.repartition(n, col("value"))
+    force(rr); force(hash)
+    runs("barrier_roundrobin")(force(rr))
+    runs("barrier_hash_value")(force(hash))
+    spark.stop()
+  }
+}
