@@ -262,7 +262,7 @@ object Bench {
       schema: FixedSchema, frame: DataFrame, nCores: Int,
       targetBytes: Long = TargetBytes): (String, String, String) = {
     val (dir, lines, bytes) = corpus(spark, sfDir, key, schema, frame, targetBytes)
-    val lineDf = spark.read.text(dir)
+    val lineDf = FixedWidth.lines(spark, dir)
     val parsed = graft.parse.FixedWidthParser.parse(lineDf, schema, Strict)
     // The encode leg is the engine's hot export path: the fused
     // line→Avro expression (byte-identical to parse + to_avro_confluent,
@@ -357,7 +357,7 @@ object Bench {
   private def parseLegOnly(spark: SparkSession, sfDir: String, key: String,
       schema: FixedSchema, frame: DataFrame, nCores: Int, targetBytes: Long): String = {
     val (dir, lines, bytes) = corpus(spark, sfDir, key, schema, frame, targetBytes)
-    val parsed = graft.parse.FixedWidthParser.parse(spark.read.text(dir), schema, Strict)
+    val parsed = graft.parse.FixedWidthParser.parse(FixedWidth.lines(spark, dir), schema, Strict)
     ioBarrier()
     val parseColdS = time(force(parsed))
     val parseRuns = times(force(parsed), LegRuns)

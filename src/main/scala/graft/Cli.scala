@@ -63,7 +63,7 @@ object Cli {
       // Fused hot path: line → Avro record bytes in one expression →
       // block append (no typed-row materialization); byte-identical to
       // Ocf.write(parsed, ...) per FixedAvroSpec.
-      Ocf.writeFixed(spark.read.text(dataFile), schema, sink)
+      Ocf.writeFixed(FixedWidth.lines(spark, dataFile), schema, sink)
       println(s"[graft] wrote snappy OCF (one file per partition) -> $sink")
       sink
     }

@@ -19,6 +19,15 @@ import org.apache.spark.sql.types._
   */
 object FixedWidth {
 
+  /** Distributed line records for a text path: the native chunk-aligned
+    * [[LineScan]] (the reference's ParalizeChunks/FindLastNL model, ~2x
+    * cheaper than the Hadoop record reader) unless
+    * `spark.graft.linescan.enabled=false` routes back to
+    * `spark.read.text`. Record semantics are identical (LineScanSpec). */
+  def lines(spark: SparkSession, path: String): DataFrame =
+    if (spark.conf.get(LineScan.Conf, "true").toBoolean) LineScan.read(spark, path)
+    else spark.read.text(path)
+
   /** Distributed fixed-width file scan → typed DataFrame (operator S1-S4
     * + P1..P10 of SURVEY.md §2 as one declarative projection). */
   def read(
@@ -26,7 +35,7 @@ object FixedWidth {
       path: String,
       schema: FixedSchema,
       mode: ParseMode = Strict): DataFrame =
-    FixedWidthParser.parse(spark.read.text(path), schema, mode)
+    FixedWidthParser.parse(lines(spark, path), schema, mode)
 
   /** Strict footer parity (fine print F6). The reference does not skip
     * the footer line alone — it ends the WHOLE chunk at the first

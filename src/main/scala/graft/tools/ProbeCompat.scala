@@ -91,3 +91,26 @@ object ProbeBarrier {
     spark.stop()
   }
 }
+
+/** Dev probe: LineScan chunk-size sensitivity (GC/humongous diagnosis). */
+object ProbeLineScan {
+  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+  private def t(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local(32, "probe-linescan")
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/tmp/graft-bench-corpus/_root_testdata_sf0.1-weblog-4g"
+    val stock = spark.read.text(dir)
+    force(stock)
+    println(f"[probe] stock: " + Seq.fill(3)({System.gc(); t(force(stock))}).map(x => f"$x%.3f").mkString(" "))
+    for (mb <- Seq(1, 4, 8, 32, 96)) {
+      val df = graft.sources.LineScan.read(spark, dir, mb.toLong << 20)
+      force(df)
+      println(f"[probe] chunk=${mb}MB: " + Seq.fill(3)({System.gc(); t(force(df))}).map(x => f"$x%.3f").mkString(" "))
+    }
+    spark.stop()
+  }
+}

@@ -35,7 +35,7 @@ object ProbeR11 {
         element_at(sliced, i + 1).as(f.name) }: _*)
     }
     if (legs("mb")) {
-      val mbLines = spark.read.text("/tmp/graft-bench-corpus/_root_testdata_sf0.1-weblogmb-1g")
+      val mbLines = graft.sources.FixedWidth.lines(spark, "/tmp/graft-bench-corpus/_root_testdata_sf0.1-weblogmb-4g")
       val mb = FixedWidthParser.parse(mbLines, schema, Strict)
       force(mb)
       runs("mb_parse", 5)(force(mb))
@@ -45,7 +45,7 @@ object ProbeR11 {
       runs("mb_slice_only", 5)(force(mbSlice))
     }
     if (legs("weblog") || legs("encode") || legs("ocf") || legs("ram")) {
-      val lines = spark.read.text("/tmp/graft-bench-corpus/_root_testdata_sf0.1-weblog-4g")
+      val lines = graft.sources.FixedWidth.lines(spark, "/tmp/graft-bench-corpus/_root_testdata_sf0.1-weblog-4g")
       val parsed = FixedWidthParser.parse(lines, schema, Strict)
       force(parsed)
       if (legs("weblog")) {

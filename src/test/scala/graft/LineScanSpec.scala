@@ -1,0 +1,98 @@
+package graft
+
+import graft.sources.LineScan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native chunk-aligned line scan must produce EXACTLY the records
+  * `spark.read.text` produces — same values, same multiset — for every
+  * terminator convention (LF, CRLF, lone CR), empty lines, final
+  * unterminated lines, multibyte content, multiple files, and chunk
+  * sizes small enough that every boundary case (chunk landing inside a
+  * line, on a terminator, inside a CRLF pair, at a line start) occurs. */
+class LineScanSpec extends SparkSpec {
+
+  private def fixture(files: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-linescan").toString
+    files.zipWithIndex.foreach { case (content, i) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"part-$i%03d.txt"),
+        content.getBytes("UTF-8"))
+    }
+    dir
+  }
+
+  private def stock(dir: String): Seq[String] =
+    spark.read.text(dir).collect().map(_.getString(0)).toSeq.sorted
+
+  private def scan(dir: String, chunk: Long): Seq[String] =
+    LineScan.read(spark, dir, chunk).collect().map(_.getString(0)).toSeq.sorted
+
+  private def check(files: Seq[String], chunks: Seq[Long]): Unit = {
+    val dir = fixture(files)
+    val expect = stock(dir)
+    Seq("false", "true").foreach { forceStream => // mmap region AND stream fallback
+      spark.conf.set("spark.graft.linescan.forceStream", forceStream)
+      try chunks.foreach { cb =>
+        val got = scan(dir, cb)
+        assert(got == expect, s"chunkBytes=$cb forceStream=$forceStream diverges " +
+          s"from spark.read.text\nexpect=$expect\ngot=$got")
+      } finally spark.conf.unset("spark.graft.linescan.forceStream")
+    }
+  }
+
+  private val smallChunks = Seq(1L, 2L, 3L, 5L, 7L, 16L, 64L, 1 << 20)
+
+  test("LF lines, trailing newline present and absent") {
+    check(Seq("aa\nbbb\ncccc\n", "d\nee"), smallChunks)
+  }
+
+  test("empty lines interior; no empty record after trailing terminator") {
+    check(Seq("\n\na\n\nb\n\n", "\n", ""), smallChunks)
+  }
+
+  test("CRLF and lone-CR terminators, incl. chunk landing inside a CRLF pair") {
+    check(Seq("ab\r\ncd\r\nef\r", "x\ry\r\nz", "\r\n\r\n"), smallChunks)
+  }
+
+  test("multibyte content with multibyte bytes straddling chunk boundaries") {
+    check(Seq("αβγ\nδεζ\n", "日本語\nτιμή", "é\né\né\n"), smallChunks)
+  }
+
+  test("single unterminated line and one-byte files") {
+    check(Seq("x", "y\n", "zz"), smallChunks)
+  }
+
+  test("long lines spanning many chunks") {
+    val long1 = "a" * 10000
+    val long2 = "β" * 5000
+    check(Seq(s"$long1\n$long2\nshort\n"), Seq(1L, 7L, 100L, 4096L))
+  }
+
+  test("randomized fuzz: random content x random chunk sizes ≡ spark.read.text") {
+    val rnd = new scala.util.Random(11)
+    (1 to 8).foreach { _ =>
+      val nFiles = 1 + rnd.nextInt(3)
+      val files = Seq.fill(nFiles) {
+        val n = rnd.nextInt(400)
+        val sb = new StringBuilder
+        (0 until n).foreach { _ =>
+          rnd.nextInt(8) match {
+            case 0 => sb.append('\n')
+            case 1 => sb.append("\r\n")
+            case 2 => sb.append('\r')
+            case 3 => sb.append('λ')
+            case _ => sb.append(('a' + rnd.nextInt(26)).toChar)
+          }
+        }
+        sb.toString
+      }
+      check(files, Seq(1L + rnd.nextInt(5), 8L + rnd.nextInt(60), 1 << 16))
+    }
+  }
+
+  test("single-file path (not a directory) reads like a dir of one") {
+    val dir = fixture(Seq("p\nq\nr"))
+    val one = new java.io.File(dir).listFiles().head.getAbsolutePath
+    assert(scan(one, 2L) == Seq("p", "q", "r"))
+  }
+}
