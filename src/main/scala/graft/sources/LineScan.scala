@@ -83,10 +83,20 @@ object LineScan {
         }).sortBy(_.getPath.getName)
       else Array(stat0)
     val forceStream = spark.conf.get(ForceStreamConf, "false").toBoolean
+    // Adaptive chunk size, exactly FilePartition's sizing rule: cap at
+    // `chunkBytes`, but shrink toward totalBytes/parallelism (floor
+    // 4 MiB ≈ the open cost) so a small corpus still fans out across
+    // the cluster instead of landing in one 128 MiB chunk — a single
+    // 63 MB file must parse as ~16 tasks, not 1.
+    val totalBytes = files.map(_.getLen).sum
+    val openCost = 4L << 20
+    val bytesPerCore =
+      (totalBytes + files.length * openCost) / math.max(1, spark.sparkContext.defaultParallelism)
+    val effChunk = math.min(chunkBytes, math.max(openCost, bytesPerCore))
     val chunks = files.toSeq.flatMap { st =>
       val len = st.getLen
-      (0L until len by chunkBytes).map(s =>
-        Chunk(st.getPath.toString, s, math.min(s + chunkBytes, len), len, forceStream))
+      (0L until len by effChunk).map(s =>
+        Chunk(st.getPath.toString, s, math.min(s + effChunk, len), len, forceStream))
     }
     val rdd =
       if (chunks.isEmpty) spark.sparkContext.emptyRDD[InternalRow]

@@ -114,3 +114,55 @@ object ProbeLineScan {
     spark.stop()
   }
 }
+
+/** Dev probe: filescan regression — write + read-back, stock vs LineScan. */
+object ProbeFilescan {
+  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+  private def t(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local(32, "probe-filescan")
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.1"
+    val fixed = graft.ops.Pipeline.lineitemFixed
+    val out = "/tmp/graft-probe-fw"
+    println(f"[probe] write: " + Seq.fill(3)(t(
+      graft.sources.FixedWidth.write(graft.ops.Pipeline.lineitem(spark, sf), fixed, out)
+    )).map(x => f"$x%.3f").mkString(" "))
+    val stockLines = spark.read.text(out)
+    val scanLines = graft.sources.LineScan.read(spark, out)
+    force(stockLines); force(scanLines)
+    println(f"[probe] lines_stock: " + Seq.fill(3)(t(force(stockLines))).map(x => f"$x%.3f").mkString(" "))
+    println(f"[probe] lines_scan: " + Seq.fill(3)(t(force(scanLines))).map(x => f"$x%.3f").mkString(" "))
+    import graft.parse.{FixedWidthParser, Strict}
+    val pStock = FixedWidthParser.parse(stockLines, fixed, Strict)
+    val pScan = FixedWidthParser.parse(scanLines, fixed, Strict)
+    force(pStock); force(pScan)
+    println(f"[probe] parse_stock: " + Seq.fill(3)(t(force(pStock))).map(x => f"$x%.3f").mkString(" "))
+    println(f"[probe] parse_scan: " + Seq.fill(3)(t(force(pScan))).map(x => f"$x%.3f").mkString(" "))
+    val cols = fixed.fields.map(f => org.apache.spark.sql.functions.col(f.name))
+    println(f"[probe] sorted_stock: " + Seq.fill(3)(t(force(pStock.orderBy(cols: _*)))).map(x => f"$x%.3f").mkString(" "))
+    println(f"[probe] sorted_scan: " + Seq.fill(3)(t(force(pScan.orderBy(cols: _*)))).map(x => f"$x%.3f").mkString(" "))
+    spark.stop()
+  }
+}
+
+/** Dev probe: plan + stage shape of parse over stock vs LineScan input. */
+object ProbePlans2 {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local(32, "probe-plans2")
+    spark.sparkContext.setLogLevel("ERROR")
+    val fixed = graft.ops.Pipeline.lineitemFixed
+    val out = "/tmp/graft-probe-fw"
+    import graft.parse.{FixedWidthParser, Strict}
+    val pStock = FixedWidthParser.parse(spark.read.text(out), fixed, Strict)
+    val pScan = FixedWidthParser.parse(graft.sources.LineScan.read(spark, out), fixed, Strict)
+    println("[probe] STOCK PLAN:\n" + pStock.queryExecution.executedPlan.toString.take(1200))
+    println("[probe] SCAN PLAN:\n" + pScan.queryExecution.executedPlan.toString.take(1200))
+    println("[probe] scan partitions: " + pScan.rdd.getNumPartitions +
+      " stock partitions: " + pStock.rdd.getNumPartitions)
+    spark.stop()
+  }
+}
