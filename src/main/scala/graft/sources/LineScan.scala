@@ -108,12 +108,15 @@ object LineScan {
   /** `java.nio.Buffer.address` — the mapped region's native address.
     * Reflection under the build's `--add-opens java.base/java.nio`
     * (present for every Spark 4 launch); avoids a compile-time
-    * dependency on `sun.nio.ch.DirectBuffer`. */
-  private lazy val addressField: java.lang.reflect.Field = {
-    val f = classOf[java.nio.Buffer].getDeclaredField("address")
-    f.setAccessible(true)
-    f
-  }
+    * dependency on `sun.nio.ch.DirectBuffer`. None when the module is
+    * not opened in some exotic launcher — then every chunk silently
+    * takes the stream path instead of failing the query. */
+  private lazy val addressField: Option[java.lang.reflect.Field] =
+    try {
+      val f = classOf[java.nio.Buffer].getDeclaredField("address")
+      f.setAccessible(true)
+      Some(f)
+    } catch { case _: Throwable => None }
 
   /** A chunk's bytes: `(base, off)` addresses the byte at `c.start`,
     * `limit` bytes are available, `extend()` makes more available until
@@ -143,16 +146,24 @@ object LineScan {
       val mbb = ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY, c.start, want)
       mappings += mbb // keep EVERY mapping alive until task end
       base = null
-      off = addressField.getLong(mbb)
+      off = addressField.get.getLong(mbb)
       limit = want.toInt
       eof = c.start + want >= c.fileLen
     }
 
     def extend(): Unit = if (!eof) { tail *= 4; remap() }
-    // Mappings are dropped at task end (the completion listener drops
-    // this Region); unmap happens at GC via the buffer cleaners. The
-    // channel can close early — mappings survive a closed channel.
-    def close(): Unit = ch.close()
+    // close() runs at task end (completion listener), AFTER the stage
+    // has copied every emitted row into UnsafeRows — so the mappings
+    // can be unmapped EXPLICITLY (StorageUtils.dispose via the bridge
+    // invokes the buffer cleaner). Relying on GC instead would let a
+    // long-lived executor churning thousands of chunks between
+    // collections creep toward vm.max_map_count.
+    def close(): Unit = {
+      ch.close()
+      mappings.foreach(m =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.disposeBuffer(m))
+      mappings.clear()
+    }
   }
 
   /** Buffered-stream region for non-local filesystems: one copy into a
@@ -196,7 +207,8 @@ object LineScan {
       conf: org.apache.hadoop.conf.Configuration): Iterator[InternalRow] = {
     val uri = new Path(c.file).toUri
     val region: Region =
-      if (!c.forceStream && (uri.getScheme == null || uri.getScheme == "file"))
+      if (!c.forceStream && addressField.isDefined &&
+          (uri.getScheme == null || uri.getScheme == "file"))
         new MmapRegion(c, new java.io.File(uri.getPath))
       else new StreamRegion(c, conf)
     // A limit()/failure can abandon the iterator mid-chunk — release at

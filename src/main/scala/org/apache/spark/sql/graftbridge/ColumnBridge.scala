@@ -20,4 +20,10 @@ object ColumnBridge {
       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** Explicit direct-buffer unmap (`StorageUtils.dispose` is
+    * private[spark]) — used by the mmap line scan to release chunk
+    * mappings at task end instead of waiting for GC. */
+  def disposeBuffer(bb: java.nio.ByteBuffer): Unit =
+    org.apache.spark.storage.StorageUtils.dispose(bb)
 }
