@@ -32,8 +32,14 @@ object Similarity {
   val K = 5
 
   /** Neighbor blocks for the exact baseline: each join task sees all
-    * queries x 1/B of the corpus. B bounds the per-task neighbor slice;
-    * at larger corpora raise B with N (B ~ N * rowBytes / targetTask). */
+    * queries x 1/B of the corpus. B bounds the per-task neighbor slice
+    * (the MEMORY dial); at larger corpora raise B with N
+    * (B ~ N * rowBytes / targetTask). B is NOT a speed dial at this
+    * scale: queries are replicated x B, so raising it buys parallelism
+    * at replication cost — measured at sf0.1 (2.5k x 2.5k, 64-dim):
+    * B=16 ~4.0s, B=32 ~4.3s, B=64 ~4.6s, B=128 ~5.2s (same session).
+    * Keep B at the smallest value whose per-task neighbor slice fits
+    * executor memory. */
   val Blocks = 16
 
   private def normed(spark: SparkSession, dir: String): DataFrame =
@@ -50,12 +56,16 @@ object Similarity {
       .orderBy("query_id", "rank")
 
   /** Exact cosine top-k per query vector (blocked join + bounded agg). */
-  def similarityTopk(spark: SparkSession, dir: String): DataFrame = {
+  def similarityTopk(spark: SparkSession, dir: String): DataFrame =
+    similarityTopk(spark, dir, Blocks)
+
+  private[graft] def similarityTopk(spark: SparkSession, dir: String,
+      blocks: Int): DataFrame = {
     val n = normed(spark, dir)
     val a = n.select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
-      .withColumn("blk", explode(typedLit((0 until Blocks).toArray)))
+      .withColumn("blk", explode(typedLit((0 until blocks).toArray)))
     val b = n.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
-      .withColumn("blk", pmod(hash(col("neighbor_id")), lit(Blocks)))
+      .withColumn("blk", pmod(hash(col("neighbor_id")), lit(blocks)))
     val pairs = a.join(b, "blk").filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (Dedup.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
