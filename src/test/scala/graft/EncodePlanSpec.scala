@@ -70,4 +70,14 @@ class EncodePlanSpec extends SparkSpec {
     val parsed = FixedWidthParser.parse(spark.read.text(fixture()), schema, Strict)
     assertSingleSpanNoExchange(parsed, "strict parse")
   }
+
+  test("fused plan over the native LineScan input keeps the same shape") {
+    // The bench legs now read through LineScan (RDDScanExec input) —
+    // the fused expression must stay inside that scan's codegen span
+    // too, or the hot path regresses while the read.text pins stay green.
+    val lines = graft.sources.LineScan.read(spark, fixture())
+    val df = FixedWidthParser.toAvro(lines, schema, 42)
+    assertSingleSpanNoExchange(df, "fused toAvro over LineScan")
+    assert(df.queryExecution.executedPlan.toString.contains("fixed_to_avro"))
+  }
 }

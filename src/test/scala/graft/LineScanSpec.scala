@@ -95,4 +95,13 @@ class LineScanSpec extends SparkSpec {
     val one = new java.io.File(dir).listFiles().head.getAbsolutePath
     assert(scan(one, 2L) == Seq("p", "q", "r"))
   }
+
+  test("adaptive chunking fans a single small file out across cores") {
+    // The regression class: a fixed chunk cap turned one 63 MB file
+    // into ONE task. With the FilePartition-style sizing, a file much
+    // smaller than the cap must still split toward parallelism.
+    val dir = fixture(Seq(("x" * 99 + "\n") * 200000)) // ~20 MB, one file
+    val parts = LineScan.read(spark, dir).rdd.getNumPartitions
+    assert(parts > 1, s"small single file collapsed to $parts partition(s)")
+  }
 }
