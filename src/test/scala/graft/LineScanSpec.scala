@@ -40,7 +40,10 @@ class LineScanSpec extends SparkSpec {
     }
   }
 
-  private val smallChunks = Seq(1L, 2L, 3L, 5L, 7L, 16L, 64L, 1 << 20)
+  // every boundary class: 1-byte (chunk inside CRLF pairs and multibyte
+  // runes), small odd, word-size, huge; the exhaustive sweep lives in
+  // tools/FuzzOnce (200 corpora) to keep the committed suite fast
+  private val smallChunks = Seq(1L, 3L, 7L, 64L, 1 << 20)
 
   test("LF lines, trailing newline present and absent") {
     check(Seq("aa\nbbb\ncccc\n", "d\nee"), smallChunks)
@@ -62,15 +65,18 @@ class LineScanSpec extends SparkSpec {
     check(Seq("x", "y\n", "zz"), smallChunks)
   }
 
-  test("long lines spanning many chunks") {
-    val long1 = "a" * 10000
-    val long2 = "β" * 5000
-    check(Seq(s"$long1\n$long2\nshort\n"), Seq(1L, 7L, 100L, 4096L))
+  test("long lines spanning many chunks (tail extension / remap growth)") {
+    // chunk << line length forces repeated region extension; 1-byte
+    // chunks over long lines would mean thousands of tasks for no new
+    // coverage (chunk=1 is exercised on the short fixtures above)
+    val long1 = "a" * 3000
+    val long2 = "β" * 1500
+    check(Seq(s"$long1\n$long2\nshort\n"), Seq(7L, 100L, 4096L))
   }
 
   test("randomized fuzz: random content x random chunk sizes ≡ spark.read.text") {
     val rnd = new scala.util.Random(11)
-    (1 to 8).foreach { _ =>
+    (1 to 5).foreach { _ =>
       val nFiles = 1 + rnd.nextInt(3)
       val files = Seq.fill(nFiles) {
         val n = rnd.nextInt(400)
