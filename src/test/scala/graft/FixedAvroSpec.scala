@@ -64,7 +64,11 @@ class FixedAvroSpec extends SparkSpec {
     // the byte==rune diagonal, exercising the walk on both paths
     line("J", "αβγδ", "99", "123456", "2.25", "3.5", "αβγδεζη",
       ts, ts, ts),
-    line("N", "ab", "1", "2", "3", "4", "ωωωωωωωω", ts, ts, ts))
+    line("N", "ab", "1", "2", "3", "4", "ωωωωωωωω", ts, ts, ts),
+    // pre-epoch date/timestamps: negative micros must floor (not
+    // truncate) to days/millis identically on both paths
+    line("J", "pe", "-7", "-8", "-9.5", "-10.25", "preepoch",
+      "1969-06-15-12.00.00", "1969-12-31-23.59.59.1", "1969-01-01-00.00.00.000001"))
 
   private def linesDf(ls: Seq[String]): DataFrame = {
     import spark.implicits._
