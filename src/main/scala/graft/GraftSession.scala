@@ -32,6 +32,18 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // TypedImperativeAggregates run in ObjectHashAggregateExec, which
+      // abandons the hash map and SORTS its whole input once a task
+      // sees >threshold distinct groups — and the default is 128. The
+      // engine's object aggregates ([[graft.functions.TopK]]) hold
+      // BOUNDED k-entry buffers (~150 B/group), so hash mode at 4096
+      // groups is ~600 KB of task state, while the sort fallback
+      // re-sorts millions of scored pairs: measured on similarity_topk
+      // at sf0.1 (2k queries/task), 128 -> 4096 cut the query 3.8 ->
+      // 2.7 s. Unbounded-state aggs (collect_list) still get the
+      // fallback, 32x later — acceptable for 4 KB rows, and those
+      // queries group by low-cardinality keys here.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.ui.enabled", "false")
 
   /** Standard local session for mains: `local[cores]`, shuffle

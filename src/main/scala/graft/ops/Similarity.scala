@@ -31,21 +31,49 @@ object Similarity {
 
   val K = 5
 
-  /** Neighbor blocks for the exact baseline: each join task sees all
-    * queries x 1/B of the corpus. B bounds the per-task neighbor slice
-    * (the MEMORY dial); at larger corpora raise B with N
-    * (B ~ N * rowBytes / targetTask). B is NOT a speed dial at this
-    * scale: queries are replicated x B, so raising it buys parallelism
-    * at replication cost — measured at sf0.1 (2.5k x 2.5k, 64-dim):
-    * B=16 ~4.0s, B=32 ~4.3s, B=64 ~4.6s, B=128 ~5.2s (same session).
-    * Keep B at the smallest value whose per-task neighbor slice fits
-    * executor memory. */
+  /** Neighbor blocks for the exact baseline. B only matters in the
+    * SHUFFLE-join regime (query set too big to broadcast): there each
+    * join task sees all queries x 1/B of the corpus, so B bounds the
+    * per-task neighbor slice (the MEMORY dial — raise with N,
+    * B ~ N * rowBytes / targetTask) at x B query replication cost. In
+    * the broadcast regime (the common case: a bounded query set against
+    * a huge corpus) B only multiplies the broadcast's size — the
+    * parallelism comes from the corpus side's partitioning, which
+    * [[fanOut]] floors at the cluster's parallelism. (r11's B-sweep,
+    * "B=16 4.0s .. B=128 5.2s", was measured under the pre-fanOut plan
+    * whose pair stage ran on ONE core — those numbers priced single-task
+    * broadcast bloat, not block parallelism; post-fanOut the query runs
+    * ~0.8 s at B=16.) */
   val Blocks = 16
 
   private def normed(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
       .withColumn("nrm", graft.functions.VectorOps.vec_norm(col("v")))
+
+  /** Fan the corpus side of a similarity join out to at least the
+    * cluster's parallelism.
+    *
+    * The O(N*queries) pair compute under a broadcast join runs at the
+    * STREAMED side's partitioning — and a small corpus (one parquet
+    * file under the 128 MB split size) scans as ONE split, so the
+    * whole quadratic stage lands on one core. That was the real shape
+    * of the r8-r11 "similarity_topk creep": the blocked join's fan-out
+    * never materialized — the optimizer (correctly) broadcasts the
+    * replicated query side, and the corpus side's scan parallelism is
+    * the only parallelism there is. At 100 TB the corpus scans as
+    * thousands of splits and this helper is a no-op; below
+    * defaultParallelism splits it inserts one explicit id-keyed hash
+    * exchange (O(corpus) rows, id+vector — the exchange is cheap
+    * exactly when it is needed). The partition count is pinned
+    * explicitly so AQE cannot coalesce the tiny-by-bytes exchange back
+    * to one partition — bytes are the wrong proxy for the quadratic
+    * compute DOWNSTREAM of this scan. */
+  private def fanOut(spark: SparkSession, df: DataFrame, keys: Column*): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df
+    else df.repartition(par, keys: _*)
+  }
 
   /** (query_id, nn: array<struct<id,score>>) → ranked output rows. */
   private def ranked(agg: DataFrame): DataFrame =
@@ -64,8 +92,10 @@ object Similarity {
     val n = normed(spark, dir)
     val a = n.select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
       .withColumn("blk", explode(typedLit((0 until blocks).toArray)))
-    val b = n.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
-      .withColumn("blk", pmod(hash(col("neighbor_id")), lit(blocks)))
+    val b = fanOut(spark,
+      n.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
+        .withColumn("blk", pmod(hash(col("neighbor_id")), lit(blocks))),
+      col("blk"), col("neighbor_id"))
     val pairs = a.join(b, "blk").filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (Dedup.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
@@ -182,7 +212,9 @@ object Similarity {
     val withCells = n.withColumn("cellSims", cellSims)
       .withColumn("cell", expr(
         s"array_position(cellSims, array_max(cellSims)) - 1"))
-    val assigned = withCells.select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val assigned = fanOut(spark,
+      withCells.select(col("vec_id"), col("v"), col("nrm"), col("cell")),
+      col("cell"), col("vec_id"))
     val probes = withCells.select(col("vec_id").as("query_id"),
       col("v").as("va"), col("nrm").as("na"),
       explode(slice(expr(
@@ -212,16 +244,38 @@ object Similarity {
     * every recall evaluation. Persisted size is queries x K id pairs —
     * id-scale, fine to hold distributed at 100 TB (and a real
     * deployment persists it next to the index it validates). */
-  private val exactPairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), DataFrame]()
+  /** Most corpora a session holds ground truth for at once. Each entry
+    * is queries x K id pairs (id-scale), but a long-lived session
+    * sweeping MANY snapshot dirs must not accumulate storage blocks
+    * without bound — beyond this many corpora the least-recently-used
+    * entry is unpersisted and dropped (rebuilt on next touch). */
+  private val MaxExactPairCorpora = 4
+
+  /** Access-ordered LRU; all access goes through [[exactTopkPairs]]'s
+    * synchronized block (build races would just persist twice). */
+  private val exactPairsCache =
+    new java.util.LinkedHashMap[(String, Int), DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), DataFrame]): Boolean = {
+        val evict = size() > MaxExactPairCorpora
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
 
   private def exactTopkPairs(spark: SparkSession, dir: String): DataFrame =
-    exactPairsCache.computeIfAbsent((dir, K), _ => {
-      val df = similarityTopk(spark, dir).select(col("query_id"), col("neighbor_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count() // materialize now so every later recall check is a cache read
-      df
-    })
+    exactPairsCache.synchronized {
+      val key = (dir, K)
+      val hit = exactPairsCache.get(key)
+      if (hit != null) hit
+      else {
+        val df = similarityTopk(spark, dir).select(col("query_id"), col("neighbor_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count() // materialize now so every later recall check is a cache read
+        exactPairsCache.put(key, df)
+        df
+      }
+    }
 
   def similarityAnnRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = exactTopkPairs(spark, dir)

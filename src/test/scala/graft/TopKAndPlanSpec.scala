@@ -66,6 +66,22 @@ class TopKAndPlanSpec extends SparkSpec {
       s"quadratic join shape in plan:\n${plan.take(1200)}")
   }
 
+  test("similarity joins fan the pair compute out past the corpus scan's splits") {
+    // The fixture corpus is one tiny parquet file = ONE scan split, and
+    // the optimizer (correctly) broadcasts the replicated query side of
+    // the blocked join — so without the explicit corpus-side exchange
+    // the whole O(N*queries) dot-product stage runs on a single core
+    // (the real shape of the r8-r11 similarity_topk creep: 4.09 s at
+    // sf0.1 single-task, 0.8 s fanned out). Pin the exchange: a plan
+    // that loses it silently re-serializes the quadratic stage.
+    val topk = executed(Similarity.similarityTopk(spark, sf))
+    assert(topk.contains("hashpartitioning(blk") && topk.contains("neighbor_id"),
+      s"no corpus-side fan-out exchange in similarity_topk plan:\n${topk.take(1500)}")
+    val ivf = executed(Similarity.similarityAnnIvf(spark, sf))
+    assert(ivf.contains("hashpartitioning(cell"),
+      s"no corpus-side fan-out exchange in similarity_ann_ivf plan:\n${ivf.take(1500)}")
+  }
+
   test("q3/q5 survive with broadcast disabled (no forced broadcast hint)") {
     val q5Rows = Relational.q5NationVolume(spark, sf).count()
     val q3Rows = Relational.q3TopOrders(spark, sf).count()
