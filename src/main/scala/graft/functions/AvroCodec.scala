@@ -437,6 +437,13 @@ object AvroCodec {
     }
     def result(): Array[Byte] = java.util.Arrays.copyOf(buf, pos)
     def size: Int = pos
+    /** Roll back to a previous [[size]] mark — discards the bytes of a
+      * partially-written record after a mid-field encode failure, so a
+      * block buffer never carries dangling partial bytes to disk. */
+    def truncate(mark: Int): Unit = {
+      require(mark >= 0 && mark <= pos, s"truncate($mark) outside [0, $pos]")
+      pos = mark
+    }
     /** Zero-copy view of (buffer, length) — valid until the next
       * write/reset; block-oriented consumers (OCF writer) compress
       * straight out of it. */

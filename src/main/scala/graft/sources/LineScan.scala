@@ -65,23 +65,41 @@ object LineScan {
 
   private val schema = StructType(Seq(StructField("value", StringType, nullable = false)))
 
+  /** Top-level data files of `root` (minus _SUCCESS/._* markers), in
+    * stable path order. A visible SUBdirectory fails loudly: the stock
+    * source's handling of nested layouts is modal (plain subdirs are
+    * silently ignored; key=value subdirs trigger partition discovery),
+    * and the native scan supports neither — reading fewer or more rows
+    * than `spark.read.text` silently is the one unacceptable outcome,
+    * so the divergence is an error that names the escape hatch. */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] = {
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    if (root.isFile) Seq(root)
+    else {
+      val kids = fs.listStatus(root.getPath).toSeq.filter(s => visible(s.getPath.getName))
+      kids.find(_.isDirectory).foreach { d =>
+        throw new IllegalArgumentException(
+          s"LineScan reads flat directories only, found nested ${d.getPath}; " +
+          s"set $Conf=false to route nested/partitioned layouts through " +
+          "spark.read.text")
+      }
+      kids.sortBy(_.getPath.toString)
+    }
+  }
+
   def read(spark: SparkSession, dir: String,
       chunkBytes: Long = DefaultChunkBytes): DataFrame = {
-    require(chunkBytes > 0)
+    // Upper bound keeps every Int-typed size downstream exact: the
+    // stream region's buffer is addressed with Ints, and the mmap
+    // region's chunk+tail mapping must stay below Int.MaxValue.
+    require(chunkBytes > 0 && chunkBytes <= Int.MaxValue / 2,
+      s"chunkBytes must be in (0, ${Int.MaxValue / 2}], got $chunkBytes")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val rootPath = new Path(dir)
     val fs = rootPath.getFileSystem(conf.value)
-    val stat0 = fs.getFileStatus(rootPath)
-    // Same visible set as spark.read.text on a directory: top-level
-    // data files, no _SUCCESS/._* markers.
-    val files =
-      if (stat0.isDirectory)
-        fs.listStatus(rootPath).filter(s => s.isFile && {
-          val n = s.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        }).sortBy(_.getPath.getName)
-      else Array(stat0)
+    val files = listDataFiles(fs, fs.getFileStatus(rootPath))
     val forceStream = spark.conf.get(ForceStreamConf, "false").toBoolean
     // Adaptive chunk size, exactly FilePartition's sizing rule: cap at
     // `chunkBytes`, but shrink toward totalBytes/parallelism (floor
@@ -93,15 +111,39 @@ object LineScan {
     val bytesPerCore =
       (totalBytes + files.length * openCost) / math.max(1, spark.sparkContext.defaultParallelism)
     val effChunk = math.min(chunkBytes, math.max(openCost, bytesPerCore))
-    val chunks = files.toSeq.flatMap { st =>
+    // Equal-size chunks per file (ceil(len/effChunk) of len/k bytes
+    // each), not effChunk-strided: striding a 131 MB file at 128 MB
+    // leaves a 3 MB sliver chunk — at 34 files that is 34 full tasks
+    // racing 34 slivers, a ragged two-wave schedule. Ownership is
+    // `(start, end]`, valid for any split points.
+    val chunks = files.flatMap { st =>
       val len = st.getLen
-      (0L until len by effChunk).map(s =>
-        Chunk(st.getPath.toString, s, math.min(s + effChunk, len), len, forceStream))
+      val k = math.max(1L, (len + effChunk - 1) / effChunk)
+      (0L until k).map(i => Chunk(st.getPath.toString,
+        i * len / k, (i + 1) * len / k, len, forceStream))
+    }.filter(c => c.end > c.start)
+    // Bin-pack chunks into tasks exactly like FilePartition packs file
+    // splits: a directory of many small files must not fan out as one
+    // task per file (64 x 69 MB part files on 32 cores = two ragged
+    // waves; packed = one). Chunks are packed in path order, closing a
+    // task when it reaches effChunk bytes (+ openCost per chunk for the
+    // per-file open overhead).
+    val packed = Seq.newBuilder[Seq[Chunk]]
+    var group = Vector.empty[Chunk]
+    var groupBytes = 0L
+    chunks.foreach { c =>
+      val sz = (c.end - c.start) + openCost
+      if (group.nonEmpty && groupBytes + sz > effChunk + openCost) {
+        packed += group; group = Vector.empty; groupBytes = 0L
+      }
+      group :+= c; groupBytes += sz
     }
+    if (group.nonEmpty) packed += group
+    val tasks = packed.result()
     val rdd =
-      if (chunks.isEmpty) spark.sparkContext.emptyRDD[InternalRow]
-      else spark.sparkContext.parallelize(chunks, chunks.size)
-        .mapPartitions(_.flatMap(c => readChunk(c, conf.value)))
+      if (tasks.isEmpty) spark.sparkContext.emptyRDD[InternalRow]
+      else spark.sparkContext.parallelize(tasks, tasks.size)
+        .mapPartitions(_.flatMap(_.iterator.flatMap(c => readChunk(c, conf.value))))
     org.apache.spark.sql.graftbridge.ColumnBridge.internalDataFrame(spark, rdd, schema)
   }
 
@@ -142,7 +184,15 @@ object LineScan {
     remap()
 
     private def remap(): Unit = {
-      val want = math.min(c.fileLen - c.start, (c.end - c.start) + tail)
+      // Mapping size is Int-addressed downstream; cap at Int.MaxValue
+      // and fail LOUDLY if a single line still doesn't fit — a heap
+      // buffer could not hold it either (arrays are Int-sized), so
+      // there is no fallback that helps, only a clear error.
+      val want = math.min(math.min(c.fileLen - c.start, (c.end - c.start) + tail),
+        Int.MaxValue.toLong)
+      if (want.toInt == limit && !eof)
+        throw new IllegalStateException(s"${c.file}: line starting in chunk at " +
+          s"${c.start} extends more than ${Int.MaxValue} bytes past the chunk start")
       val mbb = ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY, c.start, want)
       mappings += mbb // keep EVERY mapping alive until task end
       base = null
@@ -189,6 +239,9 @@ object LineScan {
     def extend(): Unit = {
       if (eof) return
       if (limit == buf.length) {
+        if (buf.length > Int.MaxValue - (4 << 20))
+          throw new IllegalStateException(s"${c.file}: line starting in chunk at " +
+            s"${c.start} extends more than ${Int.MaxValue} bytes past the chunk start")
         // growth keeps the OLD array alive for rows already emitted
         // over it — slices are immutable, so that is correct
         buf = java.util.Arrays.copyOf(buf, buf.length + (4 << 20))
@@ -200,6 +253,17 @@ object LineScan {
       if (eof) close()
     }
     def close(): Unit = if (!closed) { closed = true; in.close() }
+  }
+
+  /** Test hook: the raw per-chunk iterator, for pinning the row-reuse
+    * contract (LineScanSpec asserts successive rows are the SAME
+    * instance — the narrow-row fix must not silently unwind into
+    * per-line allocation). */
+  private[graft] def readChunkForTest(spark: SparkSession, file: String,
+      chunkStart: Long, chunkEnd: Long): Iterator[InternalRow] = {
+    val len = new java.io.File(file).length()
+    readChunk(Chunk(file, chunkStart, chunkEnd, len),
+      spark.sparkContext.hadoopConfiguration)
   }
 
   /** All lines of one chunk, one pass. */
@@ -214,8 +278,11 @@ object LineScan {
     // A limit()/failure can abandon the iterator mid-chunk — release at
     // task end unconditionally; holding the region there also pins mmap
     // mappings for as long as any zero-copy row can exist in this task.
-    Option(org.apache.spark.TaskContext.get())
-      .foreach(_.addTaskCompletionListener[Unit](_ => region.close()))
+    // Outside a task (TaskContext null: direct driver-side callers) the
+    // iterator closes the region itself on exhaustion instead — close()
+    // is idempotent, so a caller that lands in a task anyway is fine.
+    val taskCtx = org.apache.spark.TaskContext.get()
+    if (taskCtx != null) taskCtx.addTaskCompletionListener[Unit](_ => region.close())
 
     /** Relative index of the first LF/CR at-or-after `from`, extending
       * the region on demand; -1 when the chunk's data ends first. */
@@ -273,26 +340,30 @@ object LineScan {
       }
 
     new Iterator[InternalRow] {
-      private var nextRow: InternalRow = _
-      private def advance(): Unit = {
+      // ONE mutable row + value slot per chunk, overwritten per line —
+      // the reference's one-reused-record-per-chunk model
+      // (`common/fixed.go:53-64`) and the same reuse contract Spark's
+      // own file sources rely on: the consumer is RDDScanExec, whose
+      // per-row UnsafeProjection copies the value out before the next
+      // next(). Replaces a per-line GenericInternalRow + Array[Any]
+      // allocation (41 M lines on the narrow-row corpus = ~3 GB of
+      // young-gen churn per pass, the r11 narrow-row finding).
+      private val slot = new Array[Any](1)
+      private val row = new GenericInternalRow(slot)
+      override def hasNext: Boolean = {
         // owned iff the line STARTS at absolute position <= c.end, and a
         // trailing terminator at EOF yields no empty record
-        if (pos < 0 || c.start + pos > c.end || (pos >= region.limit && region.eof)) {
-          nextRow = null
-          return
-        }
+        val more =
+          !(pos < 0 || c.start + pos > c.end || (pos >= region.limit && region.eof))
+        if (!more && taskCtx == null) region.close()
+        more
+      }
+      override def next(): InternalRow = {
         val t = findTerm(pos)
         val lineEnd = if (t < 0) region.limit else t
-        val s = UTF8String.fromAddress(region.base, region.off + pos, lineEnd - pos)
-        nextRow = new GenericInternalRow(Array[Any](s))
+        slot(0) = UTF8String.fromAddress(region.base, region.off + pos, lineEnd - pos)
         pos = if (t < 0) -1 else afterTerm(t)
-      }
-      advance()
-      override def hasNext: Boolean = nextRow != null
-      override def next(): InternalRow = {
-        val r = nextRow
-        advance()
-        r
+        row
       }
     }
   }

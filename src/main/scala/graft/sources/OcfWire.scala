@@ -114,7 +114,29 @@ private[graft] object OcfWire {
       frame.reset()
     }
 
-    def append(row: InternalRow): Unit = {
+    /** Set when an append threw mid-record. The partial bytes are rolled
+      * back immediately (so the in-memory block only ever holds complete
+      * records), and [[close]] additionally skips the final block flush:
+      * a failed task must not emit bytes at all past what it already
+      * flushed — the task is dead, its output is garbage to the retry. */
+    private var failed = false
+
+    /** Run one record append atomically against the block buffer: on any
+      * throw, roll the buffer back to the pre-record mark and mark the
+      * writer failed, so `finally close()` paths can never flush a
+      * half-written record (the advisor's corrupt-part-file finding). */
+    @inline private def appending(encode: => Unit): Unit = {
+      val mark = block.size
+      try encode catch { case e: Throwable =>
+        failed = true
+        block.truncate(mark)
+        throw e
+      }
+      rowCount += 1L
+      if (block.size >= syncInterval) flushBlock()
+    }
+
+    def append(row: InternalRow): Unit = appending {
       var i = 0
       while (i < kinds.length) {
         if (row.isNullAt(i))
@@ -133,8 +155,6 @@ private[graft] object OcfWire {
         }
         i += 1
       }
-      rowCount += 1L
-      if (block.size >= syncInterval) flushBlock()
     }
 
     /** Append a pre-encoded Avro record body (the fused fixed→Avro
@@ -142,10 +162,8 @@ private[graft] object OcfWire {
       * straight in the block buffer — no field dispatch at all. The
       * caller guarantees the bytes are a record of this writer's schema
       * (FixedAvroSpec pins them byte-identical to the typed encode). */
-    def appendEncoded(body: Array[Byte]): Unit = {
+    def appendEncoded(body: Array[Byte]): Unit = appending {
       block.writeRaw(body)
-      rowCount += 1L
-      if (block.size >= syncInterval) flushBlock()
     }
 
     /** Encode a fixed-width LINE straight into the block buffer via the
@@ -154,10 +172,8 @@ private[graft] object OcfWire {
       * line bytes → block buffer → snappy, exactly the reference's
       * reused-record chunk loop shape. */
     def appendLine(encoder: graft.functions.FixedAvro.LineEncoder,
-        line: UTF8String): Unit = {
+        line: UTF8String): Unit = appending {
       encoder.encodeInto(line, block)
-      rowCount += 1L
-      if (block.size >= syncInterval) flushBlock()
     }
 
     private def flushBlock(): Unit = {
@@ -184,7 +200,7 @@ private[graft] object OcfWire {
     }
 
     def close(): Unit = {
-      flushBlock()
+      if (!failed) flushBlock()
       out.flush()
       out.close()
     }

@@ -102,6 +102,46 @@ class LineScanSpec extends SparkSpec {
     assert(scan(one, 2L) == Seq("p", "q", "r"))
   }
 
+  test("nested subdirectories fail loudly instead of silently diverging") {
+    // spark.read.text's nested handling is modal (plain subdirs are
+    // silently IGNORED — verified below — while key=value subdirs
+    // trigger partition discovery); the native scan supports neither,
+    // and must refuse rather than read a different row set than the
+    // stock source it replaces by default.
+    val dir = fixture(Seq("top1\ntop2\n"))
+    val sub = java.nio.file.Paths.get(dir, "sub")
+    java.nio.file.Files.createDirectory(sub)
+    java.nio.file.Files.write(sub.resolve("part-xyz.txt"), "nested\n".getBytes("UTF-8"))
+    assert(stock(dir) == Seq("top1", "top2")) // stock: plain subdir ignored
+    val e = intercept[IllegalArgumentException] { scan(dir, 4L) }
+    assert(e.getMessage.contains("nested") && e.getMessage.contains(LineScan.Conf))
+    // hidden subdirs (_temporary and friends) stay skipped, not fatal
+    val hid = java.nio.file.Paths.get(dir, "_temporary")
+    java.nio.file.Files.createDirectory(hid)
+    java.nio.file.Files.delete(sub.resolve("part-xyz.txt"))
+    java.nio.file.Files.delete(sub)
+    assert(scan(dir, 4L) == Seq("top1", "top2"))
+  }
+
+  test("chunk iterator reuses ONE row instance (no per-line allocation)") {
+    // The narrow-row regression fix: the per-chunk iterator must emit
+    // the SAME mutable row object for every line (consumers copy via
+    // RDDScanExec's per-row unsafe projection). A fresh row per line —
+    // ~3 GB of young-gen churn per pass over a 41 M-line corpus —
+    // would make this identity check fail immediately.
+    val dir = fixture(Seq("one\ntwo\nthree\n"))
+    val file = new java.io.File(dir).listFiles().filter(_.isFile).head.getAbsolutePath
+    val it = LineScan.readChunkForTest(spark, file, 0L, new java.io.File(file).length())
+    assert(it.hasNext)
+    val r1 = it.next()
+    val v1 = r1.getUTF8String(0).toString
+    assert(it.hasNext)
+    val r2 = it.next()
+    assert(r1 eq r2, "per-chunk row must be reused, not allocated per line")
+    assert(v1 == "one" && r2.getUTF8String(0).toString == "two")
+    assert(it.next().getUTF8String(0).toString == "three" && !it.hasNext)
+  }
+
   test("adaptive chunking fans a single small file out across cores") {
     // The regression class: a fixed chunk cap turned one 63 MB file
     // into ONE task. With the FilePartition-style sizing, a file much

@@ -102,4 +102,27 @@ class OcfWireSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](w.append(bad))
     assert(e.getMessage.contains("f_bool"))
   }
+
+  test("a mid-record append failure never reaches the file (no corrupt block)") {
+    // A row whose THIRD field is null fails after two fields are already
+    // encoded; the partial bytes must be rolled back, and a `finally
+    // close()` after the failure (exactly Ocf.writeFixed's cleanup path)
+    // must not flush the pending block — the emitted bytes must remain a
+    // valid container holding only fully-flushed records.
+    val avroSchema = new Schema.Parser().parse(avroJson)
+    val out = new ByteArrayOutputStream()
+    val w = new OcfWire.Writer(avroSchema, sparkSchema, out, syncInterval = 256)
+    (0 until 20).foreach(i => w.append(row(i))) // a few full blocks flush
+    val flushedLen = out.size()
+    val partial = {
+      val vals = row(999).values.clone(); vals(2) = null
+      new GenericInternalRow(vals)
+    }
+    intercept[IllegalArgumentException](w.append(partial))
+    w.close()
+    assert(out.size() == flushedLen, "failed writer flushed bytes on close")
+    val (_, records) = Ocf.decodeBytes(out.toByteArray)
+    assert(records.size <= 20, "no record past the failure may appear")
+    records.zipWithIndex.foreach { case (r, i) => assert(r.get("f_int") == i) }
+  }
 }
