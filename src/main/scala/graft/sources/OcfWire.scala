@@ -121,40 +121,48 @@ private[graft] object OcfWire {
       * flushed — the task is dead, its output is garbage to the retry. */
     private var failed = false
 
-    /** Run one record append atomically against the block buffer: on any
-      * throw, roll the buffer back to the pre-record mark and mark the
-      * writer failed, so `finally close()` paths can never flush a
-      * half-written record (the advisor's corrupt-part-file finding). */
-    @inline private def appending(encode: => Unit): Unit = {
-      val mark = block.size
-      try encode catch { case e: Throwable =>
-        failed = true
-        block.truncate(mark)
-        throw e
-      }
+    /** Roll back a record that threw mid-encode: the block buffer drops
+      * the partial bytes immediately, and the failed flag makes [[close]]
+      * skip the final flush, so a `finally close()` path can never emit a
+      * half-written record (the advisor's corrupt-part-file finding).
+      * Appends are written as explicit try/catch around this helper —
+      * NOT a by-name `appending { ... }` wrapper, which would allocate a
+      * thunk per row on the hot path (the build runs without the scalac
+      * optimizer, so `@inline` by-name params do not inline away). */
+    private def abortRecord(mark: Int, e: Throwable): Nothing = {
+      failed = true
+      block.truncate(mark)
+      throw e
+    }
+
+    @inline private def sealRecord(): Unit = {
       rowCount += 1L
       if (block.size >= syncInterval) flushBlock()
     }
 
-    def append(row: InternalRow): Unit = appending {
-      var i = 0
-      while (i < kinds.length) {
-        if (row.isNullAt(i))
-          throw new IllegalArgumentException(
-            s"OcfWire: null in field '${sparkSchema(i).name}' — flat no-union model")
-        (kinds(i): @annotation.switch) match {
-          case KBool => block.writeBoolean(row.getBoolean(i))
-          case KInt => block.writeInt(row.getInt(i))
-          case KLong => block.writeLong(row.getLong(i))
-          case KIntAsLong => block.writeLong(row.getInt(i).toLong)
-          case KFloat => block.writeFloat(row.getFloat(i))
-          case KDouble => block.writeDouble(row.getDouble(i))
-          case KStr => block.writeUtf8(row.getUTF8String(i))
-          case KBytes => block.writeBytes(row.getBinary(i))
-          case KTsMillis => block.writeLong(Math.floorDiv(row.getLong(i), 1000L))
+    def append(row: InternalRow): Unit = {
+      val mark = block.size
+      try {
+        var i = 0
+        while (i < kinds.length) {
+          if (row.isNullAt(i))
+            throw new IllegalArgumentException(
+              s"OcfWire: null in field '${sparkSchema(i).name}' — flat no-union model")
+          (kinds(i): @annotation.switch) match {
+            case KBool => block.writeBoolean(row.getBoolean(i))
+            case KInt => block.writeInt(row.getInt(i))
+            case KLong => block.writeLong(row.getLong(i))
+            case KIntAsLong => block.writeLong(row.getInt(i).toLong)
+            case KFloat => block.writeFloat(row.getFloat(i))
+            case KDouble => block.writeDouble(row.getDouble(i))
+            case KStr => block.writeUtf8(row.getUTF8String(i))
+            case KBytes => block.writeBytes(row.getBinary(i))
+            case KTsMillis => block.writeLong(Math.floorDiv(row.getLong(i), 1000L))
+          }
+          i += 1
         }
-        i += 1
-      }
+      } catch { case e: Throwable => abortRecord(mark, e) }
+      sealRecord()
     }
 
     /** Append a pre-encoded Avro record body (the fused fixed→Avro
@@ -162,8 +170,11 @@ private[graft] object OcfWire {
       * straight in the block buffer — no field dispatch at all. The
       * caller guarantees the bytes are a record of this writer's schema
       * (FixedAvroSpec pins them byte-identical to the typed encode). */
-    def appendEncoded(body: Array[Byte]): Unit = appending {
-      block.writeRaw(body)
+    def appendEncoded(body: Array[Byte]): Unit = {
+      val mark = block.size
+      try block.writeRaw(body)
+      catch { case e: Throwable => abortRecord(mark, e) }
+      sealRecord()
     }
 
     /** Encode a fixed-width LINE straight into the block buffer via the
@@ -172,8 +183,11 @@ private[graft] object OcfWire {
       * line bytes → block buffer → snappy, exactly the reference's
       * reused-record chunk loop shape. */
     def appendLine(encoder: graft.functions.FixedAvro.LineEncoder,
-        line: UTF8String): Unit = appending {
-      encoder.encodeInto(line, block)
+        line: UTF8String): Unit = {
+      val mark = block.size
+      try encoder.encodeInto(line, block)
+      catch { case e: Throwable => abortRecord(mark, e) }
+      sealRecord()
     }
 
     private def flushBlock(): Unit = {
