@@ -68,10 +68,21 @@ object Similarity {
     * exactly when it is needed). The partition count is pinned
     * explicitly so AQE cannot coalesce the tiny-by-bytes exchange back
     * to one partition — bytes are the wrong proxy for the quadratic
-    * compute DOWNSTREAM of this scan. */
-  private def fanOut(spark: SparkSession, df: DataFrame, keys: Column*): DataFrame = {
+    * compute DOWNSTREAM of this scan.
+    *
+    * The split-count probe (`df.rdd.getNumPartitions`) physical-plans a
+    * throwaway copy of the corpus subplan, so it is memoized per corpus
+    * dir: repeat queries skip both the planning and the (cached, but
+    * thousands-of-splits at 100 TB) file-split enumeration. Every probed
+    * frame is narrow ops over the same `normed(dir)` scan, so one count
+    * per dir is exact. */
+  private val scanSplitsCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def fanOut(spark: SparkSession, dir: String, df: DataFrame,
+      keys: Column*): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= par) df
+    val splits = scanSplitsCache.computeIfAbsent(dir, _ => df.rdd.getNumPartitions)
+    if (splits >= par) df
     else df.repartition(par, keys: _*)
   }
 
@@ -92,7 +103,7 @@ object Similarity {
     val n = normed(spark, dir)
     val a = n.select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
       .withColumn("blk", explode(typedLit((0 until blocks).toArray)))
-    val b = fanOut(spark,
+    val b = fanOut(spark, dir,
       n.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
         .withColumn("blk", pmod(hash(col("neighbor_id")), lit(blocks))),
       col("blk"), col("neighbor_id"))
@@ -212,7 +223,7 @@ object Similarity {
     val withCells = n.withColumn("cellSims", cellSims)
       .withColumn("cell", expr(
         s"array_position(cellSims, array_max(cellSims)) - 1"))
-    val assigned = fanOut(spark,
+    val assigned = fanOut(spark, dir,
       withCells.select(col("vec_id"), col("v"), col("nrm"), col("cell")),
       col("cell"), col("vec_id"))
     val probes = withCells.select(col("vec_id").as("query_id"),
@@ -251,8 +262,12 @@ object Similarity {
     * entry is unpersisted and dropped (rebuilt on next touch). */
   private val MaxExactPairCorpora = 4
 
-  /** Access-ordered LRU; all access goes through [[exactTopkPairs]]'s
-    * synchronized block (build races would just persist twice). */
+  /** Access-ordered LRU. The monitor guards MAP MUTATION only — the
+    * O(N²) exact-baseline build runs OUTSIDE it, so a cold build for one
+    * corpus never blocks cache hits (or concurrent builds) for others.
+    * Two threads racing the same cold key both build; the loser
+    * unpersists its copy and adopts the winner's — a wasted job, never a
+    * wrong result or a leaked storage block. */
   private val exactPairsCache =
     new java.util.LinkedHashMap[(String, Int), DataFrame](8, 0.75f, true) {
       override def removeEldestEntry(
@@ -263,19 +278,19 @@ object Similarity {
       }
     }
 
-  private def exactTopkPairs(spark: SparkSession, dir: String): DataFrame =
+  private def exactTopkPairs(spark: SparkSession, dir: String): DataFrame = {
+    val key = (dir, K)
+    val hit = exactPairsCache.synchronized(exactPairsCache.get(key))
+    if (hit != null) return hit
+    val df = similarityTopk(spark, dir).select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count() // materialize now so every later recall check is a cache read
     exactPairsCache.synchronized {
-      val key = (dir, K)
-      val hit = exactPairsCache.get(key)
-      if (hit != null) hit
-      else {
-        val df = similarityTopk(spark, dir).select(col("query_id"), col("neighbor_id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count() // materialize now so every later recall check is a cache read
-        exactPairsCache.put(key, df)
-        df
-      }
+      val raced = exactPairsCache.get(key)
+      if (raced != null) { df.unpersist(false); raced }
+      else { exactPairsCache.put(key, df); df }
     }
+  }
 
   def similarityAnnRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = exactTopkPairs(spark, dir)

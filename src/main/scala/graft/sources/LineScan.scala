@@ -66,25 +66,27 @@ object LineScan {
   private val schema = StructType(Seq(StructField("value", StringType, nullable = false)))
 
   /** Top-level data files of `root` (minus _SUCCESS/._* markers), in
-    * stable path order. A visible SUBdirectory fails loudly: the stock
-    * source's handling of nested layouts is modal (plain subdirs are
-    * silently ignored; key=value subdirs trigger partition discovery),
-    * and the native scan supports neither — reading fewer or more rows
-    * than `spark.read.text` silently is the one unacceptable outcome,
-    * so the divergence is an error that names the escape hatch. */
+    * stable path order. The stock source's handling of nested layouts
+    * is modal: plain visible subdirs are silently IGNORED (pinned by
+    * LineScanSpec against `spark.read.text` itself), while `key=value`
+    * subdirs trigger partition discovery and their files ARE read. The
+    * native scan matches the first case exactly (skip, like stock) and
+    * fails loudly on the second — silently reading FEWER rows than the
+    * stock source it replaces is the one unacceptable outcome, so that
+    * divergence is an error that names the escape hatch. */
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] = {
     def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
     if (root.isFile) Seq(root)
     else {
       val kids = fs.listStatus(root.getPath).toSeq.filter(s => visible(s.getPath.getName))
-      kids.find(_.isDirectory).foreach { d =>
+      kids.find(d => d.isDirectory && d.getPath.getName.contains('=')).foreach { d =>
         throw new IllegalArgumentException(
-          s"LineScan reads flat directories only, found nested ${d.getPath}; " +
-          s"set $Conf=false to route nested/partitioned layouts through " +
+          s"LineScan does not do partition discovery, found ${d.getPath}; " +
+          s"set $Conf=false to route partitioned layouts through " +
           "spark.read.text")
       }
-      kids.sortBy(_.getPath.toString)
+      kids.filter(_.isFile).sortBy(_.getPath.toString)
     }
   }
 
@@ -119,15 +121,23 @@ object LineScan {
     val chunks = files.flatMap { st =>
       val len = st.getLen
       val k = math.max(1L, (len + effChunk - 1) / effChunk)
+      // i-th boundary is floor(i*len/k), computed overflow-safe: the
+      // naive i*len product wraps past 2^63 for multi-TiB single files
+      // (where the garbage chunks would be FILTERED, silently dropping
+      // rows). Both terms here stay below len and k^2 respectively.
+      def bound(i: Long): Long = i * (len / k) + i * (len % k) / k
       (0L until k).map(i => Chunk(st.getPath.toString,
-        i * len / k, (i + 1) * len / k, len, forceStream))
+        bound(i), bound(i + 1), len, forceStream))
     }.filter(c => c.end > c.start)
-    // Bin-pack chunks into tasks exactly like FilePartition packs file
-    // splits: a directory of many small files must not fan out as one
-    // task per file (64 x 69 MB part files on 32 cores = two ragged
-    // waves; packed = one). Chunks are packed in path order, closing a
-    // task when it reaches effChunk bytes (+ openCost per chunk for the
-    // per-file open overhead).
+    // Bin-pack chunks into tasks the way FilePartition packs file
+    // splits: a directory of MANY SMALL files must not fan out as one
+    // task per file (512 x 8 MB part files on 32 cores would be 512
+    // tiny tasks; packed they schedule as ~32). Chunks are packed in
+    // path order, closing a task when it reaches effChunk bytes
+    // (+ openCost per chunk for the per-file open overhead) — the same
+    // threshold rule as Spark's own packing, so files bigger than
+    // ~half of effChunk still go one per task, exactly like the stock
+    // source.
     val packed = Seq.newBuilder[Seq[Chunk]]
     var group = Vector.empty[Chunk]
     var groupBytes = 0L
@@ -270,18 +280,20 @@ object LineScan {
   private def readChunk(c: Chunk,
       conf: org.apache.hadoop.conf.Configuration): Iterator[InternalRow] = {
     val uri = new Path(c.file).toUri
+    // Outside a task (TaskContext null: direct driver-side callers) the
+    // iterator closes the region itself on exhaustion — which would
+    // UNMAP an mmap region under any zero-copy row views the caller
+    // retained (use-after-free, not a leak). So non-task callers always
+    // take the stream region: its rows view a heap array that plain GC
+    // liveness keeps valid after close(). Inside a task the mmap region
+    // is released at task end, which pins mappings for as long as any
+    // zero-copy row can exist in that task.
+    val taskCtx = org.apache.spark.TaskContext.get()
     val region: Region =
-      if (!c.forceStream && addressField.isDefined &&
+      if (taskCtx != null && !c.forceStream && addressField.isDefined &&
           (uri.getScheme == null || uri.getScheme == "file"))
         new MmapRegion(c, new java.io.File(uri.getPath))
       else new StreamRegion(c, conf)
-    // A limit()/failure can abandon the iterator mid-chunk — release at
-    // task end unconditionally; holding the region there also pins mmap
-    // mappings for as long as any zero-copy row can exist in this task.
-    // Outside a task (TaskContext null: direct driver-side callers) the
-    // iterator closes the region itself on exhaustion instead — close()
-    // is idempotent, so a caller that lands in a task anyway is fine.
-    val taskCtx = org.apache.spark.TaskContext.get()
     if (taskCtx != null) taskCtx.addTaskCompletionListener[Unit](_ => region.close())
 
     /** Relative index of the first LF/CR at-or-after `from`, extending

@@ -116,10 +116,18 @@ private[graft] object OcfWire {
 
     /** Set when an append threw mid-record. The partial bytes are rolled
       * back immediately (so the in-memory block only ever holds complete
-      * records), and [[close]] additionally skips the final block flush:
-      * a failed task must not emit bytes at all past what it already
-      * flushed — the task is dead, its output is garbage to the retry. */
+      * records), [[close]] additionally skips the final block flush — a
+      * failed task must not emit bytes past what it already flushed; the
+      * task is dead and its output is garbage to the retry — and every
+      * LATER append refuses loudly: records accepted after a failure
+      * would land in that never-flushed block, i.e. silent data loss for
+      * a caller that catches the original error and keeps writing. */
     private var failed = false
+
+    @inline private def requireLive(): Unit =
+      if (failed) throw new IllegalStateException(
+        "OcfWire.Writer: an earlier append failed; the writer emits no " +
+        "further bytes (its pending block is discarded on close)")
 
     /** Roll back a record that threw mid-encode: the block buffer drops
       * the partial bytes immediately, and the failed flag makes [[close]]
@@ -141,6 +149,7 @@ private[graft] object OcfWire {
     }
 
     def append(row: InternalRow): Unit = {
+      requireLive()
       val mark = block.size
       try {
         var i = 0
@@ -171,6 +180,7 @@ private[graft] object OcfWire {
       * caller guarantees the bytes are a record of this writer's schema
       * (FixedAvroSpec pins them byte-identical to the typed encode). */
     def appendEncoded(body: Array[Byte]): Unit = {
+      requireLive()
       val mark = block.size
       try block.writeRaw(body)
       catch { case e: Throwable => abortRecord(mark, e) }
@@ -184,6 +194,7 @@ private[graft] object OcfWire {
       * reused-record chunk loop shape. */
     def appendLine(encoder: graft.functions.FixedAvro.LineEncoder,
         line: UTF8String): Unit = {
+      requireLive()
       val mark = block.size
       try encoder.encodeInto(line, block)
       catch { case e: Throwable => abortRecord(mark, e) }

@@ -102,25 +102,27 @@ class LineScanSpec extends SparkSpec {
     assert(scan(one, 2L) == Seq("p", "q", "r"))
   }
 
-  test("nested subdirectories fail loudly instead of silently diverging") {
-    // spark.read.text's nested handling is modal (plain subdirs are
-    // silently IGNORED — verified below — while key=value subdirs
-    // trigger partition discovery); the native scan supports neither,
-    // and must refuse rather than read a different row set than the
-    // stock source it replaces by default.
+  test("nested subdirectories: plain skipped like stock, key=value fails loudly") {
+    // spark.read.text's nested handling is modal: plain subdirs are
+    // silently IGNORED (verified against stock below — the native scan
+    // matches), while key=value subdirs trigger partition discovery and
+    // their files ARE read — the native scan must refuse those rather
+    // than silently return fewer rows than the source it replaces.
     val dir = fixture(Seq("top1\ntop2\n"))
     val sub = java.nio.file.Paths.get(dir, "sub")
     java.nio.file.Files.createDirectory(sub)
     java.nio.file.Files.write(sub.resolve("part-xyz.txt"), "nested\n".getBytes("UTF-8"))
     assert(stock(dir) == Seq("top1", "top2")) // stock: plain subdir ignored
-    val e = intercept[IllegalArgumentException] { scan(dir, 4L) }
-    assert(e.getMessage.contains("nested") && e.getMessage.contains(LineScan.Conf))
-    // hidden subdirs (_temporary and friends) stay skipped, not fatal
+    assert(scan(dir, 4L) == Seq("top1", "top2")) // native: same
+    // hidden subdirs (_temporary and friends) equally skipped
     val hid = java.nio.file.Paths.get(dir, "_temporary")
     java.nio.file.Files.createDirectory(hid)
-    java.nio.file.Files.delete(sub.resolve("part-xyz.txt"))
-    java.nio.file.Files.delete(sub)
     assert(scan(dir, 4L) == Seq("top1", "top2"))
+    // partition-style subdir: stock would read sub files — refuse loudly
+    val part = java.nio.file.Paths.get(dir, "ds=2026-08-13")
+    java.nio.file.Files.createDirectory(part)
+    val e = intercept[IllegalArgumentException] { scan(dir, 4L) }
+    assert(e.getMessage.contains("partition") && e.getMessage.contains(LineScan.Conf))
   }
 
   test("chunk iterator reuses ONE row instance (no per-line allocation)") {

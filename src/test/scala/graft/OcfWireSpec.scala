@@ -119,6 +119,10 @@ class OcfWireSpec extends AnyFunSuite {
       new GenericInternalRow(vals)
     }
     intercept[IllegalArgumentException](w.append(partial))
+    // appends after a failure refuse loudly — accepting them would put
+    // records in the never-flushed final block (silent data loss for a
+    // caller that catches the first error and keeps writing)
+    intercept[IllegalStateException](w.append(row(21)))
     w.close()
     assert(out.size() == flushedLen, "failed writer flushed bytes on close")
     val (_, records) = Ocf.decodeBytes(out.toByteArray)

@@ -74,12 +74,16 @@ class TopKAndPlanSpec extends SparkSpec {
     // (the real shape of the r8-r11 similarity_topk creep: 4.09 s at
     // sf0.1 single-task, 0.8 s fanned out). Pin the exchange: a plan
     // that loses it silently re-serializes the quadratic stage.
+    // keys must sit inside the SAME hashpartitioning clause: `blk` alone
+    // hashes into at most Blocks(=16) distinct groups — half a 32-core
+    // cluster idle — so losing `neighbor_id` from the exchange is a
+    // regression this pin must catch, not just losing the exchange.
     val topk = executed(Similarity.similarityTopk(spark, sf))
-    assert(topk.contains("hashpartitioning(blk") && topk.contains("neighbor_id"),
-      s"no corpus-side fan-out exchange in similarity_topk plan:\n${topk.take(1500)}")
+    assert("hashpartitioning\\(blk[^)]*neighbor_id".r.findFirstIn(topk).isDefined,
+      s"no (blk, neighbor_id) fan-out exchange in similarity_topk plan:\n${topk.take(1500)}")
     val ivf = executed(Similarity.similarityAnnIvf(spark, sf))
-    assert(ivf.contains("hashpartitioning(cell"),
-      s"no corpus-side fan-out exchange in similarity_ann_ivf plan:\n${ivf.take(1500)}")
+    assert("hashpartitioning\\(cell[^)]*vec_id".r.findFirstIn(ivf).isDefined,
+      s"no (cell, vec_id) fan-out exchange in similarity_ann_ivf plan:\n${ivf.take(1500)}")
   }
 
   test("q3/q5 survive with broadcast disabled (no forced broadcast hint)") {
