@@ -132,12 +132,12 @@ object LineScan {
     // Bin-pack chunks into tasks the way FilePartition packs file
     // splits: a directory of MANY SMALL files must not fan out as one
     // task per file (512 x 8 MB part files on 32 cores would be 512
-    // tiny tasks; packed they schedule as ~32). Chunks are packed in
-    // path order, closing a task when it reaches effChunk bytes
-    // (+ openCost per chunk for the per-file open overhead) — the same
-    // threshold rule as Spark's own packing, so files bigger than
-    // ~half of effChunk still go one per task, exactly like the stock
-    // source.
+    // tiny tasks; packed at 128 MB they schedule as ~47). Chunks are
+    // packed in path order, closing a task when it reaches effChunk
+    // bytes (+ openCost per chunk for the per-file open overhead) —
+    // the same threshold rule as Spark's own packing, so files bigger
+    // than ~half of effChunk still go one per task, exactly like the
+    // stock source.
     val packed = Seq.newBuilder[Seq[Chunk]]
     var group = Vector.empty[Chunk]
     var groupBytes = 0L
