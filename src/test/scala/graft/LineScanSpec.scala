@@ -152,4 +152,17 @@ class LineScanSpec extends SparkSpec {
     val parts = LineScan.read(spark, dir).rdd.getNumPartitions
     assert(parts > 1, s"small single file collapsed to $parts partition(s)")
   }
+
+  test("many small files bin-pack into few tasks, not one task per file") {
+    // The opposite regression class: a directory of many files far
+    // smaller than the chunk size must pack several files per task
+    // (FilePartition's rule) — per-file tasks at 100 TB would mean
+    // millions of tiny tasks. 64 x ~100 KB files with a 1 MiB-floored
+    // effective chunk must land well under 64 tasks, while reading
+    // exactly the stock row multiset.
+    val dir = fixture(Seq.fill(64)(("y" * 99 + "\n") * 1000)) // 64 x 100 KB
+    val parts = LineScan.read(spark, dir).rdd.getNumPartitions
+    assert(parts < 32, s"64 tiny files fanned out as $parts tasks (no packing)")
+    assert(scan(dir, 1L << 20) == stock(dir))
+  }
 }
