@@ -86,6 +86,17 @@ class TopKAndPlanSpec extends SparkSpec {
       s"no (cell, vec_id) fan-out exchange in similarity_ann_ivf plan:\n${ivf.take(1500)}")
   }
 
+  test("session keeps the object-hash-aggregate fallback threshold raised") {
+    // GraftSession sets spark.sql.objectHashAggregate.sortBased
+    // .fallbackThreshold to 4096: the engine's TypedImperativeAggregates
+    // hold BOUNDED k-entry buffers, and Spark's default of 128 made any
+    // task with >128 groups abandon the hash map and SORT all scored
+    // pairs (measured on similarity_topk at sf0.1: 3.8 -> 2.7 s from
+    // this setting alone). Removing the config silently reverts that.
+    assert(spark.conf.get(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == "4096")
+  }
+
   test("q3/q5 survive with broadcast disabled (no forced broadcast hint)") {
     val q5Rows = Relational.q5NationVolume(spark, sf).count()
     val q3Rows = Relational.q3TopOrders(spark, sf).count()
