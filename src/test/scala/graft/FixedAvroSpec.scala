@@ -219,6 +219,27 @@ class FixedAvroSpec extends SparkSpec {
     assert(a.size == goodLines.size)
   }
 
+  test("a failing writeFixed task leaves no corrupt part file behind") {
+    // The corrupt-part-file scenario end-to-end (OcfWireSpec pins the
+    // writer in isolation; this pins the real job path): a task that
+    // dies mid-partition — garbage numerics fail the fused encoder —
+    // must fail the JOB, and whatever part file its `finally close()`
+    // left behind must still decode as a valid container holding only
+    // complete, fully-flushed records (never the failed block).
+    val dir = java.nio.file.Files.createTempDirectory("graft-fixedavro-fail").toString
+    val bad = line("J", "ab", "not-an-int", "0", "0", "0", "", ts, ts, ts)
+    val df = linesDf(goodLines :+ bad).coalesce(1)
+    assert(intercept[Exception](
+      graft.sources.Ocf.writeFixed(df, schema, dir, dropFooter = false)) != null)
+    new java.io.File(dir).listFiles().toSeq.filter(_.getName.endsWith(".avro"))
+      .foreach { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val (_, records) = graft.sources.Ocf.decodeBytes(bytes) // throws on partial bytes
+        assert(records.size <= goodLines.size,
+          s"${f.getName} carries records from the failed final block")
+      }
+  }
+
   test("fused path drops footer lines like the parser's filter") {
     val df = linesDf(goodLines.take(2) :+ ("*" * 30))
     assert(FixedWidthParser.toAvro(df, schema, 42).count() == 2)
