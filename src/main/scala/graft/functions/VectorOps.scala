@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Native vector expressions for the similarity/dedup operators.
   *
@@ -100,15 +99,20 @@ object VectorOps {
 
   /** All random-hyperplane LSH band signatures of a vector in one
     * compiled pass: planes is a (bands*rowsPerBand) x dim matrix; the
-    * output is `bands` strings of '0'/'1' sign bits. One expression
-    * evaluation computes every dot product exactly once — the
-    * higher-order-function formulation either recomputes the dot array
-    * per element (nested lambda) or splits into bands x rows separate
-    * expressions (interpreted, boxed). */
+    * output is `bands` ints, each band's sign bits packed MSB-first
+    * (row 0 = highest bit). One expression evaluation computes every
+    * dot product exactly once — the higher-order-function formulation
+    * either recomputes the dot array per element (nested lambda) or
+    * splits into bands x rows separate expressions (interpreted,
+    * boxed). The packed-int signature (r13; was an 8-char '0'/'1'
+    * string) keeps the banded rows a fixed 16 bytes through the
+    * candidate shuffles — no per-band string allocation, and the
+    * bucket join compares ints, not UTF8 bytes. */
   case class HyperplaneSignBands(child: Expression, planes: Array[Array[Double]],
       rowsPerBand: Int) extends UnaryExpression {
     require(planes.nonEmpty && planes.length % rowsPerBand == 0)
-    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    require(rowsPerBand <= 31, s"sign bits must pack into an int: $rowsPerBand > 31")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "vec_lsh_bands"
     override def nullIntolerant: Boolean = true
 
@@ -117,10 +121,10 @@ object VectorOps {
     override def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val dim = x.numElements()
-      val out = new Array[AnyRef](nBands)
-      val buf = new Array[Char](rowsPerBand)
+      val out = new Array[Int](nBands)
       var b = 0
       while (b < nBands) {
+        var sig = 0
         var r = 0
         while (r < rowsPerBand) {
           val p = planes(b * rowsPerBand + r)
@@ -128,10 +132,10 @@ object VectorOps {
           var i = 0
           val n = math.min(dim, p.length)
           while (i < n) { s += x.getDouble(i) * p(i); i += 1 }
-          buf(r) = if (s >= 0) '1' else '0'
+          sig = (sig << 1) | (if (s >= 0) 1 else 0)
           r += 1
         }
-        out(b) = UTF8String.fromString(new String(buf))
+        out(b) = sig
         b += 1
       }
       new GenericArrayData(out)
@@ -142,7 +146,7 @@ object VectorOps {
       nullSafeCodeGen(ctx, ev, a => {
         val dim = ctx.freshName("dim")
         val out = ctx.freshName("out")
-        val buf = ctx.freshName("buf")
+        val sig = ctx.freshName("sig")
         val b = ctx.freshName("b")
         val r = ctx.freshName("r")
         val p = ctx.freshName("p")
@@ -151,9 +155,9 @@ object VectorOps {
         val n = ctx.freshName("n")
         s"""
            |int $dim = $a.numElements();
-           |Object[] $out = new Object[$nBands];
-           |char[] $buf = new char[$rowsPerBand];
+           |int[] $out = new int[$nBands];
            |for (int $b = 0; $b < $nBands; $b++) {
+           |  int $sig = 0;
            |  for (int $r = 0; $r < $rowsPerBand; $r++) {
            |    double[] $p = $planesRef[$b * $rowsPerBand + $r];
            |    double $s = 0.0;
@@ -161,9 +165,9 @@ object VectorOps {
            |    for (int $i = 0; $i < $n; $i++) {
            |      $s += $a.getDouble($i) * $p[$i];
            |    }
-           |    $buf[$r] = $s >= 0 ? '1' : '0';
+           |    $sig = ($sig << 1) | ($s >= 0.0 ? 1 : 0);
            |  }
-           |  $out[$b] = org.apache.spark.unsafe.types.UTF8String.fromString(new String($buf));
+           |  $out[$b] = $sig;
            |}
            |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          """.stripMargin

@@ -285,7 +285,7 @@ object Dedup {
   val HyperRows = 8
   val EmbeddingDim = 64
 
-  private[ops] lazy val hyperplanes: Array[Array[Double]] = {
+  private[graft] lazy val hyperplanes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
     Array.fill(HyperBands * HyperRows)(Array.fill(EmbeddingDim)(rnd.nextGaussian()))
   }
@@ -311,9 +311,16 @@ object Dedup {
     // higher-order functions either recomputes the dot array per
     // element or interprets 2048 boxed lambdas per row.
     val bands = graft.functions.VectorOps.vec_lsh_bands(col("v"), hyperplanes, HyperRows)
+    // The signature projection runs at the corpus SCAN's partitioning —
+    // one split for a sub-128 MB embeddings file, so without the
+    // explicit exchange all 2048 dots/row land on a single core (and
+    // the bandedCandidates self-join executes that subplan TWICE). Same
+    // single-task collapse [[Similarity.fanOut]] fixes for the topk/IVF
+    // joins; a no-op at 100 TB where the scan fans out naturally.
+    val nf = Similarity.fanOut(spark, dir, n, col("vec_id"))
     // Id-only candidate shuffle (the 64-double vectors re-attach only to
     // the deduplicated candidate pairs for exact verification).
-    val banded = n.select(col("vec_id"), posexplode(bands).as(Seq("band", "sig")))
+    val banded = nf.select(col("vec_id"), posexplode(bands).as(Seq("band", "sig")))
     val cands = bandedCandidates(banded, "vec_id")
       .select(col("a").as("vec_a"), col("b").as("vec_b"))
     cands

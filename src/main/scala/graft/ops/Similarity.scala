@@ -78,7 +78,7 @@ object Similarity {
     * per dir is exact. */
   private val scanSplitsCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  private def fanOut(spark: SparkSession, dir: String, df: DataFrame,
+  private[graft] def fanOut(spark: SparkSession, dir: String, df: DataFrame,
       keys: Column*): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
     val splits = scanSplitsCache.computeIfAbsent(dir, _ => df.rdd.getNumPartitions)

@@ -84,6 +84,16 @@ class TopKAndPlanSpec extends SparkSpec {
     val ivf = executed(Similarity.similarityAnnIvf(spark, sf))
     assert("hashpartitioning\\(cell[^)]*vec_id".r.findFirstIn(ivf).isDefined,
       s"no (cell, vec_id) fan-out exchange in similarity_ann_ivf plan:\n${ivf.take(1500)}")
+    // dedup_embedding's 2048-dot signature projection has the same
+    // single-split collapse (r13): the explicit vec_id repartition must
+    // sit under the banded self-join, or the whole projection runs at
+    // the corpus scan's one split. REPARTITION_BY_NUM distinguishes the
+    // explicit fan-out from the verify joins' incidental
+    // ENSURE_REQUIREMENTS exchanges on the same key.
+    val emb = executed(graft.ops.Dedup.dedupEmbedding(spark, sf))
+    assert("hashpartitioning\\(vec_id[^,]*, \\d+\\), REPARTITION_BY_NUM".r
+        .findFirstIn(emb).isDefined,
+      s"no vec_id fan-out exchange in dedup_embedding plan:\n${emb.take(1500)}")
   }
 
   test("session keeps the object-hash-aggregate fallback threshold raised") {
