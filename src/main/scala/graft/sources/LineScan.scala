@@ -121,6 +121,15 @@ object LineScan {
     val chunks = files.flatMap { st =>
       val len = st.getLen
       val k = math.max(1L, (len + effChunk - 1) / effChunk)
+      // bound()'s i*(len%k) term stays below k^2, which is only
+      // overflow-safe while k <= floor(sqrt(2^63-1)) ~ 3.03e9. Past it
+      // the wrapped boundaries would be garbage chunks that the
+      // `end > start` filter silently DROPS — row loss. Only reachable
+      // with a tiny public chunkBytes on a multi-GB file; refuse loudly.
+      require(k <= 3037000499L,
+        s"${st.getPath}: ${len}B file at ${effChunk}B effective chunks " +
+        s"needs $k chunks, past the overflow-safe boundary-arithmetic " +
+        "range; raise chunkBytes")
       // i-th boundary is floor(i*len/k), computed overflow-safe: the
       // naive i*len product wraps past 2^63 for multi-TiB single files
       // (where the garbage chunks would be FILTERED, silently dropping
@@ -268,9 +277,12 @@ object LineScan {
   /** Test hook: the raw per-chunk iterator, for pinning the row-reuse
     * contract (LineScanSpec asserts successive rows are the SAME
     * instance — the narrow-row fix must not silently unwind into
-    * per-line allocation). */
+    * per-line allocation). The iterator is [[java.io.Closeable]]:
+    * driver-side callers that abandon it mid-chunk must close() it to
+    * release the region's stream deterministically (exhaustion also
+    * releases it; close after exhaustion is a no-op). */
   private[graft] def readChunkForTest(spark: SparkSession, file: String,
-      chunkStart: Long, chunkEnd: Long): Iterator[InternalRow] = {
+      chunkStart: Long, chunkEnd: Long): Iterator[InternalRow] with java.io.Closeable = {
     val len = new java.io.File(file).length()
     readChunk(Chunk(file, chunkStart, chunkEnd, len),
       spark.sparkContext.hadoopConfiguration)
@@ -278,7 +290,7 @@ object LineScan {
 
   /** All lines of one chunk, one pass. */
   private def readChunk(c: Chunk,
-      conf: org.apache.hadoop.conf.Configuration): Iterator[InternalRow] = {
+      conf: org.apache.hadoop.conf.Configuration): Iterator[InternalRow] with java.io.Closeable = {
     val uri = new Path(c.file).toUri
     // Outside a task (TaskContext null: direct driver-side callers) the
     // iterator closes the region itself on exhaustion — which would
@@ -351,7 +363,7 @@ object LineScan {
         case t  => afterTerm(t)
       }
 
-    new Iterator[InternalRow] {
+    new Iterator[InternalRow] with java.io.Closeable {
       // ONE mutable row + value slot per chunk, overwritten per line —
       // the reference's one-reused-record-per-chunk model
       // (`common/fixed.go:53-64`) and the same reuse contract Spark's
@@ -377,6 +389,13 @@ object LineScan {
         pos = if (t < 0) -1 else afterTerm(t)
         row
       }
+      // Driver-side callers abandoning the iterator mid-chunk: release
+      // the region's stream now instead of waiting for GC (the r12
+      // exhaustion-only close left an open stream on early termination).
+      // In-task the task-completion listener owns the region — closing
+      // early there would unmap an mmap region under zero-copy row
+      // views still live in the task, so this is a no-op.
+      override def close(): Unit = if (taskCtx == null) region.close()
     }
   }
 }

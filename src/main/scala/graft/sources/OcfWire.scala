@@ -201,27 +201,36 @@ private[graft] object OcfWire {
       sealRecord()
     }
 
+    /** A throw from anywhere in here (Snappy, or an IOException from
+      * `out.write` — disk full) may leave PARTIAL block bytes already on
+      * the stream; they cannot be recalled. The only safe state is
+      * `failed`: [[close]] must not re-run the flush (rowCount/block are
+      * un-reset, so a re-flush would emit a duplicated-and-partial
+      * block — exactly the corrupt-part-file class this writer exists to
+      * prevent), and later appends must refuse via [[requireLive]]. */
     private def flushBlock(): Unit = {
       if (rowCount == 0) return
-      val (buf, len) = block.raw()
-      val maxC = org.xerial.snappy.Snappy.maxCompressedLength(len)
-      if (scratch.length < maxC + 4) scratch = new Array[Byte](maxC + 4)
-      val cLen = org.xerial.snappy.Snappy.rawCompress(buf, 0, len, scratch, 0)
-      crc.reset()
-      crc.update(buf, 0, len)
-      val c = crc.getValue
-      // avro snappy codec: 4-byte BIG-ENDIAN crc32 of the UNCOMPRESSED
-      // data appended after the compressed bytes, inside the block size.
-      scratch(cLen) = (c >>> 24).toByte; scratch(cLen + 1) = (c >>> 16).toByte
-      scratch(cLen + 2) = (c >>> 8).toByte; scratch(cLen + 3) = c.toByte
-      frame.reset()
-      frame.writeLong(rowCount)
-      frame.writeLong(cLen + 4L)
-      flushFrame()
-      out.write(scratch, 0, cLen + 4)
-      out.write(sync, 0, sync.length)
-      block.reset()
-      rowCount = 0L
+      try {
+        val (buf, len) = block.raw()
+        val maxC = org.xerial.snappy.Snappy.maxCompressedLength(len)
+        if (scratch.length < maxC + 4) scratch = new Array[Byte](maxC + 4)
+        val cLen = org.xerial.snappy.Snappy.rawCompress(buf, 0, len, scratch, 0)
+        crc.reset()
+        crc.update(buf, 0, len)
+        val c = crc.getValue
+        // avro snappy codec: 4-byte BIG-ENDIAN crc32 of the UNCOMPRESSED
+        // data appended after the compressed bytes, inside the block size.
+        scratch(cLen) = (c >>> 24).toByte; scratch(cLen + 1) = (c >>> 16).toByte
+        scratch(cLen + 2) = (c >>> 8).toByte; scratch(cLen + 3) = c.toByte
+        frame.reset()
+        frame.writeLong(rowCount)
+        frame.writeLong(cLen + 4L)
+        flushFrame()
+        out.write(scratch, 0, cLen + 4)
+        out.write(sync, 0, sync.length)
+        block.reset()
+        rowCount = 0L
+      } catch { case e: Throwable => failed = true; throw e }
     }
 
     def close(): Unit = {

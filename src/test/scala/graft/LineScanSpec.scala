@@ -165,4 +165,44 @@ class LineScanSpec extends SparkSpec {
     assert(parts < 32, s"64 tiny files fanned out as $parts tasks (no packing)")
     assert(scan(dir, 1L << 20) == stock(dir))
   }
+
+  test("chunk count past the overflow-safe bound() range fails loudly") {
+    // bound()'s i*(len%k) boundary product wraps past k ~ 3.03e9; the
+    // wrapped boundaries would be garbage chunks the end>start filter
+    // silently DROPS (row loss). A sparse 4 GB file at chunkBytes=1
+    // needs ~4.3e9 chunks — the guard must refuse before planning, not
+    // emit a row-dropping scan.
+    val dir = java.nio.file.Files.createTempDirectory("graft-sparse").toString
+    val f = new java.io.RandomAccessFile(new java.io.File(dir, "part-000.txt"), "rw")
+    try f.setLength(4L << 30) // sparse: no disk actually written
+    finally f.close()
+    val e = intercept[IllegalArgumentException](LineScan.read(spark, dir, chunkBytes = 1L))
+    assert(e.getMessage.contains("chunkBytes"))
+  }
+
+  test("driver-side iterator abandoned mid-chunk releases its stream on close()") {
+    // The r12 exhaustion-only close left an abandoned iterator's input
+    // stream open until GC. The iterator is now Closeable; close() must
+    // release the fd deterministically (observed via /proc/self/fd) and
+    // be a no-op after exhaustion.
+    val dir = fixture(Seq("one\ntwo\nthree\n"))
+    val file = new java.io.File(dir).listFiles().filter(_.isFile).head.getAbsolutePath
+    def fdsOnFile: Int = {
+      val fdDir = new java.io.File("/proc/self/fd")
+      if (!fdDir.isDirectory) -1 // non-Linux: skip the fd observation
+      else fdDir.listFiles().count { l =>
+        try java.nio.file.Files.readSymbolicLink(l.toPath).toString == file
+        catch { case _: Throwable => false }
+      }
+    }
+    // chunkEnd strictly inside the file: a whole-file chunk hits eof at
+    // construction and the region pre-closes its own stream, which
+    // would make this test vacuous.
+    val it = LineScan.readChunkForTest(spark, file, 0L, 4L)
+    assert(it.next().getUTF8String(0).toString == "one")
+    if (fdsOnFile != -1) assert(fdsOnFile > 0, "stream region should hold the file open")
+    it.close() // abandon mid-chunk
+    if (fdsOnFile != -1) assert(fdsOnFile == 0, s"close() left the file open")
+    it.close() // idempotent
+  }
 }

@@ -129,4 +129,36 @@ class OcfWireSpec extends AnyFunSuite {
     assert(records.size <= 20, "no record past the failure may appear")
     records.zipWithIndex.foreach { case (r, i) => assert(r.get("f_int") == i) }
   }
+
+  test("a BLOCK-FLUSH failure poisons the writer (no re-flush on close)") {
+    // The dual of the mid-record case: the record encoded fine, but the
+    // stream died while the block was being emitted (disk full). Partial
+    // block bytes are already on the stream and cannot be recalled; the
+    // writer must (a) refuse later appends, and (b) NOT re-run the flush
+    // in close() — rowCount/block are un-reset after the throw, so a
+    // close-time re-flush would emit a duplicated-and-partial block
+    // right after the truncated one.
+    val avroSchema = new Schema.Parser().parse(avroJson)
+    var budget = Int.MaxValue
+    var written = 0
+    val out = new java.io.OutputStream {
+      override def write(b: Int): Unit = write(Array(b.toByte), 0, 1)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        if (written + len > budget)
+          throw new java.io.IOException("disk full (simulated)")
+        written += len
+      }
+    }
+    val w = new OcfWire.Writer(avroSchema, sparkSchema, out, syncInterval = 256)
+    budget = written + 40 // room for the block header, not the block body
+    val e = intercept[java.io.IOException] {
+      (0 until 20).foreach(i => w.append(row(i))) // 256B interval → flush mid-loop
+    }
+    assert(e.getMessage.contains("disk full"))
+    val lenAtFailure = written
+    intercept[IllegalStateException](w.append(row(21)))
+    budget = Int.MaxValue // even with the stream healed, close must not re-flush
+    w.close()
+    assert(written == lenAtFailure, "failed writer re-flushed its block on close")
+  }
 }
