@@ -123,6 +123,32 @@ object Pipeline {
       .orderBy(orderCols: _*)
   }
 
+  /** The fused export path over a CORRUPT corpus: ~1/7 of the rendered
+    * lines (those whose l_orderkey is divisible by 7 — the key is the
+    * line's first 12 chars, so the predicate is computable on the raw
+    * line) are truncated to 20 chars before the export. `strict=true`
+    * must DROP exactly those lines — not best-effort slice them into
+    * garbage records (the reference's silent F5/F8 behavior) — so the
+    * decoded output equals the non-corrupted subset, which DuckDB
+    * states directly. The drop-count observation is pinned separately
+    * in FixedAvroSpec (observations are not part of a query's rows). */
+  def fixedToAvroStrict(spark: SparkSession, dir: String): DataFrame = {
+    val schemaId = 42
+    val rendered = barrier(FixedWidth.render(lineitem(spark, dir), lineitemFixed))
+    val corrupted = rendered.select(
+      when(trim(substring(col("value"), 1, 12)).cast("long") % 7 === 0,
+        substring(col("value"), 1, 20)).otherwise(col("value")).as("value"))
+    val framed = FixedWidthParser.toAvro(corrupted, lineitemFixed, schemaId,
+      dropFooter = false, strict = true)
+    barrier(framed.select(AvroCodec.from_avro_rows(col("value"),
+      Map(schemaId -> lineitemFixed.avroJson),
+      lineitemFixed.avroJson, lineitemFixed.sparkSchema)))
+      .orderBy(orderCols: _*)
+  }
+
+  val fixedToAvroStrictOracle: String =
+    s"SELECT * FROM lineitem WHERE l_orderkey % 7 <> 0 ORDER BY $orderColsSql"
+
   /** typed rows → snappy OCF files (one per partition) → read back ≡ input. */
   def ocfRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = Scratch.dir(spark, "ocf")
@@ -199,6 +225,7 @@ object Pipeline {
     "fixedwidth_compat_spacepad" -> (compatSpacePad _),
     "avro_confluent_roundtrip" -> (avroRoundtrip _),
     "fixedwidth_toavro_fused" -> (fixedToAvroRoundtrip _),
+    "fixedwidth_toavro_strict" -> (fixedToAvroStrict _),
     "ocf_roundtrip" -> (ocfRoundtrip _),
     "kafka_stage_roundtrip" -> (kafkaRoundtrip _),
   )
@@ -210,6 +237,7 @@ object Pipeline {
     "fixedwidth_compat_spacepad" -> compatSpacePadOracle,
     "avro_confluent_roundtrip" -> identityOracle,
     "fixedwidth_toavro_fused" -> identityOracle,
+    "fixedwidth_toavro_strict" -> fixedToAvroStrictOracle,
     "ocf_roundtrip" -> identityOracle,
     "kafka_stage_roundtrip" -> identityOracle,
   )

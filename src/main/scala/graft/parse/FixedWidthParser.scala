@@ -229,25 +229,47 @@ object FixedWidthParser {
     kept.select(all: _*)
   }
 
+  /** Observation name for [[toAvro]]'s strict mode: `dropped_lines`
+    * (malformed, skipped) and `input_lines` (all lines that reached the
+    * validator). A 100 TB export must REPORT what it skipped — the same
+    * observability contract as Dedup's "lsh_buckets". */
+  val ToAvroObservation = "toavro_malformed"
+
   /** Fused parse+serialize: fixed-width lines → Confluent-framed (or
     * bare, `schemaId = -1`) Avro record bytes in ONE expression per row
     * ([[graft.functions.FixedAvro]]) — the hot export path, matching the
     * reference's fused toAvro stage. Strict semantics; byte-identical to
     * `parse(...).select(to_avro_confluent(fields))` (FixedAvroSpec), but
-    * with none of the composable chain's per-field wrapper traffic. */
+    * with none of the composable chain's per-field wrapper traffic.
+    *
+    * `strict=true` adds the [[parse]] corrupt-record guard to this hot
+    * path: a line whose rune length differs from the schema's row
+    * length is DROPPED (not best-effort sliced into a garbage record —
+    * the reference's silent F5/F8 behavior) and counted in the
+    * [[ToAvroObservation]] observation, so an export always reports how
+    * many lines it skipped. Opt-in: the validation is one extra
+    * codepoint-length walk per line, priced only when asked for. */
   def toAvro(
       lines: DataFrame,
       schema: FixedSchema,
       schemaId: Int,
       dropFooter: Boolean = true,
       lineCol: String = "value",
-      outCol: String = "value"): DataFrame = {
+      outCol: String = "value",
+      strict: Boolean = false): DataFrame = {
     val line = col(lineCol)
     val kept =
       if (dropFooter)
         lines.filter(!(line.startsWith(FooterPrefix) && octet_length(line) > FooterPrefix.length))
       else lines
-    kept.select(
+    val validated =
+      if (strict)
+        kept.observe(ToAvroObservation,
+            sum(when(length(line) =!= schema.rowRuneLen, 1L).otherwise(0L)).as("dropped_lines"),
+            count(lit(1)).as("input_lines"))
+          .filter(length(line) === schema.rowRuneLen)
+      else kept
+    validated.select(
       graft.functions.FixedAvro.fixed_to_avro_confluent(line, schema, schemaId).as(outCol))
   }
 

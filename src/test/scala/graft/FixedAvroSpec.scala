@@ -250,4 +250,25 @@ class FixedAvroSpec extends SparkSpec {
     assert(intercept[Exception](
       FixedWidthParser.toAvro(twelve, schema, 42).collect()) != null)
   }
+
+  test("strict toAvro drops malformed lines AND reports the drop count") {
+    // The hot export path's corrupt-record guard: short/long lines are
+    // dropped (not best-effort sliced into garbage records — the
+    // reference's silent F5/F8 behavior) and the skip is OBSERVABLE:
+    // a 100 TB export must report what it skipped. The observation
+    // also pins that Catalyst does not push the length filter below
+    // the CollectMetrics node (which would zero dropped_lines).
+    val corrupt = Seq(goodLines.head.take(20), // truncated
+      goodLines(1) + "XX", // over-long: would silently mis-slice
+      "")
+    val df = linesDf(new scala.util.Random(7).shuffle(goodLines ++ corrupt))
+    val framed = FixedWidthParser.toAvro(df, schema, 42,
+      dropFooter = false, strict = true)
+    assert(framed.collect().length == goodLines.size, "well-formed lines all survive")
+    val metrics = framed.queryExecution.observedMetrics(
+      FixedWidthParser.ToAvroObservation)
+    assert(metrics.getAs[Long]("dropped_lines") == corrupt.size.toLong,
+      s"observation must report the ${corrupt.size} skipped lines")
+    assert(metrics.getAs[Long]("input_lines") == (goodLines ++ corrupt).size.toLong)
+  }
 }
