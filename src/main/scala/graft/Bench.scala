@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   *  "cores":N,"runs":3,"sf":"dir"}        // runs EXCLUDES the +1 warmup
   * }}}
   *
-  * The line is deliberately SMALL (< ~1.8 KB): the round driver keeps
+  * The line is deliberately SMALL (< ~1.85 KB): the round driver keeps
   * only the final 2 KB of stdout (plus sbt's trailing "[success]" line)
   * and JSON-parses what it finds there — rounds 1-4 emitted one
   * everything-included line that outgrew that window, so the driver
@@ -103,6 +103,11 @@ object Bench {
     df.write.format("noop").mode("overwrite").save()
 
   private def fmt(d: Double): String = f"$d%.3f"
+  // Headline-only compact forms (the stdout line has a hard budget;
+  // 10 ms query resolution and whole lines/s are honest at this noise
+  // floor — the details file keeps full precision raw runs).
+  private def fmt2(d: Double): String = f"$d%.2f"
+  private def fmt0(d: Double): String = f"$d%.0f"
   private def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
 
   /** >= 4 GiB per corpus: at the r5 sizes the weblog parse leg ran
@@ -251,6 +256,80 @@ object Bench {
     }
   }
 
+  /** Pure-CPU drift calibration — the compute twin of
+    * [[deviceCalibration]]. A fixed in-memory fixed-width corpus
+    * (~63 MB, deterministic digits) is line-scanned and field-parsed
+    * single-threaded, no I/O, no Spark: 4 [[graft.functions.FastDouble]]
+    * parses + 2 digit-loop long parses + an 8-byte-stride checksum per
+    * line. A sandbox whose CPU is degraded (stolen cycles, thermal cap,
+    * noisy neighbor) shows up HERE as a lower MB/s — so a slow parse
+    * leg on such a day is attributable to the machine, not the engine,
+    * the way devcal already attributes the disk write legs. One warmup
+    * pass (JIT) + `passes` counted; median and raw runs returned. */
+  private def cpuCalibration(passes: Int = 5): (Double, Seq[Double]) = {
+    val lineLen = 529 // 528 payload + '\n', the weblog corpus shape
+    val nLines = 120000
+    val buf = new Array[Byte](lineLen * nLines)
+    java.util.Arrays.fill(buf, 'a'.toByte)
+    var i = 0
+    while (i < nLines) {
+      val o = i * lineLen
+      // four 14-char doubles, two 12-char longs; digits vary per line
+      var f = 0
+      while (f < 4) {
+        val d = o + f * 14
+        var j = 0
+        while (j < 14) { buf(d + j) = ('0' + (i + f + j) % 10).toByte; j += 1 }
+        buf(d + 7) = '.'
+        f += 1
+      }
+      var j = 0
+      while (j < 24) { buf(o + 56 + j) = ('0' + (i + j) % 10).toByte; j += 1 }
+      buf(o + lineLen - 1) = '\n'
+      i += 1
+    }
+    def pass(): Long = {
+      var sink = 0L
+      var off = 0
+      while (off < buf.length) {
+        var nl = off
+        while (buf(nl) != '\n') nl += 1
+        var f = 0
+        while (f < 4) {
+          val d = graft.functions.FastDouble.tryParse(
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(buf, off + f * 14, 14))
+          if (d != null) sink ^= java.lang.Double.doubleToLongBits(d)
+          f += 1
+        }
+        var g = 0
+        while (g < 2) {
+          var lv = 0L
+          var j = off + 56 + g * 12
+          val e = j + 12
+          while (j < e) { lv = lv * 10 + (buf(j) - '0'); j += 1 }
+          sink ^= lv
+          g += 1
+        }
+        var j = off + 80
+        while (j + 8 <= nl) {
+          sink ^= org.apache.spark.unsafe.Platform.getLong(buf,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + j)
+          j += 8
+        }
+        off = nl + 1
+      }
+      sink
+    }
+    var blackhole = pass() // warmup (JIT)
+    val runs = Seq.fill(passes) {
+      val t0 = System.nanoTime()
+      blackhole ^= pass()
+      buf.length / 1e6 / ((System.nanoTime() - t0) / 1e9)
+    }
+    if (blackhole == 42L) System.err.println("[bench] cpucal checksum") // keep live
+    (median(runs), runs)
+  }
+
   /** The reference's four-stage report over one corpus: scan, parse
     * (typed projection), encode (Avro + Confluent frame), OCF write.
     * The write and CPU-only OCF runs are INTERLEAVED with an I/O+GC
@@ -260,7 +339,8 @@ object Bench {
     * median is the honest compute figure for a bimodal write path. */
   private def corpusLegs(spark: SparkSession, sfDir: String, key: String,
       schema: FixedSchema, frame: DataFrame, nCores: Int,
-      targetBytes: Long = TargetBytes): (String, String, String) = {
+      targetBytes: Long = TargetBytes, cpucalField: String = "",
+      linesRates: Boolean = true): (String, String, String) = {
     val (dir, lines, bytes) = corpus(spark, sfDir, key, schema, frame, targetBytes)
     val lineDf = FixedWidth.lines(spark, dir)
     val parsed = graft.parse.FixedWidthParser.parse(lineDf, schema, Strict)
@@ -272,6 +352,20 @@ object Bench {
     val parseColdS = time(force(parsed)) // codegen + page-cache warmup
     val scanRuns = times(force(lineDf))
     val parseRuns = times(force(parsed), LegRuns)
+    // Standing A/B (r13): the SAME parse leg over the stock
+    // spark.read.text source. Prices the native LineScan against stock
+    // in every round's record, so a future LineScan regression is
+    // attributed the day it happens instead of a round later. 3 runs —
+    // it anchors attribution, not a headline figure.
+    val stockRuns = {
+      spark.conf.set(graft.sources.LineScan.Conf, "false")
+      try {
+        val stockParsed = graft.parse.FixedWidthParser.parse(
+          FixedWidth.lines(spark, dir), schema, Strict)
+        force(stockParsed) // codegen warmup for the stock plan
+        times(force(stockParsed), 3)
+      } finally spark.conf.set(graft.sources.LineScan.Conf, "true")
+    }
     val encodeRuns = times(force(framed), LegRuns)
     val ocfDir = s"/tmp/graft-bench-ocf-$key"
     // Reference-class-storage leg: the same full OCF pipeline into a
@@ -317,19 +411,37 @@ object Bench {
     val encodeS = median(encodeRuns); val ocfS = median(ocfRuns.toSeq)
     val ocfCpuS = median(ocfCpuRuns.toSeq)
     val ramJson =
-      if (ocfRamRuns.nonEmpty) s""""ocf_write_ram":${fmt(median(ocfRamRuns.toSeq))},""" +
-        s""""ocf_write_ram_min":${fmt(ocfRamRuns.min)}"""
+      if (ocfRamRuns.nonEmpty) s""""ocf_write_ram":${fmt2(median(ocfRamRuns.toSeq))},""" +
+        s""""ocf_write_ram_min":${fmt2(ocfRamRuns.min)}"""
       else """"ocf_write_ram":null,"ocf_write_ram_min":null"""
     val mbPerS = bytes / 1e6 / parseS
-    // Compact headline (goes on the driver-parsed stdout line)…
+    // Compact headline (goes on the driver-parsed stdout line). Min-of-N
+    // rides along for the parse and OCF legs (r13): on a drift day a
+    // single interference spike can bury a fix in the median —
+    // parse_min_s / per_core_lines_per_s_best are the engine's
+    // demonstrated-capable figures on the driver's own record. The
+    // headline has a hard byte budget (the driver's 2 KB stdout tail),
+    // so scan/encode mins, the stock-scan A/B, and the weblog
+    // line-rate variants live in bench_details.json only (which
+    // carries every leg's full raw-runs array); per-line rates ride
+    // the headline only for the narrow-row corpus, where lines/s is
+    // the README's claimed figure.
+    val linesRatesJson =
+      if (linesRates)
+        s""","per_core_lines_per_s":${fmt0(lines / parseS / nCores)},""" +
+        s""""per_core_lines_per_s_best":${fmt0(lines / parseRuns.min / nCores)}"""
+      else ""
     val parsedJson =
-      s"""{"parse_s":${fmt(parseS)},"mb_per_s":${fmt(mbPerS)},""" +
-      s""""per_core_mb_per_s":${fmt(mbPerS / nCores)},""" +
-      s""""per_core_lines_per_s":${fmt(lines / parseS / nCores)}}"""
+      s"""{"parse_s":${fmt(parseS)},"parse_min_s":${fmt(parseRuns.min)},""" +
+      s""""mb_per_s":${fmt0(mbPerS)},""" +
+      s""""per_core_mb_per_s":${fmt2(mbPerS / nCores)}""" +
+      s"""$linesRatesJson$cpucalField}"""
     val stagesJson =
-      s"""{"scan":${fmt(scanS)},"parse":${fmt(parseS)},"encode":${fmt(encodeS)},""" +
-      s""""ocf_write":${fmt(ocfS)},"ocf_write_min":${fmt(ocfRuns.min)},""" +
-      s""""ocf_cpu":${fmt(ocfCpuS)},"ocf_cpu_min":${fmt(ocfCpuRuns.min)},$ramJson}"""
+      s"""{"scan":${fmt2(scanS)},""" +
+      s""""parse":${fmt2(parseS)},"parse_min":${fmt2(parseRuns.min)},""" +
+      s""""encode":${fmt2(encodeS)},""" +
+      s""""ocf_write":${fmt2(ocfS)},"ocf_write_min":${fmt2(ocfRuns.min)},""" +
+      s""""ocf_cpu":${fmt2(ocfCpuS)},"ocf_cpu_min":${fmt2(ocfCpuRuns.min)},$ramJson}"""
     // …and the full leg record (goes to bench_details.json).
     val detailJson =
       s"""{"lines":$lines,"bytes":$bytes,"cols":${schema.fields.size},""" +
@@ -340,6 +452,9 @@ object Bench {
       // +~1.05 s while scan stayed flat — this field makes that uniform
       // parse-stage shift visible in one number across rounds.
       s""""parse_minus_scan_s":${fmt(parseS - scanS)},""" +
+      s""""parse_min_s":${fmt(parseRuns.min)},""" +
+      s""""parse_stock_s":${fmt(median(stockRuns))},""" +
+      s""""parse_stock_runs":${arr(stockRuns)},""" +
       s""""scan_runs":${arr(scanRuns)},"parse_runs":${arr(parseRuns)},""" +
       s""""encode_runs":${arr(encodeRuns)},"ocf_write_runs":${arr(ocfRuns.toSeq)},""" +
       s""""ocf_cpu_runs":${arr(ocfCpuRuns.toSeq)},""" +
@@ -388,11 +503,16 @@ object Bench {
     // ---- honest parse throughput on >= 1 GiB corpora, FIRST (fresh JVM
     // state — running the query sweep before this left enough heap/JIT
     // debris to multiply the measured parse time ~9x).
+    // CPU drift calibration FIRST (fresh JVM aside from its own warmup
+    // pass): the parse legs that follow are read against it.
+    val (cpucalMbPerS, cpucalRuns) = cpuCalibration()
     val li = Pipeline.lineitem(spark, sfDir)
     val (parsedJson, stagesJson, detailJson) =
-      corpusLegs(spark, sfDir, "lineitem", Pipeline.lineitemFixed, li, nCores)
+      corpusLegs(spark, sfDir, "lineitem", Pipeline.lineitemFixed, li, nCores,
+        cpucalField = s""","cpucal_mb_per_s":${fmt0(cpucalMbPerS)}""")
     val (parsedWeblogJson, stagesWeblogJson, detailWeblogJson) =
-      corpusLegs(spark, sfDir, "weblog", weblogFixed, weblogFrame(li), nCores)
+      corpusLegs(spark, sfDir, "weblog", weblogFixed, weblogFrame(li), nCores,
+        linesRates = false)
     // Multibyte diagnostic leg (details only): prices the rune-aware
     // slicer slow path that the ASCII headline corpora never hit.
     val detailWeblogMbJson = parseLegOnly(spark, sfDir, "weblogmb", weblogFixed,
@@ -461,7 +581,7 @@ object Bench {
       (name, median(counted), counted.min, runs)
     }
 
-    val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + fmt(m) }
+    val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + fmt2(m) }
       .mkString("{", ",", "}")
     val qmins = results.map { case (k, _, mn, _) => "\"" + k + "\":" + fmt(mn) }
       .mkString("{", ",", "}")
@@ -504,10 +624,23 @@ object Bench {
       "and summed minima of the counted runs, and outliers flags " +
       "[min,median] for any query whose median still exceeds 1.5x min " +
       "by >0.3s (empty = clean sweep; if the stdout headline would " +
-      "exceed its 1800-char budget the headline's outliers degrades to " +
+      "exceed its 1850-char budget the headline's outliers degrades to " +
       "{count:N} — this file always carries the full map). " +
       "parsed_weblog_mb is the multibyte twin corpus " +
-      "(4 Greek token columns) pricing the rune-aware slicer slow path\""
+      "(4 Greek token columns) pricing the rune-aware slicer slow path. " +
+      "cpucal_mb_per_s is the pure-CPU drift calibration: a canned " +
+      "in-memory 63 MB fixed-width corpus line-scanned and field-parsed " +
+      "single-threaded, no I/O, no Spark — a degraded-sandbox day shows " +
+      "up here, attributing slow parse legs to the machine the way " +
+      "devcal attributes the write legs. parse_min_s / " +
+      "per_core_lines_per_s_best / *_min stage fields are min-of-N " +
+      "alongside the median, so one interference spike cannot bury a " +
+      "fix; scan/encode mins live in this file's raw runs arrays " +
+      "(headline byte budget). parse_stock_s / parse_stock_runs " +
+      "(parsed blocks in this file) are the same parse leg over stock " +
+      "spark.read.text (spark.graft.linescan.enabled=false) — the " +
+      "standing native-vs-stock A/B, re-priced every round so a " +
+      "LineScan regression is attributed the day it happens\""
 
     // Full detail to a file (raw runs, corpus geometry, notes)…
     val detail =
@@ -519,6 +652,8 @@ object Bench {
       s""""parsed_weblog_mb":$detailWeblogMbJson,""" +
       s""""devcal_mb_per_s":${fmt(devcalMbPerS)},""" +
       s""""devcal_ram_mb_per_s":${devcalRamMbPerS.map(fmt).getOrElse("null")},""" +
+      s""""cpucal_mb_per_s":${fmt(cpucalMbPerS)},""" +
+      s""""cpucal_runs":${arr(cpucalRuns)},""" +
       s""""stages":$stagesJson,""" +
       s""""stages_weblog":$stagesWeblogJson,"cores":$nCores,""" +
       s""""runs":$Runs,"leg_runs":$LegRuns,"notes":$notes,"sf":"$sfDir"}"""
@@ -539,7 +674,12 @@ object Bench {
       s""""stages_weblog":$stagesWeblogJson,"cores":$nCores,"runs":$Runs,""" +
       s""""sf":"$sfDir"}"""
     var line = headline(outliers)
-    if (line.length > 1800) { // never regrow past the driver's tail window
+    // Budget: the driver keeps a 2048-byte stdout tail that must also
+    // hold the "[info] " prefix and sbt's trailing "[success]" line
+    // (~75 bytes). The r13 min-leg/cpucal fields pushed a first draft
+    // to 1966 chars — 8 bytes of margin — hence the slimmed stage
+    // blocks above; 1850 keeps >100 bytes of headroom.
+    if (line.length > 1850) { // never regrow past the driver's tail window
       line = headline(s"""{"count":${flagged.size}}""")
       System.err.println(s"[bench] headline overflowed; outliers -> count " +
         s"(full map in bench_details.json); now ${line.length} chars")
