@@ -63,10 +63,14 @@ object FixedWidthStream {
     * ([[FixedWidthParser.toAvro]]): the expression is a stateless
     * projection, so the micro-batch plan is exactly the batch plan —
     * same footer filter, same wire bytes (stream ≡ batch pinned in
-    * StreamingSpec). */
+    * StreamingSpec). `strict` passes through to the batch
+    * implementation's corrupt-line guard (drop + `toavro_malformed`
+    * observation — in streaming the counts surface per micro-batch via
+    * `StreamingQueryProgress.observedMetrics`, same contract). */
   def toAvroStream(spark: SparkSession, dir: String, schema: FixedSchema,
-      schemaId: Int): DataFrame =
-    FixedWidthParser.toAvro(spark.readStream.text(dir), schema, schemaId)
+      schemaId: Int, strict: Boolean = false): DataFrame =
+    FixedWidthParser.toAvro(spark.readStream.text(dir), schema, schemaId,
+      strict = strict)
 
   /** Drain the stream to parquet with a checkpoint, processing all data
     * currently available, then stop (Trigger.AvailableNow — the batch

@@ -81,6 +81,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("streaming strict toAvro drops malformed lines; per-batch drop counts") {
+    val in = tmp("in5"); val out = tmp("out5"); val ck = tmp("ck5")
+    FixedWidth.write(Pipeline.lineitem(spark, sf), Pipeline.lineitemFixed, in)
+    // a corrupt file lands in the watched dir alongside the good ones
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "corrupt-000.txt"),
+      "short\nlines\nxx\n".getBytes("UTF-8"))
+    val fused = FixedWidthStream.toAvroStream(spark, in, Pipeline.lineitemFixed, 7,
+      strict = true)
+    val q = FixedWidthStream.runToParquet(fused, out, ck)
+    assert(spark.read.parquet(out).count() == Pipeline.lineitem(spark, sf).count(),
+      "exactly the well-formed lines must be exported")
+    // the batch observation contract carries over: drop counts surface
+    // on each micro-batch's progress, so a 100 TB streaming export
+    // reports its skips the same way the batch export does
+    val dropped = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get(graft.parse.FixedWidthParser.ToAvroObservation)))
+      .map(_.getAs[Long]("dropped_lines")).sum
+    assert(dropped == 3L, s"progress must report the 3 corrupt lines, got $dropped")
+  }
+
   test("watermarked windowed counts ≡ batch events_window counts") {
     val out = tmp("out4"); val ck = tmp("ck4")
     val stream = EventStream.readEvents(spark, eventsDir)
