@@ -72,7 +72,10 @@ object Dedup {
 
   /** Exact dedup: group by content hash, keep the smallest doc_id.
     * The 100 TB shape: one shuffle on a 128-bit key, no text movement
-    * beyond the hash. */
+    * beyond the hash. Deliberately NOT [[Docs.fanned]]: the map-side
+    * work here is one md5 per row — cheaper than the fan-out exchange
+    * it would ride behind (which must move the full text), unlike the
+    * shingle/signature families where per-row compute dominates. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Docs.documents(spark, dir)
       .groupBy(md5(col("text")).as("text_hash"))
@@ -142,7 +145,7 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Docs.shingled(Docs.documents(spark, dir))
+    val sh = Docs.shingled(Docs.fanned(spark, dir))
     verifyJaccard(minhashCandidates(sh), sh, JaccardThreshold)
   }
 
@@ -177,7 +180,7 @@ object Dedup {
           .otherwise(array(concat_ws(" ", col("toks")))).as("sh"))
 
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val sh = bigrams(Docs.documents(spark, dir))
+    val sh = bigrams(Docs.fanned(spark, dir))
     verifyJaccard(minhashCandidates(sh), sh, NgramJaccardThreshold)
   }
 
@@ -204,7 +207,7 @@ object Dedup {
     * bucketed join provably finds every qualifying pair, and the oracle
     * can brute-force the same predicate. */
   def simhashSig(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Docs.documents(spark, dir)
+    val docs = Docs.fanned(spark, dir)
     val toks = docs.select(col("doc_id"), explode(Docs.tokens(col("text"))).as("t"))
     val hx = toks.select(col("doc_id"),
       conv(substring(md5(col("t")), 1, 8), 16, 10).cast(LongType).as("hi"),
@@ -357,7 +360,7 @@ object Dedup {
   def corpusClean(spark: SparkSession, dir: String): DataFrame = {
     val victims = dedupMinhash(spark, dir)
       .select(col("doc_b").as("doc_id")).distinct()
-    Docs.documents(spark, dir)
+    Docs.fanned(spark, dir)
       .withColumn("n_tokens", size(Docs.tokens(col("text"))).cast(LongType))
       .filter(col("n_tokens") >= MinTokens)
       .join(victims, Seq("doc_id"), "left_anti")

@@ -15,6 +15,23 @@ object Docs {
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** [[documents]] with the scan fanned out to cluster parallelism via
+    * an explicit doc_id exchange ([[Similarity.fanOut]] — a no-op once
+    * the scan itself has >= defaultParallelism splits, the 100 TB
+    * case). Every text family computes its signatures map-side BEFORE
+    * its first shuffle (shingling, minhash mins, simhash bit votes,
+    * winnowing, quality metrics, media decode) — and a sub-128 MB
+    * documents parquet scans as ONE split, so without this the whole
+    * signature stage lands on a single core: the same collapse the
+    * embedding joins had (r12/r13). Keying the exchange by doc_id
+    * also lets downstream per-doc groupBys reuse the partitioning
+    * instead of adding a shuffle of their own. Memo key is suffixed
+    * so the cached split count is this table's, not another scan's
+    * under the same sf dir. */
+  def fanned(spark: SparkSession, dir: String): DataFrame =
+    Similarity.fanOut(spark, s"$dir#documents",
+      documents(spark, dir), col("doc_id"))
+
   /** Whitespace tokens of a text column, empties dropped. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)

@@ -22,7 +22,14 @@ import org.apache.spark.sql.types.LongType
 object Multimodal {
 
   /** Stage the documents as media rows: opaque content bytes + metadata.
-    * On a real corpus this is the schema media already arrives in. */
+    * On a real corpus this is the schema media already arrives in.
+    * Deliberately NOT [[Docs.fanned]]: this sandbox's decode step is a
+    * deterministic stub (see the class doc), so the per-row work is
+    * too cheap to pay for an exchange of the content bytes — measured
+    * +58% on multimodal_features when fanned. A REAL image/audio
+    * decode inverts that trade instantly; swap in `Docs.fanned` (or
+    * fan after [[media]]) when wiring real codecs, exactly like the
+    * text families. */
   def media(spark: SparkSession, dir: String): DataFrame =
     Docs.documents(spark, dir).select(
       col("doc_id").as("media_id"),

@@ -28,7 +28,7 @@ object TextAnalysis {
 
   /** Per-document stats + language guess + quality score. */
   def textAnalysis(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Docs.documents(spark, dir)
+    val docs = Docs.fanned(spark, dir)
     val toks = Docs.tokens(col("text"))
     val d = docs.select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
     val nTokens = size(col("toks"))
@@ -112,7 +112,7 @@ object TextAnalysis {
     * n-element hex array per document through interpreted lambdas
     * (measured ~3x slower); a spec pins the two forms equal. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Docs.documents(spark, dir)
+    val docs = Docs.fanned(spark, dir)
     val n = length(col("text"))
     docs.select(col("doc_id"),
       graft.functions.Winnow.winnow_fingerprint(col("text"), 8).as("fingerprint"),

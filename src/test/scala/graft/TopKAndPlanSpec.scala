@@ -96,6 +96,24 @@ class TopKAndPlanSpec extends SparkSpec {
       s"no vec_id fan-out exchange in dedup_embedding plan:\n${emb.take(1500)}")
   }
 
+  test("document signature stages fan out past the documents scan's split") {
+    // Same collapse, text families (r13): shingling / minhash mins /
+    // simhash bit votes / quality metrics / winnowing all run map-side
+    // BEFORE their first shuffle — at the documents scan's ONE split
+    // for a small parquet — unless Docs.fanned's explicit doc_id
+    // exchange sits under them (measured: text_analysis 1.46 -> 0.67 s
+    // at sf0.1; a pure map-side query is otherwise 100% single-core).
+    val docFan = "hashpartitioning\\(doc_id[^,]*, \\d+\\), REPARTITION_BY_NUM".r
+    Seq(
+      "dedup_minhash" -> executed(graft.ops.Dedup.dedupMinhash(spark, sf)),
+      "text_analysis" -> executed(graft.ops.TextAnalysis.textAnalysis(spark, sf)),
+      "doc_fingerprint" -> executed(graft.ops.TextAnalysis.docFingerprint(spark, sf))
+    ).foreach { case (name, plan) =>
+      assert(docFan.findFirstIn(plan).isDefined,
+        s"no doc_id fan-out exchange in $name plan:\n${plan.take(1500)}")
+    }
+  }
+
   test("session keeps the object-hash-aggregate fallback threshold raised") {
     // GraftSession sets spark.sql.objectHashAggregate.sortBased
     // .fallbackThreshold to 4096: the engine's TypedImperativeAggregates
