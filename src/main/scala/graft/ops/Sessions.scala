@@ -163,7 +163,15 @@ object Sessions {
     * order would differ between engines. */
   def eventsJsonProps(spark: SparkSession, dir: String): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast(LongType)
-    events(spark, dir)
+    // The JSON walk is the one heavy PRE-shuffle compute in the events
+    // family (the sessionize/window queries shuffle raw rows first and
+    // compute after), and the groupBy exchange here carries only a few
+    // partially-aggregated rows — so at bench scale the whole parse
+    // lands on the scan's single split. Fan the narrow (event_type,
+    // props) projection out first (same collapse/fix as the document
+    // signature stages; no-op at production split counts).
+    val narrow = events(spark, dir).select(col("event_id"), col("event_type"), col("props"))
+    Similarity.fanOut(spark, s"$dir#events", narrow, col("event_id"))
       .select(col("event_type"), k.as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
