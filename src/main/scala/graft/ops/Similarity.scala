@@ -75,7 +75,12 @@ object Similarity {
     * dir: repeat queries skip both the planning and the (cached, but
     * thousands-of-splits at 100 TB) file-split enumeration. Every probed
     * frame is narrow ops over the same `normed(dir)` scan, so one count
-    * per dir is exact. */
+    * per dir is exact. KEY CONVENTION: the bare sf dir keys the
+    * embeddings scan (this file + Dedup.dedupEmbedding); callers
+    * fanning a DIFFERENT table must suffix the key with the table
+    * (`"$dir#documents"`, `"$dir#events"` — see Docs.fanned /
+    * Sessions.eventsJsonProps), or they inherit another scan's cached
+    * split count. */
   private val scanSplitsCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   private[graft] def fanOut(spark: SparkSession, dir: String, df: DataFrame,
