@@ -358,13 +358,21 @@ object Bench {
     // attributed the day it happens instead of a round later. 3 runs —
     // it anchors attribution, not a headline figure.
     val stockRuns = {
+      // restore the PRIOR value, not a hardcoded "true": an operator
+      // benching with the native scan disabled (the documented escape
+      // hatch) must not have the rest of the sweep silently flipped
+      // back to native by this A/B leg.
+      val prior = spark.conf.getOption(graft.sources.LineScan.Conf)
       spark.conf.set(graft.sources.LineScan.Conf, "false")
       try {
         val stockParsed = graft.parse.FixedWidthParser.parse(
           FixedWidth.lines(spark, dir), schema, Strict)
         force(stockParsed) // codegen warmup for the stock plan
         times(force(stockParsed), 3)
-      } finally spark.conf.set(graft.sources.LineScan.Conf, "true")
+      } finally prior match {
+        case Some(v) => spark.conf.set(graft.sources.LineScan.Conf, v)
+        case None    => spark.conf.unset(graft.sources.LineScan.Conf)
+      }
     }
     val encodeRuns = times(force(framed), LegRuns)
     val ocfDir = s"/tmp/graft-bench-ocf-$key"
@@ -666,23 +674,35 @@ object Bench {
     // when the line must stay parseable — so if the full form would
     // overflow, the outliers map degrades to a COUNT (the full map is
     // already in bench_details.json).
-    def headline(outliersJson: String): String =
+    def headline(outliersJson: String, errsJson: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""total_min":${fmt(totalMin)},"outliers":$outliersJson,""" +
-      s""""errors":$errs,"parsed":$parsedJson,""" +
+      s""""errors":$errsJson,"parsed":$parsedJson,""" +
       s""""parsed_weblog":$parsedWeblogJson,"stages":$stagesJson,""" +
       s""""stages_weblog":$stagesWeblogJson,"cores":$nCores,"runs":$Runs,""" +
       s""""sf":"$sfDir"}"""
-    var line = headline(outliers)
     // Budget: the driver keeps a 2048-byte stdout tail that must also
     // hold the "[info] " prefix and sbt's trailing "[success]" line
     // (~75 bytes). The r13 min-leg/cpucal fields pushed a first draft
     // to 1966 chars — 8 bytes of margin — hence the slimmed stage
-    // blocks above; 1850 keeps >100 bytes of headroom.
-    if (line.length > 1850) { // never regrow past the driver's tail window
-      line = headline(s"""{"count":${flagged.size}}""")
+    // blocks above; 1850 keeps >100 bytes of headroom. The degrade is
+    // a CASCADE re-checked at each step (a degraded form printed blind
+    // could still overflow — long error strings land exactly on the
+    // rounds where the line must stay parseable): full → outliers as
+    // count → errors as count too. After both degrades every remaining
+    // field is fixed-size, so the final form cannot regrow.
+    val outliersCount = s"""{"count":${flagged.size}}"""
+    val errsCount = s"""{"count":${errors.size}}"""
+    var line = headline(outliers, errs)
+    if (line.length > 1850) {
+      line = headline(outliersCount, errs)
       System.err.println(s"[bench] headline overflowed; outliers -> count " +
         s"(full map in bench_details.json); now ${line.length} chars")
+    }
+    if (line.length > 1850) {
+      line = headline(outliersCount, errsCount)
+      System.err.println(s"[bench] headline still over budget; errors -> " +
+        s"count (full strings in bench_details.json); now ${line.length} chars")
     }
     println(line)
     spark.stop()

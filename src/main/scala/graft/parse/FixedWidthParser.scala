@@ -248,7 +248,12 @@ object FixedWidthParser {
     * the reference's silent F5/F8 behavior) and counted in the
     * [[ToAvroObservation]] observation, so an export always reports how
     * many lines it skipped. Opt-in: the validation is one extra
-    * codepoint-length walk per line, priced only when asked for. */
+    * codepoint-length walk per line, priced only when asked for.
+    *
+    * Observation names must be UNIQUE within one query: a caller
+    * combining two strict exports under a single action (union of two
+    * feeds, say) must give each a distinct `observation` or the plan
+    * fails analysis. */
   def toAvro(
       lines: DataFrame,
       schema: FixedSchema,
@@ -256,7 +261,8 @@ object FixedWidthParser {
       dropFooter: Boolean = true,
       lineCol: String = "value",
       outCol: String = "value",
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      observation: String = ToAvroObservation): DataFrame = {
     val line = col(lineCol)
     val kept =
       if (dropFooter)
@@ -264,7 +270,7 @@ object FixedWidthParser {
       else lines
     val validated =
       if (strict)
-        kept.observe(ToAvroObservation,
+        kept.observe(observation,
             sum(when(length(line) =!= schema.rowRuneLen, 1L).otherwise(0L)).as("dropped_lines"),
             count(lit(1)).as("input_lines"))
           .filter(length(line) === schema.rowRuneLen)

@@ -233,10 +233,23 @@ private[graft] object OcfWire {
       } catch { case e: Throwable => failed = true; throw e }
     }
 
-    def close(): Unit = {
-      if (!failed) flushBlock()
-      out.flush()
-      out.close()
-    }
+    /** Healthy writer: final flush + close; a flush failure still
+      * releases the stream, and the release's own secondary failure
+      * (same dead stream) never masks it. Poisoned writer: emits
+      * nothing and releases the stream QUIETLY — close() runs in the
+      * caller's `finally`, and a second IOException from the
+      * already-dead stream (flush/close on a full disk) would mask
+      * the original append failure as the task's cause AND skip the
+      * fd release. */
+    def close(): Unit =
+      if (!failed) {
+        try { flushBlock(); out.flush() }
+        catch { case e: Throwable => closeQuietly(); throw e }
+        out.close()
+      } else closeQuietly()
+
+    private def closeQuietly(): Unit =
+      try out.close()
+      catch { case _: java.io.IOException => () }
   }
 }

@@ -71,10 +71,17 @@ object ProbeDedupEmb {
       force(candsCount); runs("candidates", 5)(force(candsCount))
     }
 
-    val q = graft.ops.Dedup.dedupEmbedding(spark, sfDir)
-    force(q) // warmup (codegen)
-    runs("dedup_embedding", 5)(force(q))
-    if (args.contains("explain")) q.explain("formatted")
+    // Fresh-session timing ONLY in fresh mode: after the splits/stages
+    // modes the session is heavily warmed (JIT, page cache, shuffle
+    // files), and a figure measured there must not print under the
+    // same label as the fresh-session one — the creep attribution this
+    // probe exists for depends on those being comparable.
+    if (mode == "fresh") {
+      val q = graft.ops.Dedup.dedupEmbedding(spark, sfDir)
+      force(q) // warmup (codegen)
+      runs("dedup_embedding", 5)(force(q))
+      if (args.contains("explain")) q.explain("formatted")
+    }
     spark.stop()
   }
 }

@@ -148,6 +148,10 @@ class OcfWireSpec extends AnyFunSuite {
           throw new java.io.IOException("disk full (simulated)")
         written += len
       }
+      // a dead stream typically fails close() too — the poisoned
+      // writer must swallow this, not surface it from the caller's
+      // finally over the original failure
+      override def close(): Unit = throw new java.io.IOException("close failed (simulated)")
     }
     val w = new OcfWire.Writer(avroSchema, sparkSchema, out, syncInterval = 256)
     budget = written + 40 // room for the block header, not the block body
@@ -157,8 +161,14 @@ class OcfWireSpec extends AnyFunSuite {
     assert(e.getMessage.contains("disk full"))
     val lenAtFailure = written
     intercept[IllegalStateException](w.append(row(21)))
-    budget = Int.MaxValue // even with the stream healed, close must not re-flush
+    // close() runs in the caller's `finally` with the stream still dead:
+    // it must neither re-flush NOR throw — a secondary IOException here
+    // would mask the original failure as the task's cause (and w.close
+    // on the healed path below pins the byte count).
     w.close()
     assert(written == lenAtFailure, "failed writer re-flushed its block on close")
+    budget = Int.MaxValue // even with the stream healed, still nothing emitted
+    w.close()
+    assert(written == lenAtFailure, "failed writer emitted bytes after healing")
   }
 }
