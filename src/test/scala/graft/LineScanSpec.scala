@@ -166,6 +166,29 @@ class LineScanSpec extends SparkSpec {
     assert(scan(dir, 1L << 20) == stock(dir))
   }
 
+  test("task preferred hosts: block hosts weighted by overlap bytes, top 3, no localhost") {
+    // The HDFS locality hint (Spark's FilePartition shape): a task's
+    // hosts are its chunks' block hosts ranked by contributed bytes.
+    // Synthetic blocks, no filesystem: file f has 3 x 100-byte blocks
+    // on (h1,h2) / (h2,h3) / (h3,h4); a chunk covering bytes 50-250
+    // overlaps them 50/100/50, so h2=150, h3=150, h1=50, h4=50 —
+    // ranked h2,h3 (ties by name) then h1 (cap 3 drops h4's twin... h1
+    // and h4 tie at 50; name order keeps h1).
+    import org.apache.hadoop.fs.BlockLocation
+    def block(off: Long, len: Long, hosts: String*) =
+      new BlockLocation(hosts.map(h => s"$h:9866").toArray, hosts.toArray, off, len)
+    val blocks = Map("f" -> Array(
+      block(0, 100, "h1", "h2"), block(100, 100, "h2", "h3"), block(200, 100, "h3", "h4")))
+    val task = Seq(LineScan.Chunk("f", 50, 250, 300))
+    assert(LineScan.taskHosts(task, blocks) == Seq("h2", "h3", "h1"))
+    // localhost (every LocalFileSystem block) is dropped like Spark
+    // drops it — meaningless as a cluster locality hint
+    val local = Map("f" -> Array(block(0, 100, "localhost")))
+    assert(LineScan.taskHosts(Seq(LineScan.Chunk("f", 0, 100, 100)), local).isEmpty)
+    // a chunk outside every block contributes nothing
+    assert(LineScan.taskHosts(Seq(LineScan.Chunk("f", 300, 400, 400)), blocks).isEmpty)
+  }
+
   test("chunk count past the overflow-safe bound() range fails loudly") {
     // bound()'s i*(len%k) boundary product wraps past k ~ 3.03e9; the
     // wrapped boundaries would be garbage chunks the end>start filter
