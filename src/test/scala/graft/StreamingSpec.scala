@@ -2,7 +2,7 @@ package graft
 
 import graft.ops.{Pipeline, Sessions}
 import graft.sources.FixedWidth
-import graft.streaming.{EventStream, FixedWidthStream}
+import graft.streaming.{DocStream, EventStream, FixedWidthStream}
 import org.apache.spark.sql.functions._
 
 /** Streaming ≡ batch on the fixtures: the same operators produce the
@@ -99,6 +99,34 @@ class StreamingSpec extends SparkSpec {
       Option(p.observedMetrics.get(graft.parse.FixedWidthParser.ToAvroObservation)))
       .map(_.getAs[Long]("dropped_lines")).sum
     assert(dropped == 3L, s"progress must report the 3 corrupt lines, got $dropped")
+  }
+
+  test("streaming exact dedup drops re-crawled texts across micro-batches") {
+    val in = tmp("docs"); val out = tmp("docsout"); val ck = tmp("docsck")
+    // batch 1: the fixture corpus (500 docs, all distinct texts)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      java.nio.file.Paths.get(in, "batch1.parquet"))
+    def drain(): Unit = EventStream.runAppendToParquet(
+      DocStream.dedupExactStream(DocStream.readDocuments(spark, in)), out, ck)
+    drain()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == 500, s"first batch must emit every distinct doc, got $n1")
+    // batch 2 lands in the watched dir: 100 re-crawls (same text, new
+    // doc_id) + 5 genuinely new docs. The checkpointed hash state must
+    // drop every re-crawl and pass every new doc — the whole point of
+    // deduping at ingest instead of re-scanning the corpus per batch.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val recrawled = docs.limit(100).withColumn("doc_id", col("doc_id") + 10000L)
+    val fresh = docs.limit(5).withColumn("doc_id", col("doc_id") + 20000L)
+      .withColumn("text", concat(col("text"), lit(" [fresh crawl]")))
+    recrawled.union(fresh).coalesce(1).write.mode("append").parquet(in)
+    drain() // same checkpoint: resumes, processes only the new file
+    val after = spark.read.parquet(out)
+    assert(after.count() == 505, s"expected 500 + 5 new, got ${after.count()}")
+    assert(after.filter(col("doc_id") >= 10000L && col("doc_id") < 20000L).count() == 0,
+      "a re-crawled duplicate leaked through the dedup state")
+    assert(after.filter(col("doc_id") >= 20000L).count() == 5)
   }
 
   test("watermarked windowed counts ≡ batch events_window counts") {
