@@ -78,11 +78,17 @@ object LineScan {
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
     def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
-    // listLocatedStatus: the listing carries each file's block
-    // locations (one listing RPC, the way Spark's own InMemoryFileIndex
-    // does it) instead of a getFileBlockLocations call per file — at
-    // 100 TB that is the difference between one NameNode round-trip per
-    // directory page and hundreds of thousands.
+    // ONE listLocatedStatus listing serves both the partition-dir
+    // guard and the data files: the listing carries each file's block
+    // locations (the way Spark's own InMemoryFileIndex gets them)
+    // instead of a getFileBlockLocations call per file — at 100 TB
+    // that is one NameNode round-trip per directory page, not hundreds
+    // of thousands — and the guard runs on the SAME snapshot as the
+    // file selection, so a partition dir appearing between two
+    // listings can never slip past the guard into a silently-smaller
+    // row set. (listLocatedStatus returns directory entries too, on
+    // HDFS and in the FileSystem default implementation alike; dirs
+    // simply carry no block locations.)
     def located(p: Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
       val it = fs.listLocatedStatus(p)
       val buf = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
@@ -91,19 +97,14 @@ object LineScan {
     }
     if (root.isFile) located(root.getPath) // a file lists as itself
     else {
-      // subdir checks need the plain listing (listLocatedStatus is
-      // files-only on most implementations)
-      fs.listStatus(root.getPath).toSeq
-        .filter(s => visible(s.getPath.getName))
-        .find(d => d.isDirectory && d.getPath.getName.contains('='))
-        .foreach { d =>
-          throw new IllegalArgumentException(
-            s"LineScan does not do partition discovery, found ${d.getPath}; " +
-            s"set $Conf=false to route partitioned layouts through " +
-            "spark.read.text")
-        }
-      located(root.getPath).filter(s => s.isFile && visible(s.getPath.getName))
-        .sortBy(_.getPath.toString)
+      val kids = located(root.getPath).filter(s => visible(s.getPath.getName))
+      kids.find(d => d.isDirectory && d.getPath.getName.contains('=')).foreach { d =>
+        throw new IllegalArgumentException(
+          s"LineScan does not do partition discovery, found ${d.getPath}; " +
+          s"set $Conf=false to route partitioned layouts through " +
+          "spark.read.text")
+      }
+      kids.filter(_.isFile).sortBy(_.getPath.toString)
     }
   }
 

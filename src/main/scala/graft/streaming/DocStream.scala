@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Streaming front of the corpus-dedup family: documents arriving as a
   * file stream (new parquet files in a watched directory ≡ a crawl
@@ -23,17 +24,36 @@ import org.apache.spark.sql.functions._
   * unbounded-state form is the honest dual here. */
 object DocStream {
 
-  /** File-source stream over documents-shaped parquet. Schema comes
-    * from one driver-side footer read of the seed directory — a stream
-    * source must never infer per micro-batch. */
-  def readDocuments(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+  /** The documents table shape (TESTDATA.md) — supplied statically so
+    * the stream can START on an empty landing directory and idle until
+    * the first crawl batch arrives (schema inference over an empty dir
+    * throws at construction, which is exactly when a production ingest
+    * wants to be waiting, not crashing). A stream source must never
+    * infer per micro-batch either way. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
 
-  /** First arrival of each distinct text wins; later duplicates are
-    * dropped in whatever micro-batch they arrive. Emits the keeper row
+  /** File-source stream over documents-shaped parquet. */
+  def readDocuments(spark: SparkSession, dir: String,
+      schema: StructType = documentsSchema): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** The EARLIER micro-batch's row wins; later duplicates are dropped
+    * in whatever micro-batch they arrive. Emits the keeper row
     * (id, hash) — the streaming analogue of dedup_exact's
     * (text_hash, keeper_id) output, without the batch count (a count
-    * over an infinite stream is a windowed aggregation, not a dedup). */
+    * over an infinite stream is a windowed aggregation, not a dedup).
+    *
+    * WITHIN one micro-batch the kept row of a duplicate pair is
+    * arbitrary (Spark's `dropDuplicates` semantics, partition-order
+    * dependent) — it does NOT reproduce the batch operator's
+    * min(doc_id) keeper. The cross-batch guarantee is the one an
+    * ingest pipeline needs (reject what the corpus already holds); a
+    * feed that also needs a deterministic keeper among same-batch
+    * twins should pre-reduce each crawl file before landing it, or
+    * run the batch operator over the deduplicated corpus. */
   def dedupExactStream(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
       .dropDuplicates("text_hash")

@@ -103,6 +103,10 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming exact dedup drops re-crawled texts across micro-batches") {
     val in = tmp("docs"); val out = tmp("docsout"); val ck = tmp("docsck")
+    // a production ingest starts WATCHING before the first crawl batch
+    // lands — construction on an empty dir must not throw (static
+    // schema, no inference)
+    assert(DocStream.readDocuments(spark, in).isStreaming)
     // batch 1: the fixture corpus (500 docs, all distinct texts)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/documents.parquet"),
