@@ -57,4 +57,22 @@ object DocStream {
   def dedupExactStream(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
       .dropDuplicates("text_hash")
+
+  /** The BOUNDED-state form — the one that actually survives 100 TB.
+    * [[dedupExactStream]]'s state grows with the number of distinct
+    * texts ever seen (~16 B x 100 B docs ≈ 1.6 TB of state store for a
+    * web-scale corpus — the state becomes the problem it was solving);
+    * this variant holds state only within `horizon` of the watermark
+    * over the stream's arrival-time column, i.e. it dedups against the
+    * re-crawl window, which is the guarantee a crawl pipeline actually
+    * relies on (re-crawls cluster in time; a months-later re-crawl is
+    * handled by the periodic batch dedup over the stored corpus, not
+    * by ingest state). Late rows beyond the watermark are dropped by
+    * the engine like any watermarked operator. */
+  def dedupExactStreamBounded(docs: DataFrame, arrivalCol: String,
+      horizon: String): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("text_hash"),
+        col(arrivalCol).cast(TimestampType).as("arrived_at"))
+      .withWatermark("arrived_at", horizon)
+      .dropDuplicatesWithinWatermark("text_hash")
 }

@@ -133,6 +133,39 @@ class StreamingSpec extends SparkSpec {
     assert(after.filter(col("doc_id") >= 20000L).count() == 5)
   }
 
+  test("bounded-state streaming dedup drops twins inside the re-crawl horizon") {
+    // The 100 TB form: state is held only within the watermark horizon
+    // of the arrival time, so it dedups against the re-crawl window
+    // instead of growing with every distinct text ever seen. Fixture:
+    // 500 distinct docs + 50 re-crawls of the first 50 arriving 10
+    // minutes later — inside a 2-hour horizon, all 50 must drop.
+    val in = tmp("bdocs"); val out = tmp("bdocsout"); val ck = tmp("bdocsck")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+    val batch1 = docs.withColumn("arrived_at", t0)
+    batch1.coalesce(1).write.mode("overwrite").parquet(in)
+    def drain(): Unit = EventStream.runAppendToParquet(
+      DocStream.dedupExactStreamBounded(
+        spark.readStream.schema(spark.read.parquet(in).schema).parquet(in),
+        "arrived_at", "2 hours"), out, ck)
+    drain()
+    assert(spark.read.parquet(out).count() == 500)
+    // re-crawls land 10 min later, a separate micro-batch: well inside
+    // the 2-hour horizon, the checkpointed state must drop all 50.
+    // (WITHIN one batch the keeper of a twin pair is arbitrary —
+    // dropDuplicates semantics, same caveat as the unbounded form —
+    // so the pinned guarantee is the cross-batch one.)
+    docs.limit(50)
+      .withColumn("doc_id", col("doc_id") + 10000L)
+      .withColumn("arrived_at", t0 + expr("INTERVAL 10 MINUTES"))
+      .coalesce(1).write.mode("append").parquet(in)
+    drain()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 500, s"expected the 500 distinct texts, got ${got.count()}")
+    assert(got.filter(col("doc_id") >= 10000L).count() == 0,
+      "an in-horizon re-crawl leaked through the bounded dedup state")
+  }
+
   test("watermarked windowed counts ≡ batch events_window counts") {
     val out = tmp("out4"); val ck = tmp("ck4")
     val stream = EventStream.readEvents(spark, eventsDir)
