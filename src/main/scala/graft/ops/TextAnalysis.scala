@@ -143,13 +143,43 @@ object TextAnalysis {
       |       CAST(len(windows) AS BIGINT) AS n_windows
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Deterministic, leakage-free train/val/test assignment: the split
+    * is a fixed function of the CONTENT hash (first two hex chars of
+    * md5(text): `< "fa"` → train ~97.7%, `< "fd"` → val ~1.2%, else
+    * test ~1.2%), so exact duplicates and re-crawls always land in the
+    * SAME split — no train/test leakage through duplicated text — and
+    * the assignment is reproducible across engines, runs, and cluster
+    * sizes with no RNG, seed, or sampling state to coordinate.
+    *
+    * 100 TB shape: a pure map-side projection over the corpus scan
+    * (one md5 per row — like dedup_exact, too cheap to fan out); no
+    * shuffle except the verification orderBy, which a production
+    * pipeline drops. Lexicographic hex-prefix thresholds are the
+    * whole contract: DuckDB states them verbatim. */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    val b = substring(md5(col("text")), 1, 2)
+    Docs.documents(spark, dir)
+      .select(col("doc_id"),
+        when(b < "fa", "train").when(b < "fd", "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val corpusSplitOracle: String =
+    """SELECT doc_id,
+      |  CASE WHEN substring(md5(text),1,2) < 'fa' THEN 'train'
+      |       WHEN substring(md5(text),1,2) < 'fd' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_analysis" -> (textAnalysis _),
     "doc_fingerprint" -> (docFingerprint _),
+    "corpus_split" -> (corpusSplit _),
   )
 
   def oracleSql: Map[String, String] = Map(
     "text_analysis" -> textAnalysisOracle,
     "doc_fingerprint" -> docFingerprintOracle,
+    "corpus_split" -> corpusSplitOracle,
   )
 }
