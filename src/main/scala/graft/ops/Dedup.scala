@@ -320,7 +320,7 @@ object Dedup {
     // the bandedCandidates self-join executes that subplan TWICE). Same
     // single-task collapse [[Similarity.fanOut]] fixes for the topk/IVF
     // joins; a no-op at 100 TB where the scan fans out naturally.
-    val nf = Similarity.fanOut(spark, dir, n, col("vec_id"))
+    val nf = Similarity.fanOut(spark, dir, "embeddings", n, col("vec_id"))
     // Id-only candidate shuffle (the 64-double vectors re-attach only to
     // the deduplicated candidate pairs for exact verification).
     val banded = nf.select(col("vec_id"), posexplode(bands).as(Seq("band", "sig")))

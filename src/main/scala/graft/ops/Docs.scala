@@ -25,11 +25,11 @@ object Docs {
     * signature stage lands on a single core: the same collapse the
     * embedding joins had (r12/r13). Keying the exchange by doc_id
     * also lets downstream per-doc groupBys reuse the partitioning
-    * instead of adding a shuffle of their own. Memo key is suffixed
-    * so the cached split count is this table's, not another scan's
-    * under the same sf dir. */
+    * instead of adding a shuffle of their own. The table tag keys the
+    * split-count memo so this scan never inherits another table's
+    * cached count. */
   def fanned(spark: SparkSession, dir: String): DataFrame =
-    Similarity.fanOut(spark, s"$dir#documents",
+    Similarity.fanOut(spark, dir, "documents",
       documents(spark, dir), col("doc_id"))
 
   /** Whitespace tokens of a text column, empties dropped. */

@@ -171,7 +171,7 @@ object Sessions {
     // props) projection out first (same collapse/fix as the document
     // signature stages; no-op at production split counts).
     val narrow = events(spark, dir).select(col("event_id"), col("event_type"), col("props"))
-    Similarity.fanOut(spark, s"$dir#events", narrow, col("event_id"))
+    Similarity.fanOut(spark, dir, "events", narrow, col("event_id"))
       .select(col("event_type"), k.as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),

@@ -75,18 +75,18 @@ object Similarity {
     * dir: repeat queries skip both the planning and the (cached, but
     * thousands-of-splits at 100 TB) file-split enumeration. Every probed
     * frame is narrow ops over the same `normed(dir)` scan, so one count
-    * per dir is exact. KEY CONVENTION: the bare sf dir keys the
-    * embeddings scan (this file + Dedup.dedupEmbedding); callers
-    * fanning a DIFFERENT table must suffix the key with the table
-    * (`"$dir#documents"`, `"$dir#events"` — see Docs.fanned /
-    * Sessions.eventsJsonProps), or they inherit another scan's cached
-    * split count. */
+    * per dir is exact. The memo key is `dir#table`, and `table` is a
+    * REQUIRED parameter composed here — when it was a caller-side
+    * suffix convention, a caller passing the bare dir for a different
+    * table silently inherited the embeddings scan's cached split count
+    * and the fan-out no-op'd: the single-core collapse this helper
+    * exists to prevent, with nothing to catch it. */
   private val scanSplitsCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  private[graft] def fanOut(spark: SparkSession, dir: String, df: DataFrame,
-      keys: Column*): DataFrame = {
+  private[graft] def fanOut(spark: SparkSession, dir: String, table: String,
+      df: DataFrame, keys: Column*): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
-    val splits = scanSplitsCache.computeIfAbsent(dir, _ => df.rdd.getNumPartitions)
+    val splits = scanSplitsCache.computeIfAbsent(s"$dir#$table", _ => df.rdd.getNumPartitions)
     if (splits >= par) df
     else df.repartition(par, keys: _*)
   }
@@ -108,7 +108,7 @@ object Similarity {
     val n = normed(spark, dir)
     val a = n.select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
       .withColumn("blk", explode(typedLit((0 until blocks).toArray)))
-    val b = fanOut(spark, dir,
+    val b = fanOut(spark, dir, "embeddings",
       n.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
         .withColumn("blk", pmod(hash(col("neighbor_id")), lit(blocks))),
       col("blk"), col("neighbor_id"))
@@ -228,7 +228,7 @@ object Similarity {
     val withCells = n.withColumn("cellSims", cellSims)
       .withColumn("cell", expr(
         s"array_position(cellSims, array_max(cellSims)) - 1"))
-    val assigned = fanOut(spark, dir,
+    val assigned = fanOut(spark, dir, "embeddings",
       withCells.select(col("vec_id"), col("v"), col("nrm"), col("cell")),
       col("cell"), col("vec_id"))
     val probes = withCells.select(col("vec_id").as("query_id"),

@@ -248,8 +248,13 @@ private[graft] object OcfWire {
         out.close()
       } else closeQuietly()
 
+    // NonFatal, not just IOException: a RuntimeException from a wrapped
+    // stream's state check on the poisoned path would otherwise
+    // propagate out of the caller's finally and MASK the original
+    // append/flush failure — the exact masking class this exists to
+    // prevent. (Fatal errors — OOM, ThreadDeath — still propagate.)
     private def closeQuietly(): Unit =
       try out.close()
-      catch { case _: java.io.IOException => () }
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 }

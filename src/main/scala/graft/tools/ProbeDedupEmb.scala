@@ -47,7 +47,7 @@ object ProbeDedupEmb {
         graft.ops.Dedup.hyperplanes, graft.ops.Dedup.HyperRows)
       val banded = n.select(col("vec_id"), posexplode(bands).as(Seq("band", "sig")))
       val bandedCount = banded.select(count(lit(1)))
-      val nf = graft.ops.Similarity.fanOut(spark, sfDir, n, col("vec_id"))
+      val nf = graft.ops.Similarity.fanOut(spark, sfDir, "embeddings", n, col("vec_id"))
       val bandedF = nf.select(col("vec_id"), posexplode(bands).as(Seq("band", "sig")))
       val bandedFCount = bandedF.select(count(lit(1)))
       val cands = graft.ops.Dedup.bandedCandidates(bandedF, "vec_id")
