@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The r13 bench record lost a task to "Retried waiting for GCLocker
+  // too often allocating 8388608 words" (a 64 MiB allocation failing
+  // while a JNI critical section held the GCLocker, retried only
+  // GCLockerRetryAllocationCount=2 times — the JDK-8192647 failure
+  // class, removed entirely in JDK 21 by retiring GCLocker-induced
+  // allocation stalls). 32 retries makes the transient critical-section
+  // window survivable instead of failing the task; correct runs are
+  // unaffected (the flag only changes the give-up threshold).
+  "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=32",
 )

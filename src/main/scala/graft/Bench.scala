@@ -266,7 +266,7 @@ object Bench {
     * leg on such a day is attributable to the machine, not the engine,
     * the way devcal already attributes the disk write legs. One warmup
     * pass (JIT) + `passes` counted; median and raw runs returned. */
-  private def cpuCalibration(passes: Int = 5): (Double, Seq[Double]) = {
+  private lazy val calCorpus: Array[Byte] = {
     val lineLen = 529 // 528 payload + '\n', the weblog corpus shape
     val nLines = 120000
     val buf = new Array[Byte](lineLen * nLines)
@@ -288,47 +288,97 @@ object Bench {
       buf(o + lineLen - 1) = '\n'
       i += 1
     }
-    def pass(): Long = {
-      var sink = 0L
-      var off = 0
-      while (off < buf.length) {
-        var nl = off
-        while (buf(nl) != '\n') nl += 1
-        var f = 0
-        while (f < 4) {
-          val d = graft.functions.FastDouble.tryParse(
-            org.apache.spark.unsafe.types.UTF8String.fromBytes(buf, off + f * 14, 14))
-          if (d != null) sink ^= java.lang.Double.doubleToLongBits(d)
-          f += 1
-        }
-        var g = 0
-        while (g < 2) {
-          var lv = 0L
-          var j = off + 56 + g * 12
-          val e = j + 12
-          while (j < e) { lv = lv * 10 + (buf(j) - '0'); j += 1 }
-          sink ^= lv
-          g += 1
-        }
-        var j = off + 80
-        while (j + 8 <= nl) {
-          sink ^= org.apache.spark.unsafe.Platform.getLong(buf,
-            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + j)
-          j += 8
-        }
-        off = nl + 1
+    buf
+  }
+
+  private def calPass(): Long = {
+    val buf = calCorpus
+    var sink = 0L
+    var off = 0
+    while (off < buf.length) {
+      var nl = off
+      while (buf(nl) != '\n') nl += 1
+      var f = 0
+      while (f < 4) {
+        val d = graft.functions.FastDouble.tryParse(
+          org.apache.spark.unsafe.types.UTF8String.fromBytes(buf, off + f * 14, 14))
+        if (d != null) sink ^= java.lang.Double.doubleToLongBits(d)
+        f += 1
       }
-      sink
+      var g = 0
+      while (g < 2) {
+        var lv = 0L
+        var j = off + 56 + g * 12
+        val e = j + 12
+        while (j < e) { lv = lv * 10 + (buf(j) - '0'); j += 1 }
+        sink ^= lv
+        g += 1
+      }
+      var j = off + 80
+      while (j + 8 <= nl) {
+        sink ^= org.apache.spark.unsafe.Platform.getLong(buf,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + j)
+        j += 8
+      }
+      off = nl + 1
     }
-    var blackhole = pass() // warmup (JIT)
-    val runs = Seq.fill(passes) {
-      val t0 = System.nanoTime()
-      blackhole ^= pass()
-      buf.length / 1e6 / ((System.nanoTime() - t0) / 1e9)
-    }
-    if (blackhole == 42L) System.err.println("[bench] cpucal checksum") // keep live
+    sink
+  }
+
+  @volatile private var calBlackhole = 0L
+
+  private def cpuCalibration(passes: Int = 5): (Double, Seq[Double]) = {
+    calBlackhole ^= calPass() // warmup (JIT)
+    val runs = Seq.fill(passes) { microCal() }
+    if (calBlackhole == 42L) System.err.println("[bench] cpucal checksum") // keep live
     (median(runs), runs)
   }
+
+  /** One single-threaded pass over the canned 63 MB cpucal corpus
+    * (~100 ms on a healthy core) — the per-leg contention needle
+    * (VERDICT r13 #2): interleaved with every parse-leg run so each
+    * recorded time carries the CPU the machine was actually giving a
+    * single thread AT THAT MOMENT, not minutes earlier. Tracks the
+    * session max so a contended leg is detectable as cal/max < 0.7. */
+  private def microCal(): Double = {
+    val t0 = System.nanoTime()
+    calBlackhole ^= calPass()
+    val mbps = calCorpus.length / 1e6 / ((System.nanoTime() - t0) / 1e9)
+    sessionMaxCal = math.max(sessionMaxCal, mbps)
+    mbps
+  }
+
+  @volatile private var sessionMaxCal = 0.0
+
+  /** 1-minute load average — machine-wide runnable pressure, captured
+    * before each leg group (includes sibling JVMs and anything else on
+    * the box; -1 when /proc is unreadable). */
+  private def loadavg(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
+  /** Sibling JVM count: java processes on the box EXCLUDING this one —
+    * the r13 narrow-row collapse correlated with a concurrent
+    * Verify/driver JVM, and this field makes that attribution readable
+    * off the artifact (-1 when /proc is unreadable). */
+  private def siblingJvms(): Int =
+    try {
+      val self = ProcessHandle.current().pid()
+      val procs = new java.io.File("/proc").listFiles()
+      if (procs == null) -1
+      else procs.count { d =>
+        val n = d.getName
+        n.forall(_.isDigit) && n.toLong != self && {
+          try new String(java.nio.file.Files.readAllBytes(
+            d.toPath.resolve("comm"))).trim == "java"
+          catch { case _: Exception => false }
+        }
+      }
+    } catch { case _: Exception => -1 }
+
+  /** `[loadavg, sibling_jvms]` snapshot, as a JSON fragment. */
+  private def envSnap(): String = s"[${fmt2(loadavg())},${siblingJvms()}]"
 
   /** The reference's four-stage report over one corpus: scan, parse
     * (typed projection), encode (Avro + Confluent frame), OCF write.
@@ -348,32 +398,19 @@ object Bench {
     // line→Avro expression (byte-identical to parse + to_avro_confluent,
     // FixedAvroSpec) — the same fusion the reference's toAvro stage is.
     val framed = graft.parse.FixedWidthParser.toAvro(lineDf, schema, 42)
+    /** times() with a ~100 ms micro-cal interleaved before every run:
+      * each recorded time gets the single-thread CPU throughput the
+      * machine gave AT THAT MOMENT (VERDICT r13 #2). */
+    def calTimes(f: => Unit, n: Int): (Seq[Double], Seq[Double]) = {
+      val ts = Seq.newBuilder[Double]; val cs = Seq.newBuilder[Double]
+      (1 to n).foreach { _ => gcBarrier(); cs += microCal(); ts += time(f) }
+      (ts.result(), cs.result())
+    }
     ioBarrier() // previous group's OCF output may still be flushing
+    val envStart = envSnap()
     val parseColdS = time(force(parsed)) // codegen + page-cache warmup
     val scanRuns = times(force(lineDf))
-    val parseRuns = times(force(parsed), LegRuns)
-    // Standing A/B (r13): the SAME parse leg over the stock
-    // spark.read.text source. Prices the native LineScan against stock
-    // in every round's record, so a future LineScan regression is
-    // attributed the day it happens instead of a round later. 3 runs —
-    // it anchors attribution, not a headline figure.
-    val stockRuns = {
-      // restore the PRIOR value, not a hardcoded "true": an operator
-      // benching with the native scan disabled (the documented escape
-      // hatch) must not have the rest of the sweep silently flipped
-      // back to native by this A/B leg.
-      val prior = spark.conf.getOption(graft.sources.LineScan.Conf)
-      spark.conf.set(graft.sources.LineScan.Conf, "false")
-      try {
-        val stockParsed = graft.parse.FixedWidthParser.parse(
-          FixedWidth.lines(spark, dir), schema, Strict)
-        force(stockParsed) // codegen warmup for the stock plan
-        times(force(stockParsed), 3)
-      } finally prior match {
-        case Some(v) => spark.conf.set(graft.sources.LineScan.Conf, v)
-        case None    => spark.conf.unset(graft.sources.LineScan.Conf)
-      }
-    }
+    var (parseRuns, parseCals) = calTimes(force(parsed), LegRuns)
     val encodeRuns = times(force(framed), LegRuns)
     val ocfDir = s"/tmp/graft-bench-ocf-$key"
     // Reference-class-storage leg: the same full OCF pipeline into a
@@ -415,6 +452,56 @@ object Bench {
     val ocfOutMb = new java.io.File(ocfDir).listFiles match {
       case null => 0.0; case fs => fs.map(_.length).sum / 1e6
     }
+    // Standing A/B (r13): the SAME parse leg over the stock
+    // spark.read.text source. Prices the native LineScan against stock
+    // in every round's record, so a future LineScan regression is
+    // attributed the day it happens instead of a round later. 3 runs —
+    // it anchors attribution, not a headline figure. Runs AFTER the OCF
+    // legs as of r14 (ADVICE r13: its 4+ GiB of extra scans between the
+    // parse and encode legs shifted the encode/OCF JVM + page-cache
+    // context relative to rounds <= 12 — the leg order now matches
+    // rounds <= 12 with the A/B appended; noted in the notes field).
+    val envStock = envSnap()
+    def stockLeg(n: Int): (Seq[Double], Seq[Double]) = {
+      // restore the PRIOR value, not a hardcoded "true": an operator
+      // benching with the native scan disabled (the documented escape
+      // hatch) must not have the rest of the sweep silently flipped
+      // back to native by this A/B leg.
+      val prior = spark.conf.getOption(graft.sources.LineScan.Conf)
+      spark.conf.set(graft.sources.LineScan.Conf, "false")
+      try {
+        val stockParsed = graft.parse.FixedWidthParser.parse(
+          FixedWidth.lines(spark, dir), schema, Strict)
+        force(stockParsed) // codegen warmup for the stock plan
+        calTimes(force(stockParsed), n)
+      } finally prior match {
+        case Some(v) => spark.conf.set(graft.sources.LineScan.Conf, v)
+        case None    => spark.conf.unset(graft.sources.LineScan.Conf)
+      }
+    }
+    var (stockRuns, stockCals) = stockLeg(3)
+    // Bounded requeue (VERDICT r13 #2): a leg whose every run saw the
+    // machine at < 70% of the session's best single-thread throughput
+    // never got a clean shot — rerun it ONCE, appending the new runs
+    // (and their cals) to the same arrays. Runs here, after the other
+    // legs — minutes later, when a transient sibling (the r13 record's
+    // concurrent-JVM window) has likely passed. A still-contended
+    // requeue appends low-cal runs, honestly recorded.
+    val requeueFrac = 0.7
+    var parseRequeued = 0
+    if (parseCals.max < requeueFrac * sessionMaxCal) {
+      System.err.println(f"[bench] $key parse leg contended (cal max " +
+        f"${parseCals.max}%.0f vs session ${sessionMaxCal}%.0f MB/s); requeueing once")
+      val (t2, c2) = calTimes(force(parsed), LegRuns)
+      parseRuns ++= t2; parseCals ++= c2; parseRequeued = t2.size
+    }
+    var stockRequeued = 0
+    if (stockCals.max < requeueFrac * sessionMaxCal) {
+      System.err.println(f"[bench] $key stock leg contended (cal max " +
+        f"${stockCals.max}%.0f vs session ${sessionMaxCal}%.0f MB/s); requeueing once")
+      val (t2, c2) = stockLeg(3)
+      stockRuns ++= t2; stockCals ++= c2; stockRequeued = t2.size
+    }
     val scanS = median(scanRuns); val parseS = median(parseRuns)
     val encodeS = median(encodeRuns); val ocfS = median(ocfRuns.toSeq)
     val ocfCpuS = median(ocfCpuRuns.toSeq)
@@ -439,10 +526,15 @@ object Bench {
         s""","per_core_lines_per_s":${fmt0(lines / parseS / nCores)},""" +
         s""""per_core_lines_per_s_best":${fmt0(lines / parseRuns.min / nCores)}"""
       else ""
+    // The micro-cal of the min-time parse run: THE number the min-leg
+    // lines/s figure is read against (a min leg at cal 0.6x session max
+    // is expected to run ~0.6x; one at cal ~1.0 is not).
+    val calAtMin = parseCals(parseRuns.indexOf(parseRuns.min))
     val parsedJson =
       s"""{"parse_s":${fmt(parseS)},"parse_min_s":${fmt(parseRuns.min)},""" +
       s""""mb_per_s":${fmt0(mbPerS)},""" +
-      s""""per_core_mb_per_s":${fmt2(mbPerS / nCores)}""" +
+      s""""per_core_mb_per_s":${fmt2(mbPerS / nCores)},""" +
+      s""""cal_at_min":${fmt0(calAtMin)}""" +
       s"""$linesRatesJson$cpucalField}"""
     val stagesJson =
       s"""{"scan":${fmt2(scanS)},""" +
@@ -463,6 +555,17 @@ object Bench {
       s""""parse_min_s":${fmt(parseRuns.min)},""" +
       s""""parse_stock_s":${fmt(median(stockRuns))},""" +
       s""""parse_stock_runs":${arr(stockRuns)},""" +
+      // Per-leg contention telemetry (VERDICT r13 #2): a cal entry per
+      // parse/stock run (MB/s, read against cal_max = the session best),
+      // requeued-run counts (0 = no requeue fired; appended runs sit at
+      // the END of the *_runs arrays), and [loadavg, sibling-jvm-count]
+      // snapshots at leg-group boundaries.
+      s""""parse_cal_runs":${arr(parseCals)},""" +
+      s""""parse_stock_cal_runs":${arr(stockCals)},""" +
+      s""""cal_max":${fmt0(sessionMaxCal)},""" +
+      s""""cal_at_min":${fmt0(calAtMin)},""" +
+      s""""parse_requeued":$parseRequeued,"stock_requeued":$stockRequeued,""" +
+      s""""env_start":$envStart,"env_stock":$envStock,""" +
       s""""scan_runs":${arr(scanRuns)},"parse_runs":${arr(parseRuns)},""" +
       s""""encode_runs":${arr(encodeRuns)},"ocf_write_runs":${arr(ocfRuns.toSeq)},""" +
       s""""ocf_cpu_runs":${arr(ocfCpuRuns.toSeq)},""" +
@@ -571,6 +674,11 @@ object Bench {
     // leave a trace the round driver can see, not just stderr.
     val warmupErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // One [micro-cal MB/s, loadavg, sibling-jvms] snapshot per query
+      // (before its warmup): every sweep number is interpretable
+      // against the machine state it ran under, the same way the parse
+      // legs are. (~100 ms x query count — negligible vs the sweep.)
+      val qEnv = s"[${fmt0(microCal())},${fmt2(loadavg())},${siblingJvms()}]"
       val runs = (0 to Runs).map { i =>
         ioBarrier() // drain the previous run's writes; collect its debris
         val t0 = System.nanoTime()
@@ -586,20 +694,22 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val counted = runs.drop(1)
-      (name, median(counted), counted.min, runs)
+      (name, median(counted), counted.min, runs, qEnv)
     }
 
-    val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + fmt2(m) }
+    val qs = results.map { case (k, m, _, _, _) => "\"" + k + "\":" + fmt2(m) }
       .mkString("{", ",", "}")
-    val qmins = results.map { case (k, _, mn, _) => "\"" + k + "\":" + fmt(mn) }
+    val qmins = results.map { case (k, _, mn, _, _) => "\"" + k + "\":" + fmt(mn) }
       .mkString("{", ",", "}")
-    val qruns = results.map { case (k, _, _, r) => "\"" + k + "\":" + arr(r) }
+    val qruns = results.map { case (k, _, _, r, _) => "\"" + k + "\":" + arr(r) }
+      .mkString("{", ",", "}")
+    val qenvs = results.map { case (k, _, _, _, e) => "\"" + k + "\":" + e }
       .mkString("{", ",", "}")
     val flagged = results
-      .filter { case (_, m, mn, _) => m > mn * 1.5 && m - mn > 0.3 }
-      .sortBy { case (_, m, mn, _) => -(m / mn) }
-    def outlierMap(xs: Seq[(String, Double, Double, Seq[Double])]): String =
-      xs.map { case (k, m, mn, _) => "\"" + k + "\":[" + fmt(mn) + "," + fmt(m) + "]" }
+      .filter { case (_, m, mn, _, _) => m > mn * 1.5 && m - mn > 0.3 }
+      .sortBy { case (_, m, mn, _, _) => -(m / mn) }
+    def outlierMap(xs: Seq[(String, Double, Double, Seq[Double], String)]): String =
+      xs.map { case (k, m, mn, _, _) => "\"" + k + "\":[" + fmt(mn) + "," + fmt(m) + "]" }
         .mkString("{", ",", "}")
     // Headline map is capped (stdout budget); the detail file carries the
     // UNcapped map — the notes promise the full map lives there.
@@ -648,13 +758,30 @@ object Bench {
       "(parsed blocks in this file) are the same parse leg over stock " +
       "spark.read.text (spark.graft.linescan.enabled=false) — the " +
       "standing native-vs-stock A/B, re-priced every round so a " +
-      "LineScan regression is attributed the day it happens\""
+      "LineScan regression is attributed the day it happens. " +
+      "LEG ORDER (r14): the stock A/B runs AFTER the OCF legs (r13 ran " +
+      "it between parse and encode — ADVICE flagged the context shift " +
+      "for encode/OCF cross-round comparisons; r14 restores the " +
+      "<= r12 leg order with the A/B appended). Contention telemetry " +
+      "(r14): parse_cal_runs / parse_stock_cal_runs give a ~100 ms " +
+      "single-thread micro-cal (MB/s) interleaved before every " +
+      "parse/stock run — read each run against cal_max (the session " +
+      "best); cal_at_min is the cal of the min-time parse run, the " +
+      "figure the min-leg lines/s is conditioned on. env_start / " +
+      "env_stock are [1-min loadavg, sibling java process count] at " +
+      "leg-group boundaries, and queries_env gives [micro-cal MB/s, " +
+      "loadavg, sibling-jvms] captured before each sweep query. A " +
+      "parse/stock leg whose every cal sat below 0.7x cal_max is " +
+      "requeued ONCE after the other legs (parse_requeued / " +
+      "stock_requeued = appended run count at the END of the runs " +
+      "arrays; 0 = no requeue)\""
 
     // Full detail to a file (raw runs, corpus geometry, notes)…
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qmins,"total_min":${fmt(totalMin)},"outliers":$outliersFull,""" +
-      s""""queries_runs":$qruns,"errors":$errs,"warmup_errors":$warmupErrs,""" +
+      s""""queries_runs":$qruns,"queries_env":$qenvs,""" +
+      s""""errors":$errs,"warmup_errors":$warmupErrs,""" +
       s""""parsed":$detailJson,""" +
       s""""parsed_weblog":$detailWeblogJson,""" +
       s""""parsed_weblog_mb":$detailWeblogMbJson,""" +
@@ -667,6 +794,13 @@ object Bench {
       s""""runs":$Runs,"leg_runs":$LegRuns,"notes":$notes,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_details.json"), detail)
+    // README's measured-figures block regenerates from the artifact
+    // just written — mechanically, every run, so the published figures
+    // can never go stale against the latest record (r12/r13 both
+    // caught hand-bracketed ranges falsified by the next driver run).
+    // Best-effort: rewrite() never throws, and a missing marker block
+    // (bench run from a different cwd) is a logged no-op.
+    graft.tools.ReadmeBench.rewrite()
 
     // …and the compact headline as the LAST stdout line, inside the
     // driver's 2 KB tail window (see the class doc). A stall round can
