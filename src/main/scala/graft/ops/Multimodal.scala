@@ -4,156 +4,353 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-/** Multimodal-column plumbing: media as opaque `binary` content plus a
-  * typed metadata struct, with decode/feature-extraction running as a
-  * partition-batched pipeline.
+/** Multimodal-column operators: media as opaque `binary` content plus a
+  * typed metadata struct, decoded by a REAL image codec
+  * ([[Multimodal.ImageCodec]], `javax.imageio` — JDK-only, no external
+  * libs) running as a partition-batched pipeline.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic fake ([[FakeDecoder]]) — what is real
-  * and tested is everything Spark-side: the schema (binary + metadata
-  * struct), the partition-batched execution shape (mapPartitions over an
-  * iterator, one decoder instance per partition — the Scala dual of
-  * `mapInPandas` batch processing), the fixed-width feature vector
-  * contract, and the deterministic outputs.
+  * Two lanes, mirroring how media actually arrives:
   *
-  * `media` content is derived from `documents.text` bytes so the fixture
-  * tables stay the only input.
+  *  - '''image lane''' ([[media]]): every document staged as a real
+  *    PNG — its text bytes tiled into a fixed 64x64 grayscale plane and
+  *    encoded through `ImageIO`. Downstream operators must genuinely
+  *    DECODE the container to see pixels ([[multimodalMeta]] decoded
+  *    dims + plane digest, [[multimodalFeatures]] pixel statistics,
+  *    [[multimodalResize]] fixed-point bilinear resample). Because PNG
+  *    is lossless, every decoded-pixel output is still exactly
+  *    derivable from the source text — which is what keeps the DuckDB
+  *    oracle able to check a real codec's output value-for-value: the
+  *    oracle rebuilds the plane from text and mirrors the integer
+  *    arithmetic; the engine must round-trip bytes through a real
+  *    encoder+decoder to produce the same numbers. No oracle output
+  *    depends on the PNG container bytes themselves (compression level
+  *    is encoder-private), only on decoded pixels.
+  *  - '''raw-frame lane''' ([[rawMedia]]): content as an uncompressed
+  *    fixed-frame wire format (the shape raw video/audio lands in —
+  *    frames of [[FrameBytes]] bytes), feeding the declarative
+  *    [[multimodalFrameSample]] decimation. No codec: frame slicing on
+  *    a raw wire format is byte arithmetic, and keeping it declarative
+  *    keeps it in whole-stage codegen.
+  *
+  * The image lane is [[Docs.fanned]]: with a REAL encode+decode the
+  * per-row work dominates the one-time exchange of the content bytes
+  * (the r13 stub measured the opposite — +58% fanned — because a stub
+  * costs nothing; the trade inverts with a codec, re-priced r14). At
+  * 100 TB the fan-out is a no-op (the scan already has enough splits)
+  * and the decode runs partition-parallel with one codec instance per
+  * partition — the `mapInPandas` batch shape in Scala form.
   */
 object Multimodal {
 
-  /** Stage the documents as media rows: opaque content bytes + metadata.
-    * On a real corpus this is the schema media already arrives in.
-    * Deliberately NOT [[Docs.fanned]]: this sandbox's decode step is a
-    * deterministic stub (see the class doc), so the per-row work is
-    * too cheap to pay for an exchange of the content bytes — measured
-    * +58% on multimodal_features when fanned. A REAL image/audio
-    * decode inverts that trade instantly; swap in `Docs.fanned` (or
-    * fan after [[media]]) when wiring real codecs, exactly like the
-    * text families. */
-  def media(spark: SparkSession, dir: String): DataFrame =
-    Docs.documents(spark, dir).select(
-      col("doc_id").as("media_id"),
-      encode(col("text"), "UTF-8").as("content"),
-      struct(
-        lit("text/plain").as("mime"),
-        octet_length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"),
-        col("source").as("origin")).as(("meta")))
+  /** Fixed image-lane plane side: text bytes tile into a 64x64
+    * grayscale plane (uniform image geometry keeps the resize oracle's
+    * per-pixel coefficients row-invariant). */
+  val PlaneSide = 64
+  private val PlanePx = PlaneSide * PlaneSide
 
-  /** Metadata/integrity projection — pure expressions, oracle-checked:
-    * content length and md5 digest of the opaque bytes. */
-  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
-    media(spark, dir).select(
-      col("media_id"),
-      col("meta.mime").as("mime"),
-      col("meta.n_bytes").as("n_bytes"),
-      md5(col("content")).as("content_md5"))
-      .orderBy("media_id")
+  /** Output side of [[multimodalResize]]. */
+  val ResizeTarget = 16
 
-  val multimodalMetaOracle: String =
-    """SELECT doc_id AS media_id, 'text/plain' AS mime,
-      |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-      |       md5(text) AS content_md5
-      |FROM documents ORDER BY media_id""".stripMargin
+  /** Raw-frame lane frame geometry (see [[multimodalFrameSample]]). */
+  val FrameBytes = 64
+  val SampleEvery = 4
 
-  /** One decoded media item: the fixed feature-vector contract every
-    * downstream consumer (dedup, ANN, training export) relies on. */
-  case class MediaFeatures(
-      media_id: Long,
-      mime: String,
-      n_bytes: Long,
-      width: Int, height: Int,          // fake "decoded" dimensions
-      features: Array[Float])           // fixed FeatureDim-length vector
-
-  val FeatureDim = 8
-
-  /** STUB decoder — stands in for an image/audio codec, which this
-    * container does not ship. Deterministic by construction: "decode"
-    * derives dimensions from the byte length and "features" from a
-    * 16-bucket byte histogram folded to FeatureDim floats. The partition
-    * batch shape (reusable per-partition instance, iterator in/out, no
-    * per-row setup) is exactly what a real codec needs. */
-  final class FakeDecoder extends Serializable {
-    def decode(id: Long, mime: String, bytes: Array[Byte]): MediaFeatures = {
-      val hist = new Array[Long](16)
+  /** Tile `bytes` cyclically into the fixed plane; empty input yields
+    * an all-zero plane (absent in the fixtures — documents are 48+
+    * chars — but total functions beat partial ones). */
+  private[graft] def tilePlane(bytes: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](PlanePx)
+    if (bytes.length > 0) {
       var i = 0
-      while (i < bytes.length) { hist((bytes(i) & 0xf0) >> 4) += 1; i += 1 }
-      val features = new Array[Float](FeatureDim)
-      var k = 0
-      while (k < 16) {
-        features(k % FeatureDim) += (if (bytes.length == 0) 0f
-          else hist(k).toFloat / bytes.length)
-        k += 1
-      }
-      val side = math.max(1, math.sqrt(bytes.length.toDouble).toInt)
-      MediaFeatures(id, mime, bytes.length.toLong, side, side, features)
+      while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
+    }
+    out
+  }
+
+  /** Real image codec over `javax.imageio`: PNG/JPEG (+ every other
+    * ImageIO service-loaded format) decode to a grayscale int plane,
+    * grayscale PNG encode, and a fixed-point bilinear resample. One
+    * instance per partition — `ImageIO.read` allocates its reader per
+    * call and is thread-safe across partitions. */
+  final class ImageCodec extends Serializable {
+    // ImageIO's default scratch is a temp FILE per encode/decode; in a
+    // tight per-row loop that is an fd+disk churn — keep it on-heap.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    def encodePng(plane: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(plane.length == w * h, s"plane ${plane.length} != ${w}x$h")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, plane)
+      val out = new java.io.ByteArrayOutputStream(w * h / 2)
+      if (!javax.imageio.ImageIO.write(img, "png", out))
+        throw new IllegalStateException("no PNG writer registered")
+      out.toByteArray
     }
 
-    /** STUB resize — stands in for a pixel-resampling kernel: nearest-
-      * neighbor decimation of the "decoded" byte plane to a target
-      * side. Deterministic; real codecs swap in behind the same
-      * signature (bytes in, resized bytes + dims out). */
-    def resize(bytes: Array[Byte], targetSide: Int): (Int, Int, Array[Byte]) = {
-      val srcSide = math.max(1, math.sqrt(bytes.length.toDouble).toInt)
-      val side = math.min(targetSide, srcSide)
-      val out = new Array[Byte](side * side)
+    /** Decoded image: dims, band count, and the grayscale plane
+      * (single-band images verbatim; multi-band reduced by the integer
+      * ITU-R 601 luma `(299R+587G+114B)/1000` — deterministic, no
+      * float). */
+    final case class Decoded(width: Int, height: Int, bands: Int, gray: Array[Int])
+
+    def decode(bytes: Array[Byte]): Decoded = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"undecodable image (${bytes.length} bytes; no ImageIO reader claimed it)")
+      val w = img.getWidth; val h = img.getHeight
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      val gray = new Array[Int](w * h)
+      if (bands == 1) raster.getSamples(0, 0, w, h, 0, gray)
+      else {
+        val px = new Array[Int](bands)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.getPixel(x, y, px)
+            gray(i) = (299 * px(0) + 587 * px(1) + 114 * px(2)) / 1000
+            i += 1; x += 1
+          }
+          y += 1
+        }
+      }
+      Decoded(w, h, bands, gray)
+    }
+
+    /** Fixed-point bilinear resample (align-corners, 8-bit fractional
+      * weights): every coordinate and weight is INTEGER arithmetic, so
+      * the result is bit-exact reproducible anywhere — including in the
+      * DuckDB oracle, which mirrors this loop in SQL. The +32768 is the
+      * half-ulp round of the >>16 weight normalization. */
+    def bilinear(gray: Array[Int], w: Int, h: Int, tw: Int, th: Int): Array[Int] = {
+      val out = new Array[Int](tw * th)
       var y = 0
-      while (y < side) {
+      while (y < th) {
+        val syf = if (th > 1) y * (h - 1) * 256 / (th - 1) else 0
+        val y0 = syf >> 8; val fy = syf & 255
+        val y1 = math.min(y0 + 1, h - 1)
         var x = 0
-        while (x < side) {
-          val sx = x * srcSide / side
-          val sy = y * srcSide / side
-          val idx = sy * srcSide + sx
-          out(y * side + x) = if (idx < bytes.length) bytes(idx) else 0
+        while (x < tw) {
+          val sxf = if (tw > 1) x * (w - 1) * 256 / (tw - 1) else 0
+          val x0 = sxf >> 8; val fx = sxf & 255
+          val x1 = math.min(x0 + 1, w - 1)
+          val v = (gray(y0 * w + x0) * (256 - fx) * (256 - fy) +
+            gray(y0 * w + x1) * fx * (256 - fy) +
+            gray(y1 * w + x0) * (256 - fx) * fy +
+            gray(y1 * w + x1) * fx * fy + 32768) >> 16
+          out(y * tw + x) = v
           x += 1
         }
         y += 1
       }
-      (side, side, out)
+      out
     }
   }
 
-  /** Partition-batched decode + feature extraction: one decoder per
-    * partition, streaming iterator — rows never buffered per-partition.
-    * (mapPartitions is justified here: a codec is imperative per-item
-    * work with per-partition setup cost, the documented last-resort
-    * case; everything around it stays declarative.) */
+  // ------------------------------------------------------------ image lane
+
+  /** Stage documents as REAL PNG media rows: content is an
+    * ImageIO-encoded grayscale PNG of the text's tiled 64x64 plane.
+    * [[Docs.fanned]]: the per-row PNG encode is real work that must
+    * run partition-parallel, not on the single split a sub-128 MB
+    * parquet scans as (see the class doc for the stub-era trade). */
+  def media(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Docs.fanned(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        val codec = new ImageCodec
+        rows.map { case (id, text, source) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (id, codec.encodePng(tilePlane(bytes), PlaneSide, PlaneSide),
+            "image/png", bytes.length.toLong, source)
+        }
+      }
+      .toDF("media_id", "content", "mime", "src_bytes", "origin")
+      .select(col("media_id"), col("content"),
+        struct(col("mime"), col("src_bytes"), col("origin")).as("meta"))
+  }
+
+  /** Decoded-metadata projection: dims and band count come from the
+    * DECODER (not the staging metadata — the point is to prove the
+    * container is really read), plus an md5 over the decoded plane
+    * bytes. PNG is lossless, so the digest equals the oracle's digest
+    * of the text-rebuilt plane — a value-level proof of a true
+    * encode→decode round-trip on every row. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    media(spark, dir)
+      .select(col("media_id"), col("content"), col("meta.mime").as("mime"),
+        col("meta.src_bytes").as("src_bytes"))
+      .as[(Long, Array[Byte], String, Long)]
+      .mapPartitions { rows =>
+        val codec = new ImageCodec
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, png, mime, srcBytes) =>
+          val d = codec.decode(png)
+          val plane = new Array[Byte](d.gray.length)
+          var i = 0
+          while (i < plane.length) { plane(i) = d.gray(i).toByte; i += 1 }
+          md5.reset()
+          (id, mime, d.width, d.height, srcBytes,
+            md5.digest(plane).map("%02x".format(_)).mkString)
+        }
+      }
+      .toDF("media_id", "mime", "width", "height", "src_bytes", "plane_md5")
+      .orderBy("media_id")
+  }
+
+  /** Oracle: rebuild the tiled plane from text (pure ASCII fixture, so
+    * the plane string's UTF-8 bytes == the engine's plane bytes) and
+    * digest it. Width/height are the staged constants — which the
+    * ENGINE must recover from the PNG header to match. */
+  val multimodalMetaOracle: String =
+    s"""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+       |p AS (SELECT media_id, n, array_to_string(list_transform(range(0, $PlanePx),
+       |         i -> substr(text, CAST(i % n AS INTEGER) + 1, 1)), '') AS plane
+       |      FROM m)
+       |SELECT media_id, 'image/png' AS mime,
+       |       CAST($PlaneSide AS INTEGER) AS width, CAST($PlaneSide AS INTEGER) AS height,
+       |       CAST(n AS BIGINT) AS src_bytes, md5(plane) AS plane_md5
+       |FROM p ORDER BY media_id""".stripMargin
+
+  /** One decoded image's pixel-statistics row. All stats are derived
+    * from EXACT integer accumulators (sums, counts as Long) with one
+    * double division/sqrt at the end — deterministic to the bit, and
+    * mirrorable in SQL. */
+  final case class MediaFeatures(
+      media_id: Long, mime: String, width: Int, height: Int, bands: Int,
+      f_mean: Double, f_std: Double, f_min: Int, f_max: Int,
+      f_dark: Double, f_bright: Double, f_grad: Double, f_vocab: Double)
+
+  /** Partition-batched real decode + feature extraction: one codec per
+    * partition, streaming iterator. (mapPartitions is justified here: a
+    * codec is imperative per-item work with per-partition setup cost,
+    * the documented last-resort case; everything around it stays
+    * declarative.) */
   def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import spark.implicits._
     media(spark, dir)
       .select(col("media_id"), col("meta.mime").as("mime"), col("content"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        val decoder = new FakeDecoder
-        rows.map { case (id, mime, bytes) => decoder.decode(id, mime, bytes) }
+        val codec = new ImageCodec
+        rows.map { case (id, mime, bytes) =>
+          val d = codec.decode(bytes)
+          val g = d.gray
+          val n = g.length
+          var sum = 0L; var sumSq = 0L
+          var mn = 255; var mx = 0
+          var dark = 0L; var bright = 0L
+          val seen = new Array[Boolean](256)
+          var i = 0
+          while (i < n) {
+            val v = g(i)
+            sum += v; sumSq += v.toLong * v
+            if (v < mn) mn = v; if (v > mx) mx = v
+            if (v < 64) dark += 1; if (v >= 192) bright += 1
+            seen(v) = true
+            i += 1
+          }
+          var vocab = 0
+          i = 0
+          while (i < 256) { if (seen(i)) vocab += 1; i += 1 }
+          // mean horizontal gradient: |p[x+1]-p[x]| within each row
+          var grad = 0L
+          var y = 0
+          while (y < d.height) {
+            var x = 0
+            val base = y * d.width
+            while (x < d.width - 1) {
+              grad += math.abs(g(base + x + 1) - g(base + x)); x += 1
+            }
+            y += 1
+          }
+          val nD = n.toDouble
+          val mean = sum / nD
+          val variance = (sumSq - sum.toDouble * sum / nD) / nD
+          MediaFeatures(id, mime, d.width, d.height, d.bands,
+            mean, math.sqrt(math.max(0.0, variance)), mn, mx,
+            dark / nD, bright / nD,
+            grad.toDouble / (d.height.toLong * (d.width - 1)).toDouble,
+            vocab / 256.0)
+        }
       }
   }
 
-  case class ResizedMedia(media_id: Long, src_w: Int, src_h: Int,
-      out_w: Int, out_h: Int, out_md5: String)
+  /** Feature query — oracle-checked over REAL decoded pixels: every
+    * figure below is a function of the decoded plane, which the
+    * lossless round-trip makes text-derivable for the oracle. Doubles
+    * rounded at 6 in both engines. */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(spark, dir).toDF()
+      .select(col("media_id"), col("mime"), col("width"), col("height"), col("bands"),
+        round(col("f_mean"), 6).as("f_mean"), round(col("f_std"), 6).as("f_std"),
+        col("f_min"), col("f_max"),
+        round(col("f_dark"), 6).as("f_dark"), round(col("f_bright"), 6).as("f_bright"),
+        round(col("f_grad"), 6).as("f_grad"), round(col("f_vocab"), 6).as("f_vocab"))
+      .orderBy("media_id")
 
-  val ResizeTarget = 16
+  /** DuckDB mirror: plane as a list of code points (ASCII fixture ⇒
+    * code point == byte == decoded gray sample), exact integer
+    * accumulators, the same one-shot double math. The variance formula
+    * is spelled out (not var_pop) so both sides compute the identical
+    * float expression over identical exact integers. */
+  val multimodalFeaturesOracle: String = {
+    val grad = s"list_sum(list_transform(list_filter(range(0, ${PlanePx - 1}), " +
+      s"i -> i % $PlaneSide != ${PlaneSide - 1}), i -> abs(li[i+2] - li[i+1])))"
+    s"""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+       |p AS (SELECT media_id, list_transform(range(0, $PlanePx),
+       |         i -> unicode(substr(text, CAST(i % n AS INTEGER) + 1, 1))) AS li
+       |      FROM m),
+       |s AS (SELECT media_id, li,
+       |         CAST(list_sum(li) AS BIGINT) AS s1,
+       |         CAST(list_sum(list_transform(li, v -> v * v)) AS BIGINT) AS s2,
+       |         CAST(len(list_filter(li, v -> v < 64)) AS BIGINT) AS n_dark,
+       |         CAST(len(list_filter(li, v -> v >= 192)) AS BIGINT) AS n_bright,
+       |         CAST($grad AS BIGINT) AS g1,
+       |         CAST(len(list_distinct(li)) AS BIGINT) AS n_vocab
+       |      FROM p)
+       |SELECT media_id, 'image/png' AS mime,
+       |       CAST($PlaneSide AS INTEGER) AS width, CAST($PlaneSide AS INTEGER) AS height,
+       |       CAST(1 AS INTEGER) AS bands,
+       |       round(CAST(s1 AS DOUBLE) / $PlanePx, 6) AS f_mean,
+       |       round(sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / $PlanePx) / $PlanePx, 0.0)), 6) AS f_std,
+       |       CAST(list_min(li) AS INTEGER) AS f_min, CAST(list_max(li) AS INTEGER) AS f_max,
+       |       round(CAST(n_dark AS DOUBLE) / $PlanePx, 6) AS f_dark,
+       |       round(CAST(n_bright AS DOUBLE) / $PlanePx, 6) AS f_bright,
+       |       round(CAST(g1 AS DOUBLE) / ${PlaneSide * (PlaneSide - 1)}, 6) AS f_grad,
+       |       round(CAST(n_vocab AS DOUBLE) / 256, 6) AS f_vocab
+       |FROM s ORDER BY media_id""".stripMargin
+  }
 
-  /** Partition-batched resize lane (same shape as [[extractFeatures]]:
-    * one decoder per partition, streaming iterator). Oracle-checked:
-    * nearest-neighbor decimation indices satisfy `sy*src+sx <= src²-1
-    * <= n-1`, so the zero-fill branch never fires on non-empty content
-    * and the resized plane is a pure character permutation DuckDB can
-    * rebuild and md5 over the ASCII fixture (empty content — absent
-    * here — is the hardcoded md5 of one NUL byte). */
+  final case class ResizedMedia(media_id: Long, src_w: Int, src_h: Int,
+      out_w: Int, out_h: Int, out_hex: String)
+
+  /** Partition-batched REAL resize: decode the PNG, fixed-point
+    * bilinear resample the decoded plane to ResizeTarget², emit the
+    * resampled bytes as hex (hex instead of a digest so the oracle can
+    * compare the actual pixel values it computes — and hex stays ASCII,
+    * dodging any digest-over-non-UTF8 ambiguity). */
   def resizeMedia(spark: SparkSession, dir: String): Dataset[ResizedMedia] = {
     import spark.implicits._
     media(spark, dir)
       .select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        val decoder = new FakeDecoder
-        val md5 = java.security.MessageDigest.getInstance("MD5")
-        rows.map { case (id, bytes) =>
-          val srcSide = math.max(1, math.sqrt(bytes.length.toDouble).toInt)
-          val (w, h, out) = decoder.resize(bytes, ResizeTarget)
-          md5.reset()
-          ResizedMedia(id, srcSide, srcSide, w, h,
-            md5.digest(out).map("%02x".format(_)).mkString)
+        val codec = new ImageCodec
+        val sb = new java.lang.StringBuilder(ResizeTarget * ResizeTarget * 2)
+        rows.map { case (id, png) =>
+          val d = codec.decode(png)
+          val out = codec.bilinear(d.gray, d.width, d.height, ResizeTarget, ResizeTarget)
+          sb.setLength(0)
+          out.foreach(v => sb.append(f"$v%02x"))
+          ResizedMedia(id, d.width, d.height, ResizeTarget, ResizeTarget, sb.toString)
         }
       }
   }
@@ -161,72 +358,64 @@ object Multimodal {
   def multimodalResize(spark: SparkSession, dir: String): DataFrame =
     resizeMedia(spark, dir).toDF().orderBy("media_id")
 
-  val multimodalResizeOracle: String =
+  /** DuckDB mirror of the fixed-point bilinear loop: identical integer
+    * coordinates and 8-bit weights, identical half-ulp rounding — pixel
+    * values compared in full via the hex string. The per-axis source
+    * coordinates/weights depend only on (S, T), so they are computed
+    * HERE by the same formula the codec uses and embedded as literal
+    * lists (c0 = floor coords, c1 = ceil coords, cw = fractional
+    * weights); the plane list li already encodes the text tiling. */
+  val multimodalResizeOracle: String = {
+    val S = PlaneSide; val T = ResizeTarget
+    def sfp(t: Int) = t * (S - 1) * 256 / (T - 1)
+    val c0 = (0 until T).map(t => sfp(t) >> 8)
+    val c1 = c0.map(v => math.min(v + 1, S - 1))
+    val cw = (0 until T).map(t => sfp(t) & 255)
+    def l(xs: Seq[Int]) = xs.mkString("[", ", ", "]")
     s"""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
-       |p AS (SELECT media_id, text, n,
-       |             greatest(CAST(floor(sqrt(n)) AS INTEGER), 1) AS src FROM m),
-       |q AS (SELECT media_id, text, n, src, least($ResizeTarget, src) AS side FROM p),
-       |r AS (SELECT media_id, n, src, side,
-       |             CASE WHEN n = 0 THEN '93b885adfe0da089cdf634904fd59f71'
-       |                  ELSE md5(array_to_string(list_transform(range(0, side*side),
-       |                       i -> substr(text, CAST(((i // side) * src // side) * src + ((i % side) * src // side) + 1 AS INTEGER), 1)), ''))
-       |             END AS out_md5
-       |      FROM q)
-       |SELECT media_id, CAST(src AS INTEGER) AS src_w, CAST(src AS INTEGER) AS src_h,
-       |       CAST(side AS INTEGER) AS out_w, CAST(side AS INTEGER) AS out_h, out_md5
+       |p AS (SELECT media_id, list_transform(range(0, $PlanePx),
+       |         i -> unicode(substr(text, CAST(i % n AS INTEGER) + 1, 1))) AS li
+       |      FROM m),
+       |c AS (SELECT ${l(c0)} AS c0, ${l(c1)} AS c1, ${l(cw)} AS cw),
+       |r AS (SELECT media_id, array_to_string(list_transform(range(0, ${T * T}), i -> printf('%02x',
+       |        (  li[c0[i // $T + 1] * $S + c0[i % $T + 1] + 1] * (256 - cw[i % $T + 1]) * (256 - cw[i // $T + 1])
+       |         + li[c0[i // $T + 1] * $S + c1[i % $T + 1] + 1] * cw[i % $T + 1] * (256 - cw[i // $T + 1])
+       |         + li[c1[i // $T + 1] * $S + c0[i % $T + 1] + 1] * (256 - cw[i % $T + 1]) * cw[i // $T + 1]
+       |         + li[c1[i // $T + 1] * $S + c1[i % $T + 1] + 1] * cw[i % $T + 1] * cw[i // $T + 1]
+       |         + 32768) // 65536)), '') AS out_hex
+       |      FROM p, c)
+       |SELECT media_id, CAST($S AS INTEGER) AS src_w, CAST($S AS INTEGER) AS src_h,
+       |       CAST($T AS INTEGER) AS out_w, CAST($T AS INTEGER) AS out_h, out_hex
        |FROM r ORDER BY media_id""".stripMargin
-
-  /** Feature query — oracle-checked: the stub decode is a high-nibble
-    * byte histogram folded to 8 float ratios, and on the pure-ASCII
-    * fixture DuckDB can mirror it exactly — per-nibble char-class counts
-    * via regex, the SAME float32 arithmetic (DuckDB REAL division and
-    * addition are true float32), then one exact float→double widening
-    * before the rounded output. All 8 feature slots are emitted; on this
-    * corpus the punctuation/lowercase buckets (f2, f6, f7) carry real
-    * signal. */
-  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
-    extractFeatures(spark, dir).toDF()
-      .select(Seq(col("media_id"), col("mime"), col("n_bytes"),
-        col("width"), col("height")) ++
-        (0 until FeatureDim).map(i =>
-          round(element_at(col("features"), i + 1)
-            .cast(org.apache.spark.sql.types.DoubleType), 6).as(s"f$i")): _*)
-      .orderBy("media_id")
-
-  /** DuckDB mirror of [[FakeDecoder.decode]] over ASCII content: char
-    * class `[\x{k0}-\x{kf}]` counts == high-nibble byte histogram, REAL
-    * (float32) ratio arithmetic == the decoder's Float fold. */
-  val multimodalFeaturesOracle: String = {
-    def bucket(k: Int) =
-      f"(n - length(regexp_replace(text, '[\\x${16 * k}%02x-\\x${16 * k + 15}%02x]', '', 'g')))"
-    val feats = (0 until FeatureDim).map { j =>
-      s"round(CAST(CAST(${bucket(j)} AS REAL)/CAST(n AS REAL) + " +
-        s"CAST(${bucket(j + 8)} AS REAL)/CAST(n AS REAL) AS DOUBLE), 6) AS f$j"
-    }.mkString(",\n       ")
-    s"""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents)
-       |SELECT media_id, 'text/plain' AS mime, CAST(n AS BIGINT) AS n_bytes,
-       |       CAST(greatest(CAST(floor(sqrt(n)) AS INTEGER), 1) AS INTEGER) AS width,
-       |       CAST(greatest(CAST(floor(sqrt(n)) AS INTEGER), 1) AS INTEGER) AS height,
-       |       $feats
-       |FROM m ORDER BY media_id""".stripMargin
   }
 
-  // ------------------------------------------------------ frame sampling
+  // -------------------------------------------------------- raw-frame lane
 
-  /** Stub "video" frame geometry: content is treated as fixed-size
-    * frames of FrameBytes, and every SampleEvery-th frame is kept —
-    * the standard decimation step before feature extraction. The
-    * sampling itself is fully declarative (byte-true `substring` over
-    * the binary content, exploded frame indices): no codec involved,
-    * so unlike the decode stub this lane IS oracle-checked. */
-  val FrameBytes = 64
-  val SampleEvery = 4
+  /** Raw fixed-frame wire staging (uncompressed frames of [[FrameBytes]]
+    * bytes — the raw-YUV/PCM shape): content is the text's bytes
+    * verbatim. Deliberately NOT fanned: staging is a cast, the sampling
+    * below is declarative codegen'd byte arithmetic — there is no
+    * per-row compute to parallelize that would pay for exchanging the
+    * content. */
+  def rawMedia(spark: SparkSession, dir: String): DataFrame =
+    Docs.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        octet_length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"),
+        col("source").as("origin")).as("meta"))
 
+  /** Frame decimation over the raw lane: every SampleEvery-th
+    * FrameBytes-sized frame — the standard sampling step before
+    * feature extraction. Fully declarative (byte-true `substring`,
+    * exploded frame indices): no codec involved, stays in
+    * whole-stage codegen, and IS oracle-checked. */
   def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame = {
     val lastSample =
       expr(s"CAST((greatest(meta.n_bytes, 1) - 1) div $FrameBytes AS INT) div $SampleEvery")
     val frame = expr(s"substring(content, frame_idx * $FrameBytes + 1, $FrameBytes)")
-    media(spark, dir)
+    rawMedia(spark, dir)
       .select(col("media_id"), col("content"),
         posexplode(transform(sequence(lit(0), lastSample), k => (k * SampleEvery)))
           .as(Seq("pos", "frame_idx")))

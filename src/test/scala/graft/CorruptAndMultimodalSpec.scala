@@ -52,28 +52,100 @@ class CorruptAndMultimodalSpec extends SparkSpec {
     assert(out.head.getAs[String]("b") == "a") // remainder, no stale-buffer garbage
   }
 
-  test("multimodal feature extraction is deterministic and batch-shaped") {
-    val a = Multimodal.extractFeatures(spark, sf).collect().sortBy(_.media_id)
-    val b = Multimodal.extractFeatures(spark, sf).collect().sortBy(_.media_id)
-    assert(a.length == b.length && a.length == 500)
-    a.zip(b).foreach { case (x, y) =>
-      assert(x.media_id == y.media_id && x.features.toSeq == y.features.toSeq)
-      assert(x.features.length == Multimodal.FeatureDim)
-      // histogram-derived features: non-negative, bounded by 2 bucket shares
-      assert(x.features.forall(f => f >= 0f && f <= 2f))
-      assert(x.n_bytes > 0 && x.width >= 1 && x.height >= 1)
+  test("media stages REAL PNGs: content decodes to the tiled text plane") {
+    val codec = new Multimodal.ImageCodec
+    val docs = graft.ops.Docs.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Multimodal.media(spark, sf)
+      .select(col("media_id"), col("content"), col("meta.mime")).collect()
+    assert(rows.length == 500)
+    rows.take(20).foreach { r =>
+      assert(r.getString(2) == "image/png")
+      val png = r.getAs[Array[Byte]](1)
+      // PNG magic: the content really is a container, not raw bytes
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+      val d = codec.decode(png)
+      assert(d.width == Multimodal.PlaneSide && d.height == Multimodal.PlaneSide && d.bands == 1)
+      val expected = Multimodal.tilePlane(
+        docs(r.getLong(0)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(d.gray.map(_.toByte).sameElements(expected), s"lossy round-trip for doc ${r.getLong(0)}")
     }
   }
 
-  test("multimodal resize is deterministic and honors the dimension contract") {
-    val a = Multimodal.multimodalResize(spark, sf).collect()
-    val b = Multimodal.multimodalResize(spark, sf).collect()
-    assert(a.toSeq == b.toSeq && a.length == 500)
-    a.foreach { r =>
-      val (srcW, outW, outH) = (r.getAs[Int]("src_w"), r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
-      assert(outW == outH && outW >= 1 && outW <= Multimodal.ResizeTarget && outW <= srcW)
-      assert(r.getAs[String]("out_md5").length == 32)
+  test("multimodal feature extraction is deterministic and reads real pixels") {
+    val a = Multimodal.extractFeatures(spark, sf).collect().sortBy(_.media_id)
+    val b = Multimodal.extractFeatures(spark, sf).collect().sortBy(_.media_id)
+    assert(a.length == b.length && a.length == 500)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    val docs = graft.ops.Docs.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    a.take(10).foreach { x =>
+      val plane = Multimodal.tilePlane(
+        docs(x.media_id).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val vals = plane.map(_ & 0xff)
+      // independent recomputation from the SOURCE text (never saw a PNG)
+      assert(x.f_mean == vals.map(_.toLong).sum.toDouble / vals.length)
+      assert(x.f_min == vals.min && x.f_max == vals.max)
+      assert(x.f_dark == vals.count(_ < 64).toDouble / vals.length)
+      assert(x.bands == 1 && x.width == Multimodal.PlaneSide)
     }
+  }
+
+  test("resize is real fixed-point bilinear over decoded pixels") {
+    val a = Multimodal.resizeMedia(spark, sf).collect().sortBy(_.media_id)
+    val b = Multimodal.resizeMedia(spark, sf).collect().sortBy(_.media_id)
+    assert(a.toSeq == b.toSeq && a.length == 500)
+    val codec = new Multimodal.ImageCodec
+    val docs = graft.ops.Docs.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    a.take(10).foreach { r =>
+      assert(r.src_w == Multimodal.PlaneSide && r.out_w == Multimodal.ResizeTarget)
+      val plane = Multimodal.tilePlane(
+        docs(r.media_id).getBytes(java.nio.charset.StandardCharsets.UTF_8)).map(_ & 0xff)
+      val expect = codec.bilinear(plane, Multimodal.PlaneSide, Multimodal.PlaneSide,
+        Multimodal.ResizeTarget, Multimodal.ResizeTarget)
+        .map(v => f"$v%02x").mkString
+      assert(r.out_hex == expect)
+    }
+  }
+
+  test("ImageCodec round-trips arbitrary planes losslessly through PNG") {
+    val codec = new Multimodal.ImageCodec
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val w = 1 + rnd.nextInt(80); val h = 1 + rnd.nextInt(80)
+      val plane = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val d = codec.decode(codec.encodePng(plane, w, h))
+      assert(d.width == w && d.height == h && d.bands == 1)
+      assert(d.gray.map(_.toByte).sameElements(plane))
+    }
+  }
+
+  test("golden: checked-in real-world fixtures decode to analytic pixel values") {
+    val codec = new Multimodal.ImageCodec
+    def fixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/graft/$name")
+      assert(in != null, s"missing checked-in fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    import graft.tools.MakeImageFixtures.{W, H, rgb}
+    def luma(x: Int, y: Int): Int = {
+      val (r, g, b) = rgb(x, y); (299 * r + 587 * g + 114 * b) / 1000
+    }
+    val png = codec.decode(fixture("gradient.png"))
+    assert(png.width == W && png.height == H && png.bands == 3)
+    for (y <- 0 until H; x <- 0 until W)
+      assert(png.gray(y * W + x) == luma(x, y), s"png pixel ($x,$y)")
+    // JPEG is lossy: dims and band count exact, pixels near the analytic
+    // values (this smooth gradient compresses near-losslessly)
+    val jpg = codec.decode(fixture("gradient.jpg"))
+    assert(jpg.width == W && jpg.height == H && jpg.bands == 3)
+    val meanAbsErr = (0 until W * H).map(i =>
+      math.abs(jpg.gray(i) - luma(i % W, i / W))).sum.toDouble / (W * H)
+    assert(meanAbsErr < 4.0, s"jpeg decode drifted: meanAbsErr=$meanAbsErr")
   }
 
   test("multimodal frame sampling: every SampleEvery-th frame, byte-true slices") {
@@ -83,20 +155,12 @@ class CorruptAndMultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("frame_len") >= 1 &&
       r.getAs[Long]("frame_len") <= Multimodal.FrameBytes))
     // frame 0 of a media equals the md5 of its first FrameBytes bytes
-    val m = Multimodal.media(spark, sf)
+    val m = Multimodal.rawMedia(spark, sf)
       .select(col("media_id"), md5(expr(s"substring(content, 1, ${Multimodal.FrameBytes})")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     rows.filter(_.getAs[Int]("frame_idx") == 0).foreach { r =>
       assert(r.getAs[String]("frame_md5") == m(r.getAs[Long]("media_id")))
     }
-  }
-
-  test("multimodal meta matches the binary content actually staged") {
-    val m = Multimodal.media(spark, sf)
-      .select(col("media_id"), md5(col("content")).as("h"), col("meta.n_bytes").as("n"))
-      .collect()
-    assert(m.length == 500)
-    m.foreach { r => assert(r.getAs[String]("h").length == 32 && r.getAs[Long]("n") > 0) }
   }
 
   test("alltypes roundtrip covers every reference type lane") {
