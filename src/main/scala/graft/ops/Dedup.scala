@@ -113,23 +113,42 @@ object Dedup {
     * the shingle-hash array into all 64 permutation expressions (a 64x
     * recompute that made the array formulation ~30x slower). The
     * candidate join carries bare ids only. */
-  private[ops] def minhashCandidates(sh: DataFrame): DataFrame = {
+  private[ops] def minhashCandidates(sh: DataFrame): DataFrame =
+    bandedCandidates(bandSigs(minhashSigs(sh)), "doc_id")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+
+  /** The 64 minhash minima per doc as ONE array column `sig` — the
+    * persistable signature form. [[graft.streaming.DocStream]] keeps
+    * exactly this frame between micro-batches (~64×8 B + id per doc:
+    * corpus-scale METADATA, no text — the state a streaming near-dup
+    * can actually afford at 100 TB). */
+  private[graft] def minhashSigs(sh: DataFrame): DataFrame = {
     val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), hash(col("s")).cast(LongType).bitwiseAND(lit(0x7fffffffL)).as("h"))
     val minCols = minHashCoef.zipWithIndex.map { case ((a, b), j) =>
       min((col("h") * lit(a) + lit(b)) % lit(MinHashP)).as(s"m$j")
     }
-    val sigs0 = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    // Band signature = ':'-joined minima of the r permutations in the band.
-    val bandCols = (0 until MinHashBands).map { b =>
-      concat_ws(":", (0 until MinHashRows).map(r => col(s"m${b * MinHashRows + r}")): _*)
-    }
-    val sigs = sigs0.select(col("doc_id"), array(bandCols: _*).as("bands"))
-    val exploded = sigs.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band", "sig")))
-    bandedCandidates(exploded, "doc_id")
-      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinHashBands * MinHashRows).map(j => col(s"m$j")): _*).as("sig"))
   }
+
+  /** (doc_id, band, sig) banded rows from the array form — band
+    * signature = ':'-joined minima of the r permutations in the band. */
+  private[graft] def bandSigs(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until MinHashBands).map { b =>
+      concat_ws(":", (0 until MinHashRows).map(r =>
+        element_at(col("sig"), b * MinHashRows + r + 1)): _*)
+    }
+    sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+  }
+
+  /** Estimated jaccard of two 64-long minhash arrays: the fraction of
+    * agreeing minima (standard MinHash estimator, se ≈ √(j(1−j)/64) ≈
+    * 0.06 at the 0.5 threshold). */
+  private[graft] def sigAgreement(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), p => p))
+      .cast(DoubleType) / (MinHashBands * MinHashRows)
 
   /** Exact-jaccard verification of candidate pairs against shingle sets
     * (the sets re-attach only to the deduplicated candidates). */

@@ -75,4 +75,126 @@ object DocStream {
         col(arrivalCol).cast(TimestampType).as("arrived_at"))
       .withWatermark("arrived_at", horizon)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  // ------------------------------------------------------ near-dup ingest
+
+  /** Streaming NEAR-dup ingest: each micro-batch's documents are
+    * minhash-banded and joined against a persisted signature store, so
+    * a crawl pipeline rejects near-duplicate re-crawls (boilerplate
+    * re-renders, templated mirrors — content exact dedup can't catch)
+    * the batch they arrive.
+    *
+    * Reuses the batch family's exact shapes ([[graft.ops.Dedup]]):
+    * `minhashSigs` (64 partial-aggregated minima), `bandSigs`, and the
+    * width-capped `bandedCandidates` self-join for batch-internal
+    * pairs. What crosses batches is the SIGNATURE frame only —
+    * (doc_id, 64 longs) ≈ 600 B/doc of metadata, never text — stored
+    * as parquet partitioned by `batch_id`:
+    *
+    *  - '''verification''': candidates are scored by the minhash
+    *    agreement fraction ([[graft.ops.Dedup.sigAgreement]]), not
+    *    exact jaccard — exact verification would need the shingle sets
+    *    (i.e. the corpus text) in state. The estimator's se at 64
+    *    permutations is ~0.06; planted near-dups live at j ≥ 0.9 and
+    *    distinct docs at j ≈ 0, so the gap is >5 se wide. A pipeline
+    *    needing exact-jaccard confirmation runs the batch operator
+    *    over the retained corpus as a periodic compaction pass.
+    *  - '''idempotent replay''': both sinks write
+    *    `dir/batch_id=<id>/` with per-batch overwrite, so a crashed
+    *    and replayed micro-batch rewrites its own partitions instead
+    *    of duplicating them; candidate matching reads only store
+    *    partitions with `batch_id < current` so a half-written crash
+    *    partition can never reject its own replay.
+    *  - '''bounded state''': the store grows O(retained docs). Like
+    *    [[dedupExactStreamBounded]], the production form bounds it by
+    *    the re-crawl horizon: [[pruneSignatureStore]] drops batch
+    *    partitions older than the horizon (re-crawls cluster in time;
+    *    the months-later long tail belongs to the periodic batch dedup
+    *    over the stored corpus, not ingest state).
+    *
+    * Returns the started query; survivors land under
+    * `outDir/batch_id=<id>/` with the full document schema. */
+  def nearDupIngest(spark: SparkSession, landingDir: String, storeDir: String,
+      outDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // a typed val picks the Scala foreachBatch overload (the lambda
+    // form is ambiguous against the Java VoidFunction2 overload)
+    val runBatch: (DataFrame, Long) => Unit =
+      (batch, batchId) => nearDupBatch(batch, batchId, storeDir, outDir)
+    readDocuments(spark, landingDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(runBatch)
+      .start()
+  }
+
+  /** One micro-batch of the near-dup ingest (factored out so the spec
+    * can also drive it directly). */
+  private[graft] def nearDupBatch(batch: DataFrame, batchId: Long,
+      storeDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    import graft.ops.{Dedup, Docs}
+    val sigs = Dedup.minhashSigs(Docs.shingled(batch))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val threshold = Dedup.JaccardThreshold
+      val stored = {
+        val p = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+          // schema comes from the store's own files (we wrote them);
+          // batch_id is the partition column — `< batchId` excludes a
+          // crashed replay's own half-written partition
+          spark.read.parquet(storeDir)
+            .where(col("batch_id") < batchId)
+            .select(col("doc_id").as("old_id"), col("sig").as("old_sig"))
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("old_id", LongType),
+            StructField("old_sig", org.apache.spark.sql.types.ArrayType(LongType)))))
+      }
+      val newBands = Dedup.bandSigs(sigs)
+      val oldBands = Dedup.bandSigs(stored.select(
+        col("old_id").as("doc_id"), col("old_sig").as("sig")))
+        .select(col("doc_id").as("old_id"), col("band"), col("sig"))
+      // vs-store: band collision -> distinct id pair -> agreement gate.
+      // The join carries ids only; signatures re-attach per candidate.
+      val vsStore = newBands.join(oldBands, Seq("band", "sig"))
+        .select(col("doc_id"), col("old_id")).distinct()
+        .join(sigs, "doc_id").join(stored, "old_id")
+        .where(Dedup.sigAgreement(col("sig"), col("old_sig")) >= threshold)
+        .select(col("doc_id"))
+      // batch-internal: the capped self-join; smaller doc_id is the
+      // deterministic keeper (unlike dropDuplicates' arbitrary pick)
+      val internal = Dedup.bandedCandidates(newBands, "doc_id")
+        .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+        .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+        .where(Dedup.sigAgreement(col("sig_a"), col("sig_b")) >= threshold)
+        .select(col("b").as("doc_id"))
+      val rejected = vsStore.union(internal).distinct()
+      val kept = batch.join(rejected, Seq("doc_id"), "left_anti")
+      kept.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      // only SURVIVORS' signatures enter the store: the corpus the
+      // next batch dedups against is the corpus actually retained
+      sigs.join(rejected, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+    } finally sigs.unpersist()
+  }
+
+  /** Re-crawl-horizon state bound for [[nearDupIngest]]: drop signature
+    * partitions for batches before `keepFromBatch`. Run periodically
+    * (e.g. from the same scheduler as checkpoint cleanup); the batch
+    * ids are monotonically assigned by the stream, so "older than the
+    * horizon" is a batch-id cutoff. */
+  def pruneSignatureStore(spark: SparkSession, storeDir: String,
+      keepFromBatch: Long): Int = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val old = fs.listStatus(root).filter { st =>
+      val n = st.getPath.getName
+      n.startsWith("batch_id=") &&
+        scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption.exists(_ < keepFromBatch)
+    }
+    old.foreach(st => fs.delete(st.getPath, true))
+    old.length
+  }
 }

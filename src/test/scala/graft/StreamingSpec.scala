@@ -166,6 +166,48 @@ class StreamingSpec extends SparkSpec {
       "an in-horizon re-crawl leaked through the bounded dedup state")
   }
 
+  test("streaming near-dup ingest rejects re-crawled near-duplicates across a restart") {
+    implicit val s = spark
+    import s.implicits._
+    val in = tmp("nd-in"); val store = tmp("nd-store")
+    val out = tmp("nd-out"); val ck = tmp("nd-ck")
+    def doc(id: Long, text: String) = (id, text, "en", "crawl", text.length.toLong)
+    def distinctText(i: Int) = (0 until 30).map(k => s"w${i}_$k").mkString(" ")
+    // batch 1: 20 pairwise-distinct docs (disjoint token sets, j = 0)
+    (1 to 20).map(i => doc(i.toLong, distinctText(i)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(in)
+    val q1 = DocStream.nearDupIngest(spark, in, store, out, ck)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() == 20,
+      "every distinct doc of the first crawl must survive")
+    // batch 2 lands AFTER a full stop: 5 near-dup re-crawls of docs 1-5
+    // (same 30 tokens + 2 appended ⇒ jaccard ≈ 28/30), 2 fresh docs,
+    // and a batch-INTERNAL near-dup pair (120 keeper, 121 rejected)
+    val recrawls = (1 to 5).map(i => doc(100L + i, distinctText(i) + " tail extra"))
+    val fresh = Seq(doc(111L, distinctText(111)), doc(112L, distinctText(112)))
+    val twinText = distinctText(999)
+    val twins = Seq(doc(120L, twinText), doc(121L, twinText + " near twin"))
+    (recrawls ++ fresh ++ twins)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(in)
+    // restart from the checkpoint: the signature STORE (not stream
+    // state) must carry batch 1's corpus across the restart
+    val q2 = DocStream.nearDupIngest(spark, in, store, out, ck)
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out)
+    val ids = got.select("doc_id").as[Long].collect().toSet
+    assert((101L to 105L).forall(!ids.contains(_)),
+      s"a near-dup re-crawl survived: ${ids.filter(_ >= 101L).toSeq.sorted}")
+    assert(ids.contains(111L) && ids.contains(112L), "a fresh doc was rejected")
+    assert(ids.contains(120L) && !ids.contains(121L),
+      "batch-internal near-dup pair must keep the smaller doc_id only")
+    assert(got.count() == 23, s"expected 20 + 2 fresh + 1 twin keeper, got ${got.count()}")
+    // bounded state: pruning the horizon drops old batch partitions
+    assert(DocStream.pruneSignatureStore(spark, store, keepFromBatch = 1L) == 1)
+    assert(!new java.io.File(s"$store/batch_id=0").exists())
+  }
+
   test("watermarked windowed counts ≡ batch events_window counts") {
     val out = tmp("out4"); val ck = tmp("ck4")
     val stream = EventStream.readEvents(spark, eventsDir)
