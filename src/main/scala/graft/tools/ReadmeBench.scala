@@ -42,7 +42,13 @@ object ReadmeBench {
     val min = d(p, "parse_min_s").getOrElse(med)
     val mbCoreMin = if (min > 0) bytes / 1e6 / min / cores else Double.NaN
     val klinesCoreMin = if (min > 0) lines / min / cores / 1000 else Double.NaN
-    val stock = d(p, "parse_stock_s").map(fmt(_)).getOrElse("—")
+    // min-vs-min is the drift-robust A/B (medians mix in contended
+    // windows; each leg's best run is its cleanest shot)
+    val stock = opt(p, "parse_stock_runs").filter(_.isArray).map { a =>
+      var m = Double.MaxValue
+      a.forEach(n => m = math.min(m, n.asDouble))
+      fmt(m)
+    }.orElse(d(p, "parse_stock_s").map(fmt(_))).getOrElse("—")
     val calAtMin = d(p, "cal_at_min").map(v => fmt(v, 0)).getOrElse("—")
     s"| $label | ${fmt(med)} | ${fmt(min)} | ${fmt(mbCoreMin)} | " +
       s"${fmt(klinesCoreMin, 0)}k | $stock | $calAtMin |"
@@ -65,9 +71,9 @@ object ReadmeBench {
       calMax.map(m => s", session-best per-leg micro-cal **$m MB/s**").getOrElse("") +
       s". Figures are only comparable ACROSS records after scaling by " +
       s"these; the per-leg `cal@min` column prices the machine during " +
-      s"the min-time run itself (— where the artifact predates the " +
-      s"r14 telemetry)._\n\n"
-    sb ++= "| parse leg | med s | min s | MB/s/core @min | lines/s/core @min | stock A/B med s | cal@min MB/s |\n"
+      s"the min-time run itself (an em-dash cell means the artifact " +
+      s"predates the r14 telemetry)._\n\n"
+    sb ++= "| parse leg | med s | min s | MB/s/core @min | lines/s/core @min | stock A/B min s | cal@min MB/s |\n"
     sb ++= "|---|---|---|---|---|---|---|\n"
     opt(root, "parsed").foreach(p =>
       sb ++= parseRow("narrow-row (11 cols, 104 runes)", p, cores) + "\n")
