@@ -57,6 +57,28 @@ object Docs {
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shingles3(col("toks")).as("sh"))
 
+  /** Distinct word n-gram shingles for arbitrary n (same contract as
+    * [[shingles3]]: docs shorter than n tokens fall back to one
+    * whole-doc shingle; pass a materialized `toks` attribute). The
+    * decontamination operator uses n = 8 — the published benchmark-
+    * decontam granularity (8-13 word n-grams), long enough that
+    * incidental phrase reuse cannot collide. */
+  def shinglesN(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** [[shinglesN]] in DuckDB SQL: CTE body over `documents` producing
+    * `sN`(doc_id, sh). */
+  def shinglesNSql(n: Int): String =
+    s"""w AS (SELECT doc_id, list_filter(string_split(text,' '), t -> len(t)>0) AS ws FROM documents),
+       |sN AS (SELECT doc_id,
+       |  CASE WHEN len(ws) >= $n
+       |       THEN list_distinct(list_transform(range(1, len(ws)-${n - 2}),
+       |              i -> array_to_string(list_slice(ws, i, i+${n - 1}), ' ')))
+       |       ELSE [array_to_string(ws, ' ')] END AS sh FROM w)""".stripMargin
+
   /** The same shingle definition in DuckDB SQL, as a CTE body over
     * `documents` producing (doc_id, sh). */
   val shinglesSql: String =

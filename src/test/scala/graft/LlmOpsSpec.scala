@@ -98,6 +98,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(ann.nonEmpty && ann.size <= exact.size)
   }
 
+  test("corpus_decontam drops exactly the docs sharing an 8-gram with the eval set") {
+    // independent recomputation, deliberately NOT the engine's shape:
+    // driver-side token windows over the collected corpus
+    def grams(text: String): Set[String] = {
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      if (toks.size >= Dedup.DecontamNgram)
+        toks.sliding(Dedup.DecontamNgram).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val docs = ops.Docs.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val evalGrams = docs.filter(_._1 % Dedup.EvalIdMod == 0).flatMap(d => grams(d._2)).toSet
+    val corpus = docs.filter(_._1 % Dedup.EvalIdMod != 0)
+    val expectClean = corpus.filter(d => grams(d._2).intersect(evalGrams).isEmpty)
+      .map(_._1).toSet
+    val got = Dedup.corpusDecontam(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expectClean,
+      s"engine kept ${got.size}, expected ${expectClean.size}; " +
+        s"diff=${(got diff expectClean) ++ (expectClean diff got)}")
+    // the fixture actually exercises the operator: something is dropped,
+    // and no eval doc ever appears in the training output
+    assert(expectClean.size < corpus.length, "fixture must plant contamination")
+    assert(got.forall(_ % Dedup.EvalIdMod != 0))
+  }
+
   test("text_analysis invariants: ratios in [0,1], counts consistent") {
     val out = TextAnalysis.textAnalysis(spark, sf).collect()
     out.foreach { r =>
