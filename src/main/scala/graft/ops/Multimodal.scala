@@ -88,10 +88,14 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** Decoded image: dims, band count, and the grayscale plane
-      * (single-band images verbatim; multi-band reduced by the integer
-      * ITU-R 601 luma `(299R+587G+114B)/1000` — deterministic, no
-      * float). */
+    /** Decoded image: dims, band count, and the 8-bit grayscale plane.
+      * Gray and gray+alpha images use band 0 verbatim; 3+-band images
+      * reduce by the integer ITU-R 601 luma `(299R+587G+114B)/1000` —
+      * deterministic, no float. Deeper-than-8-bit samples (16-bit
+      * grayscale PNGs decode fine through ImageIO) are right-shifted
+      * to 8 bits, so every downstream contract (the 256-value feature
+      * vocabulary, the two-hex-chars-per-pixel resize output) holds
+      * for any input ImageIO can read, not just the fixtures. */
     final case class Decoded(width: Int, height: Int, bands: Int, gray: Array[Int])
 
     def decode(bytes: Array[Byte]): Decoded = {
@@ -102,9 +106,15 @@ object Multimodal {
       val w = img.getWidth; val h = img.getHeight
       val raster = img.getRaster
       val bands = raster.getNumBands
+      val shift = math.max(0, raster.getSampleModel.getSampleSize(0) - 8)
       val gray = new Array[Int](w * h)
-      if (bands == 1) raster.getSamples(0, 0, w, h, 0, gray)
-      else {
+      if (bands <= 2) { // gray, or gray+alpha: band 0 is the gray channel
+        raster.getSamples(0, 0, w, h, 0, gray)
+        if (shift > 0) {
+          var i = 0
+          while (i < gray.length) { gray(i) = gray(i) >> shift; i += 1 }
+        }
+      } else {
         val px = new Array[Int](bands)
         var i = 0
         var y = 0
@@ -112,7 +122,8 @@ object Multimodal {
           var x = 0
           while (x < w) {
             raster.getPixel(x, y, px)
-            gray(i) = (299 * px(0) + 587 * px(1) + 114 * px(2)) / 1000
+            gray(i) = (299 * (px(0) >> shift) + 587 * (px(1) >> shift) +
+              114 * (px(2) >> shift)) / 1000
             i += 1; x += 1
           }
           y += 1
@@ -158,9 +169,16 @@ object Multimodal {
     * [[Docs.fanned]]: the per-row PNG encode is real work that must
     * run partition-parallel, not on the single split a sub-128 MB
     * parquet scans as (see the class doc for the stub-era trade). */
-  def media(spark: SparkSession, dir: String): DataFrame = {
+  def media(spark: SparkSession, dir: String): DataFrame =
+    mediaOver(Docs.fanned(spark, dir))
+
+  /** The PNG staging over any documents-shaped frame — shared with the
+    * fan-out probe's unfanned twin (`tools/ProbeMm14`) so the A/B it
+    * measures stays byte-identical to production by construction. */
+  private[graft] def mediaOver(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Docs.fanned(spark, dir)
+    docs
       .select(col("doc_id"), col("text"), col("source"))
       .as[(Long, String, String)]
       .mapPartitions { rows =>

@@ -136,6 +136,10 @@ object DocStream {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val threshold = Dedup.JaccardThreshold
+      val emptyStore = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("old_id", LongType),
+          StructField("old_sig", org.apache.spark.sql.types.ArrayType(LongType)))))
       val stored = {
         val p = new org.apache.hadoop.fs.Path(storeDir)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -143,13 +147,23 @@ object DocStream {
           // schema comes from the store's own files (we wrote them);
           // batch_id is the partition column — `< batchId` excludes a
           // crashed replay's own half-written partition
-          spark.read.parquet(storeDir)
+          try spark.read.parquet(storeDir)
             .where(col("batch_id") < batchId)
             .select(col("doc_id").as("old_id"), col("sig").as("old_sig"))
-        else spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("old_id", LongType),
-            StructField("old_sig", org.apache.spark.sql.types.ArrayType(LongType)))))
+          catch {
+            // a crash during the FIRST batch's store write can leave
+            // only uncommitted debris (_temporary etc.) under storeDir:
+            // exists + nonEmpty, yet zero readable footers — schema
+            // inference throws, which would wedge the stream on every
+            // replay of that batch. Zero committed files means an
+            // empty store IS the correct state; any store with >= one
+            // committed partition infers fine (and the batch_id filter
+            // excludes the debris), so this catch cannot mask a
+            // genuinely readable store.
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" => emptyStore
+          }
+        else emptyStore
       }
       val newBands = Dedup.bandSigs(sigs)
       val oldBands = Dedup.bandSigs(stored.select(
@@ -169,13 +183,19 @@ object DocStream {
         .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
         .where(Dedup.sigAgreement(col("sig_a"), col("sig_b")) >= threshold)
         .select(col("b").as("doc_id"))
+      // persisted: BOTH sink writes anti-join against it, and without
+      // the pin the store scan + band joins + agreement gates (the
+      // dominant per-batch work) would execute twice per micro-batch
       val rejected = vsStore.union(internal).distinct()
-      val kept = batch.join(rejected, Seq("doc_id"), "left_anti")
-      kept.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-      // only SURVIVORS' signatures enter the store: the corpus the
-      // next batch dedups against is the corpus actually retained
-      sigs.join(rejected, Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val kept = batch.join(rejected, Seq("doc_id"), "left_anti")
+        kept.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        // only SURVIVORS' signatures enter the store: the corpus the
+        // next batch dedups against is the corpus actually retained
+        sigs.join(rejected, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+      } finally rejected.unpersist()
     } finally sigs.unpersist()
   }
 

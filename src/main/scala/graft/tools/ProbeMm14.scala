@@ -17,25 +17,11 @@ object ProbeMm14 {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  /** [[Multimodal.media]] minus the fan-out: same PNG staging over the
-    * raw single-split scan. */
-  private def mediaUnfanned(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Docs.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("source"))
-      .as[(Long, String, String)]
-      .mapPartitions { rows =>
-        val codec = new Multimodal.ImageCodec
-        rows.map { case (id, text, source) =>
-          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          (id, codec.encodePng(Multimodal.tilePlane(bytes), Multimodal.PlaneSide,
-            Multimodal.PlaneSide), "image/png", bytes.length.toLong, source)
-        }
-      }
-      .toDF("media_id", "content", "mime", "src_bytes", "origin")
-      .select(col("media_id"), col("content"),
-        struct(col("mime"), col("src_bytes"), col("origin")).as("meta"))
-  }
+  /** [[Multimodal.media]] minus the fan-out: the SAME staging body
+    * (`Multimodal.mediaOver`) over the raw single-split scan, so the
+    * A/B twin cannot drift from production. */
+  private def mediaUnfanned(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaOver(Docs.documents(spark, dir))
 
   private def featuresOver(media: DataFrame): DataFrame = {
     import media.sparkSession.implicits._

@@ -124,6 +124,38 @@ class CorruptAndMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageCodec handles gray+alpha and 16-bit depth (generality, not just fixtures)") {
+    val codec = new Multimodal.ImageCodec
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out)); out.toByteArray
+    }
+    // 2-band gray+alpha: band 0 must come through verbatim (no AIOOBE)
+    val cm = new java.awt.image.ComponentColorModel(
+      java.awt.color.ColorSpace.getInstance(java.awt.color.ColorSpace.CS_GRAY),
+      true, false, java.awt.Transparency.TRANSLUCENT,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val ga = new java.awt.image.BufferedImage(
+      cm, cm.createCompatibleWritableRaster(4, 3), false, null)
+    for (y <- 0 until 3; x <- 0 until 4)
+      ga.getRaster.setPixel(x, y, Array(y * 40 + x, 200))
+    val dGa = codec.decode(png(ga))
+    assert(dGa.bands == 2 && dGa.width == 4 && dGa.height == 3)
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert(dGa.gray(y * 4 + x) == y * 40 + x)
+    // 16-bit grayscale: samples normalize to 8-bit (>> 8), keeping the
+    // 256-value feature vocabulary and 2-hex-chars-per-pixel contracts
+    val us = new java.awt.image.BufferedImage(
+      4, 3, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 3; x <- 0 until 4)
+      us.getRaster.setPixel(x, y, Array((y * 4 + x) * 5000))
+    val d16 = codec.decode(png(us))
+    assert(d16.bands == 1)
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert(d16.gray(y * 4 + x) == ((y * 4 + x) * 5000) >> 8)
+    assert(d16.gray.forall(v => v >= 0 && v <= 255))
+  }
+
   test("golden: checked-in real-world fixtures decode to analytic pixel values") {
     val codec = new Multimodal.ImageCodec
     def fixture(name: String): Array[Byte] = {
