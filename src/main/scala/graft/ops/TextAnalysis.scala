@@ -171,15 +171,88 @@ object TextAnalysis {
       |       ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- hashed embeddings
+
+  /** Dimensionality of [[docEmbed]]. 16 keeps the oracle's explicit
+    * per-bucket columns readable; the operator shape is dim-agnostic
+    * (a 256- or 4096-bucket production run changes only this constant
+    * — the aggregate stays one partial-agg row of dim longs per doc). */
+  val EmbedDim = 16
+
+  /** Feature-hashed bag-of-words document embedding (the "hashing
+    * trick", Weinberger et al. 2009 — the standard trained-model-free
+    * baseline that gives every text-only corpus an embedding column
+    * for the cosine dedup/similarity family): each token hashes to a
+    * bucket with a pseudo-random sign, the doc vector is the
+    * L2-normalized signed bucket counts.
+    *
+    * The hash is md5-derived (bucket = first 8 hex digits mod dim,
+    * sign = parity of the 9th) rather than Spark's murmur `hash` for
+    * one reason: md5 exists bit-identically in DuckDB, so the oracle
+    * can recompute the embedding value-for-value instead of
+    * rows-only. Deterministic, no RNG state, portable across engines.
+    *
+    * 100 TB shape: tokenize+hash is map-side behind [[Docs.fanned]];
+    * the groupBy partially aggregates [[EmbedDim]] narrow sums, so the
+    * only shuffle is one id-keyed row of dim longs per doc — the same
+    * metadata-scale exchange as the minhash signature stage. The
+    * normalize/round is a final map-side projection. */
+  def docEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("t"))
+    val bucket = conv(substring(h, 1, 8), 16, 10).cast(LongType) % EmbedDim
+    val sign = when(conv(substring(h, 9, 1), 16, 10).cast(LongType) % 2 === 0, 1L)
+      .otherwise(-1L)
+    val sums = Docs.fanned(spark, dir)
+      .select(col("doc_id"), explode(Docs.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), bucket.as("b"), sign.as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("b") === 0, col("s")).otherwise(0L)).as("r0"),
+        (1 until EmbedDim).map(k =>
+          sum(when(col("b") === k, col("s")).otherwise(0L)).as(s"r$k")): _*)
+    // exact integer norm² then ONE double sqrt/divide — deterministic
+    // and identical to the oracle's arithmetic; an all-cancelled doc
+    // (norm 0) maps to the zero vector, not NaN
+    val normSq = (0 until EmbedDim).map(k => col(s"r$k") * col(s"r$k")).reduce(_ + _)
+    val nrm = sqrt(normSq.cast(DoubleType))
+    sums.select(col("doc_id") +: (0 until EmbedDim).map(k =>
+      round(when(nrm === 0d, 0d)
+        .otherwise(col(s"r$k").cast(DoubleType) / nrm), 6).as(s"e$k")): _*)
+      .orderBy("doc_id")
+  }
+
+  val docEmbedOracle: String = {
+    // fold of the first 8 md5 hex digits to an int, 1-indexed strpos
+    val fold = (1 to 8).map { j =>
+      s"(strpos('0123456789abcdef', substr(md5(t),$j,1))-1)*${1L << (4 * (8 - j))}"
+    }.mkString(" + ")
+    val rCols = (0 until EmbedDim).map(k =>
+      s"sum(CASE WHEN b = $k THEN s ELSE 0 END) AS r$k").mkString(",\n       ")
+    val normSq = (0 until EmbedDim).map(k => s"r$k*r$k").mkString(" + ")
+    val eCols = (0 until EmbedDim).map(k =>
+      s"round(CASE WHEN nrm = 0 THEN 0.0 ELSE CAST(r$k AS DOUBLE)/nrm END, 6) AS e$k")
+      .mkString(",\n       ")
+    s"""WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> len(t)>0)) AS t
+       |            FROM documents),
+       |b AS (SELECT doc_id, CAST(($fold) % $EmbedDim AS BIGINT) AS b,
+       |             CASE WHEN (strpos('0123456789abcdef', substr(md5(t),9,1))-1) % 2 = 0
+       |                  THEN 1 ELSE -1 END AS s
+       |      FROM tk),
+       |r AS (SELECT doc_id, $rCols FROM b GROUP BY doc_id),
+       |n AS (SELECT *, sqrt(CAST($normSq AS DOUBLE)) AS nrm FROM r)
+       |SELECT doc_id, $eCols FROM n ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_analysis" -> (textAnalysis _),
     "doc_fingerprint" -> (docFingerprint _),
     "corpus_split" -> (corpusSplit _),
+    "doc_embed" -> (docEmbed _),
   )
 
   def oracleSql: Map[String, String] = Map(
     "text_analysis" -> textAnalysisOracle,
     "doc_fingerprint" -> docFingerprintOracle,
     "corpus_split" -> corpusSplitOracle,
+    "doc_embed" -> docEmbedOracle,
   )
 }

@@ -125,6 +125,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.forall(_ % Dedup.EvalIdMod != 0))
   }
 
+  test("doc_embed: unit-norm feature-hash vectors matching a driver-side recompute") {
+    val rows = TextAnalysis.docEmbed(spark, sf).collect()
+    val dim = TextAnalysis.EmbedDim
+    rows.foreach { r =>
+      val norm = math.sqrt((1 to dim).map(i => math.pow(r.getDouble(i), 2)).sum)
+      assert(math.abs(norm - 1.0) < 1e-4, s"doc ${r.getLong(0)} norm $norm")
+    }
+    // independent recompute (MessageDigest, not SQL expressions)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def embed(text: String): Array[Double] = {
+      val counts = new Array[Long](dim)
+      text.split(" ").filter(_.nonEmpty).foreach { t =>
+        val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        md.reset()
+        val b = (java.lang.Long.parseLong(hex.take(8), 16) % dim).toInt
+        val s = if (Integer.parseInt(hex.substring(8, 9), 16) % 2 == 0) 1L else -1L
+        counts(b) += s
+      }
+      val n = math.sqrt(counts.map(c => c.toDouble * c).sum)
+      counts.map(c => if (n == 0) 0.0 else
+        BigDecimal(c / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val docs = ops.Docs.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(10).foreach { r =>
+      val want = embed(docs(r.getLong(0)))
+      (0 until dim).foreach { k =>
+        assert(r.getDouble(k + 1) == want(k),
+          s"doc ${r.getLong(0)} e$k: got ${r.getDouble(k + 1)}, want ${want(k)}")
+      }
+    }
+  }
+
   test("text_analysis invariants: ratios in [0,1], counts consistent") {
     val out = TextAnalysis.textAnalysis(spark, sf).collect()
     out.foreach { r =>
