@@ -242,11 +242,66 @@ object TextAnalysis {
        |SELECT doc_id, $eCols FROM n ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------- sequence packing
+
+  /** Tokens per training sequence in [[corpusPack]]. */
+  val PackBudget = 512
+
+  /** Sequence-packing manifest — the concatenate-then-chunk layout
+    * GPT-style pretraining uses (documents joined by an EOS token into
+    * one stream per pack group, the stream cut into fixed
+    * [[PackBudget]]-token sequences; document boundaries do NOT align
+    * with sequence boundaries). The manifest gives a data loader, for
+    * every document: its token offset in the group's stream
+    * (`tok_start`, each doc contributing n_tokens + 1 for its EOS) and
+    * the first/last sequence its content lands in (`seq_first` /
+    * `seq_last` — a doc straddles sequences when the cut falls inside
+    * it, exactly like the real layout).
+    *
+    * 100 TB shape: the stream order must be deterministic but packing
+    * needs NO global order — the stream is per `source` (one window
+    * partition each, ordered by doc_id), so groups pack in parallel
+    * and one group's manifest never depends on another's. A production
+    * corpus keys the group finer ((source, shard-date) etc.) to bound
+    * partition width; the window is a single running sum either way —
+    * one shuffle on the group key, no global sort. */
+  def corpusPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Docs.fanned(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(Docs.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("tok_start",
+        sum(col("n_tokens") + 1).over(w) - (col("n_tokens") + 1))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_start"),
+        // `div`: exact integer division (a double `/` would round past
+        // 2^53 — never reachable here, but exact beats almost-exact)
+        expr(s"tok_start div $PackBudget").as("seq_first"),
+        expr(s"(tok_start + n_tokens - 1) div $PackBudget").as("seq_last"))
+      .orderBy("doc_id")
+  }
+
+  val corpusPackOracle: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |             CAST(len(list_filter(string_split(text,' '), x -> len(x)>0)) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT *,
+       |        sum(n_tokens + 1) OVER (PARTITION BY source ORDER BY doc_id
+       |                                ROWS UNBOUNDED PRECEDING) - (n_tokens + 1) AS tok_start
+       |      FROM t)
+       |SELECT doc_id, source, n_tokens, tok_start,
+       |       tok_start // $PackBudget AS seq_first,
+       |       (tok_start + n_tokens - 1) // $PackBudget AS seq_last
+       |FROM c ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_analysis" -> (textAnalysis _),
     "doc_fingerprint" -> (docFingerprint _),
     "corpus_split" -> (corpusSplit _),
     "doc_embed" -> (docEmbed _),
+    "corpus_pack" -> (corpusPack _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -254,5 +309,6 @@ object TextAnalysis {
     "doc_fingerprint" -> docFingerprintOracle,
     "corpus_split" -> corpusSplitOracle,
     "doc_embed" -> docEmbedOracle,
+    "corpus_pack" -> corpusPackOracle,
   )
 }

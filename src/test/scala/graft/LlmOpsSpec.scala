@@ -158,6 +158,31 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("corpus_pack: contiguous per-source token streams, straddling sequences correct") {
+    val rows = TextAnalysis.corpusPack(spark, sf).collect()
+    val docs = ops.Docs.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.length == docs.length)
+    // independent recompute: per-source streams in doc_id order
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      var off = 0L
+      ds.sortBy(_._1).toSeq.map { case (id, _, text) =>
+        val n = text.split(" ").count(_.nonEmpty).toLong
+        val r = (id, src, n, off, off / TextAnalysis.PackBudget,
+          (off + n - 1) / TextAnalysis.PackBudget)
+        off += n + 1 // doc + EOS
+        r
+      }
+    }.toSet
+    val got = rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == expect, s"diff=${(got diff expect).take(3)} / ${(expect diff got).take(3)}")
+    // the fixture actually exercises straddling: some doc crosses a cut
+    assert(rows.exists(r => r.getLong(4) != r.getLong(5)),
+      "no doc straddles a sequence boundary — packing untested")
+  }
+
   test("text_analysis invariants: ratios in [0,1], counts consistent") {
     val out = TextAnalysis.textAnalysis(spark, sf).collect()
     out.foreach { r =>
