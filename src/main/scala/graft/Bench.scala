@@ -795,12 +795,22 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_details.json"), detail)
     // README's measured-figures block regenerates from the artifact
-    // just written — mechanically, every run, so the published figures
-    // can never go stale against the latest record (r12/r13 both
-    // caught hand-bracketed ranges falsified by the next driver run).
-    // Best-effort: rewrite() never throws, and a missing marker block
-    // (bench run from a different cwd) is a logged no-op.
-    graft.tools.ReadmeBench.rewrite()
+    // just written — mechanically, so the published figures can never
+    // go stale against the latest record (r12/r13 both caught
+    // hand-bracketed ranges falsified by the next driver run) — but
+    // ONLY from the canonical configuration (sf0.1 + 32 cores, the
+    // driver's per-round shape) or an explicit SPARK_GRAFT_README=1:
+    // a toy-sf dev run would otherwise silently replace the published
+    // block with non-comparable numbers. `ReadmeBench.main` remains
+    // the manual regeneration path. Best-effort: rewrite() never
+    // throws, and a missing marker block (bench run from a different
+    // cwd) is a logged no-op.
+    val canonical = sfDir.endsWith("sf0.1") && nCores == 32
+    if (canonical || sys.env.get("SPARK_GRAFT_README").contains("1"))
+      graft.tools.ReadmeBench.rewrite()
+    else
+      System.err.println(s"[bench] README rewrite skipped: non-canonical run " +
+        s"(sf=$sfDir cores=$nCores; set SPARK_GRAFT_README=1 to force)")
 
     // …and the compact headline as the LAST stdout line, inside the
     // driver's 2 KB tail window (see the class doc). A stall round can

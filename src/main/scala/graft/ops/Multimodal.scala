@@ -185,6 +185,19 @@ object Multimodal {
         val codec = new ImageCodec
         rows.map { case (id, text, source) =>
           val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          // The DuckDB oracles for this family rebuild the plane from
+          // text CHARS (md5(plane-string), unicode(substr(...))), which
+          // equals these UTF-8 BYTES only while the fixture is pure
+          // ASCII. Enforce that coupling here rather than assume it: a
+          // future multibyte document fails loudly instead of silently
+          // diverging engine from oracle. (byte-count == char-count is
+          // exactly the ASCII test for UTF-8.)
+          if (bytes.length != text.length)
+            throw new IllegalArgumentException(
+              s"doc $id contains non-ASCII text (${bytes.length} UTF-8 bytes, " +
+                s"${text.length} chars): the multimodal oracles equate chars " +
+                "with plane bytes and would silently diverge — make the " +
+                "oracle byte-based before staging multibyte fixtures")
           (id, codec.encodePng(tilePlane(bytes), PlaneSide, PlaneSide),
             "image/png", bytes.length.toLong, source)
         }

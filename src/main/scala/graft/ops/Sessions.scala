@@ -19,21 +19,37 @@ object Sessions {
 
   val SessionGapMicros: Long = 30L * 60 * 1000 * 1000 // 30 min
 
-  /** The events fixture carries TIMESTAMP(NANOS) — a parquet type Spark
-    * rejects outright. Read it as a long (`nanosAsLong`, session-scoped
-    * in [[graft.GraftSession]] — NOT mutated here: a `conf.set` inside
-    * a query builder would side-effect every subsequently planned
-    * query), then rebuild a micro-precision NTZ timestamp with integer
-    * division (a double division would lose precision above 2^53 ns).
-    * DuckDB truncates ns→us identically, so the oracle sees the same
-    * instants. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet carries TIMESTAMP(NANOS): build the session via " +
-        "graft.GraftSession (sets spark.sql.legacy.parquet.nanosAsLong)")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast(org.apache.spark.sql.types.TimestampNTZType))
+  /** The events fixture has shipped with two physical `ts` shapes across
+    * generations: TIMESTAMP(NANOS) — a parquet type Spark rejects unless
+    * `nanosAsLong` maps it to a raw long (session-scoped in
+    * [[graft.GraftSession]] — NOT mutated here: a `conf.set` inside a
+    * query builder would side-effect every subsequently planned query) —
+    * and plain timestamp[us], which Spark reads natively as
+    * TIMESTAMP_NTZ. [[normalizeTs]] dispatches on the dtype actually
+    * read, so both generations land on the same micro-precision NTZ
+    * column. For the nanos shape the rebuild uses integer division (a
+    * double division would lose precision above 2^53 ns); DuckDB
+    * truncates ns→us identically, so the oracle sees the same instants
+    * either way. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+
+  /** Normalize the `ts` column to micro-precision TIMESTAMP_NTZ whatever
+    * the fixture generation delivered: raw nanos-as-long, NTZ (naive
+    * timestamp[us] — already exact), or instant TIMESTAMP (cast is a
+    * rename under the UTC session zone GraftSession pins). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case TimestampNTZType => df
+      case TimestampType => df.withColumn("ts", col("ts").cast(TimestampNTZType))
+      case other => throw new IllegalArgumentException(
+        s"events.ts read as unsupported type $other (expected long nanos, " +
+          "timestamp, or timestamp_ntz; a TIMESTAMP(NANOS) file needs " +
+          "graft.GraftSession's spark.sql.legacy.parquet.nanosAsLong)")
+    }
   }
 
   /** Lag-gap sessionization: a new session starts where the gap to the

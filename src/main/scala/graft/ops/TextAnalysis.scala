@@ -288,8 +288,11 @@ object TextAnalysis {
        |             CAST(len(list_filter(string_split(text,' '), x -> len(x)>0)) AS BIGINT) AS n_tokens
        |           FROM documents),
        |c AS (SELECT *,
-       |        sum(n_tokens + 1) OVER (PARTITION BY source ORDER BY doc_id
-       |                                ROWS UNBOUNDED PRECEDING) - (n_tokens + 1) AS tok_start
+       |        -- CAST: DuckDB widens sum() OVER to HUGEINT; the engine emits
+       |        -- BIGINT and the row hash is type-sensitive
+       |        CAST(sum(n_tokens + 1) OVER (PARTITION BY source ORDER BY doc_id
+       |                                     ROWS UNBOUNDED PRECEDING) - (n_tokens + 1)
+       |             AS BIGINT) AS tok_start
        |      FROM t)
        |SELECT doc_id, source, n_tokens, tok_start,
        |       tok_start // $PackBudget AS seq_first,

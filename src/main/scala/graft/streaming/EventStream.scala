@@ -16,21 +16,21 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType), // ns since epoch
+  def eventsSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream of events parquet (nanos read as long via the
-    * session-scoped `nanosAsLong` conf — see [[graft.GraftSession]] —
-    * rebuilt to micro NTZ exactly like the batch reader). The schema is
-    * supplied explicitly so the stream never infers. */
+  /** File-source stream of events parquet, normalized to micro NTZ
+    * exactly like the batch reader ([[graft.ops.Sessions.normalizeTs]]).
+    * The fixture's physical `ts` shape has varied across generations
+    * (nanos-as-long vs timestamp[us]); a one-time driver-side batch
+    * metadata read pins the actual type, and the stream itself still
+    * gets an explicit schema so it never infers per micro-batch. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events parquet carries TIMESTAMP(NANOS): build the session via " +
-        "graft.GraftSession (sets spark.sql.legacy.parquet.nanosAsLong)")
-    spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    graft.ops.Sessions.normalizeTs(
+      spark.readStream.schema(eventsSchema(tsType)).parquet(dir))
   }
 
   /** Watermarked tumbling 1-h counts per event type. Late data beyond
