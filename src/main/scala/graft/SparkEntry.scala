@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Pipeline.queries ++ ops.TextAnalysis.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++
-      ops.Relational.queries ++ ops.Sessions.queries ++
+      ops.Relational.queries ++ ops.Sessions.queries ++ ops.AsOf.queries ++
       ops.AllTypes.queries ++ ops.Multimodal.queries ++ ops.SetOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,6 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Pipeline.oracleSql ++ ops.TextAnalysis.oracleSql ++
       ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
-      ops.Relational.oracleSql ++ ops.Sessions.oracleSql ++
+      ops.Relational.oracleSql ++ ops.Sessions.oracleSql ++ ops.AsOf.oracleSql ++
       ops.AllTypes.oracleSql ++ ops.Multimodal.oracleSql ++ ops.SetOps.oracleSql
 }

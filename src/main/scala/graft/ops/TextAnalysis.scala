@@ -299,12 +299,117 @@ object TextAnalysis {
        |       (tok_start + n_tokens - 1) // $PackBudget AS seq_last
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- stratified sampling
+
+  /** Deterministic stratified corpus sampling: per-language keep rates
+    * stated as 2-hex-digit md5-prefix thresholds (en 128/256, zh
+    * 64/256, others 32/256), with the inverse rate emitted as a
+    * `weight` column so downstream statistics stay unbiased
+    * (Horvitz-Thompson). The hash is salted ('smp:' prefix) so the
+    * sampling coin is independent of [[corpusSplit]]'s coin on the
+    * same text, and it is CONTENT-keyed: exact duplicates are sampled
+    * in or out together, so a dedup before or after this operator
+    * yields the same corpus.
+    *
+    * 100 TB shape: pure map-side filter+projection over the corpus
+    * scan, no RNG/seed state to coordinate across 1000 executors, no
+    * shuffle except the verification orderBy (a production pipeline
+    * drops it). Changing rates = changing thresholds; the operator
+    * stays one pass. */
+  def corpusSample(spark: SparkSession, dir: String): DataFrame = {
+    val b = substring(md5(concat(lit("smp:"), col("text"))), 1, 2)
+    val thresh = when(col("lang") === "en", "80")
+      .when(col("lang") === "zh", "40").otherwise("20")
+    val weight = when(col("lang") === "en", 2.0)
+      .when(col("lang") === "zh", 4.0).otherwise(8.0)
+    Docs.documents(spark, dir)
+      .where(b < thresh)
+      .select(col("doc_id"), col("lang"), col("source"), weight.as("weight"))
+      .orderBy("doc_id")
+  }
+
+  val corpusSampleOracle: String =
+    """WITH s AS (SELECT doc_id, lang, source,
+      |                  substring(md5('smp:' || text), 1, 2) AS b
+      |           FROM documents)
+      |SELECT doc_id, lang, source,
+      |       -- CAST: a bare 2.0 literal is DECIMAL in DuckDB; the engine
+      |       -- emits DOUBLE and the row hash is type-sensitive
+      |       CAST(CASE WHEN lang = 'en' THEN 2.0 WHEN lang = 'zh' THEN 4.0
+      |            ELSE 8.0 END AS DOUBLE) AS weight
+      |FROM s
+      |WHERE b < (CASE WHEN lang = 'en' THEN '80' WHEN lang = 'zh' THEN '40'
+      |                ELSE '20' END)
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- PII scrub
+
+  /** PII patterns shared by engine and oracle — restricted to syntax
+    * Java regex and DuckDB's RE2 interpret identically (character
+    * classes, bounded repeats, \b word boundaries, non-capturing
+    * groups; no backrefs, no lookaround). */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIp = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PiiPhone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** `text_pii_scrub`: redact emails / IPv4s / phone numbers to typed
+    * placeholder tokens and count each redaction class. The fixture
+    * corpus carries no PII, so the query first APPENDS deterministic
+    * synthetic PII derived from doc_id (same expression in the oracle)
+    * — the scrub then provably removes it. Counts are taken on the
+    * pre-scrub text; the three patterns cannot overlap (the email
+    * pattern requires an alphabetic TLD, the IP/phone patterns are
+    * digit-only), so count-then-replace is order-independent.
+    *
+    * 100 TB shape: one codegen'd map-side projection (regexp_replace /
+    * regexp_count are native expressions), no shuffle except the
+    * verification orderBy. */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or 10.0."),
+      col("doc_id") % 256, lit(".7 tel 415-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(aug, PiiEmail, "<EMAIL>"),
+        PiiIp, "<IP>"),
+      PiiPhone, "<PHONE>")
+    Docs.documents(spark, dir)
+      .select(col("doc_id"), clean.as("clean"),
+        regexp_count(aug, lit(PiiEmail)).cast(LongType).as("n_email"),
+        regexp_count(aug, lit(PiiIp)).cast(LongType).as("n_ip"),
+        regexp_count(aug, lit(PiiPhone)).cast(LongType).as("n_phone"))
+      .orderBy("doc_id")
+  }
+
+  val textPiiScrubOracle: String = {
+    // Scala's PiiEmail value holds single backslashes (\.), which a
+    // DuckDB single-quoted string passes through verbatim to RE2.
+    val email = PiiEmail
+    s"""WITH a AS (SELECT doc_id,
+       |             text || ' contact user' || doc_id || '@example.com or 10.0.' ||
+       |             (doc_id % 256) || '.7 tel 415-555-' ||
+       |             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+       |           FROM documents)
+       |SELECT doc_id,
+       |       regexp_replace(regexp_replace(regexp_replace(aug,
+       |         '$email', '<EMAIL>', 'g'),
+       |         '$PiiIp', '<IP>', 'g'),
+       |         '$PiiPhone', '<PHONE>', 'g') AS clean,
+       |       CAST(len(regexp_extract_all(aug, '$email')) AS BIGINT) AS n_email,
+       |       CAST(len(regexp_extract_all(aug, '$PiiIp')) AS BIGINT) AS n_ip,
+       |       CAST(len(regexp_extract_all(aug, '$PiiPhone')) AS BIGINT) AS n_phone
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_analysis" -> (textAnalysis _),
     "doc_fingerprint" -> (docFingerprint _),
     "corpus_split" -> (corpusSplit _),
     "doc_embed" -> (docEmbed _),
     "corpus_pack" -> (corpusPack _),
+    "corpus_sample" -> (corpusSample _),
+    "text_pii_scrub" -> (textPiiScrub _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -313,5 +418,7 @@ object TextAnalysis {
     "corpus_split" -> corpusSplitOracle,
     "doc_embed" -> docEmbedOracle,
     "corpus_pack" -> corpusPackOracle,
+    "corpus_sample" -> corpusSampleOracle,
+    "text_pii_scrub" -> textPiiScrubOracle,
   )
 }

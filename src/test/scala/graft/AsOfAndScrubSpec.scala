@@ -1,0 +1,145 @@
+package graft
+
+import graft.ops.{AsOf, Sessions, TextAnalysis}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the round-15 additions: the as-of join against a
+  * brute-force per-row maximum, the bucketed range join against a
+  * naive inequality join, the events-ts normalization dispatch across
+  * fixture generations, and structural invariants of the sampling /
+  * PII-scrub operators (value-level gate is the DuckDB oracle).
+  */
+class AsOfAndScrubSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("asofJoin == brute-force latest-ref-at-or-before, incl. equal-ts inclusivity") {
+    // Hand fixture with every edge: probe before any ref (null), probe
+    // exactly ON a ref ts (inclusive match), refs interleaved across keys.
+    val probe = Seq(
+      (1L, 5L, "p1"), (1L, 10L, "p2"), (1L, 11L, "p3"), (1L, 30L, "p4"),
+      (2L, 10L, "p5"), (3L, 7L, "p6")).toDF("k", "ts", "p")
+    val ref = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "c"), (2L, 11L, "d"))
+      .toDF("k", "rts", "rv")
+    val out = AsOf.asofJoin(probe, ref, Seq("k"), "ts", "rts")
+      .select("k", "ts", "p", "rts", "rv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.getString(4))))
+      .toSet
+    assert(out == Set(
+      (1L, 5L, "p1", None, None),             // before first ref
+      (1L, 10L, "p2", Some(10L), Some("a")),  // equal ts → inclusive
+      (1L, 11L, "p3", Some(10L), Some("a")),
+      (1L, 30L, "p4", Some(20L), Some("b")),
+      (2L, 10L, "p5", Some(10L), Some("c")),  // later ref (11) not taken
+      (3L, 7L, "p6", None, None)))            // key with no refs at all
+  }
+
+  test("events_asof == brute-force on the fixture, and every asof_ts <= ts") {
+    val out = AsOf.eventsAsof(spark, sf)
+    val rows = out.collect()
+    val ev = Sessions.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    val cps = ev.filter(_._1 % 10 == 0)
+      .groupBy(e => (e._2, e._3)).map { case ((u, us), es) =>
+        (u, us, es.map(_._4).max) }.toSeq
+    val byUser = cps.groupBy(_._1)
+    val expected = ev.map { case (id, u, us, _) =>
+      val cand = byUser.getOrElse(u, Seq.empty).filter(_._2 <= us)
+      id -> (if (cand.isEmpty) None else Some(cand.maxBy(_._2)))
+    }.toMap
+    assert(rows.length == ev.length)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      val got = Option(r.getAs[java.time.LocalDateTime]("asof_ts")).map { ldt =>
+        (r.getAs[Long]("user_id"),
+          ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+            ldt.getNano / 1000L,
+          r.getAs[Double]("asof_value"))
+      }
+      assert(got == expected(id), s"event $id")
+    }
+  }
+
+  test("events_range_join == naive inequality join") {
+    val naive = {
+      val ev = Sessions.events(spark, sf)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+      val iv = ev.where(col("event_id") % 25 === 0)
+        .select(col("event_id").as("interval_id"), col("user_id").as("iu"),
+          col("us").as("s"), (col("us") + AsOf.IntervalMicros).as("e"))
+      iv.join(ev, col("iu") === col("user_id") &&
+          col("us") >= col("s") && col("us") < col("e"))
+        .groupBy("interval_id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+    }
+    val got = AsOf.eventsRangeJoin(spark, sf)
+      .select(col("interval_id"), col("n_events"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == naive)
+    assert(got.nonEmpty && got.values.forall(_ >= 1L)) // anchor contains itself
+  }
+
+  test("normalizeTs dispatches all three fixture ts shapes to micro NTZ") {
+    val base = Seq((1L, 1723500000000000L)) // us since epoch
+    // long column = the nanos-as-long generation (value in ns)
+    val asLong = base.map { case (id, us) => (id, us * 1000L) }.toDF("event_id", "ts")
+    val outLong = Sessions.normalizeTs(asLong)
+    assert(outLong.schema("ts").dataType == TimestampNTZType)
+    // NTZ column = the timestamp[us] generation: identity
+    val asNtz = asLong.withColumn("ts",
+      timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val outNtz = Sessions.normalizeTs(asNtz)
+    assert(outNtz.schema("ts").dataType == TimestampNTZType)
+    // instant TIMESTAMP: cast under the session's pinned UTC zone
+    val asTs = asLong.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val outTs = Sessions.normalizeTs(asTs)
+    assert(outTs.schema("ts").dataType == TimestampNTZType)
+    val vals = Seq(outLong, outNtz, outTs).map(
+      _.select(unix_micros(col("ts").cast("timestamp"))).as[Long].head())
+    assert(vals.distinct == Seq(base.head._2), s"got $vals")
+    // anything else is a loud error, not a silent misread
+    intercept[IllegalArgumentException] {
+      Sessions.normalizeTs(Seq((1L, "x")).toDF("event_id", "ts"))
+    }
+  }
+
+  test("corpus_sample: deterministic, stratified, weight = inverse keep-rate") {
+    val out = TextAnalysis.corpusSample(spark, sf)
+    val a = out.collect()
+    val b = TextAnalysis.corpusSample(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "same content → same sample, no RNG state")
+    assert(a.nonEmpty && a.length < ops.Docs.documents(spark, sf).count())
+    a.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      val expected = r.getAs[String]("lang") match {
+        case "en" => 2.0; case "zh" => 4.0; case _ => 8.0
+      }
+      assert(w == expected)
+    }
+  }
+
+  test("text_pii_scrub removes every PII pattern it counted") {
+    val out = TextAnalysis.textPiiScrub(spark, sf).collect()
+    assert(out.length == ops.Docs.documents(spark, sf).count().toInt)
+    out.foreach { r =>
+      val clean = r.getAs[String]("clean")
+      // the appended synthetic PII guarantees at least one of each class
+      assert(r.getAs[Long]("n_email") >= 1L)
+      assert(r.getAs[Long]("n_ip") >= 1L)
+      assert(r.getAs[Long]("n_phone") >= 1L)
+      assert(!clean.matches(s".*${TextAnalysis.PiiEmail}.*"))
+      assert(!TextAnalysis.PiiIp.r.findFirstIn(clean).isDefined)
+      assert(!TextAnalysis.PiiPhone.r.findFirstIn(clean).isDefined)
+      assert(clean.contains("<EMAIL>") && clean.contains("<IP>") &&
+        clean.contains("<PHONE>"))
+    }
+  }
+}
