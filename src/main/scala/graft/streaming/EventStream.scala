@@ -81,6 +81,39 @@ object EventStream {
       })
   }
 
+  /** Streaming as-of enrichment: attach to each in-flight event the
+    * latest reference row at or before its timestamp — the streaming
+    * dual of [[graft.ops.AsOf.asofJoin]], with identical semantics
+    * (inclusive at equal timestamps, nulls before the first reference).
+    *
+    * Formulation: the STATIC reference side is precomputed into SCD-2
+    * validity intervals ([refTs, next refTs) per key, one batch window
+    * pass), after which the as-of match is a plain stream-static LEFT
+    * join whose condition hits exactly one interval per event — no
+    * stream-side aggregation, no arbitrary state, fully declarative.
+    * Spark broadcasts the static side, so at scale this is the
+    * broadcast-dimension enrichment shape (ref = checkpoint/dimension
+    * table, orders of magnitude smaller than the stream); a
+    * stream-STREAM as-of would instead compose the session operators'
+    * `flatMapGroupsWithState` pattern.
+    *
+    * `ref` column names must not collide with the stream's (rename
+    * before calling); `refTs` is carried through as the matched
+    * instant, like the batch operator. */
+  def asofEnrich(events: DataFrame, ref: DataFrame, key: String = "user_id",
+                 probeTs: String = "ts", refTs: String = "asof_ts"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(refTs)
+    val iv = ref.withColumn("__until", lead(col(refTs), 1).over(w))
+    events.alias("e").join(iv.alias("r"),
+      col(s"e.$key") === col(s"r.$key") &&
+        col(s"e.$probeTs") >= col(s"r.$refTs") &&
+        (col("r.__until").isNull || col(s"e.$probeTs") < col("r.__until")),
+      "left")
+      .select(events.columns.map(c => col(s"e.$c")) ++
+        ref.columns.filterNot(_ == key).map(c => col(s"r.$c")): _*)
+  }
+
   /** Drain to an in-memory table (test/debug sink). */
   def runToMemory(df: DataFrame, name: String): StreamingQuery = {
     val q = df.writeStream.format("memory").queryName(name)

@@ -238,6 +238,26 @@ class StreamingSpec extends SparkSpec {
     assert(native.exceptAll(lagGap).isEmpty && lagGap.exceptAll(native).isEmpty)
   }
 
+  test("streaming as-of enrichment ≡ batch events_asof") {
+    val out = tmp("out5"); val ck = tmp("ck5")
+    val cp = graft.ops.Sessions.events(spark, sf)
+      .where(col("event_id") % 10 === 0)
+      .groupBy(col("user_id"), col("ts").as("asof_ts"))
+      .agg(max(col("value")).as("asof_value"))
+    val stream = EventStream.readEvents(spark, eventsDir)
+      .select("event_id", "user_id", "ts", "value")
+    val enriched = EventStream.asofEnrich(stream, cp)
+    assert(enriched.isStreaming)
+    EventStream.runAppendToParquet(enriched, out, ck)
+    val streamed = spark.read.parquet(out)
+      .select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")
+    val batch = graft.ops.AsOf.eventsAsof(spark, sf)
+      .select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream-static interval join diverged from the batch union-window as-of")
+  }
+
   test("stateful session counts ≡ batch sessionization totals") {
     implicit val s = spark
     import s.implicits._
