@@ -805,7 +805,8 @@ object Bench {
     // the manual regeneration path. Best-effort: rewrite() never
     // throws, and a missing marker block (bench run from a different
     // cwd) is a logged no-op.
-    val canonical = sfDir.endsWith("sf0.1") && nCores == 32
+    val canonical =
+      sfDir.replaceAll("/+$", "").endsWith("sf0.1") && nCores == 32
     if (canonical || sys.env.get("SPARK_GRAFT_README").contains("1"))
       graft.tools.ReadmeBench.rewrite()
     else

@@ -111,6 +111,24 @@ class AsOfAndScrubSpec extends SparkSpec {
     }
   }
 
+  test("as-of plan: ONE Window operator (carried columns collapse), no nested loop") {
+    // The fold of last(ignoreNulls) columns must collapse into a single
+    // Window operator — N window operators would mean N sorts of the
+    // unioned frame. And neither temporal join may degrade to the
+    // nested-loop plan Catalyst uses for raw inequality joins.
+    val asofPlan = AsOf.eventsAsof(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nWindow = "Window \\[".r.findAllIn(asofPlan).size
+    assert(nWindow == 1, s"expected exactly one Window node, got $nWindow:\n$asofPlan")
+    assert(!asofPlan.contains("BroadcastNestedLoopJoin") &&
+      !asofPlan.contains("CartesianProduct"))
+    val rangePlan = AsOf.eventsRangeJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!rangePlan.contains("BroadcastNestedLoopJoin") &&
+      !rangePlan.contains("CartesianProduct"),
+      s"range join must stay an equi-key join:\n$rangePlan")
+  }
+
   test("corpus_sample: deterministic, stratified, weight = inverse keep-rate") {
     val out = TextAnalysis.corpusSample(spark, sf)
     val a = out.collect()
