@@ -462,6 +462,98 @@ object Dedup {
        |  AND d.doc_id NOT IN (SELECT doc_id FROM hits)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- near-dup cluster assignment
+
+  /** Connected components by iterative min-label propagation: every
+    * node starts as its own label and repeatedly takes the minimum of
+    * its own and its neighbors' labels until a fixpoint — the standard
+    * shuffle-based CC (each iteration is one edge-label join + one
+    * groupBy-min, all on the EDGE set). Convergence is detected by the
+    * label-sum aggregate: labels only ever decrease, so the sum is
+    * strictly monotonic until the fixpoint — one cheap action per
+    * iteration, no driver-side data.
+    *
+    * 100 TB shape: the input is the verified near-dup PAIR set —
+    * corpus-scale metadata (ids only), orders of magnitude smaller
+    * than the corpus itself — and iteration count is the component
+    * diameter, which for near-dup clusters is small (re-crawl families
+    * are dense). A pathological chain-of-dups corpus would want the
+    * alternating large-star/small-star variant (O(log n) rounds,
+    * Kiveris et al.) — noted, not needed: `MaxCcIters` guards and
+    * throws rather than silently emitting a half-converged labeling. */
+  val MaxCcIters = 50
+
+  def connectedComponents(edges: DataFrame, a: String, b: String): DataFrame = {
+    // The edge set is re-joined every round: persist it, or each
+    // iteration re-runs whatever pipeline PRODUCED the edges (for
+    // dedup_clusters that would be the whole LSH+verify cascade).
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+      .persist()
+    var cached = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).persist()
+    var labels = cached
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      iter += 1
+      if (iter > MaxCcIters)
+        throw new IllegalStateException(
+          s"connectedComponents: no fixpoint after $MaxCcIters rounds " +
+            "(component diameter > iteration guard — switch to the " +
+            "large-star/small-star formulation for this graph)")
+      val nbMin = sym.join(labels, sym("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min("cluster_id").as("nb_min"))
+      // Carry the old label through the projection so convergence is a
+      // changed-row check on this same frame (labels only decrease, so
+      // none-changed iff fixpoint) — not a label-sum compare, which
+      // silently overflows on 64-bit id spaces. `joined` is the
+      // persisted frame; `labels` is its 2-col projection, so the
+      // unpersist must target `joined` (unpersisting a derived
+      // projection is a no-op).
+      val joined = labels.join(nbMin, labels("doc_id") === nbMin("src"), "left")
+        .select(labels("doc_id"), col("cluster_id").as("__old"),
+          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      converged = joined.where(col("cluster_id") < col("__old")).isEmpty
+      cached.unpersist()
+      cached = joined
+      labels = joined.select(col("doc_id"), col("cluster_id"))
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** `dedup_clusters`: turn the verified minhash near-dup PAIRS into
+    * dedup GROUPS — (doc_id, cluster_id = smallest doc_id in the
+    * component) for every document that has at least one near-dup.
+    * This is the step a production dedup actually keys its
+    * keep-one-per-cluster decision on; pairs alone under-delete
+    * transitive families (a~b, b~c but not a~c). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    connectedComponents(pairs, "doc_a", "doc_b").orderBy("doc_id")
+  }
+
+  /** Oracle: transitive closure by recursive CTE over the same verified
+    * pair set, cluster = min reachable id (self included). */
+  val dedupClustersOracle: String =
+    s"""WITH RECURSIVE ${Docs.shinglesSql},
+       |j AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.sh, b.sh))) >= $JaccardThreshold),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM j
+       |      UNION ALL SELECT doc_b, doc_a FROM j),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+       |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> (corpusClean _),
     "corpus_decontam" -> (corpusDecontam _),
@@ -470,6 +562,7 @@ object Dedup {
     "dedup_ngram" -> (dedupNgram _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_clusters" -> (dedupClusters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -480,5 +573,6 @@ object Dedup {
     "dedup_ngram" -> dedupNgramOracle,
     "dedup_simhash" -> dedupSimhashOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,
+    "dedup_clusters" -> dedupClustersOracle,
   )
 }

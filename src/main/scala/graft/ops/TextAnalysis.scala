@@ -402,6 +402,50 @@ object TextAnalysis {
        |FROM a ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------- vocabulary heavy hitters
+
+  /** Top-K size for [[corpusNgramCounts]]. */
+  val VocabTopK = 100
+
+  /** `corpus_ngram_counts`: the K most frequent word bigrams with
+    * deterministic total order (count desc, then ngram — ties at the
+    * cut are stable across engines). The vocabulary-building /
+    * boilerplate-detection primitive: high-frequency n-grams are
+    * where template text and tokenizer merge candidates live.
+    *
+    * 100 TB shape: explode → partially-aggregated count (map-side
+    * combine makes the shuffle carry one row per distinct ngram per
+    * task, not per occurrence) → `TakeOrderedAndProject` for the
+    * limit, so the global sort never materializes — every executor
+    * sends its local top-K and the driver merges K rows. The final
+    * row_number window runs over K rows, not the corpus. */
+  def corpusNgramCounts(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Docs.fanned(spark, dir)
+      .select(Docs.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+    val grams = toks.select(
+      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1)))).as("ngram"))
+    val counted = grams.groupBy("ngram").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("ngram"))
+    counted.orderBy(col("n").desc, col("ngram")).limit(VocabTopK)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .select(col("rank"), col("ngram"), col("n"))
+  }
+
+  val corpusNgramCountsOracle: String =
+    s"""WITH t AS (SELECT list_filter(string_split(text,' '), x -> len(x)>0) AS toks
+       |           FROM documents),
+       |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+       |               i -> toks[i] || ' ' || toks[i+1])) AS ngram
+       |      FROM t WHERE len(toks) >= 2),
+       |c AS (SELECT ngram, count(*) AS n FROM b GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY n DESC, ngram) AS BIGINT) AS rank,
+       |       ngram, CAST(n AS BIGINT) AS n
+       |FROM c ORDER BY n DESC, ngram LIMIT $VocabTopK""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_analysis" -> (textAnalysis _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -410,6 +454,7 @@ object TextAnalysis {
     "corpus_pack" -> (corpusPack _),
     "corpus_sample" -> (corpusSample _),
     "text_pii_scrub" -> (textPiiScrub _),
+    "corpus_ngram_counts" -> (corpusNgramCounts _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -420,5 +465,6 @@ object TextAnalysis {
     "corpus_pack" -> corpusPackOracle,
     "corpus_sample" -> corpusSampleOracle,
     "text_pii_scrub" -> textPiiScrubOracle,
+    "corpus_ngram_counts" -> corpusNgramCountsOracle,
   )
 }

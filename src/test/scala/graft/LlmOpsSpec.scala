@@ -227,4 +227,44 @@ class LlmOpsSpec extends SparkSpec {
     val viaHof = edge.select(col("doc_id"), array_min(windows).as("fp")).collect().toSeq
     assert(viaExpr == viaHof)
   }
+
+  test("connectedComponents: chains merge transitively, disjoint stay apart") {
+    import spark.implicits._
+    // chain 1-2, 2-3 plus disjoint pair 10-11 plus a triangle 20-21-22
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("dedup_clusters: every verified pair lands in one cluster, id = min member") {
+    import spark.implicits._
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val pairs = Dedup.dedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the smallest member of its component
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+    }
+    // exactly the paired docs appear
+    assert(clusters.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
+  test("corpus_ngram_counts: dense ranks, nonincreasing counts, deterministic") {
+    val rows = TextAnalysis.corpusNgramCounts(spark, sf).collect()
+    assert(rows.length == TextAnalysis.VocabTopK)
+    val ranks = rows.map(_.getAs[Long]("rank"))
+    assert(ranks.toSeq == (1L to TextAnalysis.VocabTopK.toLong))
+    val counts = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("n"))
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y })
+    val again = TextAnalysis.corpusNgramCounts(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
