@@ -516,7 +516,12 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
             .as("cluster_id"))
         .persist()
-      converged = joined.where(col("cluster_id") < col("__old")).isEmpty
+      // count(), not isEmpty: the limit-1 scan isEmpty plans would only
+      // partially populate joined's cache, and the next iteration's
+      // lineage would recompute the uncached partitions of every
+      // earlier round. The full count materializes the persist in the
+      // same single job.
+      converged = joined.where(col("cluster_id") < col("__old")).count() == 0L
       cached.unpersist()
       cached = joined
       labels = joined.select(col("doc_id"), col("cluster_id"))
