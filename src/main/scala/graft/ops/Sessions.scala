@@ -1,9 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType, TimestampType}
 
 /** Event-time operators over the `events` table (event_id, ts, user_id,
   * event_type, value, props): lag-gap sessionization and tumbling-window
@@ -204,12 +204,74 @@ object Sessions {
       |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** `events_funnel`: per-user ordered conversion funnel
+    * view → click → purchase. Stage k's timestamp is the EARLIEST
+    * event of that type at-or-after the previous stage's timestamp
+    * (>=, not >: a click logged in the same microsecond as the first
+    * view still converts — event streams batch-flush with equal
+    * timestamps routinely), so the funnel is order-respecting, not a
+    * mere per-type existence check.
+    *
+    * Scale shape: every aggregation and join in the chain keys on
+    * user_id, so the plan needs one logical hash partitioning — the
+    * filtered click/purchase branches re-shuffle only their own slim
+    * (user_id, ts) projections, and below the broadcast threshold the
+    * stage frames (one row per converting user) broadcast instead.
+    * Sequential-pattern state never materializes: no per-user event
+    * array, no window sort — each stage is a partial-agg min. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val base = ev.groupBy("user_id").agg(
+      count(lit(1)).cast(LongType).as("n_events"),
+      min(when(col("event_type") === "view", col("ts"))).as("view_ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .join(base.select(col("user_id"), col("view_ts")), "user_id")
+      .where(col("ts") >= col("view_ts"))
+      .groupBy("user_id").agg(min("ts").as("click_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .where(col("ts") >= col("click_ts"))
+      .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+    def reached(c: Column) = when(c.isNotNull, 1).otherwise(0)
+    base.join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"),
+        col("view_ts"), col("click_ts"), col("purchase_ts"),
+        (reached(col("view_ts")) + reached(col("click_ts")) +
+          reached(col("purchase_ts"))).cast(IntegerType).as("stage"))
+      .orderBy("user_id")
+  }
+
+  val eventsFunnelOracle: String =
+    """WITH b AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |         min(CASE WHEN event_type = 'view' THEN ts END) AS view_ts
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS click_ts
+      |  FROM events e JOIN b ON e.user_id = b.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= b.view_ts
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS purchase_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+      |  GROUP BY e.user_id)
+      |SELECT b.user_id, b.n_events, b.view_ts, c.click_ts, p.purchase_ts,
+      |       CAST((CASE WHEN b.view_ts IS NOT NULL THEN 1 ELSE 0 END)
+      |          + (CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END)
+      |          + (CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS stage
+      |FROM b LEFT JOIN c ON b.user_id = c.user_id
+      |       LEFT JOIN p ON b.user_id = p.user_id
+      |ORDER BY b.user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionize" -> (sessionize _),
     "events_sessionize_native" -> (sessionizeNative _),
     "events_window" -> (eventsWindow _),
     "events_user_activity" -> (userActivity _),
     "events_json_props" -> (eventsJsonProps _),
+    "events_funnel" -> (eventsFunnel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -218,5 +280,6 @@ object Sessions {
     "events_window" -> eventsWindowOracle,
     "events_user_activity" -> userActivityOracle,
     "events_json_props" -> eventsJsonPropsOracle,
+    "events_funnel" -> eventsFunnelOracle,
   )
 }

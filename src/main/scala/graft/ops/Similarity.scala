@@ -310,10 +310,64 @@ object Similarity {
   val annRecallOracle: String =
     s"SELECT CAST(TRUE AS BOOLEAN) AS recall_ok, CAST($AnnRecallFloor AS DOUBLE) AS floor"
 
+  // ------------------------------------------------- cluster assignment
+
+  /** `embedding_cluster`: assign every vector to its nearest seed
+    * centroid (cosine) — the k-means/IVF assignment step exposed as a
+    * standalone operator, the primitive behind corpus diversity
+    * sampling, domain bucketing, and per-cluster quota curation. Uses
+    * the SEED pivots (smallest vec_id per residue class — no RNG, no
+    * Lloyd refinement) precisely so the full assignment is
+    * SQL-expressible and the oracle checks values, not just shape;
+    * `similarity_ann_ivf` layers the refined-centroid variant on the
+    * same machinery, gated by its recall entry.
+    *
+    * 100 TB shape: the C centroids ride into the plan as literals
+    * (seedPivots' driver collect is C x dim doubles — metadata scale,
+    * the comment-audited site), so assignment is one codegen'd
+    * map-side pass — C fused dot products and a lexicographic
+    * struct-array min per row, zero shuffle before the output sort.
+    * Tie-break (sim desc, cls asc) is pinned by the (-sim, cls)
+    * struct ordering, mirrored in the oracle's row_number. */
+  def embeddingCluster(spark: SparkSession, dir: String): DataFrame = {
+    val n = normed(spark, dir)
+    val seeds = seedPivots(n)
+    val cands = seeds.map(s =>
+      struct((-cosTo(s)).as("negsim"), lit(s._1).as("cls")))
+    n.withColumn("best",
+        array_min(array(scala.collection.immutable.ArraySeq.unsafeWrapArray(cands): _*)))
+      .select(col("vec_id"),
+        col("best.cls").cast(org.apache.spark.sql.types.LongType).as("cluster_id"),
+        round(-col("best.negsim"), 6).as("sim"))
+      .orderBy("vec_id")
+  }
+
+  val embeddingClusterOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT cls, v AS c FROM (
+       |    SELECT vec_id % $IvfCells AS cls, v,
+       |           row_number() OVER (PARTITION BY vec_id % $IvfCells
+       |                              ORDER BY vec_id) AS rk
+       |    FROM v) WHERE rk = 1),
+       |sims AS (
+       |  SELECT a.vec_id, s.cls, list_cosine_similarity(a.v, s.c) AS sim
+       |  FROM v a CROSS JOIN seeds s),
+       |r AS (
+       |  SELECT vec_id, cls, sim,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY sim DESC, cls) AS rk
+       |  FROM sims)
+       |SELECT vec_id, CAST(cls AS BIGINT) AS cluster_id, round(sim, 6) AS sim
+       |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_topk" -> (similarityTopk _),
     "similarity_ann_ivf" -> (similarityAnnIvf _),
     "similarity_ann_recall" -> (similarityAnnRecall _),
+    "embedding_cluster" -> (embeddingCluster _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -321,5 +375,6 @@ object Similarity {
     // similarity_ann_ivf: approximate by construction → rows-only check;
     // its quality gate is the oracle-visible similarity_ann_recall row.
     "similarity_ann_recall" -> annRecallOracle,
+    "embedding_cluster" -> embeddingClusterOracle,
   )
 }

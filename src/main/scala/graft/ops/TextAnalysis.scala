@@ -446,6 +446,74 @@ object TextAnalysis {
        |       ngram, CAST(n AS BIGINT) AS n
        |FROM c ORDER BY n DESC, ngram LIMIT $VocabTopK""".stripMargin
 
+  // ------------------------------------------- repetition quality signals
+
+  /** `corpus_repetition`: per-document n-gram repetition signals, the
+    * Gopher-style quality filters (Rae et al. 2021, §A1.1) that catch
+    * boilerplate and degenerate generation loops which per-token stats
+    * (length, stopword ratio) miss entirely:
+    *   - `top_frac`  — fraction of bigram occurrences claimed by the
+    *     single most frequent bigram ("top n-gram coverage"),
+    *   - `dup_frac`  — fraction of bigram occurrences whose bigram
+    *     appears more than once ("duplicate n-gram fraction").
+    * Tie-break for the top bigram is (count desc, bigram asc), pinned
+    * identically in both engines via a lexicographic struct min.
+    *
+    * 100 TB shape: explode → two partially-aggregated groupBys, first
+    * on (doc_id, ngram) then on doc_id — map-side combine means the
+    * first shuffle carries one row per distinct in-doc bigram per
+    * task and the second one row per doc. No per-doc O(n²) lambda
+    * (the `filter(toks, x -> count...)` formulation is quadratic in
+    * document length — fatal on book-length documents), no window
+    * sort. Short documents (< 2 tokens) surface with n_bigrams = 0
+    * and null signals rather than dropping out. */
+  def corpusRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Docs.fanned(spark, dir)
+    val grams = docs
+      .select(col("doc_id"), Docs.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))).as("ngram"))
+    val perGram = grams.groupBy("doc_id", "ngram").agg(count(lit(1)).as("n"))
+    val perDoc = perGram.groupBy("doc_id").agg(
+      sum("n").as("tot"),
+      // (-n, ngram) struct min = (count desc, ngram asc) argmax — the
+      // deterministic top bigram without a per-doc window sort.
+      min(struct((-col("n")).as("neg"), col("ngram").as("ngram"))).as("top"),
+      coalesce(sum(when(col("n") > 1, col("n"))), lit(0L)).as("dup"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tot"), lit(0L)).cast(LongType).as("n_bigrams"),
+        col("top.ngram").as("top_ngram"),
+        (-col("top.neg")).cast(LongType).as("top_n"),
+        ((-col("top.neg")).cast(DoubleType) / col("tot")).as("top_frac"),
+        (col("dup").cast(DoubleType) / col("tot")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val corpusRepetitionOracle: String =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x)>0) AS toks
+      |           FROM documents),
+      |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |               i -> toks[i] || ' ' || toks[i+1])) AS ngram
+      |      FROM t WHERE len(toks) >= 2),
+      |g AS (SELECT doc_id, ngram, count(*) AS n FROM b GROUP BY 1, 2),
+      |d AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS tot,
+      |             coalesce(CAST(sum(CASE WHEN n > 1 THEN n END) AS BIGINT), 0) AS dup
+      |      FROM g GROUP BY 1),
+      |top AS (SELECT doc_id, ngram AS top_ngram, CAST(n AS BIGINT) AS top_n
+      |        FROM (SELECT doc_id, ngram, n,
+      |                     row_number() OVER (PARTITION BY doc_id
+      |                                        ORDER BY n DESC, ngram) AS rk
+      |              FROM g) WHERE rk = 1)
+      |SELECT t.doc_id, coalesce(d.tot, 0) AS n_bigrams, top.top_ngram, top.top_n,
+      |       CAST(top.top_n AS DOUBLE) / d.tot AS top_frac,
+      |       CAST(d.dup AS DOUBLE) / d.tot AS dup_frac
+      |FROM t LEFT JOIN d USING (doc_id) LEFT JOIN top USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_analysis" -> (textAnalysis _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -455,6 +523,7 @@ object TextAnalysis {
     "corpus_sample" -> (corpusSample _),
     "text_pii_scrub" -> (textPiiScrub _),
     "corpus_ngram_counts" -> (corpusNgramCounts _),
+    "corpus_repetition" -> (corpusRepetition _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -466,5 +535,6 @@ object TextAnalysis {
     "corpus_sample" -> corpusSampleOracle,
     "text_pii_scrub" -> textPiiScrubOracle,
     "corpus_ngram_counts" -> corpusNgramCountsOracle,
+    "corpus_repetition" -> corpusRepetitionOracle,
   )
 }

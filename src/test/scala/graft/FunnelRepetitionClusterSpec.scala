@@ -1,0 +1,116 @@
+package graft
+
+import graft.ops.{Sessions, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Pins for the round-15 additions beyond the as-of/scrub batch:
+  * ordered-funnel semantics against a brute-force replay, the
+  * repetition quality signals against per-document recounts, and the
+  * embedding cluster assignment against a driver-side argmax. The
+  * value-level gate for all three is the DuckDB oracle (driver-run);
+  * these pin semantics the oracle restates rather than independently
+  * derives, plus the map-side-only plan claim for the assignment.
+  */
+class FunnelRepetitionClusterSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("events_funnel == brute-force ordered min-chase per user") {
+    val out = Sessions.eventsFunnel(spark, sf).collect()
+    val ev = Sessions.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[(Long, String, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    assert(out.length == byUser.size)
+    out.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val es = byUser(u)
+      def ts(col: String): Option[Long] =
+        Option(r.getAs[java.time.LocalDateTime](col))
+          .map(ldt => ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            ldt.getNano / 1000L)
+      val view = es.filter(_._2 == "view").map(_._3).minOption
+      val click = view.flatMap(v =>
+        es.filter(e => e._2 == "click" && e._3 >= v).map(_._3).minOption)
+      val purchase = click.flatMap(c =>
+        es.filter(e => e._2 == "purchase" && e._3 >= c).map(_._3).minOption)
+      assert(r.getAs[Long]("n_events") == es.length, s"user $u n_events")
+      assert(ts("view_ts") == view, s"user $u view_ts")
+      assert(ts("click_ts") == click, s"user $u click_ts")
+      assert(ts("purchase_ts") == purchase, s"user $u purchase_ts")
+      assert(r.getAs[Int]("stage") ==
+        Seq(view, click, purchase).count(_.isDefined), s"user $u stage")
+    }
+    // the fixture exercises every depth: some users convert fully
+    assert(out.exists(_.getAs[Int]("stage") == 3), "no full conversions in fixture")
+  }
+
+  test("corpus_repetition == per-document bigram recount") {
+    val out = TextAnalysis.corpusRepetition(spark, sf).collect()
+    val docs = ops.Docs.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = docs(id).split(" ", -1).filter(_.nonEmpty)
+      if (toks.length < 2) {
+        assert(r.getAs[Long]("n_bigrams") == 0L)
+        assert(r.isNullAt(r.fieldIndex("top_ngram")))
+      } else {
+        val counts = toks.sliding(2).map(_.mkString(" ")).toSeq
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val tot = counts.values.sum
+        val (topGram, topN) = counts.toSeq.minBy { case (g, n) => (-n, g) }
+        val dup = counts.values.filter(_ > 1).sum
+        assert(r.getAs[Long]("n_bigrams") == tot, s"doc $id n_bigrams")
+        assert(r.getAs[String]("top_ngram") == topGram, s"doc $id top_ngram")
+        assert(r.getAs[Long]("top_n") == topN, s"doc $id top_n")
+        assert(math.abs(r.getAs[Double]("top_frac") - topN.toDouble / tot) < 1e-12)
+        assert(math.abs(r.getAs[Double]("dup_frac") - dup.toDouble / tot) < 1e-12)
+      }
+    }
+    // the synthetic corpus repeats bigrams heavily — signals must be live
+    assert(out.exists(_.getAs[Double]("dup_frac") > 0.0))
+  }
+
+  test("embedding_cluster == driver-side argmax over the seed centroids") {
+    val out = Similarity.embeddingCluster(spark, sf).collect()
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    assert(out.length == vecs.length)
+    val seeds = vecs.groupBy(_._1 % Similarity.IvfCells).map { case (cls, vs) =>
+      cls -> vs.minBy(_._1)._2
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byId = vecs.toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val best = seeds.toSeq.map { case (cls, c) => (cls, cos(byId(id), c)) }
+        .minBy { case (cls, s) => (-s, cls) }
+      assert(r.getAs[Long]("cluster_id") == best._1, s"vec $id cluster")
+      assert(math.abs(r.getAs[Double]("sim") - best._2) < 1e-6, s"vec $id sim")
+    }
+    // seeds must land in their own cluster at sim ~ 1
+    seeds.foreach { case (cls, _) =>
+      val seedId = vecs.filter(_._1 % Similarity.IvfCells == cls).minBy(_._1)._1
+      val row = out.find(_.getAs[Long]("vec_id") == seedId).get
+      assert(math.abs(row.getAs[Double]("sim") - 1.0) < 1e-9)
+    }
+  }
+
+  test("embedding_cluster plan: assignment is map-side (no shuffle before the sort)") {
+    // Centroids enter as plan literals; the only exchange in the whole
+    // query is the final orderBy's range partitioning.
+    val plan = Similarity.embeddingCluster(spark, sf)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange [a-z]+partitioning".r.findAllIn(plan).toSeq
+    assert(shuffles.forall(_.contains("rangepartitioning")),
+      s"non-sort exchange in assignment plan:\n$plan")
+    assert(!plan.contains("BroadcastExchange"), s"unexpected broadcast:\n$plan")
+  }
+}
