@@ -468,10 +468,11 @@ object Dedup {
     * node starts as its own label and repeatedly takes the minimum of
     * its own and its neighbors' labels until a fixpoint — the standard
     * shuffle-based CC (each iteration is one edge-label join + one
-    * groupBy-min, all on the EDGE set). Convergence is detected by the
-    * label-sum aggregate: labels only ever decrease, so the sum is
-    * strictly monotonic until the fixpoint — one cheap action per
-    * iteration, no driver-side data.
+    * groupBy-min, all on the EDGE set). Convergence is detected by a
+    * changed-row count on the carried old label: labels only ever
+    * decrease, so zero changed rows iff fixpoint — one cheap action per
+    * iteration, no driver-side data (and no label-sum compare, which
+    * would overflow on 64-bit id spaces).
     *
     * 100 TB shape: the input is the verified near-dup PAIR set —
     * corpus-scale metadata (ids only), orders of magnitude smaller
@@ -483,13 +484,70 @@ object Dedup {
     * throws rather than silently emitting a half-converged labeling. */
   val MaxCcIters = 50
 
-  def connectedComponents(edges: DataFrame, a: String, b: String): DataFrame = {
-    // The edge set is re-joined every round: persist it, or each
-    // iteration re-runs whatever pipeline PRODUCED the edges (for
-    // dedup_clusters that would be the whole LSH+verify cascade).
+  /** Edge-count bound for the single-task union-find path: 4M edges is
+    * ~64 MB of id pairs in one task — comfortably one-task-sized, and
+    * far above any plausible verified near-dup pair set short of a
+    * truly duplicate-dominated corpus. */
+  val CcSingleTaskMaxEdges = 4000000L
+
+  def connectedComponents(edges: DataFrame, a: String, b: String): DataFrame =
+    connectedComponents(edges, a, b, CcSingleTaskMaxEdges)
+
+  /** The verified pair graph is corpus METADATA — ids only, orders of
+    * magnitude smaller than the corpus — so the common case is a graph
+    * that fits one task, where the shuffle-based label-propagation loop
+    * pays 3-4 scheduled stages PER ITERATION for work a union-find does
+    * in microseconds (measured: 4-21 s for a 477-node graph at sf0.1,
+    * all scheduling overhead). Below [[CcSingleTaskMaxEdges]] the edges
+    * therefore shuffle to ONE task (`repartition(1)`, never
+    * `coalesce` — coalesce would narrow the whole upstream LSH cascade
+    * onto that task too) and a path-compressed union-find labels the
+    * graph imperatively — the "genuine per-partition imperative logic"
+    * case for mapPartitions: pointer-chasing has no declarative form
+    * that isn't this same loop paying a shuffle per hop. Data never
+    * lands on the driver. Above the bound, the standard distributed
+    * min-label iteration runs at full parallelism; the sizing count
+    * doubles as the edge persist's materialization. */
+  private[graft] def connectedComponents(edges: DataFrame, a: String,
+      b: String, singleTaskMax: Long): DataFrame = {
+    // Persist the edges: BOTH paths re-read them (the loop re-joins
+    // every round; the union-find reads them after the sizing count),
+    // and without the persist each read re-runs whatever pipeline
+    // PRODUCED them (for dedup_clusters: the whole LSH+verify cascade).
     val sym = edges.select(col(a).as("src"), col(b).as("dst"))
       .union(edges.select(col(b).as("src"), col(a).as("dst")))
       .persist()
+    val nEdges = sym.count()
+    if (nEdges <= singleTaskMax) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val out = sym.as[(Long, Long)].repartition(1).mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        it.foreach { case (s, d) =>
+          parent.putIfAbsent(s, s); parent.putIfAbsent(d, d)
+          val rs = find(s); val rd = find(d)
+          if (rs != rd) { if (rs < rd) parent.put(rd, rs) else parent.put(rs, rd) }
+        }
+        // Roots are unioned min-first, so find(x) IS the component min.
+        val res = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        parent.keySet().forEach(k => res += ((k, find(k))))
+        res.iterator
+      }.toDF("doc_id", "cluster_id")
+      // Materialize before unpersisting the input: the union-find's
+      // output is lineage over `sym`, and dropping the cache first
+      // would re-run the producing cascade on any later action.
+      val materialized = out.persist()
+      materialized.count()
+      sym.unpersist()
+      return materialized
+    }
     var cached = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).persist()
     var labels = cached

@@ -233,10 +233,16 @@ class LlmOpsSpec extends SparkSpec {
     // chain 1-2, 2-3 plus disjoint pair 10-11 plus a triangle 20-21-22
     val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
     val got = Dedup.connectedComponents(edges, "doc_a", "doc_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    assert(got == expected)
+    // force the >bound distributed min-label loop on the same graph —
+    // both paths must agree label-for-label
+    val viaLoop = Dedup.connectedComponents(edges, "doc_a", "doc_b", 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLoop == expected)
   }
 
   test("dedup_clusters: every verified pair lands in one cluster, id = min member") {
