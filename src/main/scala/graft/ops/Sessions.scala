@@ -265,6 +265,60 @@ object Sessions {
       |       LEFT JOIN p ON b.user_id = p.user_id
       |ORDER BY b.user_id""".stripMargin
 
+  /** Rank tolerance for the approx-sketch gate in [[eventsQuantiles]].
+    * GK-style sketches bound RANK error (~1/accuracy), not value
+    * error — a value-space compare against the INTERPOLATED exact
+    * percentile fails spuriously wherever adjacent order statistics
+    * sit >tol apart (observed on the fixture's p95 tail). The gate
+    * therefore checks the empirical CDF at the sketch's answer:
+    * |cdf(ap_q) - q| <= tol, which is the sketch's actual contract.
+    * 0.5% rank at accuracy 10000 is loose enough to never flake,
+    * tight enough to catch any wiring mistake. */
+  val QuantileApproxRankTol = 0.005
+
+  /** `events_quantiles`: per-type exact p50/p95 of `value`, plus an
+    * oracle-visible gate that the mergeable percentile SKETCH lands
+    * within [[QuantileApproxRankTol]] rank error.
+    *
+    * The exact percentile is the oracle-checkable formulation but the
+    * wrong 100 TB shape — it buffers every group member for the
+    * interpolated rank. `percentile_approx` is the scale path: a
+    * single-pass, mergeable, bounded-memory sketch (partial-agg
+    * combine works across 1000 executors). Emitting both with the
+    * agreement gate makes the scale path oracle-visible — the same
+    * pattern as `q_approx_distinct` (HLL) and `similarity_ann_recall`
+    * (IVF): the approximate operator ships gated by its exact twin,
+    * not unchecked. The rank check's second pass re-aggregates on the
+    * same event_type key (one row of sketch output re-joined to the
+    * events — broadcast-sized at any scale), so the partitioning is
+    * reused, not re-shuffled. */
+  def eventsQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_type"), col("value"))
+    val agg = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      percentile(col("value"), lit(0.5)).as("ex50"),
+      percentile(col("value"), lit(0.95)).as("ex95"),
+      percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000)).as("ap"))
+    val cdfAt = ev.join(broadcast(agg.select(col("event_type"),
+        col("ap")(0).as("ap50"), col("ap")(1).as("ap95"))), "event_type")
+      .groupBy("event_type").agg(
+        avg(when(col("value") <= col("ap50"), 1.0d).otherwise(0.0d)).as("cdf50"),
+        avg(when(col("value") <= col("ap95"), 1.0d).otherwise(0.0d)).as("cdf95"))
+    agg.join(cdfAt, "event_type")
+      .select(col("event_type"), col("n"),
+        round(col("ex50"), 6).as("p50"), round(col("ex95"), 6).as("p95"),
+        (abs(col("cdf50") - 0.5) <= QuantileApproxRankTol &&
+          abs(col("cdf95") - 0.95) <= QuantileApproxRankTol).as("approx_ok"))
+      .orderBy("event_type")
+  }
+
+  val eventsQuantilesOracle: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       round(quantile_cont(value, 0.5), 6) AS p50,
+      |       round(quantile_cont(value, 0.95), 6) AS p95,
+      |       CAST(TRUE AS BOOLEAN) AS approx_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionize" -> (sessionize _),
     "events_sessionize_native" -> (sessionizeNative _),
@@ -272,6 +326,7 @@ object Sessions {
     "events_user_activity" -> (userActivity _),
     "events_json_props" -> (eventsJsonProps _),
     "events_funnel" -> (eventsFunnel _),
+    "events_quantiles" -> (eventsQuantiles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -281,5 +336,6 @@ object Sessions {
     "events_user_activity" -> userActivityOracle,
     "events_json_props" -> eventsJsonPropsOracle,
     "events_funnel" -> eventsFunnelOracle,
+    "events_quantiles" -> eventsQuantilesOracle,
   )
 }

@@ -103,6 +103,28 @@ class FunnelRepetitionClusterSpec extends SparkSpec {
     }
   }
 
+  test("events_quantiles == brute-force interpolated percentile; approx gate holds") {
+    val out = Sessions.eventsQuantiles(spark, sf).collect()
+    val vals = Sessions.events(spark, sf)
+      .select(col("event_type"), col("value")).as[(String, Double)]
+      .collect().groupBy(_._1)
+    assert(out.length == vals.size)
+    def interp(sorted: Array[Double], q: Double): Double = {
+      val pos = q * (sorted.length - 1)
+      val lo = pos.toInt
+      if (lo == sorted.length - 1) sorted(lo)
+      else sorted(lo) + (pos - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val sorted = vals(t).map(_._2).sorted
+      assert(r.getAs[Long]("n") == sorted.length)
+      assert(math.abs(r.getAs[Double]("p50") - interp(sorted, 0.5)) < 1e-6, s"$t p50")
+      assert(math.abs(r.getAs[Double]("p95") - interp(sorted, 0.95)) < 1e-6, s"$t p95")
+      assert(r.getAs[Boolean]("approx_ok"), s"$t sketch outside rank tolerance")
+    }
+  }
+
   test("embedding_cluster plan: assignment is map-side (no shuffle before the sort)") {
     // Centroids enter as plan literals; the only exchange in the whole
     // query is the final orderBy's range partitioning.
