@@ -319,6 +319,50 @@ object Sessions {
       |       CAST(TRUE AS BOOLEAN) AS approx_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** `events_retention`: weekly cohort retention — users grouped by the
+    * week of their FIRST event (cohort), counted distinct in every
+    * later week they were active, keyed by week offset k. The
+    * engagement-analysis primitive behind "what fraction of week-W
+    * signups were still active k weeks later".
+    *
+    * Both engines truncate weeks to Monday 00:00, so `week_k` is an
+    * exact multiple-of-7-days division, never a boundary-crossing
+    * count (DuckDB's `date_diff('week', ...)` counts crossings — the
+    * oracle deliberately uses day-diff // 7 to mean the same thing
+    * Spark's `datediff div 7` means).
+    *
+    * Scale shape: first-event week is a partial-agg min on user_id;
+    * the join back rides the same user_id partitioning; the
+    * per-(cohort, k) distinct-user count is Spark's standard two-phase
+    * distinct aggregate. No window sorts, no per-user arrays. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    // date_trunc yields an instant TIMESTAMP; cast back to NTZ (identity
+    // under the UTC session zone GraftSession pins) so the output dtype
+    // matches the oracle's naive timestamp in the driver's
+    // dtype-sensitive hash.
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ev = events(spark, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast(TimestampNTZType).as("wk"))
+    val cohorts = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        expr("datediff(wk, cohort_week) div 7").cast(IntegerType).as("week_k"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "week_k")
+  }
+
+  val eventsRetentionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+      |c AS (
+      |  SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id)
+      |SELECT c.cohort_week,
+      |       CAST(date_diff('day', c.cohort_week, e.wk) // 7 AS INTEGER) AS week_k,
+      |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+      |FROM e JOIN c ON e.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionize" -> (sessionize _),
     "events_sessionize_native" -> (sessionizeNative _),
@@ -327,6 +371,7 @@ object Sessions {
     "events_json_props" -> (eventsJsonProps _),
     "events_funnel" -> (eventsFunnel _),
     "events_quantiles" -> (eventsQuantiles _),
+    "events_retention" -> (eventsRetention _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -337,5 +382,6 @@ object Sessions {
     "events_json_props" -> eventsJsonPropsOracle,
     "events_funnel" -> eventsFunnelOracle,
     "events_quantiles" -> eventsQuantilesOracle,
+    "events_retention" -> eventsRetentionOracle,
   )
 }

@@ -125,6 +125,27 @@ class FunnelRepetitionClusterSpec extends SparkSpec {
     }
   }
 
+  test("events_retention == brute-force weekly cohort recount") {
+    val out = Sessions.eventsRetention(spark, sf).collect()
+    val ev = Sessions.events(spark, sf)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .as[(Long, java.time.LocalDateTime)].collect()
+    val firstWk = ev.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).min(
+      Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _)) }
+    val expected = ev.map { case (u, wk) =>
+      val cohort = firstWk(u)
+      (cohort, java.time.Duration.between(cohort, wk).toDays / 7, u)
+    }.distinct.groupBy(p => (p._1, p._2)).view.mapValues(_.length.toLong).toMap
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val key = (r.getAs[java.time.LocalDateTime]("cohort_week"),
+        r.getAs[Int]("week_k").toLong)
+      assert(expected(key) == r.getAs[Long]("n_active"), s"cell $key")
+    }
+    // week 0 of every cohort is its full size; fixture spans multiple weeks
+    assert(out.exists(_.getAs[Int]("week_k") > 0))
+  }
+
   test("embedding_cluster plan: assignment is map-side (no shuffle before the sort)") {
     // Centroids enter as plan literals; the only exchange in the whole
     // query is the final orderBy's range partitioning.
