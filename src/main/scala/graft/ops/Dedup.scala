@@ -514,8 +514,15 @@ object Dedup {
     // every round; the union-find reads them after the sizing count),
     // and without the persist each read re-runs whatever pipeline
     // PRODUCED them (for dedup_clusters: the whole LSH+verify cascade).
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
-      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+    // Ids are pinned to LongType HERE so the output schema cannot
+    // depend on which path ran: the union-find's Dataset[(Long, Long)]
+    // encoder widens e.g. int ids to long, while the loop path would
+    // preserve the input dtype — a schema that flips when a growing
+    // pair set crosses the bound, under a dtype-sensitive compare.
+    val sym = edges.select(col(a).cast(LongType).as("src"),
+        col(b).cast(LongType).as("dst"))
+      .union(edges.select(col(b).cast(LongType).as("src"),
+        col(a).cast(LongType).as("dst")))
       .persist()
     val nEdges = sym.count()
     if (nEdges <= singleTaskMax) {

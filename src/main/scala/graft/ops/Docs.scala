@@ -79,6 +79,19 @@ object Docs {
        |              i -> array_to_string(list_slice(ws, i, i+${n - 1}), ' ')))
        |       ELSE [array_to_string(ws, ' ')] END AS sh FROM w)""".stripMargin
 
+  /** Word-bigram OCCURRENCES (non-distinct, order-preserving) of a
+    * materialized `toks` attribute — the granularity the frequency
+    * operators (`corpus_ngram_counts`, `corpus_repetition`) count at,
+    * as opposed to the distinct shingle SETS the dedup family hashes.
+    * Callers must pre-filter `size(toks) >= 2`. */
+  def wordBigrams(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+
+  /** [[wordBigrams]] in DuckDB SQL over a list expression `toks`. */
+  def wordBigramsSql(toks: String): String =
+    s"list_transform(range(1, len($toks)), i -> $toks[i] || ' ' || $toks[i+1])"
+
   /** The same shingle definition in DuckDB SQL, as a CTE body over
     * `documents` producing (doc_id, sh). */
   val shinglesSql: String =

@@ -424,9 +424,7 @@ object TextAnalysis {
       .select(Docs.tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 2)
     val grams = toks.select(
-      explode(transform(sequence(lit(1), size(col("toks")) - 1),
-        i => concat_ws(" ", element_at(col("toks"), i),
-          element_at(col("toks"), i + 1)))).as("ngram"))
+      explode(Docs.wordBigrams(col("toks"))).as("ngram"))
     val counted = grams.groupBy("ngram").agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("ngram"))
@@ -438,8 +436,7 @@ object TextAnalysis {
   val corpusNgramCountsOracle: String =
     s"""WITH t AS (SELECT list_filter(string_split(text,' '), x -> len(x)>0) AS toks
        |           FROM documents),
-       |b AS (SELECT unnest(list_transform(range(1, len(toks)),
-       |               i -> toks[i] || ' ' || toks[i+1])) AS ngram
+       |b AS (SELECT unnest(${Docs.wordBigramsSql("toks")}) AS ngram
        |      FROM t WHERE len(toks) >= 2),
        |c AS (SELECT ngram, count(*) AS n FROM b GROUP BY 1)
        |SELECT CAST(row_number() OVER (ORDER BY n DESC, ngram) AS BIGINT) AS rank,
@@ -472,10 +469,7 @@ object TextAnalysis {
     val grams = docs
       .select(col("doc_id"), Docs.tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("toks")) - 1),
-          i => concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1)))).as("ngram"))
+      .select(col("doc_id"), explode(Docs.wordBigrams(col("toks"))).as("ngram"))
     val perGram = grams.groupBy("doc_id", "ngram").agg(count(lit(1)).as("n"))
     val perDoc = perGram.groupBy("doc_id").agg(
       sum("n").as("tot"),
@@ -494,10 +488,9 @@ object TextAnalysis {
   }
 
   val corpusRepetitionOracle: String =
-    """WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x)>0) AS toks
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x)>0) AS toks
       |           FROM documents),
-      |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-      |               i -> toks[i] || ' ' || toks[i+1])) AS ngram
+      |b AS (SELECT doc_id, unnest(${Docs.wordBigramsSql("toks")}) AS ngram
       |      FROM t WHERE len(toks) >= 2),
       |g AS (SELECT doc_id, ngram, count(*) AS n FROM b GROUP BY 1, 2),
       |d AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS tot,

@@ -149,10 +149,12 @@ class FunnelRepetitionClusterSpec extends SparkSpec {
   test("embedding_cluster plan: assignment is map-side (no shuffle before the sort)") {
     // Centroids enter as plan literals; the only exchange in the whole
     // query is the final orderBy's range partitioning.
-    val plan = Similarity.embeddingCluster(spark, sf)
-      .queryExecution.executedPlan.toString
-    val shuffles = "Exchange [a-z]+partitioning".r.findAllIn(plan).toSeq
-    assert(shuffles.forall(_.contains("rangepartitioning")),
+    val df = Similarity.embeddingCluster(spark, sf)
+    df.collect() // finalize the adaptive plan before inspecting it
+    val plan = df.queryExecution.executedPlan.toString
+    val shuffles =
+      "Exchange (SinglePartition|[a-z]+partitioning)".r.findAllIn(plan).toSeq
+    assert(shuffles.nonEmpty && shuffles.forall(_.contains("rangepartitioning")),
       s"non-sort exchange in assignment plan:\n$plan")
     assert(!plan.contains("BroadcastExchange"), s"unexpected broadcast:\n$plan")
   }
