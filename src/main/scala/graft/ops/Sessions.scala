@@ -373,6 +373,61 @@ object Sessions {
       |FROM e JOIN c ON e.user_id = c.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Z-score threshold for [[eventsAnomaly]]. */
+  val AnomalyZ = 3.0
+
+  /** `events_anomaly`: events whose `value` sits more than
+    * [[AnomalyZ]] sample standard deviations from their type's mean —
+    * the metric-outlier primitive.
+    *
+    * Moments are computed from EXACT decimal sums (Σv, Σv²) and only
+    * then converted to double: Spark's `stddev_samp` merges central
+    * moments in partition order, which is nondeterministic across
+    * runs and engines in the low bits — and a low-bit flicker under an
+    * `abs(z) > 3` cutoff moves borderline ROWS in and out of the
+    * result, not just digits. Exact sums are order-independent, so
+    * the derived mean/variance/z are bit-stable and the oracle
+    * replays the identical double arithmetic from the identical sums.
+    * (Same decimal-aggregation convention as `sessionize`'s
+    * sum_value.)
+    *
+    * 100 TB shape: one partial-agg pass for the per-type sums (a
+    * types-count row result — broadcast), one map-side join + filter
+    * pass for the z-scores. The textbook Σv² − (Σv)²/n cancellation
+    * caveat is bounded here by the decimal exactness of both sums. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast(DecimalType(28, 2))).cast("double").as("s1"),
+      sum((col("value") * col("value")).cast(DecimalType(28, 4)))
+        .cast("double").as("s2"))
+    val mean = col("s1") / col("n")
+    val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("value") - mean) / sd).as("z"))
+      .where(abs(col("z")) > AnomalyZ)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 6).as("z"))
+      .orderBy("event_id")
+  }
+
+  val eventsAnomalyOracle: String =
+    s"""WITH s AS (
+       |  SELECT event_type, count(*) AS n,
+       |         CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS s1,
+       |         CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS s2
+       |  FROM events GROUP BY 1),
+       |z AS (
+       |  SELECT e.event_id, e.event_type, e.value,
+       |         (e.value - s.s1 / s.n)
+       |           / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS z
+       |  FROM events e JOIN s USING (event_type))
+       |SELECT event_id, event_type, value, round(z, 6) AS z
+       |FROM z WHERE abs(z) > $AnomalyZ ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionize" -> (sessionize _),
     "events_sessionize_native" -> (sessionizeNative _),
@@ -382,6 +437,7 @@ object Sessions {
     "events_funnel" -> (eventsFunnel _),
     "events_quantiles" -> (eventsQuantiles _),
     "events_retention" -> (eventsRetention _),
+    "events_anomaly" -> (eventsAnomaly _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -393,5 +449,6 @@ object Sessions {
     "events_funnel" -> eventsFunnelOracle,
     "events_quantiles" -> eventsQuantilesOracle,
     "events_retention" -> eventsRetentionOracle,
+    "events_anomaly" -> eventsAnomalyOracle,
   )
 }

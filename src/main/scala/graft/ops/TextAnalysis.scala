@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Text-analysis operators over the `documents` table: per-document
   * statistics, n-gram-heuristic language ID, a quality score, and a
@@ -507,6 +507,69 @@ object TextAnalysis {
       |FROM t LEFT JOIN d USING (doc_id) LEFT JOIN top USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- TF-IDF top terms
+
+  /** Top-K terms per document for [[docTfidf]]. */
+  val TfidfTopK = 5
+
+  /** `doc_tfidf`: the K most characteristic terms per document by
+    * smoothed TF-IDF (sklearn's `ln((N+1)/(df+1)) + 1` — never
+    * negative, never divides by zero), tie-broken (score desc, term
+    * asc). The keyword-extraction / topic-labeling primitive — and the
+    * inverse of [[corpusNgramCounts]]: that surfaces what the CORPUS
+    * repeats, this surfaces what a DOCUMENT uses that the corpus
+    * doesn't.
+    *
+    * 100 TB shape: tf aggregates partially on (doc_id, term); the
+    * document-frequency table derives FROM tf (one row per distinct
+    * doc-term — never re-scans the corpus) and is vocabulary-scale, so
+    * it broadcasts and the heavy tf frame is never reshuffled for the
+    * join; the corpus-size scalar rides in as a broadcast single row
+    * (no driver action). The final top-K is a per-document window —
+    * partition-local sorts over vocabulary-bounded groups, not a
+    * global sort, and not the Long-id TopK aggregate (terms are
+    * strings; hashing them to fit it would put the hash, not the
+    * term, into the oracle-visible tie-break). */
+  def docTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Docs.fanned(spark, dir)
+    val terms = docs.select(col("doc_id"),
+      explode(Docs.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(docFreq), "term").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf") * (log((col("n_docs") + lit(1.0d)) / (col("df") + lit(1.0d)))
+          + lit(1.0d))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast(IntegerType))
+      .where(col("rank") <= TfidfTopK)
+      .select(col("doc_id"), col("rank"), col("term"),
+        col("tf").cast(LongType).as("tf"), round(col("score"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val docTfidfOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> len(x)>0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |s AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf,
+       |         tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |r AS (
+       |  SELECT doc_id, term, tf, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY score DESC, term) AS rk
+       |  FROM s)
+       |SELECT doc_id, CAST(rk AS INTEGER) AS rank, term,
+       |       CAST(tf AS BIGINT) AS tf, round(score, 6) AS score
+       |FROM r WHERE rk <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_analysis" -> (textAnalysis _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -517,6 +580,7 @@ object TextAnalysis {
     "text_pii_scrub" -> (textPiiScrub _),
     "corpus_ngram_counts" -> (corpusNgramCounts _),
     "corpus_repetition" -> (corpusRepetition _),
+    "doc_tfidf" -> (docTfidf _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -529,5 +593,6 @@ object TextAnalysis {
     "text_pii_scrub" -> textPiiScrubOracle,
     "corpus_ngram_counts" -> corpusNgramCountsOracle,
     "corpus_repetition" -> corpusRepetitionOracle,
+    "doc_tfidf" -> docTfidfOracle,
   )
 }

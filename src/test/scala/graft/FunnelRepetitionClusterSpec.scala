@@ -146,6 +146,60 @@ class FunnelRepetitionClusterSpec extends SparkSpec {
     assert(out.exists(_.getAs[Int]("week_k") > 0))
   }
 
+  test("doc_tfidf == brute-force smoothed tf-idf with (score desc, term asc) ties") {
+    val out = TextAnalysis.docTfidf(spark, sf).collect()
+    val docs = ops.Docs.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val tf = docs.map { case (id, text) =>
+      id -> text.split(" ", -1).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size).toMap
+    val n = docs.length
+    val expected = tf.flatMap { case (id, terms) =>
+      terms.toSeq.map { case (t, f) =>
+        (id, t, f, f * (math.log((n + 1.0) / (df(t) + 1.0)) + 1.0))
+      }.sortBy { case (_, t, _, s) => (-s, t) }.take(TextAnalysis.TfidfTopK)
+        .zipWithIndex.map { case ((_, t, f, s), i) => (id, i + 1, t, f, s) }
+    }.toSeq
+    assert(out.length == expected.size)
+    val byKey = expected.map(e => (e._1, e._2) -> e).toMap
+    out.foreach { r =>
+      val e = byKey((r.getAs[Long]("doc_id"), r.getAs[Int]("rank")))
+      assert(r.getAs[String]("term") == e._3, s"term at ${e._1}#${e._2}")
+      assert(r.getAs[Long]("tf") == e._4)
+      assert(math.abs(r.getAs[Double]("score") - e._5) < 1e-6)
+    }
+  }
+
+  test("events_anomaly == brute-force z-score from exact sums; all |z| > 3") {
+    val out = Sessions.eventsAnomaly(spark, sf).collect()
+    val ev = Sessions.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect()
+    val byType = ev.groupBy(_._2)
+    val expected = ev.flatMap { case (id, t, v) =>
+      val vs = byType(t).map(_._3)
+      val n = vs.length
+      // mirror the engine's exact-decimal sums, then double arithmetic
+      val s1 = vs.map(x => BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val s2 = vs.map(x => BigDecimal(x * x).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val mean = s1 / n
+      val sd = math.sqrt((s2 - s1 * s1 / n) / (n - 1))
+      val z = (v - mean) / sd
+      if (math.abs(z) > Sessions.AnomalyZ) Some(id -> z) else None
+    }.toMap
+    assert(out.length == expected.size)
+    assert(out.nonEmpty, "fixture has no 3-sigma outliers")
+    out.foreach { r =>
+      val z = expected(r.getAs[Long]("event_id"))
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-6)
+      assert(math.abs(r.getAs[Double]("z")) > Sessions.AnomalyZ)
+    }
+  }
+
   test("embedding_cluster plan: assignment is map-side (no shuffle before the sort)") {
     // Centroids enter as plan literals; the only exchange in the whole
     // query is the final orderBy's range partitioning.
