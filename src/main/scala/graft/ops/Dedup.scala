@@ -624,8 +624,61 @@ object Dedup {
        |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** `corpus_clean_clustered`: the cluster-collapse dedup policy —
+    * keep exactly ONE representative (the smallest doc_id) per
+    * near-dup component, drop every other member. [[corpusClean]] is
+    * the pair-greedy policy (drop every doc_b of a verified pair);
+    * the two differ exactly on transitive families: with pairs (a,c)
+    * and (b,c) only, pair-greedy keeps BOTH a and b (they were never
+    * similar to each other), cluster-collapse keeps only min(a,b,c).
+    * Cluster-collapse bounds every family to one survivor (the
+    * training-dedup default); pair-greedy never deletes a document
+    * whose own similar partner survived. Both ship, both
+    * oracle-checked — the POLICY is the operator.
+    *
+    * Scale shape: the minhash cascade and the component labeling are
+    * the dedup_clusters path (id-only, capped buckets, single-task
+    * union-find under the metadata bound); the final anti-join's right
+    * side is one id per dropped document — broadcast-sized relative
+    * to the corpus it filters. */
+  def corpusCleanClustered(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    val victims = connectedComponents(pairs, "doc_a", "doc_b")
+      .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    Docs.fanned(spark, dir)
+      .withColumn("n_tokens", size(Docs.tokens(col("text"))).cast(LongType))
+      .filter(col("n_tokens") >= MinTokens)
+      .join(victims, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val corpusCleanClusteredOracle: String =
+    s"""WITH RECURSIVE ${Docs.shinglesSql},
+       |j AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.sh, b.sh))) >= $JaccardThreshold),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM j
+       |      UNION ALL SELECT doc_b, doc_a FROM j),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+       |vict AS (
+       |  SELECT src AS doc_id FROM reach
+       |  GROUP BY src HAVING least(src, min(dst)) <> src)
+       |SELECT doc_id, lang, source,
+       |       CAST(len(list_filter(string_split(text,' '), t -> len(t)>0)) AS BIGINT) AS n_tokens
+       |FROM documents
+       |WHERE len(list_filter(string_split(text,' '), t -> len(t)>0)) >= $MinTokens
+       |  AND doc_id NOT IN (SELECT doc_id FROM vict)
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> (corpusClean _),
+    "corpus_clean_clustered" -> (corpusCleanClustered _),
     "corpus_decontam" -> (corpusDecontam _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -637,6 +690,7 @@ object Dedup {
 
   def oracleSql: Map[String, String] = Map(
     "corpus_clean" -> corpusCleanOracle,
+    "corpus_clean_clustered" -> corpusCleanClusteredOracle,
     "corpus_decontam" -> corpusDecontamOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_minhash" -> dedupMinhashOracle,

@@ -395,19 +395,29 @@ object Sessions {
     * types-count row result — broadcast), one map-side join + filter
     * pass for the z-scores. The textbook Σv² − (Σv)²/n cancellation
     * caveat is bounded here by the decimal exactness of both sums. */
-  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
-      .select(col("event_id"), col("event_type"), col("value"))
-    val stats = ev.groupBy("event_type").agg(
+  /** Per-type exact moment sums (n, Σv, Σv²) — the trained baseline
+    * the z-filter scores against. Shared by the batch operator and
+    * the streaming dual ([[graft.streaming.EventStream]]), where it is
+    * the precomputed static side of a stream-static broadcast join. */
+  private[graft] def anomalyStats(ev: DataFrame): DataFrame =
+    ev.groupBy("event_type").agg(
       count(lit(1)).as("n"),
       sum(col("value").cast(DecimalType(28, 2))).cast("double").as("s1"),
       sum((col("value") * col("value")).cast(DecimalType(28, 4)))
         .cast("double").as("s2"))
+
+  /** z of `value` against the joined (n, s1, s2) stats columns. */
+  private[graft] def zExpr: Column = {
     val mean = col("s1") / col("n")
     val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
-    ev.join(broadcast(stats), "event_type")
-      .select(col("event_id"), col("event_type"), col("value"),
-        ((col("value") - mean) / sd).as("z"))
+    (col("value") - mean) / sd
+  }
+
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.join(broadcast(anomalyStats(ev)), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"), zExpr.as("z"))
       .where(abs(col("z")) > AnomalyZ)
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("z"), 6).as("z"))

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Set-operation / join-variant coverage: semi and anti joins, INTERSECT
   * / EXCEPT / UNION, CUBE grouping sets, and approximate distinct —
@@ -104,11 +105,47 @@ object SetOps {
       |  CAST(TRUE AS BOOLEAN) AS approx_within_bound
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** PIVOT: order counts and summed totalprice per priority, one
+    * column pair per order status. The pivot value list is EXPLICIT —
+    * Spark's two-arg `pivot(col)` otherwise runs a driver-side
+    * distinct scan to discover the columns, a hidden extra pass over
+    * the fact table at 100 TB (and a nondeterministic column order).
+    * With the list pinned, a pivot is exactly one partial-agg shuffle
+    * on the groupBy key — the same plan as the CASE-WHEN conditional
+    * aggregation the oracle spells out. Sums aggregate in DECIMAL
+    * (order-independent) and surface as DOUBLE, the sessionize
+    * convention. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val statuses = Seq("F", "O", "P")
+    val piv = t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", statuses)
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).cast("double").as("total"))
+    piv.select(col("o_orderpriority") +:
+        statuses.flatMap(s => Seq(
+          coalesce(col(s"${s}_n"), lit(0L)).as(s"n_${s.toLowerCase}"),
+          col(s"${s}_total").as(s"total_${s.toLowerCase}"))): _*)
+      .orderBy("o_orderpriority")
+  }
+
+  val qPivotOracle: String = {
+    val cols = Seq("F", "O", "P").map { s =>
+      s"""coalesce(CAST(sum(CASE WHEN o_orderstatus = '$s' THEN 1 END) AS BIGINT), 0) AS n_${s.toLowerCase},
+         |CAST(CAST(sum(CASE WHEN o_orderstatus = '$s' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS DOUBLE) AS total_${s.toLowerCase}""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT o_orderpriority,
+       |$cols
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_semi_anti" -> (qSemiAnti _),
     "q_setops" -> (qSetOps _),
     "q_cube" -> (qCube _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_pivot" -> (qPivot _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -116,5 +153,6 @@ object SetOps {
     "q_setops" -> qSetOpsOracle,
     "q_cube" -> qCubeOracle,
     "q_approx_distinct" -> qApproxDistinctOracle,
+    "q_pivot" -> qPivotOracle,
   )
 }

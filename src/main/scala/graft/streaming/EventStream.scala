@@ -114,6 +114,25 @@ object EventStream {
         ref.columns.filterNot(_ == key).map(c => col(s"r.$c")): _*)
   }
 
+  /** Streaming anomaly gate: score each arriving event against a
+    * PRECOMPUTED per-type baseline (n, Σv, Σv² from
+    * [[graft.ops.Sessions.anomalyStats]] over a reference corpus) and
+    * pass only |z| > [[graft.ops.Sessions.AnomalyZ]].
+    *
+    * This is the production shape of anomaly detection: moments are
+    * trained on a batch snapshot (types-count rows — a broadcast
+    * dimension), the live stream is a stateless map-side join + filter
+    * per micro-batch — no stream-side aggregation, no state store, no
+    * watermark needed for correctness. The z arithmetic is the SAME
+    * shared expression as the batch operator, so the batch oracle that
+    * checks `events_anomaly` pins this filter too (spec: streaming the
+    * corpus against its own baseline reproduces the batch rows). */
+  def anomalyFilter(events: DataFrame, stats: DataFrame): DataFrame =
+    events.join(broadcast(stats), "event_type")
+      .withColumn("z", graft.ops.Sessions.zExpr)
+      .where(abs(col("z")) > graft.ops.Sessions.AnomalyZ)
+      .select(events.columns.map(col) :+ round(col("z"), 6).as("z"): _*)
+
   /** Drain to an in-memory table (test/debug sink). */
   def runToMemory(df: DataFrame, name: String): StreamingQuery = {
     val q = df.writeStream.format("memory").queryName(name)

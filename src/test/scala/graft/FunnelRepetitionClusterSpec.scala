@@ -200,6 +200,38 @@ class FunnelRepetitionClusterSpec extends SparkSpec {
     }
   }
 
+  test("corpus_clean_clustered: one survivor per component, subset of pair-greedy") {
+    import graft.ops.Dedup
+    val clustered = Dedup.corpusCleanClustered(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val greedy = Dedup.corpusClean(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // every pair's doc_b is a non-min member of its component, so the
+    // cluster-collapse victim set contains the pair-greedy one
+    assert(clustered.subsetOf(greedy))
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    // of each component, exactly the min member may survive
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      val surviving = members.map(_._1).filter(clustered)
+      assert(surviving.forall(_ == cid),
+        s"non-representative survivor in cluster $cid: $surviving")
+    }
+    assert(clustered.nonEmpty)
+  }
+
+  test("q_pivot: per-priority status columns sum to the priority's order count") {
+    val out = ops.SetOps.qPivot(spark, sf).collect()
+    val totals = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    assert(out.length == totals.size)
+    out.foreach { r =>
+      val sum = r.getAs[Long]("n_f") + r.getAs[Long]("n_o") + r.getAs[Long]("n_p")
+      assert(sum == totals(r.getAs[String]("o_orderpriority")))
+    }
+  }
+
   test("embedding_cluster plan: assignment is map-side (no shuffle before the sort)") {
     // Centroids enter as plan literals; the only exchange in the whole
     // query is the final orderBy's range partitioning.

@@ -258,6 +258,24 @@ class StreamingSpec extends SparkSpec {
       "stream-static interval join diverged from the batch union-window as-of")
   }
 
+  test("streaming anomaly filter ≡ batch events_anomaly") {
+    val out = tmp("out6"); val ck = tmp("ck6")
+    val stats = graft.ops.Sessions.anomalyStats(
+      graft.ops.Sessions.events(spark, sf)
+        .select(col("event_id"), col("event_type"), col("value")))
+    val stream = EventStream.readEvents(spark, eventsDir)
+      .select("event_id", "event_type", "value")
+    val flagged = EventStream.anomalyFilter(stream, stats)
+    assert(flagged.isStreaming)
+    EventStream.runAppendToParquet(flagged, out, ck)
+    val streamed = spark.read.parquet(out)
+      .select("event_id", "event_type", "value", "z")
+    val batch = graft.ops.Sessions.eventsAnomaly(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream-static anomaly filter diverged from the batch operator")
+  }
+
   test("stateful session counts ≡ batch sessionization totals") {
     implicit val s = spark
     import s.implicits._
