@@ -160,6 +160,43 @@ object Relational {
       |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
       |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
 
+  // ------------------------------------------------- grouping sets
+
+  /** `q_grouping_sets`: explicit GROUPING SETS — the generalization
+    * cube/rollup can't express: here ((priority, status), (status), ())
+    * skips the (priority)-only marginal a rollup would force and the
+    * (status-within-priority ordering a cube would pad with. `gid` is
+    * the engine-computed grouping bitmask (first grouping column =
+    * most significant bit, the Postgres/Spark shared convention) —
+    * it disambiguates a grouped-out NULL from a data NULL, and the
+    * oracle recomputes it with DuckDB's GROUPING().
+    *
+    * 100 TB shape: one Expand node multiplies rows ×3 BEFORE the
+    * partial aggregation, so the shuffle carries one row per (set,
+    * group) per task — same plan family as cube/rollup, no extra
+    * passes over the fact table. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderstatus")), Seq.empty[Column]),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().cast("bigint").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2))
+          .cast("double").as("sum_price"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  val qGroupingSetsOracle: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+      |  count(*) AS n_orders,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+      |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
   // ------------------------------------------------- windowed top-N
 
   /** Top-3 orders per customer by price: the canonical window top-N —
@@ -208,6 +245,7 @@ object Relational {
     "q3_top_orders" -> (q3TopOrders _),
     "q5_nation_volume" -> (q5NationVolume _),
     "q_rollup" -> (qRollup _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_window_topn" -> (qWindowTopn _),
     "q_agg_distinct" -> (qAggDistinct _),
   )
@@ -217,6 +255,7 @@ object Relational {
     "q3_top_orders" -> q3Oracle,
     "q5_nation_volume" -> q5Oracle,
     "q_rollup" -> qRollupOracle,
+    "q_grouping_sets" -> qGroupingSetsOracle,
     "q_window_topn" -> qWindowTopnOracle,
     "q_agg_distinct" -> qAggDistinctOracle,
   )

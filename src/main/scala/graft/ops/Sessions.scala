@@ -438,6 +438,93 @@ object Sessions {
        |SELECT event_id, event_type, value, round(z, 6) AS z
        |FROM z WHERE abs(z) > $AnomalyZ ORDER BY event_id""".stripMargin
 
+  // ----------------------------------------------- sequence path mining
+
+  /** Top-K size for [[eventsTopPaths]]. */
+  val PathTopK = 20
+
+  /** `events_top_paths`: the K most common 3-step event-type paths
+    * (behavioral sequence mining — the "what do users do before
+    * purchasing" primitive). A path is three consecutive events of one
+    * user in (ts, event_id) order; the event_id tiebreak makes
+    * equal-timestamp sequences deterministic across engines. Total
+    * order (count desc, path asc) pins ties at the cut.
+    *
+    * 100 TB shape: one shuffle on user_id for the lead() window
+    * (partition-local sort within each user's slice), then a
+    * partially-aggregated count whose shuffle carries one row per
+    * distinct path per task (path cardinality = |event_types|³ — tiny),
+    * then `orderBy.limit` plans as TakeOrderedAndProject so the global
+    * sort never materializes. The final row_number window runs over K
+    * rows, not the stream. */
+  def eventsTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val paths = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+    val counted = paths.groupBy("path").agg(count(lit(1)).as("n"))
+    val rw = Window.orderBy(col("n").desc, col("path"))
+    counted.orderBy(col("n").desc, col("path")).limit(PathTopK)
+      .withColumn("rank", row_number().over(rw).cast(IntegerType))
+      .select(col("rank"), col("path"), col("n"))
+  }
+
+  val eventsTopPathsOracle: String =
+    s"""WITH s AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |         lead(event_type, 1) OVER w AS e2,
+       |         lead(event_type, 2) OVER w AS e3
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path
+       |      FROM s WHERE e3 IS NOT NULL),
+       |c AS (SELECT path, count(*) AS n FROM p GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS INTEGER) AS rank,
+       |       path, CAST(n AS BIGINT) AS n
+       |FROM c ORDER BY n DESC, path LIMIT $PathTopK""".stripMargin
+
+  // ------------------------------------------------- value histograms
+
+  /** Bucket width for [[eventsHistogram]]. */
+  val HistWidth = 5.0
+
+  /** `events_histogram`: fixed-width value histogram per event type —
+    * the distribution-profiling primitive (drift monitoring, outlier
+    * triage, approx-quantile sanity checks). Bucket index is
+    * `floor(value / width)` on IEEE doubles: both engines perform the
+    * identical divide-then-floor, so borderline values land in the
+    * same bucket bit-for-bit; negative values floor toward −∞ (bucket
+    * −1 covers [−width, 0)) rather than truncating toward zero, which
+    * would double-width the zero bucket.
+    *
+    * 100 TB shape: a single partially-aggregated groupBy — map-side
+    * combine reduces the shuffle to one row per (type, bucket) per
+    * task, and bucket cardinality is value-range/width, independent
+    * of row count. No window, no second pass. */
+  def eventsHistogram(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") / HistWidth).cast(LongType).as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bucket"),
+        (col("bucket") * HistWidth).as("bucket_lo"), col("n"))
+      .orderBy("event_type", "bucket")
+
+  val eventsHistogramOracle: String =
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |         CAST(floor(value / $HistWidth) AS BIGINT) AS bucket
+       |  FROM events)
+       |SELECT event_type, bucket,
+       |       bucket * $HistWidth AS bucket_lo,
+       |       count(*) AS n
+       |FROM b GROUP BY event_type, bucket
+       |ORDER BY event_type, bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionize" -> (sessionize _),
     "events_sessionize_native" -> (sessionizeNative _),
@@ -448,6 +535,8 @@ object Sessions {
     "events_quantiles" -> (eventsQuantiles _),
     "events_retention" -> (eventsRetention _),
     "events_anomaly" -> (eventsAnomaly _),
+    "events_top_paths" -> (eventsTopPaths _),
+    "events_histogram" -> (eventsHistogram _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -460,5 +549,7 @@ object Sessions {
     "events_quantiles" -> eventsQuantilesOracle,
     "events_retention" -> eventsRetentionOracle,
     "events_anomaly" -> eventsAnomalyOracle,
+    "events_top_paths" -> eventsTopPathsOracle,
+    "events_histogram" -> eventsHistogramOracle,
   )
 }

@@ -570,6 +570,142 @@ object TextAnalysis {
        |       CAST(tf AS BIGINT) AS tf, round(score, 6) AS score
        |FROM r WHERE rk <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin
 
+  // ------------------------------------------------------- RAG chunking
+
+  /** Tokens per chunk for [[textChunk]]. */
+  val ChunkSize = 32
+  /** Token stride between chunk starts (overlap = ChunkSize − stride). */
+  val ChunkStride = 24
+
+  /** `text_chunk`: split each document into overlapping fixed-token
+    * windows — the retrieval/RAG indexing primitive ([[corpusPack]] is
+    * its training-side sibling: packing concatenates ACROSS documents,
+    * chunking windows WITHIN one). Chunk i covers tokens
+    * [i·stride, i·stride+size); the chunk count
+    * `1 + ceil(max(0, n − size) / stride)` is pure integer arithmetic
+    * so both engines derive the identical manifest, and the final
+    * chunk is allowed to run short rather than re-reading earlier
+    * tokens (re-padding would double-weight document tails).
+    *
+    * 100 TB shape: tokens + chunk manifest are computed in one
+    * map-side projection and the explode multiplies rows ~n/stride
+    * without any shuffle — the only exchange is the verification
+    * orderBy. Chunk provenance (doc_id, tok_start) rides each row so
+    * a retriever can cite back into the source document. */
+  def textChunk(spark: SparkSession, dir: String): DataFrame = {
+    val d = Docs.fanned(spark, dir)
+      .select(col("doc_id"), Docs.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .withColumn("k", lit(1) + when(col("n") <= ChunkSize, lit(0))
+        .otherwise(expr(s"(n - $ChunkSize + $ChunkStride - 1) div $ChunkStride")))
+    d.select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("k") - 1)).as("chunk_id"))
+      .withColumn("tok_start", col("chunk_id") * ChunkStride)
+      .withColumn("n_chunk_toks", least(lit(ChunkSize), col("n") - col("tok_start")))
+      .select(col("doc_id"),
+        col("chunk_id").cast(LongType).as("chunk_id"),
+        col("tok_start").cast(LongType).as("tok_start"),
+        col("n_chunk_toks").cast(LongType).as("n_chunk_toks"),
+        concat_ws(" ", slice(col("toks"), col("tok_start") + 1, col("n_chunk_toks")))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val textChunkOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x)>0) AS toks
+       |  FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+       |k AS (SELECT *, CASE WHEN n <= $ChunkSize THEN 1
+       |                     ELSE 1 + (n - $ChunkSize + $ChunkStride - 1) // $ChunkStride
+       |                END AS k FROM n),
+       |c AS (SELECT doc_id, toks, n,
+       |             unnest(generate_series(0, k - 1)) AS chunk_id
+       |      FROM k),
+       |m AS (SELECT doc_id, chunk_id, chunk_id * $ChunkStride AS tok_start,
+       |             least($ChunkSize, n - chunk_id * $ChunkStride) AS n_chunk_toks,
+       |             toks
+       |      FROM c)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |       CAST(tok_start AS BIGINT) AS tok_start,
+       |       CAST(n_chunk_toks AS BIGINT) AS n_chunk_toks,
+       |       array_to_string(list_slice(toks, tok_start + 1, tok_start + n_chunk_toks), ' ')
+       |         AS chunk_text
+       |FROM m ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ------------------------------------------------- quality-rule filter
+
+  /** Minimum token count before [[corpusQualityFilter]]'s too-short
+    * rule fires. */
+  val QfMinTokens = 10
+
+  /** `corpus_quality_filter`: C4/Gopher-style rule filter with an
+    * auditable reasons bitmask — every document is emitted with the
+    * set of rules it violates (bit per rule) and the keep verdict, so
+    * downstream can both filter (`keep`) and audit per-rule kill
+    * rates. [[textAnalysis]] reports the raw signals; this operator
+    * is the POLICY over them. Thresholded in integer arithmetic
+    * (`sum_len < 2·n` instead of `sum_len/n < 2.0`) so no
+    * double-rounding flickers a borderline document across engines.
+    *
+    * Rules (public C4/Gopher heuristics): b0 too short; b1 mean token
+    * length outside [2, 12]; b2 punctuation-heavy (>10% of chars);
+    * b3 no English stopword hit (C4's English-corpus rule — expected
+    * to fire on non-English docs, which is why it is a BIT, not a
+    * hard drop composed into `keep` blindly); b4 repetitive (type/
+    * token ratio < 1/2).
+    *
+    * 100 TB shape: one codegen'd map-side projection over the corpus,
+    * no shuffle except the verification orderBy. */
+  def corpusQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Docs.tokens(col("text"))
+    val d = Docs.fanned(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast(LongType).as("n"),
+        size(array_distinct(col("toks"))).cast(LongType).as("n_types"),
+        aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x)
+          .cast(LongType).as("sum_len"),
+        length(col("text")).cast(LongType).as("n_chars_m"),
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast(LongType).as("punct"),
+        size(filter(col("toks"), t => t.isin(En: _*))).cast(LongType).as("c_en"))
+    val reasons =
+      when(col("n") < QfMinTokens, 1L).otherwise(0L) +
+      when(col("sum_len") < col("n") * 2 || col("sum_len") > col("n") * 12, 2L).otherwise(0L) +
+      when(col("punct") * 10 > col("n_chars_m"), 4L).otherwise(0L) +
+      when(col("c_en") === 0, 8L).otherwise(0L) +
+      when(col("n_types") * 2 < col("n"), 16L).otherwise(0L)
+    d.select(col("doc_id"), col("lang"), col("n").as("n_tokens"),
+        reasons.as("reasons"))
+      .withColumn("keep", col("reasons") === 0L)
+      .orderBy("doc_id")
+  }
+
+  val corpusQualityFilterOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, text,
+       |         list_filter(string_split(text,' '), x -> len(x)>0) AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(toks) AS BIGINT) AS n,
+       |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       |         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+       |         CAST(length(text) AS BIGINT) AS n_chars_m,
+       |         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct,
+       |         CAST(len(list_filter(toks, t -> t IN (${sqlList(En)}))) AS BIGINT) AS c_en
+       |  FROM d),
+       |r AS (
+       |  SELECT doc_id, lang, n AS n_tokens,
+       |         CAST(CASE WHEN n < $QfMinTokens THEN 1 ELSE 0 END
+       |            + CASE WHEN sum_len < n * 2 OR sum_len > n * 12 THEN 2 ELSE 0 END
+       |            + CASE WHEN punct * 10 > n_chars_m THEN 4 ELSE 0 END
+       |            + CASE WHEN c_en = 0 THEN 8 ELSE 0 END
+       |            + CASE WHEN n_types * 2 < n THEN 16 ELSE 0 END AS BIGINT) AS reasons
+       |  FROM m)
+       |SELECT doc_id, lang, n_tokens, reasons, reasons = 0 AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_analysis" -> (textAnalysis _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -581,6 +717,8 @@ object TextAnalysis {
     "corpus_ngram_counts" -> (corpusNgramCounts _),
     "corpus_repetition" -> (corpusRepetition _),
     "doc_tfidf" -> (docTfidf _),
+    "text_chunk" -> (textChunk _),
+    "corpus_quality_filter" -> (corpusQualityFilter _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -594,5 +732,7 @@ object TextAnalysis {
     "corpus_ngram_counts" -> corpusNgramCountsOracle,
     "corpus_repetition" -> corpusRepetitionOracle,
     "doc_tfidf" -> docTfidfOracle,
+    "text_chunk" -> textChunkOracle,
+    "corpus_quality_filter" -> corpusQualityFilterOracle,
   )
 }
