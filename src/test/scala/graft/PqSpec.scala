@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization coverage. The codebook-training arithmetic is
+  * value-checked by the DuckDB oracle (embedding_pq); these specs pin
+  * the encode against a driver-side argmin recompute, the pack/unpack
+  * round-trip, and the retrieval-quality gate.
+  */
+class PqSpec extends SparkSpec {
+
+  /** Round half away from zero — the engine/oracle shared convention. */
+  private def q(x: Double): Long =
+    (math.signum(x) * math.floor(math.abs(x) * Similarity.PqScale + 0.5)).toLong
+
+  test("embedding_pq codes match a driver-side argmin over the trained codebook") {
+    val cb = Similarity.pqCodebook(spark, sf)
+    assert(cb.length == Similarity.PqCodewords)
+    assert(cb.forall(_.length == Similarity.PqM * Similarity.PqDims))
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(f => q(f.toDouble)).toArray)
+      .toMap
+    val expected = vecs.map { case (id, vq) =>
+      var code = 0L
+      var distortion = 0L
+      for (s <- 0 until Similarity.PqM) {
+        var bestD = Long.MaxValue
+        var bestJ = -1
+        for (j <- 0 until Similarity.PqCodewords) {
+          var d = 0L
+          for (p <- 0 until Similarity.PqDims) {
+            val i = s * Similarity.PqDims + p
+            val diff = vq(i) - cb(j)(i)
+            d += diff * diff
+          }
+          if (d < bestD) { bestD = d; bestJ = j }
+        }
+        code += bestJ.toLong << (4 * s)
+        distortion += bestD
+      }
+      id -> ((code, distortion))
+    }
+    val got = Similarity.embeddingPq(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (c, d) = expected(r.getLong(0))
+      assert(r.getAs[Long]("pq_code") == c, s"code for vec ${r.getLong(0)}")
+      assert(r.getAs[Long]("distortion") == d, s"distortion for vec ${r.getLong(0)}")
+    }
+  }
+
+  test("pq_code packs 4-bit codes: every nibble < PqCodewords") {
+    Similarity.embeddingPq(spark, sf).collect().foreach { r =>
+      val code = r.getAs[Long]("pq_code")
+      assert(code >= 0L && code < (1L << (4 * Similarity.PqM)))
+      for (s <- 0 until Similarity.PqM)
+        assert(((code >> (4 * s)) & 0xF) < Similarity.PqCodewords)
+    }
+  }
+
+  test("similarity_pq_topk has the exact baseline's schema and K rows per query") {
+    val out = Similarity.similarityPqTopk(spark, sf)
+    assert(out.columns.toSeq == Seq("query_id", "neighbor_id", "sim", "rank"))
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) == Similarity.K))
+    // no self-matches
+    assert(out.where(col("query_id") === col("neighbor_id")).count() == 0L)
+  }
+
+  test("PQ recall gate holds on the fixture (and the row says so)") {
+    val row = Similarity.similarityPqRecall(spark, sf).head()
+    assert(row.getBoolean(0), "recall_ok")
+    assert(row.getDouble(1) == Similarity.PqRecallFloor)
+  }
+}
