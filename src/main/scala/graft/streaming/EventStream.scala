@@ -81,6 +81,63 @@ object EventStream {
       })
   }
 
+  case class FunnelEv(user_id: Long, tsMicros: Long, event_id: Long, event_type: String)
+  case class FunnelState(nEvents: Long, viewTs: Option[Long],
+                         clickTs: Option[Long], purchaseTs: Option[Long])
+  case class UserFunnel(user_id: Long, n_events: Long, view_us: Option[Long],
+                        click_us: Option[Long], purchase_us: Option[Long], stage: Int)
+
+  /** Ordered stage priority at equal timestamps: a click logged in the
+    * same microsecond as the first view still converts (the batch
+    * operator's inclusive `>=`), which in arrival order means views
+    * must be folded before clicks before purchases within a tie. */
+  private def stageOrder(tp: String): Int = tp match {
+    case "view" => 0; case "click" => 1; case "purchase" => 2; case _ => 3
+  }
+
+  /** Streaming funnel: per-user view → click → purchase progression
+    * kept in `GroupState`, the streaming dual of
+    * [[graft.ops.Sessions.eventsFunnel]] with identical semantics —
+    * stage k's timestamp is the EARLIEST event of its type at-or-after
+    * stage k-1's (ties resolved view-before-click-before-purchase, the
+    * inclusive-`>=` arrival-order equivalent).
+    *
+    * State is four longs per user — O(users), never an event buffer —
+    * and each update emits the user's current funnel row (Update
+    * mode), so a dashboard sees conversion move in real time. Same
+    * ordered-arrival caveat as [[sessionCounts]]: cross-batch
+    * correctness relies on per-user event-time-ordered arrival (true
+    * for the replay shape; equal-ts pairs split across micro-batches
+    * in reverse stage order would need an out-of-order buffer). */
+  def funnelStream(events: DataFrame)(implicit spark: SparkSession): Dataset[UserFunnel] = {
+    import spark.implicits._
+    val evs = events
+      .select(col("user_id"),
+        unix_micros(col("ts").cast(TimestampType)).as("tsMicros"),
+        col("event_id"), col("event_type"))
+      .as[FunnelEv]
+    evs.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+      (user: Long, batch: Iterator[FunnelEv], state: GroupState[FunnelState]) => {
+        val sorted = batch.toSeq.sortBy(e => (e.tsMicros, stageOrder(e.event_type), e.event_id))
+        var st = state.getOption.getOrElse(FunnelState(0L, None, None, None))
+        sorted.foreach { e =>
+          val viewTs = st.viewTs.orElse(
+            if (e.event_type == "view") Some(e.tsMicros) else None)
+          val clickTs = st.clickTs.orElse(
+            if (e.event_type == "click" && viewTs.exists(e.tsMicros >= _))
+              Some(e.tsMicros) else None)
+          val purchaseTs = st.purchaseTs.orElse(
+            if (e.event_type == "purchase" && clickTs.exists(e.tsMicros >= _))
+              Some(e.tsMicros) else None)
+          st = FunnelState(st.nEvents + 1, viewTs, clickTs, purchaseTs)
+        }
+        state.update(st)
+        val stage = Seq(st.viewTs, st.clickTs, st.purchaseTs).count(_.isDefined)
+        Iterator(UserFunnel(user, st.nEvents, st.viewTs, st.clickTs, st.purchaseTs, stage))
+      })
+  }
+
   /** Streaming as-of enrichment: attach to each in-flight event the
     * latest reference row at or before its timestamp — the streaming
     * dual of [[graft.ops.AsOf.asofJoin]], with identical semantics

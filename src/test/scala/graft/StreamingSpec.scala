@@ -276,6 +276,40 @@ class StreamingSpec extends SparkSpec {
       "stream-static anomaly filter diverged from the batch operator")
   }
 
+  test("streaming funnel ≡ batch events_funnel on the replayed fixture") {
+    implicit val s = spark
+    import s.implicits._
+    val stream = EventStream.readEvents(spark, eventsDir)
+    EventStream.runToMemory(
+      EventStream.funnelStream(stream).toDF(), "funnel_mem")
+    // Update mode emits one row per user per micro-batch; the final
+    // state is the row with that user's max n_events (monotone).
+    val streamed = spark.table("funnel_mem").collect()
+      .groupBy(_.getLong(0)).map { case (_, rows) =>
+        val r = rows.maxBy(_.getLong(1))
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getInt(5))
+      }.toSet
+    val batch = Sessions.eventsFunnel(spark, sf)
+      .select(col("user_id"), col("n_events"),
+        unix_micros(col("view_ts").cast("timestamp")).as("v"),
+        unix_micros(col("click_ts").cast("timestamp")).as("c"),
+        unix_micros(col("purchase_ts").cast("timestamp")).as("p"),
+        col("stage"))
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getInt(5))
+      }.toSet
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
+
   test("stateful session counts ≡ batch sessionization totals") {
     implicit val s = spark
     import s.implicits._
