@@ -466,6 +466,9 @@ object Similarity {
   private val pqCodebookCache = new java.util.concurrent.ConcurrentHashMap[
     String, Array[Array[Long]]]()
 
+  private val corpusCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private[graft] def pqCodebook(spark: SparkSession, dir: String): Array[Array[Long]] =
     pqCodebookCache.computeIfAbsent(dir, _ => {
       val seeds = pqSeeds(spark, dir)
@@ -595,8 +598,9 @@ object Similarity {
       s => slice(element_at(cbLit, element_at(col("codes"), s + 1) + 1),
         s * PqDims + 1, lit(PqDims))))
     // Corpus count for the shortlist budget: one metadata-scale count
-    // job per corpus snapshot (memoized via the codebook cache pattern).
-    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    // job per corpus snapshot, memoized like the codebook.
+    val n = corpusCountCache.computeIfAbsent(dir,
+      _ => spark.read.parquet(s"$dir/embeddings.parquet").count()).longValue()
     val shortlist = math.ceil(n * PqShortlistFrac).toInt
     val a = quantized(spark, dir)
       .select(col("vec_id").as("query_id"), col("vq").as("va"))

@@ -70,6 +70,13 @@ class PqSpec extends SparkSpec {
     assert(out.where(col("query_id") === col("neighbor_id")).count() == 0L)
   }
 
+  test("ADC join never degrades to a nested-loop/cartesian plan") {
+    val plan = Similarity.similarityPqTopk(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian in ADC plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested loop in ADC plan")
+  }
+
   test("PQ recall gate holds on the fixture (and the row says so)") {
     val row = Similarity.similarityPqRecall(spark, sf).head()
     assert(row.getBoolean(0), "recall_ok")
