@@ -178,11 +178,66 @@ object VectorOps {
       copy(child = c)
   }
 
+  /** Squared L2 distance of two array<long> columns in exact integer
+    * arithmetic (null if lengths differ). The PQ hot path: codeword
+    * assignment evaluates PqCodewords×PqM of these per vector and ADC
+    * one per candidate pair — the declarative
+    * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), +)` form boxes
+    * two lambdas per element (a spec pins the two forms equal). */
+  case class L2SqLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "vec_l2sq_long"
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) return null
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = x.getLong(i) - y.getLong(i)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  long $s = 0L;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    long $d = $a.getLong($i) - $b.getLong($i);
+           |    $s += $d * $d;
+           |  }
+           |  ${ev.value} = $s;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqLong =
+      copy(left = l, right = r)
+  }
+
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def vec_norm(a: Column): Column =
     ColumnBridge.column(L2Norm(ColumnBridge.expression(a)))
+
+  def vec_l2sq_long(a: Column, b: Column): Column =
+    ColumnBridge.column(L2SqLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def vec_lsh_bands(a: Column, planes: Array[Array[Double]], rowsPerBand: Int): Column =
     ColumnBridge.column(HyperplaneSignBands(ColumnBridge.expression(a), planes, rowsPerBand))

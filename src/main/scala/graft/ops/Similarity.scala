@@ -475,10 +475,11 @@ object Similarity {
       pqRefine(spark, dir, seeds)
     })
 
-  /** Integer L2² between a column slice and a literal codeword slice. */
+  /** Integer L2² between a column slice and a literal codeword slice —
+    * the codegen'd [[graft.functions.VectorOps.vec_l2sq_long]] (a spec
+    * pins it equal to the declarative zip_with/aggregate fold). */
   private def pqL2(sub: Column, cw: Seq[Long]): Column =
-    aggregate(zip_with(sub, typedLit(cw), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorOps.vec_l2sq_long(sub, typedLit(cw))
 
   /** (vec_id, vq, codes: array<int>, pq_code, distortion): per-subspace
     * argmin codeword (tie-break smallest j, pinned by the (d, j) struct
@@ -611,8 +612,8 @@ object Similarity {
       col("blk"), col("neighbor_id"))
     val adc = a.join(b, "blk").filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (-aggregate(zip_with(col("va"), col("vr"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x)).cast(DoubleType).as("negd"))
+        (-graft.functions.VectorOps.vec_l2sq_long(col("va"), col("vr")))
+          .cast(DoubleType).as("negd"))
     val short = adc.groupBy("query_id")
       .agg(topk_by_score(col("negd"), col("neighbor_id"), shortlist).as("nn"))
       .select(col("query_id"), explode(col("nn.id")).as("neighbor_id"))

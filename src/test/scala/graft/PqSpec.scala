@@ -70,6 +70,23 @@ class PqSpec extends SparkSpec {
     assert(out.where(col("query_id") === col("neighbor_id")).count() == 0L)
   }
 
+  test("vec_l2sq_long equals the declarative zip_with/aggregate fold") {
+    val v = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * Similarity.PqScale).cast("long")).as("vq"))
+    val shifted = v.select(col("vq"),
+      transform(col("vq"), x => x + lit(3L)).as("wq"))
+    val cmp = shifted.select(
+      graft.functions.VectorOps.vec_l2sq_long(col("vq"), col("wq")).as("native"),
+      aggregate(zip_with(col("vq"), col("wq"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x).as("declarative"))
+    assert(cmp.where(col("native") =!= col("declarative")).count() == 0L)
+    // mismatched lengths → null, not a wrong number
+    val bad = shifted.select(graft.functions.VectorOps.vec_l2sq_long(
+      col("vq"), slice(col("wq"), 1, 7)).as("d"))
+    assert(bad.where(col("d").isNotNull).count() == 0L)
+  }
+
   test("ADC join never degrades to a nested-loop/cartesian plan") {
     val plan = Similarity.similarityPqTopk(spark, sf)
       .queryExecution.executedPlan.toString
