@@ -27,6 +27,12 @@ object VectorOps {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_dot"
     override def nullIntolerant: Boolean = true
+    // Length mismatch yields a data-dependent null regardless of child
+    // nullability; deriving nullable from the children would make
+    // codegen assign `isNull` into a `false` literal (Janino failure →
+    // interpreted fallback returning null from a declared-non-nullable
+    // expression).
+    override def nullable: Boolean = true
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -189,6 +195,8 @@ object VectorOps {
     override def dataType: DataType = LongType
     override def prettyName: String = "vec_l2sq_long"
     override def nullIntolerant: Boolean = true
+    // Same data-dependent null as DotProduct: see its `nullable` note.
+    override def nullable: Boolean = true
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -230,6 +238,74 @@ object VectorOps {
       copy(left = l, right = r)
   }
 
+  /** Asymmetric-distance (ADC) table lookup: given a vector's PQ codes
+    * (array<int>, one codeword index per subspace) and a QUERY's
+    * precomputed distance table (array<array<long>>, row s = that
+    * query's L2² to every subspace-s codeword), sums the M looked-up
+    * entries — the textbook ADC scoring step. Turns the O(N·queries)
+    * candidate stage's per-pair cost from a dim-wide L2 over a
+    * reconstructed vector into M loads + adds (~dim/M× less compute),
+    * while the integer result stays bit-identical to the
+    * reconstruct-then-L2 formulation (a spec pins the two equal).
+    * Null on subspace-count mismatch or an out-of-range code — both
+    * are index corruption, same contract as the length-mismatch null
+    * above. */
+  case class AdcLookup(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "pq_adc"
+    override def nullIntolerant: Boolean = true
+    // Data-dependent null: see DotProduct's `nullable` note.
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val codes = a.asInstanceOf[ArrayData]
+      val lut = b.asInstanceOf[ArrayData]
+      val m = codes.numElements()
+      if (m != lut.numElements()) return null
+      var sum = 0L
+      var s = 0
+      while (s < m) {
+        val row = lut.getArray(s)
+        val j = codes.getInt(s)
+        if (j < 0 || j >= row.numElements()) return null
+        sum += row.getLong(j)
+        s += 1
+      }
+      sum
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val m = ctx.freshName("m")
+        val s = ctx.freshName("s")
+        val sum = ctx.freshName("sum")
+        val row = ctx.freshName("row")
+        val j = ctx.freshName("j")
+        s"""
+           |int $m = $a.numElements();
+           |if ($m != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  long $sum = 0L;
+           |  for (int $s = 0; $s < $m && !${ev.isNull}; $s++) {
+           |    org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($s);
+           |    int $j = $a.getInt($s);
+           |    if ($j < 0 || $j >= $row.numElements()) {
+           |      ${ev.isNull} = true;
+           |    } else {
+           |      $sum += $row.getLong($j);
+           |    }
+           |  }
+           |  ${ev.value} = $sum;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcLookup =
+      copy(left = l, right = r)
+  }
+
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -241,4 +317,7 @@ object VectorOps {
 
   def vec_lsh_bands(a: Column, planes: Array[Array[Double]], rowsPerBand: Int): Column =
     ColumnBridge.column(HyperplaneSignBands(ColumnBridge.expression(a), planes, rowsPerBand))
+
+  def pq_adc(codes: Column, lut: Column): Column =
+    ColumnBridge.column(AdcLookup(ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
 }

@@ -463,7 +463,12 @@ object Sessions {
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("e2", lead(col("event_type"), 1).over(w))
       .withColumn("e3", lead(col("event_type"), 2).over(w))
-      .where(col("e3").isNotNull)
+      // All three steps non-null: concat_ws silently SKIPS nulls
+      // (a null middle step would collapse 'a>NULL>c' to 'a>c'),
+      // while the oracle's || propagates them — filter both engines
+      // identically so a null event_type can never fork the counts.
+      .where(col("e3").isNotNull && col("e2").isNotNull &&
+        col("event_type").isNotNull)
       .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
     val counted = paths.groupBy("path").agg(count(lit(1)).as("n"))
     val rw = Window.orderBy(col("n").desc, col("path"))
@@ -480,7 +485,8 @@ object Sessions {
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path
-       |      FROM s WHERE e3 IS NOT NULL),
+       |      FROM s WHERE e3 IS NOT NULL AND e2 IS NOT NULL
+       |        AND event_type IS NOT NULL),
        |c AS (SELECT path, count(*) AS n FROM p GROUP BY 1)
        |SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS INTEGER) AS rank,
        |       path, CAST(n AS BIGINT) AS n

@@ -365,15 +365,40 @@ object Similarity {
 
   // ---------------------------------------------- product quantization
 
-  /** PQ geometry: [[PqM]] subspaces of [[PqDims]] dims each (= the
-    * 64-dim fixture), [[PqCodewords]] codewords per subspace → one
-    * 4-bit code per subspace, 32 bits per vector. At 100 TB this is
-    * the memory story that makes ANN shortlisting possible at all:
-    * 256 bytes of float embedding compress to 4 bytes + one shared
-    * 16×64 codebook. */
+  /** PQ geometry: [[PqM]] subspaces, [[PqCodewords]] codewords per
+    * subspace → one 4-bit code per subspace, 4·M bits per vector. At
+    * 100 TB this is the memory story that makes ANN shortlisting
+    * possible at all: 256 bytes of float embedding compress to 4
+    * bytes + one shared 16×dim codebook.
+    *
+    * The subspace WIDTH is not a constant: it derives from the
+    * corpus's actual embedding dimension via [[pqSubDims]] (dim / M,
+    * loud error on non-divisible dims), so the operator family
+    * survives a corpus embedded by a different model. [[PqDims]] is
+    * the FIXTURE's width (64-dim / 8) — it parameterizes the static
+    * oracle SQL and the specs, which only ever run against the
+    * 64-dim fixture tables. */
   val PqM = 8
   val PqDims = 8
   val PqCodewords = 16
+
+  /** Embedding dim per corpus snapshot — one head-row probe, memoized
+    * like [[pivotCache]] (the dim is a property of the immutable
+    * snapshot). */
+  private val dimCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Subspace width for this corpus: dim / [[PqM]], failing loudly on
+    * a non-divisible embedding dimension rather than silently
+    * truncating trailing components out of every code. */
+  private[graft] def pqSubDims(spark: SparkSession, dir: String): Int = {
+    val dim = dimCache.computeIfAbsent(dir, _ =>
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(size(col("embedding"))).head().getInt(0)).intValue()
+    require(dim % PqM == 0,
+      s"PQ geometry: embedding dim $dim (corpus $dir) is not divisible by " +
+        s"PqM=$PqM subspaces — choose an M dividing the embedding model's dim")
+    dim / PqM
+  }
 
   /** Fixed-point grid for PQ arithmetic: components round to 1e-3.
     * Distances and argmins are then INTEGER sums — exact and
@@ -402,10 +427,14 @@ object Similarity {
 
   /** PQ seed codebook: the quantized vectors with the smallest vec_id
     * in each of [[PqCodewords]] residue classes (same RNG-free scheme
-    * as [[seedPivots]]); codeword j's subspace-s slice is dims
-    * [s·PqDims, (s+1)·PqDims). Driver-collected — PqCodewords × dim
-    * longs, metadata scale. */
-  private def pqSeeds(spark: SparkSession, dir: String): Array[Array[Long]] =
+    * as [[seedPivots]]), keyed by their RESIDUE CLASS — codewords are
+    * (cls, vector) pairs throughout, and codes pack cls, never the
+    * positional index in this array. The two coincide only when every
+    * residue class is inhabited (the refinedPivots trap); a corpus
+    * with fewer than PqCodewords vectors or sparse vec_id residues
+    * must still agree with the oracle's `cls AS j`. Driver-collected —
+    * ≤ PqCodewords × dim longs, metadata scale. */
+  private def pqSeeds(spark: SparkSession, dir: String): Array[(Int, Array[Long])] =
     quantized(spark, dir)
       .withColumn("cls", col("vec_id") % PqCodewords)
       .withColumn("rk", row_number().over(Window.partitionBy("cls").orderBy("vec_id")))
@@ -413,7 +442,7 @@ object Similarity {
       .select(col("cls"), col("vq"))
       .collect()
       .sortBy(_.getLong(0))
-      .map(_.getSeq[Long](1).toArray)
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
 
   /** One per-subspace Lloyd iteration over the seed codebook (the
     * classic PQ codebook-training step, the [[refinedPivots]] dual):
@@ -427,15 +456,16 @@ object Similarity {
     * build; the groupBy output is PqM × PqCodewords × PqDims rows —
     * metadata scale, the comment-audited collect. */
   private def pqRefine(spark: SparkSession, dir: String,
-      seeds: Array[Array[Long]]): Array[Array[Long]] = {
+      seeds: Array[(Int, Array[Long])]): Array[(Int, Array[Long])] = {
+    val dims = pqSubDims(spark, dir)
     val subbed = quantized(spark, dir).select(
       col("vec_id") +:
-        (0 until PqM).map(s => slice(col("vq"), s * PqDims + 1, PqDims).as(s"sub_$s")): _*)
+        (0 until PqM).map(s => slice(col("vq"), s * dims + 1, dims).as(s"sub_$s")): _*)
     val bests = (0 until PqM).map { s =>
-      val cands = seeds.zipWithIndex.map { case (cw, j) =>
+      val cands = seeds.map { case (cls, cw) =>
         struct(pqL2(col(s"sub_$s"), scala.collection.immutable.ArraySeq.unsafeWrapArray(
-          cw.slice(s * PqDims, (s + 1) * PqDims))).as("d"),
-          lit(j).as("j"))
+          cw.slice(s * dims, (s + 1) * dims))).as("d"),
+          lit(cls).as("j"))
       }
       array_min(array(scala.collection.immutable.ArraySeq.unsafeWrapArray(cands): _*))
         .getField("j").as(s"j_$s")
@@ -453,23 +483,24 @@ object Similarity {
           .cast(org.apache.spark.sql.types.LongType).as("m"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
-    seeds.zipWithIndex.map { case (seed, j) =>
+    seeds.map { case (cls, seed) =>
       val out = seed.clone()
-      for (s <- 0 until PqM; p <- 0 until PqDims)
-        means.get((s, j, p)).foreach(m => out(s * PqDims + p) = m)
-      out
+      for (s <- 0 until PqM; p <- 0 until dims)
+        means.get((s, cls, p)).foreach(m => out(s * dims + p) = m)
+      (cls, out)
     }
   }
 
-  /** Trained PQ codebook (seeds + one Lloyd step), cached per corpus
-    * snapshot like [[pivotCache]]. */
+  /** Trained PQ codebook (seeds + one Lloyd step) as (residue class,
+    * codeword) pairs sorted by class, cached per corpus snapshot like
+    * [[pivotCache]]. */
   private val pqCodebookCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Array[Array[Long]]]()
+    String, Array[(Int, Array[Long])]]()
 
   private val corpusCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  private[graft] def pqCodebook(spark: SparkSession, dir: String): Array[Array[Long]] =
+  private[graft] def pqCodebook(spark: SparkSession, dir: String): Array[(Int, Array[Long])] =
     pqCodebookCache.computeIfAbsent(dir, _ => {
       val seeds = pqSeeds(spark, dir)
       pqRefine(spark, dir, seeds)
@@ -490,14 +521,15 @@ object Similarity {
     * Catalyst inlining the slice into every L2), zero shuffle. */
   private def pqCoded(spark: SparkSession, dir: String): DataFrame = {
     val cb = pqCodebook(spark, dir)
+    val dims = pqSubDims(spark, dir)
     val subbed = quantized(spark, dir).select(
       col("vec_id") +: col("vq") +:
-        (0 until PqM).map(s => slice(col("vq"), s * PqDims + 1, PqDims).as(s"sub_$s")): _*)
+        (0 until PqM).map(s => slice(col("vq"), s * dims + 1, dims).as(s"sub_$s")): _*)
     val bests = (0 until PqM).map { s =>
-      val cands = cb.zipWithIndex.map { case (cw, j) =>
+      val cands = cb.map { case (cls, cw) =>
         struct(pqL2(col(s"sub_$s"), scala.collection.immutable.ArraySeq.unsafeWrapArray(
-          cw.slice(s * PqDims, (s + 1) * PqDims))).as("d"),
-          lit(j).as("j"))
+          cw.slice(s * dims, (s + 1) * dims))).as("d"),
+          lit(cls).as("j"))
       }
       array_min(array(scala.collection.immutable.ArraySeq.unsafeWrapArray(cands): _*)).as(s"best_$s")
     }
@@ -574,46 +606,95 @@ object Similarity {
        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   /** `similarity_pq_topk`: asymmetric-distance (ADC) retrieval — the
-    * query keeps its exact quantized vector, every corpus vector is
-    * RECONSTRUCTED from its 4-byte code via the literal codebook, the
-    * shortlist of the closest ceil([[PqShortlistFrac]]·N) codes per
-    * query is exact-reranked on the true float vectors, and the final
-    * top-[[K]] comes out in [[similarityTopk]]'s schema. Approximate
-    * by construction → rows-only check; its quality gate is the
-    * oracle-visible `similarity_pq_recall` row, exactly the
+    * query keeps its exact quantized vector and precomputes its
+    * per-subspace distance TABLE to every codeword (textbook ADC), so
+    * each of the O(N·queries) candidate pairs costs M table lookups +
+    * adds; the shortlist of the closest ceil([[PqShortlistFrac]]·N)
+    * codes per query is exact-reranked on the true float vectors, and
+    * the final top-[[K]] comes out in [[similarityTopk]]'s schema.
+    * Approximate by construction → rows-only check; its quality gate
+    * is the oracle-visible `similarity_pq_recall` row, exactly the
     * [[similarityAnnRecall]] pattern.
     *
     * 100 TB shape: the ADC join carries (id, 8 codes) per corpus row —
     * the whole point of PQ: the O(N·queries) candidate stage streams
-    * 4-byte codes, not 256-byte vectors; only the shortlist (queries ×
-    * R ids) rejoins the true vectors for rerank, and both rerank joins
-    * are id-keyed equi-joins AQE can broadcast when the query set is
-    * bounded. */
-  def similarityPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    * 4-byte codes, not 256-byte vectors (and since r16, scores them at
+    * table-lookup cost, not dim-wide L2 cost); only the shortlist
+    * (queries × R ids) rejoins the true vectors for rerank, and both
+    * rerank joins are id-keyed equi-joins AQE can broadcast when the
+    * query set is bounded. */
+  def similarityPqTopk(spark: SparkSession, dir: String): DataFrame =
+    pqRetrieve(spark, dir, lutScoring = true)
+
+  /** Reconstruct-then-L2 reference formulation of the ADC stage —
+    * mathematically identical to the LUT scoring (the integer L2 over
+    * a concatenated reconstruction IS the sum of its per-subspace
+    * table entries), kept only so a spec can pin the two outputs
+    * row-for-row; the production path is the LUT. */
+  private[graft] def similarityPqTopkRecon(spark: SparkSession, dir: String): DataFrame =
+    pqRetrieve(spark, dir, lutScoring = false)
+
+  private def pqRetrieve(spark: SparkSession, dir: String,
+      lutScoring: Boolean): DataFrame = {
     val coded = pqCoded(spark, dir)
     val cb = pqCodebook(spark, dir)
-    val cbLit = typedLit(cb.map(_.toSeq).toSeq)
-    // Reconstructed corpus vector: codeword j_s's subspace-s slice,
-    // concatenated across subspaces.
-    val recon = flatten(transform(sequence(lit(0), lit(PqM - 1)),
-      s => slice(element_at(cbLit, element_at(col("codes"), s + 1) + 1),
-        s * PqDims + 1, lit(PqDims))))
+    val dims = pqSubDims(spark, dir)
     // Corpus count for the shortlist budget: one metadata-scale count
     // job per corpus snapshot, memoized like the codebook.
     val n = corpusCountCache.computeIfAbsent(dir,
       _ => spark.read.parquet(s"$dir/embeddings.parquet").count()).longValue()
     val shortlist = math.ceil(n * PqShortlistFrac).toInt
-    val a = quantized(spark, dir)
-      .select(col("vec_id").as("query_id"), col("vq").as("va"))
-      .withColumn("blk", explode(typedLit((0 until Blocks).toArray)))
+    // Corpus side of the candidate stage: (id, M codes) — the whole
+    // point of PQ: it streams 4-byte codes, never vectors.
     val b = fanOut(spark, dir, "embeddings",
-      coded.select(col("vec_id").as("neighbor_id"), recon.as("vr"))
+      coded.select(col("vec_id").as("neighbor_id"), col("codes"))
         .withColumn("blk", pmod(hash(col("neighbor_id")), lit(Blocks))),
       col("blk"), col("neighbor_id"))
-    val adc = a.join(b, "blk").filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (-graft.functions.VectorOps.vec_l2sq_long(col("va"), col("vr")))
-          .cast(DoubleType).as("negd"))
+    val adc = if (lutScoring) {
+      // Textbook ADC: each query precomputes its M×PqCodewords table of
+      // subspace distances to every codeword ONCE (one map-side pass,
+      // codebook as plan literals; the qsub slices sit in their own
+      // projection so Catalyst cannot inline one slice into its 16
+      // candidate L2s), and each candidate pair then costs M table
+      // loads + adds instead of a dim-wide L2 over a reconstruction.
+      // Table rows are dense by residue class (position cls = distance
+      // to class cls's codeword; uninhabited classes are never
+      // referenced by any code, their zero-filled slots are dead).
+      val aSub = quantized(spark, dir).select(
+        col("vec_id").as("query_id") +:
+          (0 until PqM).map(s => slice(col("vq"), s * dims + 1, dims).as(s"qsub_$s")): _*)
+      val lut = array((0 until PqM).map { s =>
+        val row = Array.fill[Column](PqCodewords)(lit(0L))
+        cb.foreach { case (cls, cw) =>
+          row(cls) = pqL2(col(s"qsub_$s"), scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            cw.slice(s * dims, (s + 1) * dims)))
+        }
+        array(scala.collection.immutable.ArraySeq.unsafeWrapArray(row): _*)
+      }: _*)
+      val a = aSub.select(col("query_id"), lut.as("lut"))
+        .withColumn("blk", explode(typedLit((0 until Blocks).toArray)))
+      a.join(b, "blk").filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (-graft.functions.VectorOps.pq_adc(col("codes"), col("lut")))
+            .cast(DoubleType).as("negd"))
+    } else {
+      // Reference path: reconstruct each candidate from its codes via
+      // the dense-by-class codebook literal, full-dim integer L2.
+      val dense = Array.fill(PqCodewords)(Array.fill(PqM * dims)(0L))
+      cb.foreach { case (cls, cw) => dense(cls) = cw }
+      val cbLit = typedLit(dense.map(_.toSeq).toSeq)
+      val recon = flatten(transform(sequence(lit(0), lit(PqM - 1)),
+        s => slice(element_at(cbLit, element_at(col("codes"), s + 1) + 1),
+          s * dims + 1, lit(dims))))
+      val a = quantized(spark, dir)
+        .select(col("vec_id").as("query_id"), col("vq").as("va"))
+        .withColumn("blk", explode(typedLit((0 until Blocks).toArray)))
+      a.join(b.withColumn("vr", recon), "blk")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (-graft.functions.VectorOps.vec_l2sq_long(col("va"), col("vr")))
+            .cast(DoubleType).as("negd"))
+    }
     val short = adc.groupBy("query_id")
       .agg(topk_by_score(col("negd"), col("neighbor_id"), shortlist).as("nn"))
       .select(col("query_id"), explode(col("nn.id")).as("neighbor_id"))

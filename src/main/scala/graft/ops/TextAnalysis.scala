@@ -664,8 +664,11 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"),
         size(col("toks")).cast(LongType).as("n"),
         size(array_distinct(col("toks"))).cast(LongType).as("n_types"),
-        aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x)
-          .cast(LongType).as("sum_len"),
+        // Fold in LongType end-to-end: an Int accumulator would wrap on
+        // a >2^31-char document while the oracle's list_sum widens to
+        // BIGINT — the 100 TB framing assumes unbounded doc sizes.
+        aggregate(transform(col("toks"), t => length(t).cast(LongType)),
+          lit(0L), (a, x) => a + x).as("sum_len"),
         length(col("text")).cast(LongType).as("n_chars_m"),
         length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast(LongType).as("punct"),
         size(filter(col("toks"), t => t.isin(En: _*))).cast(LongType).as("c_en"))

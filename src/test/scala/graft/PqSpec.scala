@@ -18,7 +18,10 @@ class PqSpec extends SparkSpec {
   test("embedding_pq codes match a driver-side argmin over the trained codebook") {
     val cb = Similarity.pqCodebook(spark, sf)
     assert(cb.length == Similarity.PqCodewords)
-    assert(cb.forall(_.length == Similarity.PqM * Similarity.PqDims))
+    // Fixture vec_ids are dense, so every residue class is inhabited
+    // and classes come out sorted 0..15.
+    assert(cb.map(_._1).toSeq == (0 until Similarity.PqCodewords))
+    assert(cb.forall(_._2.length == Similarity.PqM * Similarity.PqDims))
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(f => q(f.toDouble)).toArray)
@@ -29,14 +32,16 @@ class PqSpec extends SparkSpec {
       for (s <- 0 until Similarity.PqM) {
         var bestD = Long.MaxValue
         var bestJ = -1
-        for (j <- 0 until Similarity.PqCodewords) {
+        // cb is sorted by cls, so strict < reproduces the engine's
+        // (d, cls) struct-min tie-break.
+        cb.foreach { case (cls, cw) =>
           var d = 0L
           for (p <- 0 until Similarity.PqDims) {
             val i = s * Similarity.PqDims + p
-            val diff = vq(i) - cb(j)(i)
+            val diff = vq(i) - cw(i)
             d += diff * diff
           }
-          if (d < bestD) { bestD = d; bestJ = j }
+          if (d < bestD) { bestD = d; bestJ = cls }
         }
         code += bestJ.toLong << (4 * s)
         distortion += bestD
@@ -92,6 +97,49 @@ class PqSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "cartesian in ADC plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), "nested loop in ADC plan")
+  }
+
+  test("LUT ADC equals the reconstruct-then-L2 reference row-for-row") {
+    // The per-subspace table entries sum to exactly the integer L2
+    // over the concatenated reconstruction, so the two formulations
+    // must agree on every row including all tie-breaks.
+    val lut = Similarity.similarityPqTopk(spark, sf).collect().toSeq
+    val rec = Similarity.similarityPqTopkRecon(spark, sf).collect().toSeq
+    assert(lut == rec)
+  }
+
+  /** Deterministic synthetic corpus with a chosen embedding dim. */
+  private def writeCorpus(dim: Int, n: Int): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-pq$dim-").toString
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => ((i * 31 + d * 17) % 23 - 11).toFloat / 7f))
+    }.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("PQ geometry derives from the embedding dimension (32-dim corpus)") {
+    val dir = writeCorpus(dim = 32, n = 40)
+    assert(Similarity.pqSubDims(spark, dir) == 32 / Similarity.PqM)
+    val coded = Similarity.embeddingPq(spark, dir).collect()
+    assert(coded.length == 40)
+    coded.foreach { r =>
+      val code = r.getAs[Long]("pq_code")
+      assert(code >= 0L && code < (1L << (4 * Similarity.PqM)))
+    }
+    val topk = Similarity.similarityPqTopk(spark, dir)
+    assert(topk.columns.toSeq == Seq("query_id", "neighbor_id", "sim", "rank"))
+    assert(topk.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == Similarity.K))
+  }
+
+  test("PQ fails loudly on an embedding dim not divisible by PqM") {
+    val dir = writeCorpus(dim = 30, n = 8)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqSubDims(spark, dir)
+    }
+    assert(e.getMessage.contains("not divisible"))
   }
 
   test("PQ recall gate holds on the fixture (and the row says so)") {
