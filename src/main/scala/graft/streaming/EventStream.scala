@@ -45,45 +45,86 @@ object EventStream {
       .select(col("window.start").cast(TimestampNTZType).as("window_start"),
         col("event_type"), col("n_events"))
 
-  case class Ev(user_id: Long, tsMicros: Long)
-  case class SessionState(sessionCount: Int, lastTs: Long)
+  /** `ts` carries the watermark-marked attribute through to the
+    * stateful operator (FlatMapGroupsWithStateExec only sees the
+    * watermark if the marked column survives into its child output —
+    * projecting it away makes getCurrentWatermarkMs throw); the fold
+    * itself reads the exact `tsMicros`. */
+  case class Ev(user_id: Long, tsMicros: Long, ts: java.sql.Timestamp)
   case class UserSessions(user_id: Long, n_sessions: Int, n_events: Long)
+
+  /** Allowed event-time lateness for the stateful operators
+    * ([[sessionCounts]], [[funnelStream]]): an event arriving more
+    * than this far behind the stream's max observed event time (i.e.
+    * below the watermark) is DROPPED — the documented beyond-horizon
+    * behavior, because history below the fold frontier is already
+    * folded and emitting it out of order would corrupt the counts.
+    * Everything inside the horizon folds in exact event-time order,
+    * however it arrives. */
+  val LatenessHorizon = "2 hours"
+
+  /** Durable per-user session state: the fold over all events BELOW
+    * the watermark (which can never be preceded by a new arrival),
+    * plus the horizon-bounded buffer of events still above it. */
+  case class SessionBufState(sessionCount: Int, lastTs: Long,
+                             nEvents: Long, buf: Seq[Long])
+
+  /** Fold sorted event times through the 30-min gap rule. */
+  private def foldSessions(count0: Int, last0: Long, sortedTs: Seq[Long]): (Int, Long) = {
+    var c = count0
+    var last = last0
+    sortedTs.foreach { t =>
+      if (last == Long.MinValue || t - last > graft.ops.Sessions.SessionGapMicros) c += 1
+      last = t
+    }
+    (c, last)
+  }
 
   /** Stateful sessionization: per-user session counting with the same
     * 30-min gap rule as [[graft.ops.Sessions.sessionize]], kept in a
-    * `GroupState` so it spans micro-batches. State is O(users), the
-    * stream is never re-sorted globally.
+    * `GroupState` so it spans micro-batches. State is O(users) plus a
+    * horizon-bounded event buffer, the stream is never re-sorted
+    * globally.
     *
-    * Correct only when each user's events arrive in event-time order
-    * across batches (true for the replay-a-sorted-log test shape; a
-    * production job would buffer out-of-order events with a timeout —
-    * noted rather than implemented, the fixture replay is ordered). */
+    * Out-of-order arrival: arrivals are buffered in `GroupState` until
+    * the watermark passes them; only events below the watermark — which
+    * no in-horizon straggler can precede, since anything below the
+    * watermark is dropped on arrival — fold into the DURABLE state, in
+    * event-time order. Each update emits the PROVISIONAL fold of
+    * durable state + buffer (also event-time ordered), so the emitted
+    * row always reflects every admitted event and the final row matches
+    * the batch operator exactly for any arrival order whose lateness
+    * stays inside [[LatenessHorizon]]. Beyond-horizon stragglers are
+    * dropped (documented above). */
   def sessionCounts(events: DataFrame)(implicit spark: SparkSession): Dataset[UserSessions] = {
     import spark.implicits._
     val evs = events
-      .select(col("user_id"),
-        unix_micros(col("ts").cast(TimestampType)).as("tsMicros"))
+      .withColumn("ts", col("ts").cast(TimestampType)) // watermarks need an instant
+      .withWatermark("ts", LatenessHorizon)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"), col("ts"))
       .as[Ev]
     evs.groupByKey(_.user_id).flatMapGroupsWithState(
       OutputMode.Update(), GroupStateTimeout.NoTimeout())(
-      (user: Long, batch: Iterator[Ev], state: GroupState[SessionState]) => {
-        val sorted = batch.toSeq.sortBy(_.tsMicros)
-        var st = state.getOption.getOrElse(SessionState(0, Long.MinValue))
-        var events = 0L
-        sorted.foreach { e =>
-          val gap = e.tsMicros - st.lastTs
-          val newSession = st.lastTs == Long.MinValue || gap > graft.ops.Sessions.SessionGapMicros
-          st = SessionState(st.sessionCount + (if (newSession) 1 else 0), e.tsMicros)
-          events += 1
-        }
-        state.update(st)
-        Iterator(UserSessions(user, st.sessionCount, events))
+      (user: Long, batch: Iterator[Ev], state: GroupState[SessionBufState]) => {
+        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        val st = state.getOption.getOrElse(SessionBufState(0, Long.MinValue, 0L, Nil))
+        val arrived = batch.map(_.tsMicros).filter(_ >= wmMicros).toSeq
+        val (safe, held) = (st.buf ++ arrived).partition(_ < wmMicros)
+        val (c, last) = foldSessions(st.sessionCount, st.lastTs, safe.sorted)
+        val n = st.nEvents + arrived.size
+        state.update(SessionBufState(c, last, n, held))
+        val (cAll, _) = foldSessions(c, last, held.sorted)
+        Iterator(UserSessions(user, cAll, n))
       })
   }
 
-  case class FunnelEv(user_id: Long, tsMicros: Long, event_id: Long, event_type: String)
-  case class FunnelState(nEvents: Long, viewTs: Option[Long],
-                         clickTs: Option[Long], purchaseTs: Option[Long])
+  /** Same watermark-carrier `ts` field as [[Ev]]. */
+  case class FunnelEv(user_id: Long, tsMicros: Long, event_id: Long,
+                      event_type: String, ts: java.sql.Timestamp)
+  case class BufEv(tsMicros: Long, eventId: Long, eventType: String)
+  case class FunnelBufState(nEvents: Long, viewTs: Option[Long],
+                            clickTs: Option[Long], purchaseTs: Option[Long],
+                            buf: Seq[BufEv])
   case class UserFunnel(user_id: Long, n_events: Long, view_us: Option[Long],
                         click_us: Option[Long], purchase_us: Option[Long], stage: Int)
 
@@ -95,6 +136,26 @@ object EventStream {
     case "view" => 0; case "click" => 1; case "purchase" => 2; case _ => 3
   }
 
+  /** Fold funnel stage timestamps through a (tsMicros, stageOrder,
+    * eventId)-sorted event slice — the batch operator's inclusive-`>=`
+    * semantics in arrival-order form. */
+  private def foldFunnel(view0: Option[Long], click0: Option[Long],
+      purchase0: Option[Long], sorted: Seq[BufEv])
+      : (Option[Long], Option[Long], Option[Long]) = {
+    var v = view0; var c = click0; var p = purchase0
+    sorted.foreach { e =>
+      v = v.orElse(if (e.eventType == "view") Some(e.tsMicros) else None)
+      c = c.orElse(if (e.eventType == "click" && v.exists(e.tsMicros >= _))
+        Some(e.tsMicros) else None)
+      p = p.orElse(if (e.eventType == "purchase" && c.exists(e.tsMicros >= _))
+        Some(e.tsMicros) else None)
+    }
+    (v, c, p)
+  }
+
+  private val bufOrder: Ordering[BufEv] =
+    Ordering.by(e => (e.tsMicros, stageOrder(e.eventType), e.eventId))
+
   /** Streaming funnel: per-user view → click → purchase progression
     * kept in `GroupState`, the streaming dual of
     * [[graft.ops.Sessions.eventsFunnel]] with identical semantics —
@@ -102,39 +163,37 @@ object EventStream {
     * stage k-1's (ties resolved view-before-click-before-purchase, the
     * inclusive-`>=` arrival-order equivalent).
     *
-    * State is four longs per user — O(users), never an event buffer —
-    * and each update emits the user's current funnel row (Update
-    * mode), so a dashboard sees conversion move in real time. Same
-    * ordered-arrival caveat as [[sessionCounts]]: cross-batch
-    * correctness relies on per-user event-time-ordered arrival (true
-    * for the replay shape; equal-ts pairs split across micro-batches
-    * in reverse stage order would need an out-of-order buffer). */
+    * Out-of-order arrival: same watermark + buffer discipline as
+    * [[sessionCounts]] — durable state folds only events the watermark
+    * has passed, each update emits the provisional fold over the
+    * horizon-bounded buffer (so a dashboard still sees conversion move
+    * in real time), and the final row matches the batch operator for
+    * any in-horizon arrival order, including equal-ts stage pairs
+    * split across micro-batches in reverse stage order.
+    * Beyond-horizon stragglers are dropped (see [[LatenessHorizon]]). */
   def funnelStream(events: DataFrame)(implicit spark: SparkSession): Dataset[UserFunnel] = {
     import spark.implicits._
     val evs = events
-      .select(col("user_id"),
-        unix_micros(col("ts").cast(TimestampType)).as("tsMicros"),
-        col("event_id"), col("event_type"))
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", LatenessHorizon)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_id"), col("event_type"), col("ts"))
       .as[FunnelEv]
     evs.groupByKey(_.user_id).flatMapGroupsWithState(
       OutputMode.Update(), GroupStateTimeout.NoTimeout())(
-      (user: Long, batch: Iterator[FunnelEv], state: GroupState[FunnelState]) => {
-        val sorted = batch.toSeq.sortBy(e => (e.tsMicros, stageOrder(e.event_type), e.event_id))
-        var st = state.getOption.getOrElse(FunnelState(0L, None, None, None))
-        sorted.foreach { e =>
-          val viewTs = st.viewTs.orElse(
-            if (e.event_type == "view") Some(e.tsMicros) else None)
-          val clickTs = st.clickTs.orElse(
-            if (e.event_type == "click" && viewTs.exists(e.tsMicros >= _))
-              Some(e.tsMicros) else None)
-          val purchaseTs = st.purchaseTs.orElse(
-            if (e.event_type == "purchase" && clickTs.exists(e.tsMicros >= _))
-              Some(e.tsMicros) else None)
-          st = FunnelState(st.nEvents + 1, viewTs, clickTs, purchaseTs)
-        }
-        state.update(st)
-        val stage = Seq(st.viewTs, st.clickTs, st.purchaseTs).count(_.isDefined)
-        Iterator(UserFunnel(user, st.nEvents, st.viewTs, st.clickTs, st.purchaseTs, stage))
+      (user: Long, batch: Iterator[FunnelEv], state: GroupState[FunnelBufState]) => {
+        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        val st = state.getOption.getOrElse(FunnelBufState(0L, None, None, None, Nil))
+        val arrived = batch.filter(_.tsMicros >= wmMicros)
+          .map(e => BufEv(e.tsMicros, e.event_id, e.event_type)).toSeq
+        val (safe, held) = (st.buf ++ arrived).partition(_.tsMicros < wmMicros)
+        val (v, c, p) = foldFunnel(st.viewTs, st.clickTs, st.purchaseTs,
+          safe.sorted(bufOrder))
+        val n = st.nEvents + arrived.size
+        state.update(FunnelBufState(n, v, c, p, held))
+        val (v2, c2, p2) = foldFunnel(v, c, p, held.sorted(bufOrder))
+        val stage = Seq(v2, c2, p2).count(_.isDefined)
+        Iterator(UserFunnel(user, n, v2, c2, p2, stage))
       })
   }
 

@@ -310,6 +310,101 @@ class StreamingSpec extends SparkSpec {
       s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
   }
 
+  test("stateful duals fold late and equal-ts-reversed arrivals across micro-batches") {
+    implicit val s = spark
+    import s.implicits._
+    val in = tmp("ooo-in")
+    def ts(min: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 08:00:00").getTime + min * 60000L)
+    // micro-batch 1: user 100 at +0 and +50 (a >30min gap — 2 sessions
+    // if folded eagerly); user 200's purchase arrives BEFORE its
+    // equal-ts click.
+    val b1 = Seq(
+      (1L, ts(0), 100L, "view", 1.0, "{}"),
+      (2L, ts(50), 100L, "view", 1.0, "{}"),
+      (3L, ts(10), 200L, "view", 1.0, "{}"),
+      (4L, ts(10), 200L, "purchase", 5.0, "{}"))
+    // micro-batch 2: the late bridge event (+25 splits the 0..50 gap →
+    // ONE session) and the equal-ts click in reverse stage order — the
+    // exact deliveries the r15 operators got wrong.
+    val b2 = Seq(
+      (5L, ts(25), 100L, "view", 1.0, "{}"),
+      (6L, ts(10), 200L, "click", 2.0, "{}"))
+    // micro-batches 3-4: march the watermark past +480 so batches 1-2
+    // fold into DURABLE state (not just the provisional view), then one
+    // more user-100 event beyond the frontier (a fresh session).
+    val b3 = Seq((7L, ts(600), 300L, "view", 1.0, "{}"))
+    val b4 = Seq((8L, ts(610), 100L, "view", 1.0, "{}"))
+    // micro-batch 5: a beyond-horizon straggler (watermark ≈ +490 by
+    // now) — the documented drop, it must not corrupt folded history.
+    val b5 = Seq((9L, ts(0), 200L, "view", 9.0, "{}"))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    Seq(b1, b2, b3, b4, b5).zipWithIndex.foreach { case (b, i) =>
+      val stage = tmp(s"ooo-stage$i")
+      b.toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(in, f"batch$i%03d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      // distinct mtimes pin the file-source admission order = the
+      // arrival order above, one file per micro-batch
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val tsType = spark.read.parquet(in).schema("ts").dataType
+    def stream() = graft.ops.Sessions.normalizeTs(
+      spark.readStream.schema(EventStream.eventsSchema(tsType))
+        .option("maxFilesPerTrigger", 1).parquet(in))
+    EventStream.runToMemory(EventStream.sessionCounts(stream()).toDF(), "ooo_sessions")
+    EventStream.runToMemory(EventStream.funnelStream(stream()).toDF(), "ooo_funnel")
+    // The batch ground truth sees events 1-8: the straggler (9) is the
+    // beyond-horizon drop the streaming contract documents.
+    val uDir = tmp("ooo-union")
+    (b1 ++ b2 ++ b3 ++ b4).toDF(cols: _*).coalesce(1)
+      .write.parquet(s"$uDir/events.parquet")
+    // n_events is cumulative per emission, so max-by-n_events = final row.
+    val sessStream = spark.table("ooo_sessions").collect()
+      .groupBy(_.getLong(0)).map { case (u, rows) =>
+        val r = rows.maxBy(_.getLong(2)); (u, r.getInt(1), r.getLong(2))
+      }.toSet
+    val sessBatch = Sessions.sessionize(spark, uDir)
+      .groupBy("user_id").agg(
+        countDistinct("session_nr").cast("int").as("ns"),
+        sum("n_events").as("ne"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(sessStream == sessBatch,
+      s"stream-only=${sessStream -- sessBatch} batch-only=${sessBatch -- sessStream}")
+    val funStream = spark.table("ooo_funnel").collect()
+      .groupBy(_.getLong(0)).map { case (_, rows) =>
+        val r = rows.maxBy(_.getLong(1))
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getInt(5))
+      }.toSet
+    val funBatch = Sessions.eventsFunnel(spark, uDir)
+      .select(col("user_id"), col("n_events"),
+        unix_micros(col("view_ts").cast("timestamp")).as("v"),
+        unix_micros(col("click_ts").cast("timestamp")).as("c"),
+        unix_micros(col("purchase_ts").cast("timestamp")).as("p"),
+        col("stage"))
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getInt(5))
+      }.toSet
+    assert(funStream == funBatch,
+      s"stream-only=${funStream -- funBatch} batch-only=${funBatch -- funStream}")
+    // The equal-ts reversed pair really converted (stage 3), and the
+    // late bridge really merged the sessions before the +610 event
+    // reopened one — i.e. the assertions above didn't pass vacuously.
+    assert(funBatch.exists(t => t._1 == 200L && t._6 == 3))
+    assert(sessBatch.contains((100L, 2, 4L)))
+  }
+
   test("stateful session counts ≡ batch sessionization totals") {
     implicit val s = spark
     import s.implicits._
