@@ -478,10 +478,10 @@ object Dedup {
     * corpus-scale metadata (ids only), orders of magnitude smaller
     * than the corpus itself — and iteration count is the component
     * diameter, which for near-dup clusters is small (re-crawl families
-    * are dense). A pathological chain-of-dups corpus would want the
-    * alternating large-star/small-star variant (O(log n) rounds,
-    * Kiveris et al.) — noted, not needed: `MaxCcIters` guards and
-    * throws rather than silently emitting a half-converged labeling. */
+    * are dense). A pathological chain-of-dups graph blows past the
+    * `MaxCcIters` guard — and since r16 the loop then hands the graph
+    * to [[ccLargeSmallStar]] (O(log n) rounds regardless of diameter)
+    * instead of throwing. */
   val MaxCcIters = 50
 
   /** Edge-count bound for the single-task union-find path: 4M edges is
@@ -492,6 +492,85 @@ object Dedup {
 
   def connectedComponents(edges: DataFrame, a: String, b: String): DataFrame =
     connectedComponents(edges, a, b, CcSingleTaskMaxEdges)
+
+  /** Round guard for [[ccLargeSmallStar]]: convergence is O(log n)
+    * rounds, so 64 covers any 64-bit id population with headroom —
+    * hitting it means a bug, not a big graph. */
+  val LsssMaxRounds = 64
+
+  /** One large-star + small-star round (see [[ccLargeSmallStar]]).
+    * Input/output edges are oriented big→small, distinct, loop-free. */
+  private def starRound(eCanon: DataFrame): DataFrame = {
+    // LARGE-STAR over the full (symmetric) neighborhood of each node u:
+    // hang every neighbor v > u off m(u) = min({u} ∪ N(u)). Output
+    // stays big→small because v > u >= m(u).
+    val symE = eCanon.select(col("big").as("u"), col("small").as("v"))
+      .union(eCanon.select(col("small").as("u"), col("big").as("v")))
+    val mins = symE.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u").as("mu"), least(col("u"), col("mn")).as("m"))
+    val ls = symE.join(mins, symE("u") === mins("mu"))
+      .where(col("v") > col("u"))
+      .select(col("v").as("big"), col("m").as("small"))
+      .where(col("big") =!= col("small"))
+      .distinct()
+    // SMALL-STAR over each node's SMALLER neighbors (exactly the
+    // big→small orientation): re-hang them, and u itself, off the
+    // minimum. The explicit (u, m) edge is what keeps u connected —
+    // dropping it is the classic small-star node-loss bug.
+    val mins2 = ls.groupBy("big").agg(min("small").as("m"))
+    val ssNbrs = ls.join(mins2, "big")
+      .where(col("small") =!= col("m"))
+      .select(col("small").as("big"), col("m").as("small"))
+    val ssSelf = mins2.select(col("big"), col("m").as("small"))
+    ssNbrs.union(ssSelf).where(col("big") =!= col("small")).distinct()
+  }
+
+  /** Alternating large-star/small-star connected components — the
+    * O(log n)-round formulation (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14): large-star hangs every
+    * larger-than-center neighbor off the neighborhood minimum,
+    * small-star re-hangs the smaller ones plus the center, and the
+    * alternation contracts any component onto its minimum id in
+    * logarithmically many rounds REGARDLESS of diameter. This is the
+    * escape hatch for the one graph shape the min-label loop cannot
+    * finish: > [[CcSingleTaskMaxEdges]] edges AND diameter beyond
+    * [[MaxCcIters]] (a multi-million-edge chain of near-dups) — r15
+    * threw there; now the loop hands the graph off to this.
+    *
+    * Each round is two groupBy-min + join passes over edge METADATA
+    * (ids only, big→small orientation halves the state); convergence
+    * is an exact set-fixpoint check (count + except), never a label
+    * sum that could overflow a 64-bit id space. At the fixpoint every
+    * component is a star centered on its min, so the labeling is one
+    * projection + groupBy-min. */
+  private[graft] def ccLargeSmallStar(edges: DataFrame): DataFrame = {
+    // localCheckpoint, not persist: starRound references its input
+    // TWICE (the symmetrizing union), so a persist-only loop doubles
+    // the LOGICAL plan every round — 2^rounds analysis cost, OOM on
+    // the driver long before the data is big. Eager checkpoint both
+    // materializes the round and truncates the lineage to the blocks.
+    var e = edges.where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("big"),
+        least(col("src"), col("dst")).as("small"))
+      .distinct().localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done) {
+      rounds += 1
+      if (rounds > LsssMaxRounds)
+        throw new IllegalStateException(
+          s"ccLargeSmallStar: no fixpoint after $LsssMaxRounds rounds — " +
+            "O(log n) convergence makes this unreachable short of a bug")
+      val next = starRound(e).localCheckpoint(true)
+      // Set equality needs both checks: equal counts with different
+      // members, or a subset with fewer members, must both keep going.
+      done = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+    }
+    e.select(col("big").as("doc_id"), col("small").as("cluster_id"))
+      .union(e.select(col("small").as("doc_id"), col("small").as("cluster_id")))
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+  }
 
   /** The verified pair graph is corpus METADATA — ids only, orders of
     * magnitude smaller than the corpus — so the common case is a graph
@@ -509,7 +588,7 @@ object Dedup {
     * min-label iteration runs at full parallelism; the sizing count
     * doubles as the edge persist's materialization. */
   private[graft] def connectedComponents(edges: DataFrame, a: String,
-      b: String, singleTaskMax: Long): DataFrame = {
+      b: String, singleTaskMax: Long, maxIters: Int = MaxCcIters): DataFrame = {
     // Persist the edges: BOTH paths re-read them (the loop re-joins
     // every round; the union-find reads them after the sizing count),
     // and without the persist each read re-runs whatever pipeline
@@ -562,30 +641,34 @@ object Dedup {
     var converged = false
     while (!converged) {
       iter += 1
-      if (iter > MaxCcIters)
-        throw new IllegalStateException(
-          s"connectedComponents: no fixpoint after $MaxCcIters rounds " +
-            "(component diameter > iteration guard — switch to the " +
-            "large-star/small-star formulation for this graph)")
+      if (iter > maxIters) {
+        // Component diameter beyond the guard: the min-label loop would
+        // need O(diameter) more rounds, so hand the graph to the
+        // O(log n) alternating star contraction instead (was a throw
+        // until r16). Its first eager checkpoint materializes from
+        // `sym` before we drop that cache, so lineage never re-runs
+        // the producing cascade.
+        cached.unpersist()
+        val out = ccLargeSmallStar(sym)
+        sym.unpersist()
+        return out
+      }
       val nbMin = sym.join(labels, sym("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min("cluster_id").as("nb_min"))
       // Carry the old label through the projection so convergence is a
       // changed-row check on this same frame (labels only decrease, so
       // none-changed iff fixpoint) — not a label-sum compare, which
-      // silently overflows on 64-bit id spaces. `joined` is the
-      // persisted frame; `labels` is its 2-col projection, so the
-      // unpersist must target `joined` (unpersisting a derived
-      // projection is a no-op).
+      // silently overflows on 64-bit id spaces. Eager localCheckpoint,
+      // not persist (since r16): `labels` feeds the round TWICE (the
+      // nbMin aggregate and the join's left side), so a persist-only
+      // loop doubles the LOGICAL plan every round — 2^rounds analysis
+      // cost on the driver. The checkpoint truncates lineage to the
+      // materialized blocks, making round cost flat.
       val joined = labels.join(nbMin, labels("doc_id") === nbMin("src"), "left")
         .select(labels("doc_id"), col("cluster_id").as("__old"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
             .as("cluster_id"))
-        .persist()
-      // count(), not isEmpty: the limit-1 scan isEmpty plans would only
-      // partially populate joined's cache, and the next iteration's
-      // lineage would recompute the uncached partitions of every
-      // earlier round. The full count materializes the persist in the
-      // same single job.
+        .localCheckpoint(true)
       converged = joined.where(col("cluster_id") < col("__old")).count() == 0L
       cached.unpersist()
       cached = joined

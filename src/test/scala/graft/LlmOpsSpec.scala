@@ -245,6 +245,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaLoop == expected)
   }
 
+  test("connectedComponents: 150-hop chain converges via large-star/small-star") {
+    import spark.implicits._
+    val n = 150
+    val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+    val edges = (chain ++ Seq((500L, 600L))).toDF("doc_a", "doc_b")
+    val expected = ((1 to n).map(_.toLong -> 1L) ++
+      Seq(500L -> 500L, 600L -> 500L)).toMap
+    // the star contraction directly: a diameter-149 path labels as one
+    // component in O(log n) rounds
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val direct = Dedup.ccLargeSmallStar(sym)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct == expected)
+    // integration: the distributed dispatch with a tiny iteration guard
+    // must hand off to the star contraction instead of throwing (r15
+    // hard-failed here)
+    val viaDispatch = Dedup.connectedComponents(edges, "doc_a", "doc_b",
+        0L, maxIters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDispatch == expected)
+    // and the union-find path agrees label-for-label on the same graph
+    val viaUf = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUf == expected)
+  }
+
   test("dedup_clusters: every verified pair lands in one cluster, id = min member") {
     import spark.implicits._
     val clusters = Dedup.dedupClusters(spark, sf).collect()
