@@ -70,7 +70,7 @@ object Bench {
   /** GC barrier before a timed group: collect the previous leg's debris
     * (corpus render, prior stage buffers) so it isn't charged — as a
     * mid-run full GC — to whichever timed run it lands in. */
-  private def gcBarrier(): Unit = { System.gc(); Thread.sleep(200) }
+  private[graft] def gcBarrier(): Unit = { System.gc(); Thread.sleep(200) }
 
   /** Barrier PER RUN, not per group: a single up-front collect lets one
     * run in the group eat a mid-run full GC of the previous run's debris
@@ -82,7 +82,7 @@ object Bench {
     * (the OCF output) so background writeback is not charged to the NEXT
     * timed run — the r5 `ocf_cpu` median landing ABOVE `ocf_write` wall
     * was exactly this distortion. `sync` blocks until flushed. */
-  private def ioBarrier(): Unit = {
+  private[graft] def ioBarrier(): Unit = {
     try { new ProcessBuilder("sync").start().waitFor() } catch { case _: Exception => () }
     gcBarrier()
   }
@@ -93,7 +93,7 @@ object Bench {
     f.delete(); ()
   }
 
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
@@ -340,7 +340,7 @@ object Bench {
     * recorded time carries the CPU the machine was actually giving a
     * single thread AT THAT MOMENT, not minutes earlier. Tracks the
     * session max so a contended leg is detectable as cal/max < 0.7. */
-  private def microCal(): Double = {
+  private[graft] def microCal(): Double = {
     val t0 = System.nanoTime()
     calBlackhole ^= calPass()
     val mbps = calCorpus.length / 1e6 / ((System.nanoTime() - t0) / 1e9)
@@ -705,6 +705,30 @@ object Bench {
       .mkString("{", ",", "}")
     val qenvs = results.map { case (k, _, _, _, e) => "\"" + k + "\":" + e }
       .mkString("{", ",", "}")
+    // Per-FAMILY rollup (r16, VERDICT #7): at 68 queries a cross-round
+    // regression hides in per-query noise; the family sums read at a
+    // glance. Classification is by operator domain, not string prefix
+    // alone: corpus_clean/decontam belong to the dedup cascade they
+    // re-run, embedding_* to the similarity family.
+    def familyOf(name: String): String = name match {
+      case n if n.startsWith("fixedwidth") || n.startsWith("alltypes") ||
+        n.startsWith("avro") || n.startsWith("ocf") || n.startsWith("kafka") => "ingest"
+      case n if n.startsWith("q") => "relational"
+      case n if n.startsWith("events") => "events"
+      case n if n.startsWith("dedup") || n.startsWith("corpus_clean") ||
+        n.startsWith("corpus_decontam") => "dedup"
+      case n if n.startsWith("similarity") || n.startsWith("embedding") => "similarity"
+      case n if n.startsWith("multimodal") => "multimodal"
+      case _ => "text" // text_*, corpus_* (rest), doc_*
+    }
+    val families = results.groupBy { case (k, _, _, _, _) => familyOf(k) }
+      .toSeq.sortBy(_._1).map { case (fam, rs) =>
+        val names = rs.map(_._1).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+        "\"" + fam + "\":{\"n\":" + rs.size +
+          ",\"sum_median_s\":" + fmt(rs.map(_._2).sum) +
+          ",\"sum_min_s\":" + fmt(rs.map(_._3).sum) +
+          ",\"queries\":" + names + "}"
+      }.mkString("{", ",", "}")
     val flagged = results
       .filter { case (_, m, mn, _, _) => m > mn * 1.5 && m - mn > 0.3 }
       .sortBy { case (_, m, mn, _, _) => -(m / mn) }
@@ -744,6 +768,10 @@ object Bench {
       "by >0.3s (empty = clean sweep; if the stdout headline would " +
       "exceed its 1850-char budget the headline's outliers degrades to " +
       "{count:N} — this file always carries the full map). " +
+      "families (r16) rolls the sweep up by operator domain " +
+      "(ingest/relational/events/dedup/similarity/text/multimodal) with " +
+      "per-family query counts and summed median/min — read cross-round " +
+      "regressions there first, then drill into queries. " +
       "parsed_weblog_mb is the multibyte twin corpus " +
       "(4 Greek token columns) pricing the rune-aware slicer slow path. " +
       "cpucal_mb_per_s is the pure-CPU drift calibration: a canned " +
@@ -780,6 +808,7 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qmins,"total_min":${fmt(totalMin)},"outliers":$outliersFull,""" +
+      s""""families":$families,""" +
       s""""queries_runs":$qruns,"queries_env":$qenvs,""" +
       s""""errors":$errs,"warmup_errors":$warmupErrs,""" +
       s""""parsed":$detailJson,""" +

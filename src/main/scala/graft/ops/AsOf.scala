@@ -36,9 +36,26 @@ object AsOf {
     * (rename before calling); reference rows should be unique per
     * (keys, refTs) — with duplicates, which duplicate wins is
     * unspecified on BOTH this implementation and DuckDB.
+    *
+    * `strictUniqueRef = true` turns that "unspecified winner" into a
+    * loud error: one extra partial-aggregated count job over the
+    * REFERENCE side only (the small side in the as-of shape — map-side
+    * combine means the shuffled rows are one per distinct (keys, refTs)
+    * per input partition, and the probe/fact side is never touched).
+    * Off by default: the check is an extra action, and the default
+    * contract matches DuckDB.
     */
   def asofJoin(probe: DataFrame, ref: DataFrame, keys: Seq[String],
-               probeTs: String, refTs: String): DataFrame = {
+               probeTs: String, refTs: String,
+               strictUniqueRef: Boolean = false): DataFrame = {
+    if (strictUniqueRef) {
+      val grp = (keys :+ refTs).map(col)
+      val dup = ref.groupBy(grp: _*).agg(count(lit(1)).as("__n"))
+        .where(col("__n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"asofJoin strictUniqueRef: duplicate reference rows per " +
+          s"(${keys.mkString(",")}, $refTs), e.g. ${dup.headOption.orNull}")
+    }
     val refPayload = ref.columns.filterNot(keys.contains).toSeq // refTs included: the matched instant
     val probePayload = probe.columns.filterNot(keys.contains).toSeq
     val clash = refPayload.intersect(probePayload)

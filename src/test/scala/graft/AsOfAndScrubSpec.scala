@@ -39,6 +39,24 @@ class AsOfAndScrubSpec extends SparkSpec {
       (3L, 7L, "p6", None, None)))            // key with no refs at all
   }
 
+  test("asofJoin strictUniqueRef: duplicate (keys, refTs) ref rows error; unique pass") {
+    val probe = Seq((1L, 10L, "p1")).toDF("k", "ts", "p")
+    val dupRef = Seq((1L, 10L, "a"), (1L, 10L, "b"), (1L, 20L, "c"))
+      .toDF("k", "rts", "rv")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(probe, dupRef, Seq("k"), "ts", "rts", strictUniqueRef = true)
+    }
+    assert(e.getMessage.contains("strictUniqueRef"))
+    // same key at DIFFERENT instants is fine — uniqueness is per (keys, refTs)
+    val okRef = Seq((1L, 10L, "a"), (1L, 20L, "c"), (2L, 10L, "d"))
+      .toDF("k", "rts", "rv")
+    val strictOut = AsOf.asofJoin(probe, okRef, Seq("k"), "ts", "rts",
+      strictUniqueRef = true).select("k", "ts", "p", "rts", "rv").collect()
+    val defaultOut = AsOf.asofJoin(probe, okRef, Seq("k"), "ts", "rts")
+      .select("k", "ts", "p", "rts", "rv").collect()
+    assert(strictOut.toSeq == defaultOut.toSeq, "strict must not change results")
+  }
+
   test("events_asof == brute-force on the fixture, and every asof_ts <= ts") {
     val out = AsOf.eventsAsof(spark, sf)
     val rows = out.collect()
