@@ -240,16 +240,19 @@ object VectorOps {
 
   /** Asymmetric-distance (ADC) table lookup: given a vector's PQ codes
     * (array<int>, one codeword index per subspace) and a QUERY's
-    * precomputed distance table (array<array<long>>, row s = that
-    * query's L2² to every subspace-s codeword), sums the M looked-up
-    * entries — the textbook ADC scoring step. Turns the O(N·queries)
-    * candidate stage's per-pair cost from a dim-wide L2 over a
-    * reconstructed vector into M loads + adds (~dim/M× less compute),
-    * while the integer result stays bit-identical to the
-    * reconstruct-then-L2 formulation (a spec pins the two equal).
-    * Null on subspace-count mismatch or an out-of-range code — both
-    * are index corruption, same contract as the length-mismatch null
-    * above. */
+    * precomputed distance table (ONE FLAT array<long> of M·C entries,
+    * entry s·C + j = that query's L2² to subspace s's codeword j,
+    * stride C derived as lut.length / codes.length), sums the M
+    * looked-up entries — the textbook ADC scoring step. The flat
+    * layout matters: a nested array<array<long>> costs a getArray
+    * allocation per (pair, subspace) in the O(N·queries) hot stage;
+    * flat is a single stride-indexed getLong. Turns the per-pair cost
+    * from a dim-wide L2 over a reconstructed vector into M loads +
+    * adds (~dim/M× less compute), while the integer result stays
+    * bit-identical to the reconstruct-then-L2 formulation (a spec
+    * pins the two equal). Null on a non-divisible table length, empty
+    * codes, or an out-of-range code — all index corruption, same
+    * contract as the length-mismatch null above. */
   case class AdcLookup(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = LongType
@@ -262,14 +265,14 @@ object VectorOps {
       val codes = a.asInstanceOf[ArrayData]
       val lut = b.asInstanceOf[ArrayData]
       val m = codes.numElements()
-      if (m != lut.numElements()) return null
+      if (m == 0 || lut.numElements() % m != 0) return null
+      val stride = lut.numElements() / m
       var sum = 0L
       var s = 0
       while (s < m) {
-        val row = lut.getArray(s)
         val j = codes.getInt(s)
-        if (j < 0 || j >= row.numElements()) return null
-        sum += row.getLong(j)
+        if (j < 0 || j >= stride) return null
+        sum += lut.getLong(s * stride + j)
         s += 1
       }
       sum
@@ -280,21 +283,21 @@ object VectorOps {
         val m = ctx.freshName("m")
         val s = ctx.freshName("s")
         val sum = ctx.freshName("sum")
-        val row = ctx.freshName("row")
+        val stride = ctx.freshName("stride")
         val j = ctx.freshName("j")
         s"""
            |int $m = $a.numElements();
-           |if ($m != $b.numElements()) {
+           |if ($m == 0 || $b.numElements() % $m != 0) {
            |  ${ev.isNull} = true;
            |} else {
+           |  int $stride = $b.numElements() / $m;
            |  long $sum = 0L;
            |  for (int $s = 0; $s < $m && !${ev.isNull}; $s++) {
-           |    org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($s);
            |    int $j = $a.getInt($s);
-           |    if ($j < 0 || $j >= $row.numElements()) {
+           |    if ($j < 0 || $j >= $stride) {
            |      ${ev.isNull} = true;
            |    } else {
-           |      $sum += $row.getLong($j);
+           |      $sum += $b.getLong($s * $stride + $j);
            |    }
            |  }
            |  ${ev.value} = $sum;

@@ -363,6 +363,92 @@ object Similarity {
        |SELECT vec_id, CAST(cls AS BIGINT) AS cluster_id, round(sim, 6) AS sim
        |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------- semantic dedup
+
+  /** Within-cluster duplicate threshold. Reuses the corpus-wide
+    * near-dup bar ([[Dedup.CosineThreshold]]) so `dedup_semantic` is
+    * directly comparable to `dedup_embedding`: same similarity, the
+    * cluster pre-partition is the only difference. */
+  val SemDedupThreshold: Double = Dedup.CosineThreshold
+
+  /** `dedup_semantic`: SemDeDup-style cluster-then-prune (Abbas et al.
+    * 2023) — assign every vector to its nearest seed centroid (the
+    * [[embeddingCluster]] machinery, SQL-replayable), then compare
+    * pairs ONLY within a cluster and mark each vector whose cluster
+    * has an earlier (smaller vec_id) member with cosine ≥
+    * [[SemDedupThreshold]] as a duplicate of the smallest such member
+    * (the min-id keep policy every clean/dedup operator here shares).
+    * Emits every vector: (vec_id, cluster_id, dup_of nullable, kept).
+    *
+    * vs [[Dedup.dedupEmbedding]] (banded LSH over the whole corpus):
+    * the cluster restriction is the SemDeDup trade — pairs split
+    * across cluster boundaries are never compared (recall loss by
+    * construction), in exchange for a candidate stage that is ONE
+    * equi-shuffle on cluster_id with per-task work bounded by cluster
+    * size. At 100 TB the cluster count scales with the corpus (k is
+    * chosen so E[cluster size] stays bounded — 16 fixture cells stand
+    * in for SemDeDup's 50k), AQE's skew split handles a hot cluster,
+    * and the exact cosine runs only on within-cluster pairs. The
+    * assignment pass itself is map-side (centroids are plan
+    * literals), so nothing all-pairs ever forms. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val n = normed(spark, dir)
+    val seeds = seedPivots(n)
+    val cands = seeds.map(s =>
+      struct((-cosTo(s)).as("negsim"), lit(s._1).as("cls")))
+    val asg = fanOut(spark, dir, "embeddings",
+      n.withColumn("best",
+          array_min(array(scala.collection.immutable.ArraySeq.unsafeWrapArray(cands): _*)))
+        .select(col("vec_id"),
+          col("best.cls").cast(org.apache.spark.sql.types.LongType).as("cluster_id"),
+          col("v"), col("nrm")),
+      col("cluster_id"), col("vec_id"))
+    val dups = asg.as("a").join(asg.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("b.vec_id") < col("a.vec_id"))
+      .filter(Dedup.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+        >= SemDedupThreshold)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(col("b.vec_id")).as("dup_of"))
+    asg.select(col("vec_id"), col("cluster_id"))
+      .join(dups, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster_id"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
+  val dedupSemanticOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT cls, v AS c FROM (
+       |    SELECT vec_id % $IvfCells AS cls, v,
+       |           row_number() OVER (PARTITION BY vec_id % $IvfCells
+       |                              ORDER BY vec_id) AS rk
+       |    FROM v) WHERE rk = 1),
+       |sims AS (
+       |  SELECT a.vec_id, s.cls, list_cosine_similarity(a.v, s.c) AS sim
+       |  FROM v a CROSS JOIN seeds s),
+       |asg AS (
+       |  SELECT vec_id, cls AS cluster_id FROM (
+       |    SELECT vec_id, cls,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY sim DESC, cls) AS rk
+       |    FROM sims) WHERE rk = 1),
+       |dups AS (
+       |  SELECT aa.vec_id, min(bb.vec_id) AS dup_of
+       |  FROM asg aa JOIN asg bb
+       |    ON aa.cluster_id = bb.cluster_id AND bb.vec_id < aa.vec_id
+       |  JOIN v va ON va.vec_id = aa.vec_id
+       |  JOIN v vb ON vb.vec_id = bb.vec_id
+       |  WHERE list_cosine_similarity(va.v, vb.v) >= $SemDedupThreshold
+       |  GROUP BY aa.vec_id)
+       |SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
+       |       d.dup_of, d.dup_of IS NULL AS kept
+       |FROM asg a LEFT JOIN dups d USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------- product quantization
 
   /** PQ geometry: [[PqM]] subspaces, [[PqCodewords]] codewords per
@@ -636,65 +722,12 @@ object Similarity {
 
   private def pqRetrieve(spark: SparkSession, dir: String,
       lutScoring: Boolean): DataFrame = {
-    val coded = pqCoded(spark, dir)
-    val cb = pqCodebook(spark, dir)
-    val dims = pqSubDims(spark, dir)
     // Corpus count for the shortlist budget: one metadata-scale count
     // job per corpus snapshot, memoized like the codebook.
     val n = corpusCountCache.computeIfAbsent(dir,
       _ => spark.read.parquet(s"$dir/embeddings.parquet").count()).longValue()
     val shortlist = math.ceil(n * PqShortlistFrac).toInt
-    // Corpus side of the candidate stage: (id, M codes) — the whole
-    // point of PQ: it streams 4-byte codes, never vectors.
-    val b = fanOut(spark, dir, "embeddings",
-      coded.select(col("vec_id").as("neighbor_id"), col("codes"))
-        .withColumn("blk", pmod(hash(col("neighbor_id")), lit(Blocks))),
-      col("blk"), col("neighbor_id"))
-    val adc = if (lutScoring) {
-      // Textbook ADC: each query precomputes its M×PqCodewords table of
-      // subspace distances to every codeword ONCE (one map-side pass,
-      // codebook as plan literals; the qsub slices sit in their own
-      // projection so Catalyst cannot inline one slice into its 16
-      // candidate L2s), and each candidate pair then costs M table
-      // loads + adds instead of a dim-wide L2 over a reconstruction.
-      // Table rows are dense by residue class (position cls = distance
-      // to class cls's codeword; uninhabited classes are never
-      // referenced by any code, their zero-filled slots are dead).
-      val aSub = quantized(spark, dir).select(
-        col("vec_id").as("query_id") +:
-          (0 until PqM).map(s => slice(col("vq"), s * dims + 1, dims).as(s"qsub_$s")): _*)
-      val lut = array((0 until PqM).map { s =>
-        val row = Array.fill[Column](PqCodewords)(lit(0L))
-        cb.foreach { case (cls, cw) =>
-          row(cls) = pqL2(col(s"qsub_$s"), scala.collection.immutable.ArraySeq.unsafeWrapArray(
-            cw.slice(s * dims, (s + 1) * dims)))
-        }
-        array(scala.collection.immutable.ArraySeq.unsafeWrapArray(row): _*)
-      }: _*)
-      val a = aSub.select(col("query_id"), lut.as("lut"))
-        .withColumn("blk", explode(typedLit((0 until Blocks).toArray)))
-      a.join(b, "blk").filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          (-graft.functions.VectorOps.pq_adc(col("codes"), col("lut")))
-            .cast(DoubleType).as("negd"))
-    } else {
-      // Reference path: reconstruct each candidate from its codes via
-      // the dense-by-class codebook literal, full-dim integer L2.
-      val dense = Array.fill(PqCodewords)(Array.fill(PqM * dims)(0L))
-      cb.foreach { case (cls, cw) => dense(cls) = cw }
-      val cbLit = typedLit(dense.map(_.toSeq).toSeq)
-      val recon = flatten(transform(sequence(lit(0), lit(PqM - 1)),
-        s => slice(element_at(cbLit, element_at(col("codes"), s + 1) + 1),
-          s * dims + 1, lit(dims))))
-      val a = quantized(spark, dir)
-        .select(col("vec_id").as("query_id"), col("vq").as("va"))
-        .withColumn("blk", explode(typedLit((0 until Blocks).toArray)))
-      a.join(b.withColumn("vr", recon), "blk")
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          (-graft.functions.VectorOps.vec_l2sq_long(col("va"), col("vr")))
-            .cast(DoubleType).as("negd"))
-    }
+    val adc = pqAdcStage(spark, dir, lutScoring)
     val short = adc.groupBy("query_id")
       .agg(topk_by_score(col("negd"), col("neighbor_id"), shortlist).as("nn"))
       .select(col("query_id"), explode(col("nn.id")).as("neighbor_id"))
@@ -709,6 +742,89 @@ object Similarity {
         (Dedup.dot(col("vqr"), col("vb")) / (col("nq") * col("nb"))).as("sim"))
     ranked(reranked.groupBy("query_id")
       .agg(topk_by_score(col("sim"), col("neighbor_id"), K).as("nn")))
+  }
+
+  /** The O(N·queries) ADC candidate stage alone: (query_id,
+    * neighbor_id, negd). Package-private so probes can price it
+    * without the shortlist/rerank stages. */
+  /** Block count for the PQ candidate join. The build side is PINNED
+    * to the broadcast query side, so blocks no longer bound per-task
+    * memory (the corpus side's parallelism comes from [[fanOut]]'s
+    * id-keyed exchange) — they only multiply the broadcast by the
+    * replication factor. 4 keeps the blocked-join structure (and a
+    * non-degenerate key for any future shuffle-regime flip) at 1/4
+    * the LUT broadcast bytes of [[Blocks]]=16. */
+  val PqBlocks = 4
+
+  private[graft] def pqAdcStage(spark: SparkSession, dir: String,
+      lutScoring: Boolean): DataFrame = {
+    val coded = pqCoded(spark, dir)
+    val cb = pqCodebook(spark, dir)
+    val dims = pqSubDims(spark, dir)
+    // Corpus side of the candidate stage: (id, M codes) — the whole
+    // point of PQ: it streams 4-byte codes, never vectors.
+    val b = fanOut(spark, dir, "embeddings",
+      coded.select(col("vec_id").as("neighbor_id"), col("codes"))
+        .withColumn("blk", pmod(hash(col("neighbor_id")), lit(PqBlocks))),
+      col("blk"), col("neighbor_id"))
+    if (lutScoring) {
+      // Textbook ADC: each query precomputes its M×PqCodewords table of
+      // subspace distances to every codeword ONCE (one map-side pass,
+      // codebook as plan literals; the qsub slices sit in their own
+      // projection so Catalyst cannot inline one slice into its 16
+      // candidate L2s), and each candidate pair then costs M table
+      // loads + adds instead of a dim-wide L2 over a reconstruction.
+      // The table is ONE FLAT array of M×PqCodewords longs (entry
+      // s·PqCodewords + cls = query's subspace-s distance to class
+      // cls's codeword): a nested array-of-arrays costs a getArray
+      // allocation per (pair, subspace) in the hot stage, the flat
+      // layout is a single stride-indexed getLong. Uninhabited
+      // residue classes keep zero-filled slots no code ever indexes.
+      val aSub = quantized(spark, dir).select(
+        col("vec_id").as("query_id") +:
+          (0 until PqM).map(s => slice(col("vq"), s * dims + 1, dims).as(s"qsub_$s")): _*)
+      val lut = array((0 until PqM).flatMap { s =>
+        val row = Array.fill[Column](PqCodewords)(lit(0L))
+        cb.foreach { case (cls, cw) =>
+          row(cls) = pqL2(col(s"qsub_$s"), scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            cw.slice(s * dims, (s + 1) * dims)))
+        }
+        row.toSeq
+      }: _*)
+      val a = aSub.select(col("query_id"), lut.as("lut"))
+        .withColumn("blk", explode(typedLit((0 until PqBlocks).toArray)))
+      // broadcast(a): pin the build side. Left to size heuristics,
+      // Catalyst flips to broadcasting the corpus side the moment its
+      // rows shrink to (id, M codes) — which STREAMS the query side,
+      // a raw one-file scan at fixture scale, and the whole O(N·Q)
+      // ADC stage lands on one core (the r8-r11 single-core collapse,
+      // resurrected by the build-side flip; measured 2× on the full
+      // query at sf0.1). The query side is the bounded side by
+      // assumption — the 100 TB shape streams the huge fanned-out
+      // code corpus against a broadcast of query LUTs.
+      broadcast(a).join(b, "blk").filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (-graft.functions.VectorOps.pq_adc(col("codes"), col("lut")))
+            .cast(DoubleType).as("negd"))
+    } else {
+      // Reference path: reconstruct each candidate from its codes via
+      // the dense-by-class codebook literal, full-dim integer L2.
+      val dense = Array.fill(PqCodewords)(Array.fill(PqM * dims)(0L))
+      cb.foreach { case (cls, cw) => dense(cls) = cw }
+      val cbLit = typedLit(dense.map(_.toSeq).toSeq)
+      val recon = flatten(transform(sequence(lit(0), lit(PqM - 1)),
+        s => slice(element_at(cbLit, element_at(col("codes"), s + 1) + 1),
+          s * dims + 1, lit(dims))))
+      val a = quantized(spark, dir)
+        .select(col("vec_id").as("query_id"), col("vq").as("va"))
+        .withColumn("blk", explode(typedLit((0 until PqBlocks).toArray)))
+      // Same explicit build-side pin as the LUT path (see above).
+      broadcast(a).join(b.withColumn("vr", recon), "blk")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (-graft.functions.VectorOps.vec_l2sq_long(col("va"), col("vr")))
+            .cast(DoubleType).as("negd"))
+    }
   }
 
   /** Recall floor for the PQ path. Measured recall@5 vs the exact
@@ -737,6 +853,7 @@ object Similarity {
     "similarity_ann_ivf" -> (similarityAnnIvf _),
     "similarity_ann_recall" -> (similarityAnnRecall _),
     "embedding_cluster" -> (embeddingCluster _),
+    "dedup_semantic" -> (dedupSemantic _),
     "embedding_pq" -> (embeddingPq _),
     "similarity_pq_topk" -> (similarityPqTopk _),
     "similarity_pq_recall" -> (similarityPqRecall _),
@@ -748,6 +865,7 @@ object Similarity {
     // its quality gate is the oracle-visible similarity_ann_recall row.
     "similarity_ann_recall" -> annRecallOracle,
     "embedding_cluster" -> embeddingClusterOracle,
+    "dedup_semantic" -> dedupSemanticOracle,
     "embedding_pq" -> embeddingPqOracle,
     // similarity_pq_topk: approximate by construction → rows-only check;
     // its quality gate is the oracle-visible similarity_pq_recall row.

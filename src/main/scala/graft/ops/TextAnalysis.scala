@@ -709,6 +709,48 @@ object TextAnalysis {
        |SELECT doc_id, lang, n_tokens, reasons, reasons = 0 AS keep
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- per-source cap
+
+  /** Per-source document cap. */
+  val DomainCapK = 10
+
+  /** `corpus_domain_cap`: RefinedWeb/CCNet-style per-source (domain)
+    * cap — keep at most [[DomainCapK]] documents per source, preferring
+    * longer documents (n_chars DESC, doc_id ASC tiebreak), so no single
+    * domain dominates the training mix. Emits the kept docs with their
+    * within-source rank.
+    *
+    * 100 TB shape: groupBy(source) + the bounded [[graft.functions.TopK]]
+    * aggregate — every stage (update, map-side partial, shuffle, merge)
+    * holds at most K entries per source, so the exchange moves
+    * O(sources·K) rows, not the corpus. The window formulation
+    * (row_number over source) would shuffle EVERY document to its
+    * source's partition and sort there — the oracle states it that way
+    * because DuckDB has no bounded top-k aggregate, not because that is
+    * the plan to run. TopK's (score DESC, id ASC) total order is
+    * exactly the (n_chars DESC, doc_id ASC) policy, so no tie salt is
+    * needed; n_chars rides back out of the aggregate as the score
+    * (exact: BIGINT < 2^53 in a double). */
+  def corpusDomainCap(spark: SparkSession, dir: String): DataFrame =
+    Docs.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(graft.functions.TopK.topk_by_score(
+        col("n_chars").cast("double"), col("doc_id"), DomainCapK).as("nn"))
+      .select(col("source"), posexplode(col("nn")).as(Seq("pos", "s")))
+      .select(col("source"), col("s.id").as("doc_id"),
+        col("s.score").cast(LongType).as("n_chars"),
+        (col("pos") + 1).cast(org.apache.spark.sql.types.IntegerType).as("rank"))
+      .orderBy("source", "rank")
+
+  val corpusDomainCapOracle: String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id, n_chars,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM documents)
+       |SELECT source, doc_id, n_chars, CAST(rk AS INTEGER) AS rank
+       |FROM r WHERE rk <= $DomainCapK ORDER BY source, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_analysis" -> (textAnalysis _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -722,6 +764,7 @@ object TextAnalysis {
     "doc_tfidf" -> (docTfidf _),
     "text_chunk" -> (textChunk _),
     "corpus_quality_filter" -> (corpusQualityFilter _),
+    "corpus_domain_cap" -> (corpusDomainCap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -737,5 +780,6 @@ object TextAnalysis {
     "doc_tfidf" -> docTfidfOracle,
     "text_chunk" -> textChunkOracle,
     "corpus_quality_filter" -> corpusQualityFilterOracle,
+    "corpus_domain_cap" -> corpusDomainCapOracle,
   )
 }

@@ -1,11 +1,13 @@
 package graft.tools
 
 // Quick per-query timing: runMain graft.tools.TimeQ <sfDir> <query ...>
+// Core count via SPARK_GRAFT_CPUS (default 8; set 32 to match bench).
 object TimeQ {
   def main(args: Array[String]): Unit = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,85 @@
+package graft
+
+import graft.ops.{Dedup, Docs, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the round-16 additions: SemDeDup-style semantic dedup
+  * (cluster-then-prune) and the per-source domain cap. Value-level
+  * gates are the DuckDB oracles; these specs pin the structural
+  * contracts a value compare can't state. */
+class Round16OpsSpec extends SparkSpec {
+
+  test("dedup_semantic: dup_of is an earlier same-cluster member above threshold") {
+    val out = Similarity.dedupSemantic(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(out.length == n, "every vector is emitted exactly once")
+    val cluster = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val dupOf = Option(r.get(2)).map(_.asInstanceOf[Long])
+      assert(r.getAs[Boolean]("kept") == dupOf.isEmpty)
+      dupOf.foreach { d =>
+        assert(d < id, s"keep-min-id policy: dup_of $d must precede $id")
+        assert(cluster(d) == cluster(id), "dup_of must share the cluster")
+      }
+    }
+    // The fixture plants near-dups; the operator must find some of them
+    assert(out.exists(r => !r.getAs[Boolean]("kept")), "no duplicates found at all")
+  }
+
+  test("dedup_semantic agrees with a brute-force within-cluster sweep") {
+    // Brute force: exact cosine over every within-cluster (b < a) pair.
+    val asg = Similarity.dedupSemantic(spark, sf)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.keys.map { id =>
+      val ds = vecs.keys.filter(b => b < id && asg(b) == asg(id) &&
+        cos(vecs(id), vecs(b)) >= Similarity.SemDedupThreshold)
+      id -> (if (ds.isEmpty) None else Some(ds.min))
+    }.toMap
+    Similarity.dedupSemantic(spark, sf).collect().foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val dupOf = Option(r.get(2)).map(_.asInstanceOf[Long])
+      assert(dupOf == expected(id), s"vec $id")
+    }
+  }
+
+  test("corpus_domain_cap: at most K per source, ranks contiguous, longest first") {
+    val out = TextAnalysis.corpusDomainCap(spark, sf).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    val total = Docs.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length <= TextAnalysis.DomainCapK)
+      assert(rows.length == math.min(total(src), TextAnalysis.DomainCapK.toLong),
+        s"cap must keep min(count, K) for $src")
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length),
+        s"ranks must be contiguous from 1 for $src")
+      val lens = sorted.map(_.getAs[Long]("n_chars")).toSeq
+      assert(lens == lens.sorted.reverse, s"rank order must be n_chars DESC for $src")
+    }
+    // n_chars round-trips exactly through the aggregate's double score
+    val truth = Docs.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getAs[Long]("n_chars") == truth(r.getAs[Long]("doc_id"))))
+  }
+
+  test("corpus_domain_cap plan: bounded aggregate, not a window sort") {
+    val plan = TextAnalysis.corpusDomainCap(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("topk_by_score"), "must use the bounded TopK aggregate")
+    assert(!plan.contains("RunningWindowFunction") && !"Window \\[".r.findFirstIn(plan).isDefined,
+      s"the cap must not plan as a window over the whole corpus:\n$plan")
+  }
+}
