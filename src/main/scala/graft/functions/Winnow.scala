@@ -103,4 +103,70 @@ object Winnow {
 
   def winnow_fingerprint(text: Column, width: Int): Column =
     ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(text), width))
+
+  /** Content-keyed sampled window spans, one pass: the (1-based
+    * codepoint position, md5 hex) of every `width`-codepoint sliding
+    * window whose digest's first nibble is zero — a deterministic 1/16
+    * sample keyed by the window's CONTENT, so an identical span
+    * samples identically in every document that contains it (the
+    * property that makes cross-document span matching sound; a
+    * position- or RNG-keyed sample would miss shared spans that land
+    * on unsampled offsets in one of the documents). Documents shorter
+    * than `width` contribute no windows. Positions are 1-based
+    * codepoints to match `substr` in both engines. */
+  def sampledSpans(text: UTF8String, width: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = text.getBytes
+    val md = mdLocal.get()
+    var nChars = 0
+    var i = 0
+    while (i < bytes.length) {
+      i += UTF8String.numBytesForFirstByte(bytes(i)); nChars += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    if (nChars >= width) {
+      val starts = new Array[Int](nChars + 1)
+      var c = 0; i = 0
+      while (i < bytes.length) {
+        starts(c) = i; i += UTF8String.numBytesForFirstByte(bytes(i)); c += 1
+      }
+      starts(nChars) = bytes.length
+      var w = 0
+      val lastStart = nChars - width
+      while (w <= lastStart) {
+        val off = starts(w)
+        val len = starts(w + width) - off
+        md.reset()
+        md.update(bytes, off, len)
+        val d = md.digest()
+        if ((d(0) & 0xf0) == 0)
+          out += org.apache.spark.sql.catalyst.InternalRow(w + 1, toHex(d))
+        w += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  case class WinnowSampledSpans(child: Expression, width: Int) extends UnaryExpression {
+    require(width > 0)
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("h", StringType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "winnow_sampled_spans"
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      sampledSpans(input.asInstanceOf[UTF8String], width)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, text =>
+        s"${ev.value} = graft.functions.Winnow.sampledSpans($text, $width);")
+
+    override protected def withNewChildInternal(c: Expression): WinnowSampledSpans =
+      copy(child = c)
+  }
+
+  def winnow_sampled_spans(text: Column, width: Int): Column =
+    ColumnBridge.column(WinnowSampledSpans(ColumnBridge.expression(text), width))
 }

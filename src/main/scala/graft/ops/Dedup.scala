@@ -759,6 +759,79 @@ object Dedup {
        |  AND doc_id NOT IN (SELECT doc_id FROM vict)
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------- shared-span detection
+
+  /** Span window width (codepoints) for [[corpusSharedSpans]]. 24
+    * chars ≈ 4-5 words: long enough that incidental vocabulary overlap
+    * cannot collide, short enough that a copied sentence yields many
+    * windows (so the 1/16 sample still catches it). */
+  val SpanWidth = 24
+
+  /** `corpus_shared_spans`: approximate exact-substring duplication
+    * detection (the Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better" problem) — find literal [[SpanWidth]]-char
+    * spans occurring in ≥ 2 documents. Exact suffix-array dedup is a
+    * different machine; this is the Spark-shaped 1/16 CONTENT-KEYED
+    * sample of window hashes ([[graft.functions.Winnow.sampledSpans]]:
+    * a window is sampled iff its md5's first nibble is 0, so an
+    * identical span samples identically in every document containing
+    * it — a copied region of length L yields ~(L−23)/16 sampled
+    * windows, and missing ALL windows of a 100-char copy has
+    * probability (15/16)^77 ≈ 0.7%). Emits each shared span hash with
+    * its literal text (from its first occurrence), document frequency,
+    * and occurrence count.
+    *
+    * 100 TB shape: the sampling expression is one codegen'd pass per
+    * document (same walk as `doc_fingerprint`), the explode fans out
+    * only the ~n_chars/16 SAMPLED windows, counts are partial-agg
+    * (two-phase distinct on doc_id), and the shared-span set — tiny by
+    * construction — broadcasts back onto the corpus scan for the
+    * span-text extraction join. Nothing corpus×corpus ever forms. */
+  def corpusSharedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Docs.fanned(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.Winnow.winnow_sampled_spans(col("text"), SpanWidth)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+    val shared = spans.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .where(col("n_docs") >= 2)
+      .select(col("h"), col("n_docs"), col("n_occ"),
+        col("first.doc_id").as("first_doc"), col("first.pos").as("first_pos"))
+    broadcast(shared)
+      .join(Docs.documents(spark, dir).select(col("doc_id").as("first_doc"), col("text")),
+        "first_doc")
+      .select(col("h"),
+        expr(s"substr(text, first_pos, $SpanWidth)").as("span"),
+        col("n_docs"), col("n_occ"), col("first_doc"), col("first_pos"))
+      .orderBy("h")
+  }
+
+  val corpusSharedSpansOracle: String =
+    // unnest(range(...)) rather than a lateral range() join — DuckDB's
+    // table-function range does not accept per-row column bounds.
+    s"""WITH u AS (
+       |  SELECT doc_id, text,
+       |         CAST(unnest(range(1, length(text) - ${SpanWidth - 2})) AS INTEGER) AS pos
+       |  FROM documents WHERE length(text) >= $SpanWidth),
+       |sel AS (
+       |  SELECT doc_id, pos, md5(substr(text, pos, $SpanWidth)) AS h FROM u
+       |  WHERE md5(substr(text, pos, $SpanWidth)) LIKE '0%'),
+       |g AS (
+       |  SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |         CAST(count(*) AS BIGINT) AS n_occ
+       |  FROM sel GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |f AS (
+       |  SELECT h, doc_id AS first_doc, pos AS first_pos FROM (
+       |    SELECT h, doc_id, pos,
+       |           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+       |    FROM sel) WHERE rk = 1)
+       |SELECT g.h, substr(d.text, f.first_pos, $SpanWidth) AS span,
+       |       g.n_docs, g.n_occ, f.first_doc, f.first_pos
+       |FROM g JOIN f USING (h) JOIN documents d ON d.doc_id = f.first_doc
+       |ORDER BY g.h""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> (corpusClean _),
     "corpus_clean_clustered" -> (corpusCleanClustered _),
@@ -769,6 +842,7 @@ object Dedup {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_clusters" -> (dedupClusters _),
+    "corpus_shared_spans" -> (corpusSharedSpans _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -781,5 +855,6 @@ object Dedup {
     "dedup_simhash" -> dedupSimhashOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,
     "dedup_clusters" -> dedupClustersOracle,
+    "corpus_shared_spans" -> corpusSharedSpansOracle,
   )
 }

@@ -112,7 +112,11 @@ object Similarity {
       n.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
         .withColumn("blk", pmod(hash(col("neighbor_id")), lit(blocks))),
       col("blk"), col("neighbor_id"))
-    val pairs = a.join(b, "blk").filter(col("query_id") =!= col("neighbor_id"))
+    // Explicit build-side pin (r16): the heuristic happened to pick
+    // BuildLeft here, but the PQ/IVF variants showed one projection
+    // slimming the corpus side flips it to streaming the one-split
+    // query scan — pin the intended shape instead of relying on luck.
+    val pairs = broadcast(a).join(b, "blk").filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (Dedup.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
     ranked(pairs.groupBy("query_id")
@@ -238,7 +242,12 @@ object Similarity {
         1, nProbe)).as("cell"))
     // Exact rerank within probed cells, bounded top-k aggregation — the
     // same shape as the exact baseline, over nProbe/C of the pairs.
-    val pairs = probes.join(assigned, "cell")
+    // broadcast(probes): the same build-side pin as the PQ paths —
+    // left to the size heuristic, Catalyst broadcast the fanned-out
+    // corpus side and STREAMED the probe side (a one-split scan at
+    // fixture scale), single-coring the probed-pair stage; the query
+    // side is the bounded side by assumption.
+    val pairs = broadcast(probes).join(assigned, "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (Dedup.dot(col("va"), col("v")) / (col("na") * col("nrm"))).as("sim"))

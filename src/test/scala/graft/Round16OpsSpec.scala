@@ -53,6 +53,46 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("winnow_sampled_spans == declarative per-window md5 sweep") {
+    val docs = Docs.documents(spark, sf).select("doc_id", "text")
+      .collect().take(50).map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val w = Dedup.SpanWidth
+    val expected = docs.map { case (id, t) =>
+      id -> (if (t.length < w) Seq.empty
+      else (0 to t.length - w).flatMap { i =>
+        val h = md5hex(t.substring(i, i + w))
+        if (h.startsWith("0")) Some((i + 1, h)) else None
+      })
+    }.toMap
+    val got = Docs.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.Winnow.winnow_sampled_spans(col("text"), w).as("s"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getString(1))))
+      .toMap
+    expected.foreach { case (id, exp) => assert(got(id) == exp, s"doc $id") }
+  }
+
+  test("corpus_shared_spans: self-consistent hashes, df >= 2, sampled nibble") {
+    val out = Dedup.corpusSharedSpans(spark, sf).collect()
+    assert(out.nonEmpty, "the planted near-dups must share literal spans")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    out.foreach { r =>
+      val h = r.getAs[String]("h")
+      assert(h.startsWith("0"), "only sampled (first-nibble-0) windows may appear")
+      assert(md5hex(r.getAs[String]("span")) == h,
+        "emitted span text must hash to its own h")
+      assert(r.getAs[Long]("n_docs") >= 2L)
+      assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("corpus_domain_cap: at most K per source, ranks contiguous, longest first") {
     val out = TextAnalysis.corpusDomainCap(spark, sf).collect()
     val bySource = out.groupBy(_.getAs[String]("source"))
