@@ -751,6 +751,86 @@ object TextAnalysis {
        |SELECT source, doc_id, n_chars, CAST(rk AS INTEGER) AS rank
        |FROM r WHERE rk <= $DomainCapK ORDER BY source, rank""".stripMargin
 
+  // --------------------------------------------------- mixture planning
+
+  /** Chars-per-token proxy for the mix budget (integer divide — no
+    * tokenizer in the loop, the budget is a planning estimate). */
+  val MixCharsPerToken = 4
+
+  /** `corpus_mix`: budgeted source-mixture selection — the Pile/DoReMi
+    * "training mix" step. Each source gets a token QUOTA proportional
+    * to its target weight (fixture rule: even-numbered sources weight
+    * 3, odd weight 1 — a real pipeline passes its mix table), out of a
+    * total budget of half the corpus's tokens; within a source,
+    * documents are admitted in doc_id order while the running token
+    * sum stays inside the quota. Emits the admitted rows with their
+    * per-source running totals, so the output IS the reproducible
+    * training manifest.
+    *
+    * All arithmetic is INTEGER (token proxy = n_chars div 4, quota =
+    * ((total div 2) · w) div Σw, truncating division spelled
+    * identically in both engines) so admission can never flicker on a
+    * rounding ulp. 100 TB shape: one partial-agg pass for the
+    * per-source counts and the corpus total (both broadcast back as
+    * metadata-scale frames), then ONE window shuffle on source for the
+    * running sum — the same partitioning the output naturally wants;
+    * nothing corpus-scale moves twice. */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Docs.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        // `div`, not `/`: Spark's `/` on longs is DOUBLE division — the
+        // cast back would agree for positive values but the invariant
+        // here is integer arithmetic END TO END, not by-coincidence.
+        expr(s"n_chars div $MixCharsPerToken").as("doc_tokens"))
+    // Fixture mix table: srcN -> weight 3 (even N) / 1 (odd N). A real
+    // deployment joins its curated (source, weight) dimension here.
+    val weights = docs.select(col("source")).distinct()
+      .withColumn("w",
+        when(expr("CAST(substr(source, 4) AS INT)") % 2 === 0, 3L).otherwise(1L))
+    val totals = docs.agg(sum(col("doc_tokens")).as("total_tokens"))
+    val sumW = weights.agg(sum(col("w")).as("sum_w"))
+    val quotas = weights.crossJoin(broadcast(totals)).crossJoin(broadcast(sumW))
+      .select(col("source"), col("w"),
+        expr(s"((total_tokens div 2) * w) div sum_w").as("quota_tokens"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.join(broadcast(quotas), "source")
+      .withColumn("cum_tokens", sum(col("doc_tokens")).over(win))
+      .where(col("cum_tokens") <= col("quota_tokens"))
+      .select(col("source"), col("doc_id"), col("doc_tokens"),
+        col("cum_tokens"), col("quota_tokens"))
+      .orderBy("source", "doc_id")
+  }
+
+  val corpusMixOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         CAST(n_chars // $MixCharsPerToken AS BIGINT) AS doc_tokens
+       |  FROM documents),
+       |wt AS (
+       |  SELECT DISTINCT source,
+       |         CAST(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+       |              THEN 3 ELSE 1 END AS BIGINT) AS w
+       |  FROM d),
+       |tot AS (SELECT sum(doc_tokens) AS total_tokens FROM d),
+       |sw AS (SELECT sum(w) AS sum_w FROM wt),
+       |q AS (
+       |  -- CAST: DuckDB widens sum() to HUGEINT and // propagates it;
+       |  -- the engine's quota is BIGINT (the corpus_pack lesson)
+       |  SELECT source,
+       |         CAST(((total_tokens // 2) * w) // sum_w AS BIGINT) AS quota_tokens
+       |  FROM wt, tot, sw),
+       |c AS (
+       |  SELECT d.source, d.doc_id, d.doc_tokens, q.quota_tokens,
+       |         CAST(sum(d.doc_tokens) OVER (PARTITION BY d.source
+       |           ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM d JOIN q USING (source))
+       |SELECT source, doc_id, doc_tokens, cum_tokens, quota_tokens
+       |FROM c WHERE cum_tokens <= quota_tokens
+       |ORDER BY source, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_analysis" -> (textAnalysis _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -765,6 +845,7 @@ object TextAnalysis {
     "text_chunk" -> (textChunk _),
     "corpus_quality_filter" -> (corpusQualityFilter _),
     "corpus_domain_cap" -> (corpusDomainCap _),
+    "corpus_mix" -> (corpusMix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -781,5 +862,6 @@ object TextAnalysis {
     "text_chunk" -> textChunkOracle,
     "corpus_quality_filter" -> corpusQualityFilterOracle,
     "corpus_domain_cap" -> corpusDomainCapOracle,
+    "corpus_mix" -> corpusMixOracle,
   )
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Streaming front of the corpus-dedup family: documents arriving as a
@@ -197,6 +198,43 @@ object DocStream {
           .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
       } finally rejected.unpersist()
     } finally sigs.unpersist()
+  }
+
+  // ------------------------------------------------- streaming domain cap
+
+  /** Streaming dual of `corpus_domain_cap`: admit at most `k` documents
+    * per source, first-come-first-kept. The batch operator sees the
+    * whole corpus and prefers LONG documents; an ingest stream must
+    * decide at arrival, so the streaming POLICY is arrival order —
+    * (micro-batch, doc_id) order, doc_id sorting within a batch making
+    * replay deterministic. That policy difference is the documented
+    * semantics, not a bug: the batch operator re-curates the stored
+    * corpus periodically, the stream bounds what lands in between.
+    *
+    * State is ONE long per source (admitted count) — bounded by source
+    * cardinality, the cheapest state in the whole streaming family;
+    * Append mode (an admitted row is final: the count per source only
+    * grows, so no emitted row is ever revised). */
+  def domainCapStream(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (source: String, rows: Iterator[(Long, String, Long)],
+         state: GroupState[Long]) => {
+          val admitted = state.getOption.getOrElse(0L)
+          // doc_id order within the batch: replay-deterministic
+          val take = rows.toSeq.sortBy(_._1)
+            .take(math.max(0, k - admitted.toInt))
+          state.update(admitted + take.length)
+          take.zipWithIndex.iterator.map { case ((id, src, n), i) =>
+            (src, id, n, admitted + i + 1) // 1-based admission rank
+          }
+        })
+      .toDF("source", "doc_id", "n_chars", "admit_rank")
   }
 
   /** Re-crawl-horizon state bound for [[nearDupIngest]]: drop signature

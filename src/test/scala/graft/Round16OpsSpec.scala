@@ -115,6 +115,38 @@ class Round16OpsSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Long]("n_chars") == truth(r.getAs[Long]("doc_id"))))
   }
 
+  test("corpus_mix: quota-maximal prefix per source, 3:1 even/odd budget") {
+    val out = TextAnalysis.corpusMix(spark, sf).collect()
+    assert(out.nonEmpty)
+    val all = Docs.documents(spark, sf)
+      .selectExpr("doc_id", "source", s"n_chars div ${TextAnalysis.MixCharsPerToken} as t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rows) =>
+      val quota = rows.head.getAs[Long]("quota_tokens")
+      assert(rows.forall(_.getAs[Long]("quota_tokens") == quota))
+      val kept = rows.map(_.getAs[Long]("doc_id")).toSet
+      val srcDocs = all.filter(_._2 == src).sortBy(_._1)
+      // kept set = maximal doc_id-ordered prefix whose cumsum fits
+      var cum = 0L
+      srcDocs.foreach { case (id, _, t) =>
+        cum += t
+        assert(kept.contains(id) == (cum <= quota),
+          s"$src doc $id: cum=$cum quota=$quota kept=${kept.contains(id)}")
+      }
+      val sumKept = rows.map(_.getAs[Long]("doc_tokens")).sum
+      assert(sumKept == rows.map(_.getAs[Long]("cum_tokens")).max)
+      assert(sumKept <= quota)
+    }
+    // even-numbered sources get 3x the quota of odd-numbered ones
+    val quotas = bySource.map { case (src, rows) =>
+      src.drop(3).toInt -> rows.head.getAs[Long]("quota_tokens") }
+    val even = quotas.collect { case (n, q) if n % 2 == 0 => q }
+    val odd = quotas.collect { case (n, q) if n % 2 == 1 => q }
+    if (even.nonEmpty && odd.nonEmpty)
+      assert(math.abs(even.head.toDouble / odd.head - 3.0) < 0.01)
+  }
+
   test("corpus_domain_cap plan: bounded aggregate, not a window sort") {
     val plan = TextAnalysis.corpusDomainCap(spark, sf)
       .queryExecution.executedPlan.toString

@@ -133,6 +133,33 @@ class StreamingSpec extends SparkSpec {
     assert(after.filter(col("doc_id") >= 20000L).count() == 5)
   }
 
+  test("streaming domain cap admits first K per source across micro-batches") {
+    val in = tmp("capdocs"); val out = tmp("capout"); val ck = tmp("capck")
+    val k = 10
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // batch 1: first 300 docs; batch 2: the rest — sources straddle both
+    docs.where(col("doc_id") < 300).coalesce(1).write.mode("append").parquet(in)
+    def drain(): Unit = EventStream.runAppendToParquet(
+      DocStream.domainCapStream(DocStream.readDocuments(spark, in), k), out, ck)
+    drain()
+    docs.where(col("doc_id") >= 300).coalesce(1).write.mode("append").parquet(in)
+    drain()
+    val got = spark.read.parquet(out).collect()
+    // arrival order here IS doc_id order (batch split at 300, sorted
+    // within batch) — so the admitted set must be the K smallest
+    // doc_ids per source, each with its 1-based admission rank.
+    val expected = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+        rows.map(_._1).sorted.take(k).zipWithIndex.map {
+          case (id, i) => (src, id, i + 1L) }.toSeq
+      }.toSet
+    val gotSet = got.map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("admit_rank"))).toSet
+    assert(gotSet == expected,
+      s"diff: extra=${gotSet -- expected} missing=${expected -- gotSet}")
+  }
+
   test("bounded-state streaming dedup drops twins inside the re-crawl horizon") {
     // The 100 TB form: state is held only within the watermark horizon
     // of the arrival time, so it dedups against the re-crawl window
