@@ -716,7 +716,7 @@ object Bench {
       case n if n.startsWith("q") => "relational"
       case n if n.startsWith("events") => "events"
       case n if n.startsWith("dedup") || n.startsWith("corpus_clean") ||
-        n.startsWith("corpus_decontam") => "dedup"
+        n.startsWith("corpus_decontam") || n.startsWith("corpus_shared") => "dedup"
       case n if n.startsWith("similarity") || n.startsWith("embedding") => "similarity"
       case n if n.startsWith("multimodal") => "multimodal"
       case _ => "text" // text_*, corpus_* (rest), doc_*

@@ -810,8 +810,11 @@ object TextAnalysis {
        |         CAST(n_chars // $MixCharsPerToken AS BIGINT) AS doc_tokens
        |  FROM documents),
        |wt AS (
+       |  -- TRY_CAST: Spark's non-ANSI CAST nulls a non-numeric suffix
+       |  -- (null % 2 = 0 is false -> weight 1); DuckDB's strict CAST
+       |  -- would throw instead of matching that lane
        |  SELECT DISTINCT source,
-       |         CAST(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+       |         CAST(CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0
        |              THEN 3 ELSE 1 END AS BIGINT) AS w
        |  FROM d),
        |tot AS (SELECT sum(doc_tokens) AS total_tokens FROM d),

@@ -147,6 +147,25 @@ class Round16OpsSpec extends SparkSpec {
       assert(math.abs(even.head.toDouble / odd.head - 3.0) < 0.01)
   }
 
+  test("similarity candidate joins pin BuildLeft (queries broadcast, corpus streamed)") {
+    // The r16 PQ regression class: a projection slimming the corpus
+    // side flips Catalyst's broadcast heuristic to streaming the
+    // one-split query scan, single-coring the quadratic stage. The
+    // explicit broadcast() pins must hold in the executed plan.
+    for ((name, df) <- Seq(
+      "similarity_topk" -> Similarity.similarityTopk(spark, sf),
+      "similarity_ann_ivf" -> Similarity.similarityAnnIvf(spark, sf),
+      "pq_adc_lut" -> Similarity.pqAdcStage(spark, sf, lutScoring = true),
+      "pq_adc_recon" -> Similarity.pqAdcStage(spark, sf, lutScoring = false))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val joins = plan.split("\n").filter(_.contains("BroadcastHashJoin"))
+      assert(joins.nonEmpty, s"$name: expected a broadcast hash join:\n$plan")
+      // the blocked/celled candidate join is the first (topmost) one
+      assert(joins.head.contains("BuildLeft"),
+        s"$name: candidate join must broadcast the query side:\n${joins.head}")
+    }
+  }
+
   test("corpus_domain_cap plan: bounded aggregate, not a window sort") {
     val plan = TextAnalysis.corpusDomainCap(spark, sf)
       .queryExecution.executedPlan.toString
