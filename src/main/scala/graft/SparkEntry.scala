@@ -22,7 +22,8 @@ object SparkEntry {
     ops.Pipeline.queries ++ ops.TextAnalysis.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.Relational.queries ++ ops.Sessions.queries ++ ops.AsOf.queries ++
-      ops.AllTypes.queries ++ ops.Multimodal.queries ++ ops.SetOps.queries
+      ops.AllTypes.queries ++ ops.Multimodal.queries ++ ops.SetOps.queries ++
+      ops.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     ops.Pipeline.oracleSql ++ ops.TextAnalysis.oracleSql ++
       ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
       ops.Relational.oracleSql ++ ops.Sessions.oracleSql ++ ops.AsOf.oracleSql ++
-      ops.AllTypes.oracleSql ++ ops.Multimodal.oracleSql ++ ops.SetOps.oracleSql
+      ops.AllTypes.oracleSql ++ ops.Multimodal.oracleSql ++ ops.SetOps.oracleSql ++
+      ops.Layout.oracleSql
 }

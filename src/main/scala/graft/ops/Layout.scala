@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Data-layout operators: the physical-design half of the 100 TB story
+  * that the flat fixture parquet can't show — bucketed tables that make
+  * the repeated fact-fact join shuffle-free, and date-partitioned
+  * layout whose scans prune to the filtered partitions.
+  *
+  * Both operators STAGE a layout first (write the fixture into the
+  * bucketed / partitioned form, memoized per JVM and per sf dir), then
+  * run the query against the staged layout. That split mirrors
+  * production: the table layout exists once, written by the ingest
+  * job; the measured query is the read side. The staged content is
+  * row-identical to the source parquet, so the DuckDB oracle runs the
+  * same query over the raw fixture views.
+  *
+  * Scale:
+  *  - `q_bucketed_join`: orders and lineitem bucketed 8 ways on their
+  *    order key, one file per bucket (the pre-write `repartition(n,
+  *    key)` uses the same murmur3-pmod hash as the bucket spec, so
+  *    each task holds exactly one bucket). A sort-merge join between
+  *    co-bucketed tables needs NO exchange on either side — at 100 TB
+  *    this is the difference between re-shuffling both fact tables on
+  *    every join and never shuffling them at all. The spec pins zero
+  *    shuffle exchanges in the join subtree.
+  *  - `q_partition_prune`: events written `partitionBy(day)`; a 7-day
+  *    filter must read 7 directories, not 30. Pruning happens at
+  *    planning from the partition VALUES (no file footers touched) —
+  *    the spec asserts the scan's numFiles metric, not just plan text.
+  */
+object Layout {
+
+  /** Bucket count for the co-located join. Small because the fixture
+    * is; the plan property being pinned (no exchange) is bucket-count
+    * independent — production would size buckets to target file size. */
+  val NBuckets = 8
+
+  /** Pruned query window: 7 days inside the fixture's 30-day range. */
+  val PruneFrom = "2024-01-10"
+  val PruneTo = "2024-01-16"
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private val one = lit(1).cast(DecimalType(3, 2))
+
+  /** Staging root: per sf-dir, stable across JVMs so a re-run reuses
+    * nothing stale (overwrite) but tests and Verify in one JVM stage
+    * once. Lives under java.io.tmpdir, never inside the read-only
+    * testdata dir. */
+  private def stageRoot(dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft-layout-$tag"
+  }
+
+  private val stagedBuckets = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private val stagedPartitions = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Write orders + lineitem as co-bucketed catalog tables (external,
+    * path under the stage root) and return their table names. The
+    * pre-write repartition on the bucket key makes each write task own
+    * exactly one bucket -> one file per bucket, which is also what
+    * lets the bucketed scan surface its sortBy order. */
+  private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
+    stagedBuckets.getOrElseUpdate(dir, synchronized {
+      val root = stageRoot(dir)
+      val tag = root.substring(root.lastIndexOf('-') + 1)
+      val oTbl = s"graft_bucketed_orders_$tag"
+      val lTbl = s"graft_bucketed_lineitem_$tag"
+      spark.read.parquet(s"$dir/orders.parquet")
+        .repartition(NBuckets, col("o_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(NBuckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$root/orders_bucketed")
+        .saveAsTable(oTbl)
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(NBuckets, col("l_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(NBuckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$root/lineitem_bucketed")
+        .saveAsTable(lTbl)
+      (oTbl, lTbl)
+    })
+
+  /** Write events date-partitioned (day directories) and return the
+    * path. One file per day: repartition on the partition column first
+    * for the same one-task-one-directory reason as the buckets. */
+  private def partitionedEvents(spark: SparkSession, dir: String): String =
+    stagedPartitions.getOrElseUpdate(dir, synchronized {
+      val path = s"${stageRoot(dir)}/events_by_day"
+      Sessions.events(spark, dir)
+        .withColumn("day", to_date(col("ts")))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      path
+    })
+
+  /** The exchange-free co-bucketed join, exposed for the plan spec:
+    * lineitem joined to orders on the bucket key, `merge` hints on
+    * both sides so the pinned property is the SortMergeJoin's (a
+    * broadcast at fixture scale would bypass bucketing and pin
+    * nothing — at 100 TB neither fact side broadcasts anyway). */
+  private[graft] def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (oTbl, lTbl) = bucketedTables(spark, dir)
+    spark.table(lTbl).hint("merge")
+      .join(spark.table(oTbl).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+  }
+
+  /** `q_bucketed_join`: revenue per order priority over the
+    * co-bucketed orders ⋈ lineitem. The join subtree has zero
+    * exchanges (spec-pinned); the only shuffle in the query is the
+    * final 5-group partial aggregate. */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame =
+    bucketedJoin(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lineitems"),
+        sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+          .cast(DecimalType(27, 4)).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+
+  val qBucketedJoinOracle: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_lineitems,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(27,4)) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** The pruned scan, exposed for the numFiles spec: staged layout,
+    * day-range filter. The filter lands in PartitionFilters (the
+    * `day` column exists only as a partition value), so file listing
+    * at planning time already excludes the other 23 day directories. */
+  private[graft] def prunedScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(partitionedEvents(spark, dir))
+      .filter(col("day").between(lit(PruneFrom).cast("date"),
+        lit(PruneTo).cast("date")))
+
+  /** `q_partition_prune`: per-day, per-type event counts and value
+    * sums over a 7-of-30-day window, against the date-partitioned
+    * layout. Decimal-exact sums per the house money convention. */
+  def qPartitionPrune(spark: SparkSession, dir: String): DataFrame =
+    prunedScan(spark, dir)
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast(DecimalType(18, 2))
+          .cast("double").as("sum_value"))
+      .orderBy("day", "event_type")
+
+  val qPartitionPruneOracle: String =
+    s"""SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+       |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+       |FROM events
+       |WHERE CAST(ts AS DATE) BETWEEN DATE '$PruneFrom' AND DATE '$PruneTo'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucketed_join" -> (qBucketedJoin _),
+    "q_partition_prune" -> (qPartitionPrune _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_bucketed_join" -> qBucketedJoinOracle,
+    "q_partition_prune" -> qPartitionPruneOracle,
+  )
+}

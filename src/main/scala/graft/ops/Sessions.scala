@@ -531,6 +531,55 @@ object Sessions {
        |FROM b GROUP BY event_type, bucket
        |ORDER BY event_type, bucket""".stripMargin
 
+  // ------------------------------------------------- rolling actives
+
+  /** Trailing window width for [[eventsRollingActives]], in days. */
+  val RollingDays = 7
+
+  /** `events_rolling_actives`: DAU + trailing-7-day WAU per day — the
+    * engagement primitive every event pipeline reports. A day's WAU is
+    * the distinct users active in `[day-6, day]`.
+    *
+    * 100 TB shape: the event log collapses FIRST to the distinct
+    * (day, user) activity table — one partial-agg shuffle, output
+    * bounded by users x days, the standard DAU fact. Each activity row
+    * then fans out map-side to the <=7 window days it contributes to
+    * (explode over a 7-element date sequence — cost scales with the
+    * ACTIVITY table, never the raw log), a broadcast semi-join against
+    * the tiny day dimension drops window days past the data's end, and
+    * WAU is a standard two-phase distinct aggregate per day. The
+    * rejected alternative — a 7-row range window over per-day user
+    * sets — would hold collect_set state per day and sort; this shape
+    * has no windows and no per-group arrays. */
+  def eventsRollingActives(spark: SparkSession, dir: String): DataFrame = {
+    val du = events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = du.select(col("day")).distinct()
+    val contrib = du.select(
+      explode(sequence(col("day"), date_add(col("day"), RollingDays - 1)))
+        .as("day"),
+      col("user_id"))
+    val wau = contrib.join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy("day").agg(countDistinct(col("user_id")).as("active_7d"))
+    val dau = du.groupBy("day").agg(count(lit(1)).as("active_1d"))
+    dau.join(wau, Seq("day")).orderBy("day")
+  }
+
+  val eventsRollingActivesOracle: String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       |days AS (SELECT DISTINCT day FROM du),
+       |contrib AS (
+       |  SELECT d.day, u.user_id
+       |  FROM days d JOIN du u ON d.day BETWEEN u.day AND u.day + ${RollingDays - 1}),
+       |wau AS (SELECT day, count(DISTINCT user_id) AS active_7d
+       |        FROM contrib GROUP BY day),
+       |dau AS (SELECT day, count(*) AS active_1d FROM du GROUP BY day)
+       |SELECT d.day AS day, dau.active_1d, wau.active_7d
+       |FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day
+       |ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionize" -> (sessionize _),
     "events_sessionize_native" -> (sessionizeNative _),
@@ -543,6 +592,7 @@ object Sessions {
     "events_anomaly" -> (eventsAnomaly _),
     "events_top_paths" -> (eventsTopPaths _),
     "events_histogram" -> (eventsHistogram _),
+    "events_rolling_actives" -> (eventsRollingActives _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -557,5 +607,6 @@ object Sessions {
     "events_anomaly" -> eventsAnomalyOracle,
     "events_top_paths" -> eventsTopPathsOracle,
     "events_histogram" -> eventsHistogramOracle,
+    "events_rolling_actives" -> eventsRollingActivesOracle,
   )
 }
