@@ -47,9 +47,7 @@ object Similarity {
   val Blocks = 16
 
   private def normed(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      .withColumn("nrm", graft.functions.VectorOps.vec_norm(col("v")))
+    normedOver(spark.read.parquet(s"$dir/embeddings.parquet"))
 
   /** Fan the corpus side of a similarity join out to at least the
     * cluster's parallelism.
@@ -338,9 +336,18 @@ object Similarity {
     * struct-array min per row, zero shuffle before the output sort.
     * Tie-break (sim desc, cls asc) is pinned by the (-sim, cls)
     * struct ordering, mirrored in the oracle's row_number. */
-  def embeddingCluster(spark: SparkSession, dir: String): DataFrame = {
-    val n = normed(spark, dir)
-    val seeds = seedPivots(n)
+  def embeddingCluster(spark: SparkSession, dir: String): DataFrame =
+    clusterAssignment(normed(spark, dir), seedPivots(normed(spark, dir)))
+      .orderBy("vec_id")
+
+  /** The assignment projection over any (vec_id, v, nrm) frame —
+    * shared verbatim with the streaming dual
+    * ([[graft.streaming.EmbedStream.clusterAssignStream]]), so the
+    * batch oracle that value-checks `embedding_cluster` pins the
+    * streaming assignment arithmetic too. Centroids are plan
+    * literals: works identically on a batch or micro-batch plan. */
+  private[graft] def clusterAssignment(n: DataFrame,
+      seeds: Array[(Long, Array[Double], Double)]): DataFrame = {
     val cands = seeds.map(s =>
       struct((-cosTo(s)).as("negsim"), lit(s._1).as("cls")))
     n.withColumn("best",
@@ -348,8 +355,22 @@ object Similarity {
       .select(col("vec_id"),
         col("best.cls").cast(org.apache.spark.sql.types.LongType).as("cluster_id"),
         round(-col("best.negsim"), 6).as("sim"))
-      .orderBy("vec_id")
   }
+
+  /** Normalize an embeddings-shaped frame (vec_id, embedding) to the
+    * (vec_id, v, nrm) working shape — the streaming entry for
+    * [[clusterAssignment]]; the batch path reads the same projection
+    * via [[normed]]. */
+  private[graft] def normedOver(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      .withColumn("nrm", graft.functions.VectorOps.vec_norm(col("v")))
+
+  /** Seed centroids for a reference corpus, batch-computed (metadata
+    * scale) — the index an embedding ingest stream assigns against. */
+  private[graft] def seedPivotsFor(spark: SparkSession, dir: String)
+      : Array[(Long, Array[Double], Double)] =
+    seedPivots(normed(spark, dir))
 
   val embeddingClusterOracle: String =
     s"""WITH v AS (

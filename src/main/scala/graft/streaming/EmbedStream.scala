@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.ops.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+
+/** Streaming ingest for embedding vectors: assign each arriving vector
+  * to its cluster as it lands — the streaming dual of the batch
+  * `embedding_cluster` operator, and the shape an online indexing
+  * pipeline needs (route a new vector to its IVF cell / curation
+  * bucket at ingest time, not at the next batch rebuild).
+  *
+  * The index side (seed centroids) is batch-computed over the stored
+  * reference corpus and rides the micro-batch plan as LITERALS — the
+  * stream is a stateless codegen'd map-side pass: no state store, no
+  * watermark, no stream-side shuffle, per-row cost C fused dot
+  * products. Identical arithmetic to the batch operator by
+  * construction (same [[Similarity.clusterAssignment]] projection), so
+  * the DuckDB oracle that value-checks `embedding_cluster` pins this
+  * stream too; the spec replays the corpus through the stream and
+  * requires exact row agreement with the batch assignment.
+  *
+  * Centroid refresh is a stream RESTART with new literals (the
+  * production cadence for index rebuilds); a mid-flight swap would
+  * need a broadcast-join formulation instead — rejected here because
+  * the literal plan keeps the hot path in whole-stage codegen.
+  */
+object EmbedStream {
+
+  /** The embeddings table shape (TESTDATA.md) — static for the same
+    * reason as [[DocStream.documentsSchema]]: a file stream must start
+    * on an empty landing dir without schema inference. */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** File-source stream over embeddings-shaped parquet. */
+  def readEmbeddings(spark: SparkSession, dir: String,
+      schema: StructType = embeddingsSchema): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Assign each arriving vector to the nearest seed centroid of the
+    * reference corpus at `refDir`. Emits (vec_id, cluster_id, sim) —
+    * the batch operator's rows, minus its output sort (meaningless on
+    * an unbounded stream). */
+  def clusterAssignStream(vecs: DataFrame, refDir: String): DataFrame = {
+    val spark = vecs.sparkSession
+    Similarity.clusterAssignment(
+      Similarity.normedOver(vecs),
+      Similarity.seedPivotsFor(spark, refDir))
+  }
+}

@@ -446,4 +446,34 @@ class StreamingSpec extends SparkSpec {
       .filter(col("a.n_sessions") =!= col("b.n_sessions"))
     assert(joined.isEmpty, joined.collect().take(5).mkString(","))
   }
+
+  test("streaming cluster assignment ≡ batch embedding_cluster (split across two batches)") {
+    import graft.streaming.EmbedStream
+    // replay the embeddings corpus as two micro-batches (split by
+    // vec_id parity so both batches hit every centroid)
+    val landing = tmp("embed")
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    all.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$landing/b0")
+    val stream = EmbedStream.readEmbeddings(spark, s"$landing/*")
+    assert(stream.isStreaming)
+    val assigned = EmbedStream.clusterAssignStream(stream, sf)
+    EventStream.runToMemory(assigned, "embed_assign_1")
+    all.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$landing/b1")
+    EventStream.runToMemory(
+      EmbedStream.clusterAssignStream(EmbedStream.readEmbeddings(spark, s"$landing/*"), sf),
+      "embed_assign_2")
+    // second run reprocesses both files (no checkpoint): its output is
+    // the full corpus — must equal the batch operator row-for-row
+    val streamed = spark.table("embed_assign_2")
+    val batch = graft.ops.Similarity.embeddingCluster(spark, sf)
+    assert(streamed.count() == batch.count())
+    val diff = streamed.as("a").join(batch.as("b"), "vec_id")
+      .filter(col("a.cluster_id") =!= col("b.cluster_id") ||
+        col("a.sim") =!= col("b.sim"))
+    assert(diff.isEmpty, diff.collect().take(5).mkString(","))
+    // and the two-batch replay covered the whole corpus incrementally
+    assert(spark.table("embed_assign_1").count() == batch.count() / 2)
+  }
 }
