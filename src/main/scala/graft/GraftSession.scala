@@ -56,6 +56,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // SQL surface on by default in every engine entry point; a session
+    // built elsewhere gets it via spark.sql.extensions=graft.GraftExtensions
+    // (getOrCreate may return an existing session, where the
+    // construction-time extension hook can no longer run — live
+    // registration covers both).
+    GraftExtensions.register(s)
     s
   }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -23,7 +23,13 @@ object VectorOps {
   /** Dot product of two array<double> columns (null if lengths differ —
     * embeddings are fixed-dim, a mismatch is data corruption). */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    // Coerce SQL-surface inputs (array(3.0, 4.0) parses as
+    // array<decimal>) to the primitive layout the loop reads; the
+    // Column-API call sites already pass exact types, so the casts
+    // no-op there.
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_dot"
     override def nullIntolerant: Boolean = true
@@ -69,7 +75,9 @@ object VectorOps {
   }
 
   /** L2 norm of an array<double> column. */
-  case class L2Norm(child: Expression) extends UnaryExpression {
+  case class L2Norm(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_norm"
     override def nullIntolerant: Boolean = true
@@ -191,7 +199,9 @@ object VectorOps {
     * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), +)` form boxes
     * two lambdas per element (a spec pins the two forms equal). */
   case class L2SqLong(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
     override def dataType: DataType = LongType
     override def prettyName: String = "vec_l2sq_long"
     override def nullIntolerant: Boolean = true
@@ -254,7 +264,9 @@ object VectorOps {
     * codes, or an out-of-range code — all index corruption, same
     * contract as the length-mismatch null above. */
   case class AdcLookup(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(IntegerType), ArrayType(LongType))
     override def dataType: DataType = LongType
     override def prettyName: String = "pq_adc"
     override def nullIntolerant: Boolean = true

@@ -26,4 +26,15 @@ object ColumnBridge {
     * mappings at task end instead of waiting for GC. */
   def disposeBuffer(bb: java.nio.ByteBuffer): Unit =
     org.apache.spark.storage.StorageUtils.dispose(bb)
+
+  /** Register a SQL function into a LIVE session's registry —
+    * `SparkSession.sessionState` is `private[sql]`, so the in-session
+    * counterpart of `SparkSessionExtensions.injectFunction` (which
+    * only applies at session construction) needs this bridge. */
+  def registerFunction(spark: SparkSession,
+      id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(id, info, builder)
 }

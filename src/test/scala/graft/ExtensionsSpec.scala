@@ -1,0 +1,142 @@
+package graft
+
+import graft.functions.{RefTimestamp, VectorOps, Winnow, TopK}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The SQL function surface ([[GraftExtensions]]) must reach the same
+  * expressions as the Column API: every registered function is checked
+  * SQL-vs-Column on real data, constant parameters reject non-literal
+  * arguments at analysis time, and the `withExtensions` construction
+  * path (the `spark.sql.extensions` hook) registers the same list. */
+class ExtensionsSpec extends SparkSpec {
+
+  private lazy val registered: SparkSession = {
+    GraftExtensions.register(spark)
+    spark
+  }
+
+  test("vector functions via SQL == Column API") {
+    val s = registered
+    import s.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(0.5, -1.0, 2.0)))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val sql = s.sql(
+      "SELECT vec_dot(a, b) AS d, vec_norm(a) AS n FROM vecs").head()
+    val api = df.select(
+      VectorOps.vec_dot(col("a"), col("b")).as("d"),
+      VectorOps.vec_norm(col("a")).as("n")).head()
+    assert(sql == api)
+    val lsql = s.sql(
+      "SELECT vec_l2sq_long(array(1L,2L), array(4L,6L)) AS l").head().getLong(0)
+    assert(lsql == 9L + 16L)
+  }
+
+  test("pq_adc via SQL == lookup arithmetic") {
+    val s = registered
+    // 2 subspaces x 4 codewords; codes pick entries 1 and 6
+    val v = s.sql(
+      "SELECT pq_adc(array(1, 2), array(10L,20L,30L,40L, 50L,60L,70L,80L)) AS d")
+      .head().getLong(0)
+    assert(v == 20L + 70L)
+  }
+
+  test("ref timestamp functions via SQL round-trip") {
+    val s = registered
+    val row = s.sql(
+      """SELECT parse_ref_timestamp('2024-03-01-12.30.45.123456') AS ts,
+        |       format_ref_timestamp(parse_ref_timestamp('2024-03-01-12.30.45.123456')) AS str
+        |""".stripMargin).head()
+    // parse_ref_timestamp yields TimestampNTZ (LocalDateTime externally)
+    assert(row.getAs[java.time.LocalDateTime]("ts") ==
+      java.time.LocalDateTime.of(2024, 3, 1, 12, 30, 45, 123456000))
+    assert(row.getString(1) == "2024-03-01-12.30.45.123456")
+    val api = s.range(1).select(
+      RefTimestamp.parse_ref_timestamp(lit("2024-03-01-12.30.45.123456")).as("ts"))
+      .head().getAs[java.time.LocalDateTime]("ts")
+    assert(row.getAs[java.time.LocalDateTime]("ts") == api)
+  }
+
+  test("winnow functions via SQL == Column API on the corpus") {
+    val s = registered
+    val docs = s.read.parquet(s"$sf/documents.parquet").limit(50)
+    docs.createOrReplaceTempView("ext_docs")
+    val sql = s.sql(
+      "SELECT doc_id, winnow_fingerprint(text, 16) AS fp FROM ext_docs ORDER BY doc_id")
+      .collect().toSeq
+    val api = docs.select(col("doc_id"),
+      Winnow.winnow_fingerprint(col("text"), 16).as("fp"))
+      .orderBy("doc_id").collect().toSeq
+    assert(sql == api)
+    val spansSql = s.sql(
+      "SELECT doc_id, winnow_sampled_spans(text, 24) AS sp FROM ext_docs ORDER BY doc_id")
+      .collect().toSeq
+    val spansApi = docs.select(col("doc_id"),
+      Winnow.winnow_sampled_spans(col("text"), 24).as("sp"))
+      .orderBy("doc_id").collect().toSeq
+    assert(spansSql == spansApi)
+  }
+
+  test("topk_by_score aggregate via SQL == Column API") {
+    val s = registered
+    val events = graft.ops.Sessions.events(s, sf)
+    events.createOrReplaceTempView("ext_events")
+    val sql = s.sql(
+      """SELECT event_type, topk_by_score(value, event_id, 3) AS nn
+        |FROM ext_events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect().toSeq
+    val api = events.groupBy("event_type")
+      .agg(TopK.topk_by_score(col("value"), col("event_id"), 3).as("nn"))
+      .orderBy("event_type").collect().toSeq
+    assert(sql == api)
+  }
+
+  test("avro + confluent functions via SQL round-trip the framing") {
+    val s = registered
+    val schema = """{"type":"record","name":"r","fields":[{"name":"x","type":"long"}]}"""
+    s.sql("SELECT 7L AS x").createOrReplaceTempView("ext_avro_in")
+    val row = s.sql(
+      s"""SELECT confluent_has_magic(framed) AS magic,
+         |       confluent_schema_id(framed) AS sid,
+         |       confluent_payload(framed) AS body
+         |FROM (SELECT confluent_frame(avro_encode(struct(x), '$schema'), 42) AS framed
+         |      FROM ext_avro_in)""".stripMargin).head()
+    assert(row.getBoolean(0) && row.getInt(1) == 42)
+    // zig-zag varint 7 -> byte 0x0e
+    assert(row.getAs[Array[Byte]](2).toSeq == Seq(0x0e.toByte))
+  }
+
+  test("constant parameters reject non-literal arguments at analysis time") {
+    val s = registered
+    s.sql("SELECT 1 AS k").createOrReplaceTempView("ext_k")
+    val e = intercept[Exception] {
+      s.sql("SELECT winnow_fingerprint('abc', k) FROM ext_k").collect()
+    }
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+    val e2 = intercept[Exception] {
+      s.sql("SELECT vec_norm(array(1.0), array(2.0))").collect()
+    }
+    assert(e2.getMessage.contains("expects 1 arguments"), e2.getMessage)
+  }
+
+  test("withExtensions construction path registers the same functions") {
+    // getOrCreate returns the existing session and IGNORES extensions;
+    // clearing active+default forces a fresh SparkSession over the same
+    // SparkContext with the extension hook applied — the programmatic
+    // twin of spark.sql.extensions=graft.GraftExtensions.
+    val before = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val fresh = GraftSession.configure(SparkSession.builder()
+        .master("local[2]").appName("graft-ext-test")
+        .withExtensions(new GraftExtensions)).getOrCreate()
+      assert(fresh ne before, "must be a new session, not the shared one")
+      assert(fresh.sql("SELECT vec_norm(array(3.0, 4.0)) AS n").head().getDouble(0) == 5.0)
+    } finally {
+      SparkSession.setActiveSession(before)
+      SparkSession.setDefaultSession(before)
+    }
+  }
+}
