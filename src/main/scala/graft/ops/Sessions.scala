@@ -580,6 +580,57 @@ object Sessions {
        |FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day
        |ORDER BY day""".stripMargin
 
+  /** Relative-error gate for [[eventsSketchActives]]. Datasketches HLL
+    * at the default lgK=12 carries ~1.6% relative standard error; 5%
+    * is ~3 standard errors — the same gated-approx pattern as
+    * `q_approx_distinct` / the ANN recall entries. */
+  val SketchActivesBound = 0.05
+
+  /** `events_sketch_actives`: trailing-7-day actives via MERGEABLE HLL
+    * sketches — the 100 TB form of [[eventsRollingActives]]. The event
+    * log is touched ONCE (a partially-aggregated per-day
+    * `hll_sketch_agg` — sketches merge map-side like any partial agg);
+    * every window then derives from UNIONS of the tiny per-day sketch
+    * table (days x ~1.5 KB), never re-exploding per-user activity.
+    * That mergeability is the point: the daily sketch table is the
+    * stored artifact, and WAU/MAU/arbitrary ranges all reaggregate
+    * from it without re-touching the log — the exact operator's
+    * explode cost scales with users x days, this one's with days.
+    * Emits the exact WAU next to the estimate's gate (estimate
+    * within [[SketchActivesBound]]), so the oracle pins the exact
+    * column and the gate is oracle-visible. */
+  def eventsSketchActives(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val days = daily.select(col("day"))
+    val est = daily.select(
+        explode(sequence(col("day"), date_add(col("day"), RollingDays - 1)))
+          .as("day"),
+        col("sk"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    eventsRollingActives(spark, dir).select(col("day"), col("active_7d"))
+      .join(est, Seq("day"))
+      .select(col("day"), col("active_7d"),
+        (abs(col("est") - col("active_7d")).cast("double") / col("active_7d")
+          <= SketchActivesBound).as("sketch_within_bound"))
+      .orderBy("day")
+  }
+
+  val eventsSketchActivesOracle: String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       |days AS (SELECT DISTINCT day FROM du),
+       |contrib AS (
+       |  SELECT d.day, u.user_id
+       |  FROM days d JOIN du u ON d.day BETWEEN u.day AND u.day + ${RollingDays - 1}),
+       |wau AS (SELECT day, count(DISTINCT user_id) AS active_7d
+       |        FROM contrib GROUP BY day)
+       |SELECT day, active_7d, CAST(TRUE AS BOOLEAN) AS sketch_within_bound
+       |FROM wau ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionize" -> (sessionize _),
     "events_sessionize_native" -> (sessionizeNative _),
@@ -593,6 +644,7 @@ object Sessions {
     "events_top_paths" -> (eventsTopPaths _),
     "events_histogram" -> (eventsHistogram _),
     "events_rolling_actives" -> (eventsRollingActives _),
+    "events_sketch_actives" -> (eventsSketchActives _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -608,5 +660,6 @@ object Sessions {
     "events_top_paths" -> eventsTopPathsOracle,
     "events_histogram" -> eventsHistogramOracle,
     "events_rolling_actives" -> eventsRollingActivesOracle,
+    "events_sketch_actives" -> eventsSketchActivesOracle,
   )
 }

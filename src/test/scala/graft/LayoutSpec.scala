@@ -64,6 +64,26 @@ class LayoutSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("events_sketch_actives: gate green, estimates actually near exact, sketches mergeable") {
+    val out = Sessions.eventsSketchActives(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("sketch_within_bound")),
+      "every day's sketch estimate must sit inside the gate")
+    // mergeability (the operator's reason to exist): the union of
+    // per-day sketches estimates the same as one sketch over all rows
+    val daily = Sessions.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val merged = daily.groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .head().getLong(0)
+    val direct = daily
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+      .head().getLong(0)
+    assert(merged == direct,
+      s"union of daily sketches ($merged) must equal the one-pass sketch ($direct)")
+  }
+
   test("events_rolling_actives: windows agree with a brute-force recount") {
     val out = Sessions.eventsRollingActives(spark, sf).collect()
     val activity = Sessions.events(spark, sf)
