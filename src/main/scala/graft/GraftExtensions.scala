@@ -48,7 +48,8 @@ object GraftExtensions {
       case i: Int => i
       case l: Long => l.toInt
       case other => throw new IllegalArgumentException(
-        s"$fn: $arg must be an integer literal, got $other")
+        s"$fn: $arg must be an integer literal, got " +
+          (if (other == null) "NULL" else other.toString))
     }
     case _ => throw new IllegalArgumentException(
       s"$fn: $arg must be a foldable integer literal, got ${e.sql}")

@@ -63,8 +63,17 @@ object Layout {
     * pre-write repartition on the bucket key makes each write task own
     * exactly one bucket -> one file per bucket, which is also what
     * lets the bucketed scan surface its sortBy order. */
-  private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
-    stagedBuckets.getOrElseUpdate(dir, synchronized {
+  private def bucketedTables(spark: SparkSession, dir: String): (String, String) = {
+    // The memo caches per JVM, but catalog entries live per SESSION: a
+    // second session in the same JVM (fresh in-memory catalog) would
+    // resolve the cached names to nothing — detect and re-stage.
+    stagedBuckets.get(dir).filter { case (o, l) =>
+      spark.catalog.tableExists(o) && spark.catalog.tableExists(l)
+    }.getOrElse(stageBuckets(spark, dir))
+  }
+
+  private def stageBuckets(spark: SparkSession, dir: String): (String, String) =
+    stagedBuckets.synchronized {
       val root = stageRoot(dir)
       val tag = root.substring(root.lastIndexOf('-') + 1)
       val oTbl = s"graft_bucketed_orders_$tag"
@@ -81,8 +90,9 @@ object Layout {
         .bucketBy(NBuckets, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$root/lineitem_bucketed")
         .saveAsTable(lTbl)
+      stagedBuckets.put(dir, (oTbl, lTbl))
       (oTbl, lTbl)
-    })
+    }
 
   /** Write events date-partitioned (day directories) and return the
     * path. One file per day: repartition on the partition column first
