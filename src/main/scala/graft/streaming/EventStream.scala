@@ -45,6 +45,25 @@ object EventStream {
       .select(col("window.start").cast(TimestampNTZType).as("window_start"),
         col("event_type"), col("n_events"))
 
+  /** Watermarked per-day DISTINCT actives on the live stream via the
+    * mergeable HLL sketch — the streaming half of the
+    * `events_sketch_actives` architecture: the stream maintains one
+    * sketch per open day window (state is days x ~1.5 KB, never
+    * per-user rows — a streaming `dropDuplicates` on (day, user)
+    * would hold every identity seen), estimates update each
+    * micro-batch, and the periodic batch pass stores/reaggregates
+    * the authoritative daily sketch table for WAU/MAU windows. Late
+    * data beyond 1 day drops with the closed window's state, like
+    * [[windowedCounts]]. */
+  def dailyActivesStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast(TimestampType)) // watermarks need an instant
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("active_est"))
+      .select(col("window.start").cast(org.apache.spark.sql.types.DateType).as("day"),
+        col("active_est"))
+
   /** `ts` carries the watermark-marked attribute through to the
     * stateful operator (FlatMapGroupsWithStateExec only sees the
     * watermark if the marked column survives into its child output —

@@ -447,6 +447,21 @@ class StreamingSpec extends SparkSpec {
     assert(joined.isEmpty, joined.collect().take(5).mkString(","))
   }
 
+  test("streaming daily actives sketch ≡ batch per-day sketch estimates") {
+    val stream = EventStream.dailyActivesStream(EventStream.readEvents(spark, eventsDir))
+    assert(stream.isStreaming)
+    EventStream.runToMemory(stream, "daily_actives")
+    val streamed = spark.table("daily_actives").collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val batch = Sessions.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      s"stream/batch sketch mismatch: ${streamed.toSeq.sorted.take(3)} vs ${batch.toSeq.sorted.take(3)}")
+  }
+
   test("streaming cluster assignment ≡ batch embedding_cluster (split across two batches)") {
     import graft.streaming.EmbedStream
     // replay the embeddings corpus as two micro-batches (split by
