@@ -111,7 +111,16 @@ object Layout {
     * lineitem joined to orders on the bucket key, `merge` hints on
     * both sides so the pinned property is the SortMergeJoin's (a
     * broadcast at fixture scale would bypass bucketing and pin
-    * nothing — at 100 TB neither fact side broadcasts anyway). */
+    * nothing — at 100 TB neither fact side broadcasts anyway).
+    *
+    * A per-task Sort remains above each bucketed scan: Spark >= 3.0
+    * only surfaces the sortBy file order behind
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` (multi-file
+    * buckets made the claimed ordering unsound). The sort runs
+    * per-task over already-sorted single-file buckets — near-linear,
+    * no shuffle, no spill pressure — so the session-wide legacy flag
+    * is not worth it; the property this layout buys is the absent
+    * EXCHANGE, which is what the spec pins. */
   private[graft] def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val (oTbl, lTbl) = bucketedTables(spark, dir)
     spark.table(lTbl).hint("merge")
