@@ -46,9 +46,9 @@ object GraftExtensions {
   private def intLit(fn: String, arg: String, e: Expression): Int = e match {
     case e if e.foldable => e.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
       case other => throw new IllegalArgumentException(
-        s"$fn: $arg must be an integer literal, got " +
+        s"$fn: $arg must be an Int-range integer literal, got " +
           (if (other == null) "NULL" else other.toString))
     }
     case _ => throw new IllegalArgumentException(
@@ -64,13 +64,13 @@ object GraftExtensions {
       s"$fn: $arg must be a foldable string literal, got ${e.sql}")
   }
 
-  // 2-arg ExpressionInfo: the usage-bearing constructors validate a
-  // _FUNC_ docstring format meant for the builtin docs generator; the
-  // per-function usage lives in the builders' arity errors instead.
+  // Usage strings are written in the builtin _FUNC_ docstring form
+  // (the usage-bearing ExpressionInfo constructors validate it), so
+  // DESCRIBE FUNCTION shows real usage.
   private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),
-      new ExpressionInfo("graft.GraftExtensions", name),
+      new ExpressionInfo("graft.GraftExtensions", null, name, usage, ""),
       builder)
 
   // --------------------------------------------------------- descriptors
@@ -78,78 +78,82 @@ object GraftExtensions {
   /** Every SQL-callable function. Names mirror the Column API 1:1. */
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
 
-    fn("vec_dot", "vec_dot(a, b) - dot product of two double arrays") { es =>
+    fn("vec_dot", "_FUNC_(a, b) - dot product of two double arrays") { es =>
       arity("vec_dot", "(a, b)", es, 2)
       VectorOps.DotProduct(es(0), es(1))
     },
-    fn("vec_norm", "vec_norm(a) - L2 norm of a double array") { es =>
+    fn("vec_norm", "_FUNC_(a) - L2 norm of a double array") { es =>
       arity("vec_norm", "(a)", es, 1)
       VectorOps.L2Norm(es(0))
     },
-    fn("vec_l2sq_long", "vec_l2sq_long(a, b) - integer squared L2 distance of two long arrays") { es =>
+    fn("vec_l2sq_long", "_FUNC_(a, b) - integer squared L2 distance of two long arrays") { es =>
       arity("vec_l2sq_long", "(a, b)", es, 2)
       VectorOps.L2SqLong(es(0), es(1))
     },
-    fn("pq_adc", "pq_adc(codes, lut) - ADC distance: sum lut[s*C + codes[s]] over subspaces") { es =>
+    fn("pq_adc", "_FUNC_(codes, lut) - ADC distance: sum lut[s*C + codes[s]] over subspaces") { es =>
       arity("pq_adc", "(codes, lut)", es, 2)
       VectorOps.AdcLookup(es(0), es(1))
     },
     fn("parse_ref_timestamp",
-      "parse_ref_timestamp(s) - 'yyyy-MM-dd-HH.mm.ss.ffffff' to epoch micros") { es =>
+      "_FUNC_(s) - 'yyyy-MM-dd-HH.mm.ss.ffffff' to TIMESTAMP_NTZ (null if malformed)") { es =>
       arity("parse_ref_timestamp", "(s)", es, 1)
       RefTimestamp.ParseRefTimestamp(es(0))
     },
     fn("format_ref_timestamp",
-      "format_ref_timestamp(us) - epoch micros to 'yyyy-MM-dd-HH.mm.ss.ffffff'") { es =>
+      "_FUNC_(ts) - micros BIGINT / TIMESTAMP[_NTZ] to 'yyyy-MM-dd-HH.mm.ss.ffffff'") { es =>
       arity("format_ref_timestamp", "(us)", es, 1)
       RefTimestamp.FormatRefTimestamp(es(0))
     },
     fn("winnow_fingerprint",
-      "winnow_fingerprint(text, width) - winnowing min-hash fingerprint over sliding windows") { es =>
+      "_FUNC_(text, width) - winnowing min-hash fingerprint over sliding windows") { es =>
       arity("winnow_fingerprint", "(text, width)", es, 2)
       Winnow.WinnowFingerprint(es(0), intLit("winnow_fingerprint", "width", es(1)))
     },
     fn("winnow_sampled_spans",
-      "winnow_sampled_spans(text, width) - (pos, md5) of content-sampled windows (first nibble 0)") { es =>
+      "_FUNC_(text, width) - (pos, md5) of content-sampled windows (first nibble 0)") { es =>
       arity("winnow_sampled_spans", "(text, width)", es, 2)
       Winnow.WinnowSampledSpans(es(0), intLit("winnow_sampled_spans", "width", es(1)))
     },
     fn("topk_by_score",
-      "topk_by_score(score, id, k) - aggregate: k best (score DESC, id ASC) as array<struct<id,score>>") { es =>
+      "_FUNC_(score, id, k) - aggregate: k best (score DESC, id ASC) as array<struct<id,score>>") { es =>
       arity("topk_by_score", "(score, id, k)", es, 3)
+      // Bare AggregateFunction, NOT .toAggregateExpression(): the
+      // analyzer's ResolveFunctions does the wrapping, and that is
+      // what carries FILTER (WHERE ...) / DISTINCT into the
+      // AggregateExpression — a pre-wrapped one fails both syntaxes
+      // with FUNCTION_WITH_UNSUPPORTED_SYNTAX.
       TopK.TopKByScore(es(0), es(1), intLit("topk_by_score", "k", es(2)))
-        .toAggregateExpression()
     },
     // The confluent_* builders restate graft.functions.Confluent's
     // Column compositions as direct catalyst trees: a builder returning
     // a Column-derived expression hands the analyzer an opaque
     // ColumnNodeExpression it never converts (codegen INTERNAL_ERROR).
     fn("avro_encode",
-      "avro_encode(data, schemaJson) - serialize a struct to Avro binary (writer schema literal)") { es =>
+      "_FUNC_(data, schemaJson) - serialize a struct to Avro binary (writer schema literal)") { es =>
       arity("avro_encode", "(data, schemaJson)", es, 2)
       AvroCodec.AvroEncode(es(0), strLit("avro_encode", "schemaJson", es(1)))
     },
     fn("confluent_frame",
-      "confluent_frame(body, schemaId) - prefix Avro bytes with [0x00][id BE]") { es =>
+      "_FUNC_(body, schemaId) - prefix Avro bytes with [0x00][id BE]") { es =>
       arity("confluent_frame", "(body, schemaId)", es, 2)
       Concat(Seq(
         Literal(Confluent.prefixBytes(intLit("confluent_frame", "schemaId", es(1)))),
         es(0)))
     },
     fn("confluent_schema_id",
-      "confluent_schema_id(framed) - big-endian schema id of a Confluent-framed message") { es =>
+      "_FUNC_(framed) - big-endian schema id of a Confluent-framed message") { es =>
       arity("confluent_schema_id", "(framed)", es, 1)
       Cast(Conv(Hex(Substring(es(0), Literal(2), Literal(4))),
         Literal(16), Literal(10)), IntegerType)
     },
     fn("confluent_has_magic",
-      "confluent_has_magic(framed) - true iff the first byte is the Confluent magic byte") { es =>
+      "_FUNC_(framed) - true iff the first byte is the Confluent magic byte") { es =>
       arity("confluent_has_magic", "(framed)", es, 1)
       EqualTo(Substring(es(0), Literal(1), Literal(1)),
         Literal(Array(Confluent.MagicByte)))
     },
     fn("confluent_payload",
-      "confluent_payload(framed) - strip the 5-byte Confluent header") { es =>
+      "_FUNC_(framed) - strip the 5-byte Confluent header") { es =>
       arity("confluent_payload", "(framed)", es, 1)
       Substring(es(0), Literal(6), Literal(Int.MaxValue))
     },

@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -126,7 +127,11 @@ object RefTimestamp {
   }
 
   /** string → TimestampNTZ (micros), null on malformed input. */
-  case class ParseRefTimestamp(child: Expression) extends UnaryExpression {
+  case class ParseRefTimestamp(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    // SQL surface: coerce to string (Spark string-function convention)
+    // instead of CCEing on the UTF8String cast.
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = TimestampNTZType
     override def nullable: Boolean = true
     override def prettyName: String = "parse_ref_timestamp"
@@ -151,6 +156,19 @@ object RefTimestamp {
 
   /** TimestampNTZ/Timestamp (micros) → reference-format string. */
   case class FormatRefTimestamp(child: Expression) extends UnaryExpression {
+    // Exact type MEMBERSHIP, not coercion: all three accepted types
+    // carry micros in their internal long, but an implicit
+    // long->timestamp or timestamp->long CAST would reinterpret
+    // micros as SECONDS — a silent 1e6x error. Anything else fails
+    // at analysis instead of CCEing mid-query (the SQL surface can
+    // hand this arbitrary types).
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType | TimestampNTZType | TimestampType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"format_ref_timestamp requires a micros BIGINT, TIMESTAMP_NTZ, or " +
+          s"TIMESTAMP argument, got ${other.catalogString}")
+    }
     override def dataType: DataType = StringType
     override def prettyName: String = "format_ref_timestamp"
 

@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -66,10 +66,14 @@ object TopK {
       k: Int,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[TopKBuffer] {
+    extends TypedImperativeAggregate[TopKBuffer] with ImplicitCastInputTypes {
 
     require(k > 0, s"topk_by_score: k must be positive, got $k")
 
+    // The buffer reads primitive (Double, Long); the SQL surface can
+    // hand this aggregate INT/FLOAT/DECIMAL columns — coerce at
+    // analysis like the vector expressions, never CCE in update().
+    override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
     override def children: Seq[Expression] = Seq(score, id)
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(StructType(Seq(

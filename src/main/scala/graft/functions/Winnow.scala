@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -84,8 +84,12 @@ object Winnow {
     toHex(best)
   }
 
-  case class WinnowFingerprint(child: Expression, width: Int) extends UnaryExpression {
+  case class WinnowFingerprint(child: Expression, width: Int) extends UnaryExpression
+      with ImplicitCastInputTypes {
     require(width > 0)
+    // SQL surface: non-string inputs coerce (Spark string-function
+    // convention) instead of CCEing on the UTF8String cast.
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = StringType
     override def prettyName: String = "winnow_fingerprint"
     override def nullIntolerant: Boolean = true
@@ -146,8 +150,10 @@ object Winnow {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
-  case class WinnowSampledSpans(child: Expression, width: Int) extends UnaryExpression {
+  case class WinnowSampledSpans(child: Expression, width: Int) extends UnaryExpression
+      with ImplicitCastInputTypes {
     require(width > 0)
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType, nullable = false),

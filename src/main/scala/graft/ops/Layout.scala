@@ -42,8 +42,9 @@ object Layout {
   val PruneFrom = "2024-01-10"
   val PruneTo = "2024-01-16"
 
-  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
-  private val one = lit(1).cast(DecimalType(3, 2))
+  // The house money-convention casts live in Relational — one home.
+  private def dec2(c: Column): Column = Relational.dec2(c)
+  private def one: Column = Relational.one
 
   /** Staging root: per sf-dir, stable across JVMs so a re-run reuses
     * nothing stale (overwrite) but tests and Verify in one JVM stage
@@ -74,38 +75,56 @@ object Layout {
 
   private def stageBuckets(spark: SparkSession, dir: String): (String, String) =
     stagedBuckets.synchronized {
-      val root = stageRoot(dir)
-      val tag = root.substring(root.lastIndexOf('-') + 1)
-      val oTbl = s"graft_bucketed_orders_$tag"
-      val lTbl = s"graft_bucketed_lineitem_$tag"
-      spark.read.parquet(s"$dir/orders.parquet")
-        .repartition(NBuckets, col("o_orderkey"))
-        .write.mode("overwrite")
-        .bucketBy(NBuckets, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$root/orders_bucketed")
-        .saveAsTable(oTbl)
-      spark.read.parquet(s"$dir/lineitem.parquet")
-        .repartition(NBuckets, col("l_orderkey"))
-        .write.mode("overwrite")
-        .bucketBy(NBuckets, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$root/lineitem_bucketed")
-        .saveAsTable(lTbl)
-      stagedBuckets.put(dir, (oTbl, lTbl))
-      (oTbl, lTbl)
+      // Post-lock recheck: a contender that queued behind the stager
+      // must not overwrite the tables the winner's query is reading.
+      val cached = stagedBuckets.get(dir).filter { case (o, l) =>
+        spark.catalog.tableExists(o) && spark.catalog.tableExists(l)
+      }
+      cached.getOrElse {
+        val root = stageRoot(dir)
+        val tag = root.substring(root.lastIndexOf('-') + 1)
+        val oTbl = s"graft_bucketed_orders_$tag"
+        val lTbl = s"graft_bucketed_lineitem_$tag"
+        spark.read.parquet(s"$dir/orders.parquet")
+          .repartition(NBuckets, col("o_orderkey"))
+          .write.mode("overwrite")
+          .bucketBy(NBuckets, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$root/orders_bucketed")
+          .saveAsTable(oTbl)
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .repartition(NBuckets, col("l_orderkey"))
+          .write.mode("overwrite")
+          .bucketBy(NBuckets, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$root/lineitem_bucketed")
+          .saveAsTable(lTbl)
+        stagedBuckets.put(dir, (oTbl, lTbl))
+        (oTbl, lTbl)
+      }
     }
 
   /** Write events date-partitioned (day directories) and return the
     * path. One file per day: repartition on the partition column first
     * for the same one-task-one-directory reason as the buckets. */
   private def partitionedEvents(spark: SparkSession, dir: String): String =
-    stagedPartitions.getOrElseUpdate(dir, synchronized {
-      val path = s"${stageRoot(dir)}/events_by_day"
-      Sessions.events(spark, dir)
-        .withColumn("day", to_date(col("ts")))
-        .repartition(col("day"))
-        .write.mode("overwrite").partitionBy("day").parquet(path)
-      path
-    })
+    // Same shape as bucketedTables/stageBuckets: memo probe, then a
+    // LOCKED stage with a post-lock recheck. TrieMap.getOrElseUpdate
+    // evaluates a racing thunk in every contender and resolves with
+    // putIfAbsent after — the loser's overwrite would delete the day
+    // directories out from under the winner's already-running scan.
+    stagedPartitions.get(dir).getOrElse(stagePartitions(spark, dir))
+
+  private def stagePartitions(spark: SparkSession, dir: String): String =
+    stagedPartitions.synchronized {
+      stagedPartitions.get(dir).getOrElse {
+        val path = s"${stageRoot(dir)}/events_by_day"
+        Sessions.events(spark, dir)
+          .withColumn("day", to_date(col("ts")))
+          .repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day").parquet(path)
+        stagedPartitions.put(dir, path)
+        path
+      }
+    }
 
   /** The exchange-free co-bucketed join, exposed for the plan spec:
     * lineitem joined to orders on the bucket key, `merge` hints on

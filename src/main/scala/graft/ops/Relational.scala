@@ -37,10 +37,12 @@ object Relational {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Exact 2-dp decimal view of a double money column. */
-  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact 2-dp decimal view of a double money column (shared with
+    * the other money-carrying operator modules — the house convention
+    * lives HERE, once). */
+  private[ops] def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  private val one = lit(1).cast(DecimalType(3, 2))
+  private[ops] val one = lit(1).cast(DecimalType(3, 2))
 
   // -------------------------------------------------------- Q1: pricing
 

@@ -57,7 +57,16 @@ object EventStream {
     * [[windowedCounts]]. */
   def dailyActivesStream(events: DataFrame): DataFrame =
     events
-      .withColumn("ts", col("ts").cast(TimestampType)) // watermarks need an instant
+      // Watermarks REQUIRE an instant (EVENT_TIME_IS_NOT_ON_TIMESTAMP
+      // _TYPE on NTZ), so the NTZ->instant cast and the window.start->
+      // date cast both read spark.sql.session.timeZone. Day attribution
+      // matches the batch to_date(ts) bucketing under the engine's
+      // pinned-UTC sessions (GraftSession + build javaOptions) — the
+      // SAME invariant every batch events operator already relies on
+      // for its unix_micros/instant casts; a session built elsewhere
+      // with a non-UTC zone shifts day boundaries here like it would
+      // shift session gaps there.
+      .withColumn("ts", col("ts").cast(TimestampType))
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("active_est"))

@@ -107,6 +107,41 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getAs[Array[Byte]](2).toSeq == Seq(0x0e.toByte))
   }
 
+  test("SQL-surface type coercion: wrong-typed inputs cast or fail at analysis, never CCE") {
+    val s = registered
+    // aggregate with INT score / INT id coerces (was a mid-query CCE)
+    s.sql("SELECT * FROM VALUES (1, 10), (2, 20), (3, 5) AS t(v, id)")
+      .createOrReplaceTempView("ext_coerce")
+    val nn = s.sql(
+      "SELECT topk_by_score(v, id, 2) AS nn FROM ext_coerce").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(nn.map(_.getLong(0)) == Seq(5L, 20L)) // ids of the top-2 scores (3, 2)
+    // FILTER clause resolves (builder returns the bare AggregateFunction)
+    val filtered = s.sql(
+      "SELECT topk_by_score(v, id, 2) FILTER (WHERE v < 3) AS nn FROM ext_coerce")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(filtered.map(_.getLong(0)) == Seq(20L, 10L))
+    // string functions coerce non-string inputs (Spark convention)
+    assert(s.sql("SELECT winnow_fingerprint(12345678, 4) AS fp").head().getString(0) != null)
+    // format_ref_timestamp rejects a STRING at analysis (coercing would
+    // reinterpret micros as seconds)
+    val e = intercept[Exception] {
+      s.sql("SELECT format_ref_timestamp('abc')").collect()
+    }
+    assert(e.getMessage.contains("format_ref_timestamp requires"), e.getMessage)
+    // out-of-Int-range constant rejected, not wrapped
+    val e2 = intercept[Exception] {
+      s.sql("SELECT winnow_fingerprint('abcdef', 4294967312)").collect()
+    }
+    assert(e2.getMessage.contains("Int-range"), e2.getMessage)
+  }
+
+  test("DESCRIBE FUNCTION shows usage for registered functions") {
+    val s = registered
+    val desc = s.sql("DESCRIBE FUNCTION vec_dot").collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("vec_dot(a, b) - dot product"), desc)
+  }
+
   test("constant parameters reject non-literal arguments at analysis time") {
     val s = registered
     s.sql("SELECT 1 AS k").createOrReplaceTempView("ext_k")
