@@ -544,6 +544,14 @@ object Dedup {
     * component is a star centered on its min, so the labeling is one
     * projection + groupBy-min. */
   private[graft] def ccLargeSmallStar(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // Node set BEFORE the self-loop filter: a node whose only edges
+    // are self-loops vanishes from the star contraction, but both
+    // sibling paths (union-find, min-label) emit (x, x) for it — the
+    // three paths of connectedComponents must agree on coverage.
+    // Input is already symmetric, so src alone covers every node.
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint(true)
     // localCheckpoint, not persist: starRound references its input
     // TWICE (the symmetrizing union), so a persist-only loop doubles
     // the LOGICAL plan every round — 2^rounds analysis cost, OOM on
@@ -565,11 +573,22 @@ object Dedup {
       // Set equality needs both checks: equal counts with different
       // members, or a subset with fewer members, must both keep going.
       done = next.count() == e.count() && next.except(e).isEmpty
+      // Free the replaced round's checkpoint blocks NOW — unpersist()
+      // can't see them (CacheManager never registered them), and
+      // waiting for ContextCleaner GC accumulates O(rounds) edge
+      // frames in executor storage. `next` is already materialized
+      // (eager), so nothing re-reads the freed blocks.
+      ColumnBridge.freeLocalCheckpoint(e)
       e = next
     }
-    e.select(col("big").as("doc_id"), col("small").as("cluster_id"))
+    val starred = e
+      .select(col("big").as("doc_id"), col("small").as("cluster_id"))
       .union(e.select(col("small").as("doc_id"), col("small").as("cluster_id")))
       .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    // Self-loop-only nodes re-enter as their own singleton component.
+    nodes.join(starred, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** The verified pair graph is corpus METADATA — ids only, orders of
@@ -649,6 +668,7 @@ object Dedup {
         // `sym` before we drop that cache, so lineage never re-runs
         // the producing cascade.
         cached.unpersist()
+        org.apache.spark.sql.graftbridge.ColumnBridge.freeLocalCheckpoint(cached)
         val out = ccLargeSmallStar(sym)
         sym.unpersist()
         return out
@@ -670,7 +690,11 @@ object Dedup {
             .as("cluster_id"))
         .localCheckpoint(true)
       converged = joined.where(col("cluster_id") < col("__old")).count() == 0L
+      // unpersist() frees the round-0 persist; the checkpoint rounds'
+      // blocks are invisible to it (no CacheManager entry) and need
+      // the direct RDD free, or they pile up O(iters) deep awaiting GC.
       cached.unpersist()
+      org.apache.spark.sql.graftbridge.ColumnBridge.freeLocalCheckpoint(cached)
       cached = joined
       labels = joined.select(col("doc_id"), col("cluster_id"))
     }

@@ -43,8 +43,16 @@ object Similarity {
     * "B=16 4.0s .. B=128 5.2s", was measured under the pre-fanOut plan
     * whose pair stage ran on ONE core — those numbers priced single-task
     * broadcast bloat, not block parallelism; post-fanOut the query runs
-    * ~0.8 s at B=16.) */
-  val Blocks = 16
+    * ~0.8 s at B=16.)
+    *
+    * With the build side PINNED to broadcast(queries) (r16), B no
+    * longer buys parallelism at all — it only multiplies the
+    * broadcast, exactly the reasoning that cut PqBlocks 16→4. A
+    * same-machine A/B at sf0.1/32 (ProbeTopkBlocks16-style, warm):
+    * B=16 0.75-0.91 s, B=8 0.82-0.84, B=4 0.72-0.74 — B=4 ties or
+    * wins AND carries a 4x smaller broadcast, which is the term that
+    * grows with the query set at 100 TB. */
+  val Blocks = 4
 
   private def normed(spark: SparkSession, dir: String): DataFrame =
     normedOver(spark.read.parquet(s"$dir/embeddings.parquet"))
@@ -420,7 +428,19 @@ object Similarity {
     * in for SemDeDup's 50k), AQE's skew split handles a hot cluster,
     * and the exact cosine runs only on within-cluster pairs. The
     * assignment pass itself is map-side (centroids are plan
-    * literals), so nothing all-pairs ever forms. */
+    * literals), so nothing all-pairs ever forms.
+    *
+    * `asg` is consumed three times (both self-join sides + the final
+    * projection) and deliberately NOT materialized: at fixture scale
+    * ReuseExchange dedupes the fanOut exchange anyway, and at 100 TB
+    * (fanOut a no-op) a checkpoint would persist the corpus-scale
+    * (v, nrm) payload to storage — strictly worse than re-running a
+    * C-fused-dot map pass in front of each side's shuffle, which is
+    * cheap relative to shuffling the vectors themselves. The
+    * alternative (id-only candidates, re-attach vectors by id-joins,
+    * as the LSH family does) moves pair-count x vector bytes through
+    * TWO extra exchanges — more data than the corpus-x-1 this shape
+    * shuffles whenever clusters produce more pairs than rows. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     val n = normed(spark, dir)
     val seeds = seedPivots(n)

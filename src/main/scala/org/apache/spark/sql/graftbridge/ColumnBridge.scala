@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -26,6 +26,20 @@ object ColumnBridge {
     * mappings at task end instead of waiting for GC. */
   def disposeBuffer(bb: java.nio.ByteBuffer): Unit =
     org.apache.spark.storage.StorageUtils.dispose(bb)
+
+  /** Free the storage blocks behind a `localCheckpoint`ed Dataset.
+    * `Dataset.unpersist()` only consults the CacheManager, which never
+    * registered a checkpoint's RDD blocks — so an iterative algorithm
+    * that checkpoints per round (lineage truncation) would otherwise
+    * leak every round's blocks until nondeterministic ContextCleaner
+    * GC. The checkpointed RDD lives in the plan's `LogicalRDD`
+    * (private[sql]); unpersist it directly. No-op on a non-checkpoint
+    * plan. */
+  def freeLocalCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Register a SQL function into a LIVE session's registry —
     * `SparkSession.sessionState` is `private[sql]`, so the in-session

@@ -272,6 +272,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaUf == expected)
   }
 
+  test("connectedComponents: all three paths cover self-loop-only nodes identically") {
+    import spark.implicits._
+    // node 7 appears ONLY as a self-loop; 1-2 is a normal pair. Every
+    // path must emit (7, 7) — the star contraction used to drop it.
+    val edges = Seq((1L, 2L), (7L, 7L)).toDF("doc_a", "doc_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 7L -> 7L)
+    for ((name, got) <- Seq(
+      "union-find" -> Dedup.connectedComponents(edges, "doc_a", "doc_b"),
+      "min-label" -> Dedup.connectedComponents(edges, "doc_a", "doc_b", 0L),
+      "star" -> Dedup.connectedComponents(edges, "doc_a", "doc_b", 0L, maxIters = 1)))
+      assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected,
+        s"path $name disagrees on self-loop coverage")
+  }
+
   test("dedup_clusters: every verified pair lands in one cluster, id = min member") {
     import spark.implicits._
     val clusters = Dedup.dedupClusters(spark, sf).collect()
