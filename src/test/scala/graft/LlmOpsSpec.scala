@@ -272,6 +272,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaUf == expected)
   }
 
+  test("ccLargeSmallStar frees each round's checkpoint blocks (storage stays flat)") {
+    import spark.implicits._
+    // a 300-hop chain needs ~log2(300) star rounds; before the
+    // freeLocalCheckpoint fix every round's edge frame stayed
+    // persisted until ContextCleaner GC — O(rounds) leaked RDDs.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val chain = (1 until 300).map(i => (i.toLong, (i + 1).toLong))
+    val edges = chain.toDF("doc_a", "doc_b")
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val out = Dedup.ccLargeSmallStar(sym).collect()
+    assert(out.forall(_.getLong(1) == 1L))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the returned labeling's backing blocks (final round + node
+    // set) may remain — NOT one frame per round
+    assert(after - before <= 2,
+      s"star rounds leaked checkpoint RDDs: $before -> $after persistent RDDs")
+  }
+
   test("connectedComponents: all three paths cover self-loop-only nodes identically") {
     import spark.implicits._
     // node 7 appears ONLY as a self-loop; 1-2 is a normal pair. Every
