@@ -109,7 +109,7 @@ object Bench {
     * or formatted Spark errors carry them) is illegal JSON and kills
     * the driver's parse on exactly the rounds that must stay
     * parseable. */
-  private def jsonStr(s: String): String = {
+  private[graft] def jsonStr(s: String): String = {
     val sb = new StringBuilder("\"")
     s.foreach {
       case '\\' => sb.append("\\\\")

@@ -47,7 +47,11 @@ object Cli {
     val t0 = System.nanoTime()
     val schema = FixedSchema.fromFile(schemaFile)
     val parsed = FixedWidth.read(spark, dataFile, schema)
-    val out = if (sink.startsWith("http://") || sink.startsWith("https://")) {
+    // Row count comes from the WRITE itself (writeFixed's accumulator /
+    // parquet footer metadata) — the old parsed.count() afterwards was
+    // a second full scan+parse of the input purely to print a number,
+    // doubling input I/O and understating the printed rows/s.
+    val (out, rows) = if (sink.startsWith("http://") || sink.startsWith("https://")) {
       val registry: SchemaRegistryClient = new CachedSchemaRegistry(
         if (registryUrl == "mem:") new InMemorySchemaRegistry
         else new HttpSchemaRegistry(registryUrl))
@@ -58,16 +62,16 @@ object Cli {
       staged.write.mode("overwrite").parquet(stageDir)
       println(s"[graft] staged Kafka frame for topic '$topic' -> $stageDir " +
         s"(no connector jar in this build; format(\"kafka\") on a cluster)")
-      stageDir
+      // metadata-only: parquet count() answers from the footers
+      (stageDir, spark.read.parquet(stageDir).count())
     } else {
       // Fused hot path: line → Avro record bytes in one expression →
       // block append (no typed-row materialization); byte-identical to
       // Ocf.write(parsed, ...) per FixedAvroSpec.
-      Ocf.writeFixed(FixedWidth.lines(spark, dataFile), schema, sink)
+      val n = Ocf.writeFixed(FixedWidth.lines(spark, dataFile), schema, sink)
       println(s"[graft] wrote snappy OCF (one file per partition) -> $sink")
-      sink
+      (sink, n)
     }
-    val rows = parsed.count()
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[graft] $rows rows in $secs%.2f s (${rows / secs}%.0f rows/s, $coresS cores)")
     (rows, out)

@@ -58,10 +58,21 @@ object FixedWidth {
       spark: SparkSession,
       path: String,
       schema: FixedSchema,
-      mode: ParseMode = Strict): DataFrame = {
+      mode: ParseMode = Strict): DataFrame =
+    parseTruncateAtFooter(spark.read.textFile(path), schema, mode)
+
+  /** The truncate-at-footer parse over any lines Dataset — ONE home for
+    * the subtle footer predicate (`len > 12` — exactly 12 asterisks is
+    * data) shared by the batch reader above and the streaming twin
+    * ([[graft.streaming.FixedWidthStream.parseStreamTruncateAtFooter]]);
+    * a parity-rule change forking batch from streaming is exactly what
+    * their equivalence spec exists to prevent. */
+  private[graft] def parseTruncateAtFooter(lines: org.apache.spark.sql.Dataset[String],
+      schema: FixedSchema, mode: ParseMode): DataFrame = {
+    val spark = lines.sparkSession
     import spark.implicits._
     val prefix = FixedWidthParser.FooterPrefix
-    val truncated = spark.read.textFile(path).mapPartitions(
+    val truncated = lines.mapPartitions(
       _.takeWhile(l => !(l.length > prefix.length && l.startsWith(prefix))))
     FixedWidthParser.parse(truncated.toDF("value"), schema, mode, dropFooter = false)
   }

@@ -147,8 +147,14 @@ object DocStream {
         if (fs.exists(p) && fs.listStatus(p).nonEmpty)
           // schema comes from the store's own files (we wrote them);
           // batch_id is the partition column — `< batchId` excludes a
-          // crashed replay's own half-written partition
-          try spark.read.parquet(storeDir)
+          // crashed replay's own half-written partition.
+          // ignoreMissingFiles: pruneSignatureStore may delete a
+          // beyond-horizon batch partition BETWEEN this read's file
+          // listing and its task execution — a pruned partition is by
+          // definition no longer needed for rejection, so skipping its
+          // vanished files is correct, while the default behavior
+          // fails the whole micro-batch with FileNotFoundException.
+          try spark.read.option("ignoreMissingFiles", "true").parquet(storeDir)
             .where(col("batch_id") < batchId)
             .select(col("doc_id").as("old_id"), col("sig").as("old_sig"))
           catch {

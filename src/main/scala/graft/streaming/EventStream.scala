@@ -28,7 +28,18 @@ object EventStream {
     * metadata read pins the actual type, and the stream itself still
     * gets an explicit schema so it never infers per micro-batch. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    // Sniff the fixture generation's physical ts shape (nanos-as-long
+    // vs timestamp[us]) from a batch read; on an EMPTY landing
+    // directory — where a production ingest wants to start and idle,
+    // not crash (the DocStream/EmbedStream static-schema rationale) —
+    // default to the current generation's TIMESTAMP_NTZ. A feed that
+    // will deliver the legacy nanos shape into an initially-empty dir
+    // must construct its stream after the first file lands (the sniff
+    // then sees the real dtype).
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        org.apache.spark.sql.types.TimestampNTZType }
     graft.ops.Sessions.normalizeTs(
       spark.readStream.schema(eventsSchema(tsType)).parquet(dir))
   }
@@ -271,11 +282,31 @@ object EventStream {
     * shared expression as the batch operator, so the batch oracle that
     * checks `events_anomaly` pins this filter too (spec: streaming the
     * corpus against its own baseline reproduces the batch rows). */
-  def anomalyFilter(events: DataFrame, stats: DataFrame): DataFrame =
-    events.join(broadcast(stats), "event_type")
+  def anomalyFilter(events: DataFrame, stats: DataFrame,
+      passUnknownTypes: Boolean = false): DataFrame = {
+    // Default: inner join — only types the baseline can SCORE pass the
+    // gate, the exact arithmetic the batch oracle pins. But an inner
+    // join silently swallows a never-before-seen event type (no
+    // baseline row -> no z -> dropped), which for some deployments is
+    // the most anomalous signal there is: passUnknownTypes=true left-
+    // joins and forwards unscored types with z = null, so the caller
+    // routes them instead of losing them.
+    val joined =
+      if (passUnknownTypes) events.join(broadcast(stats), Seq("event_type"), "left_outer")
+      else events.join(broadcast(stats), "event_type")
+    // The unscorable-pass clause exists ONLY in the opt-in mode: the
+    // default gate must keep the batch operator's exact row set (where
+    // a null z — degenerate stats — drops, as SQL comparison semantics
+    // dictate).
+    val gate =
+      if (passUnknownTypes)
+        col("z").isNull || abs(col("z")) > graft.ops.Sessions.AnomalyZ
+      else abs(col("z")) > graft.ops.Sessions.AnomalyZ
+    joined
       .withColumn("z", graft.ops.Sessions.zExpr)
-      .where(abs(col("z")) > graft.ops.Sessions.AnomalyZ)
+      .where(gate)
       .select(events.columns.map(col) :+ round(col("z"), 6).as("z"): _*)
+  }
 
   /** Drain to an in-memory table (test/debug sink). */
   def runToMemory(df: DataFrame, name: String): StreamingQuery = {

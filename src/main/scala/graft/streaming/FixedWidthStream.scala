@@ -44,13 +44,9 @@ object FixedWidthStream {
     * `spark.sql.files.maxPartitionBytes` (one file per split; pinned by
     * FooterTruncateSpec's multi-file case). */
   def parseStreamTruncateAtFooter(spark: SparkSession, dir: String, schema: FixedSchema,
-      mode: ParseMode = Strict): DataFrame = {
-    import spark.implicits._
-    val prefix = FixedWidthParser.FooterPrefix
-    val truncated = spark.readStream.textFile(dir).mapPartitions(
-      _.takeWhile(l => !(l.length > prefix.length && l.startsWith(prefix))))
-    FixedWidthParser.parse(truncated.toDF("value"), schema, mode, dropFooter = false)
-  }
+      mode: ParseMode = Strict): DataFrame =
+    graft.sources.FixedWidth.parseTruncateAtFooter(
+      spark.readStream.textFile(dir), schema, mode)
 
   /** Typed streaming frame → Confluent-framed Avro `value` bytes
     * (the producer leg of the pipeline, streaming-shaped). */
@@ -73,16 +69,9 @@ object FixedWidthStream {
       strict = strict)
 
   /** Drain the stream to parquet with a checkpoint, processing all data
-    * currently available, then stop (Trigger.AvailableNow — the batch
-    * bootstrap mode; drop the trigger for a continuous run). */
-  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery = {
-    val q = df.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
-  }
+    * currently available, then stop — delegates to the one shared drain
+    * helper ([[EventStream.runAppendToParquet]]); two copies of the
+    * sink/trigger/await plumbing would drift on the next option added. */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
+    EventStream.runAppendToParquet(df, outDir, checkpointDir)
 }

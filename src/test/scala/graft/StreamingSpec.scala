@@ -447,6 +447,36 @@ class StreamingSpec extends SparkSpec {
     assert(joined.isEmpty, joined.collect().take(5).mkString(","))
   }
 
+  test("readEvents starts on an empty landing directory instead of crashing") {
+    val empty = tmp("empty-events")
+    val stream = EventStream.readEvents(spark, empty)
+    assert(stream.isStreaming)
+    // and it idles: draining available-now over nothing yields nothing
+    EventStream.runToMemory(
+      stream.groupBy("event_type").count(), "empty_events_counts")
+    assert(spark.table("empty_events_counts").isEmpty)
+  }
+
+  test("anomalyFilter: unknown event types drop by default, pass with the opt-in flag") {
+    import spark.implicits._
+    val stats = graft.ops.Sessions.anomalyStats(
+      Sessions.events(spark, sf)) // baseline trained on the fixture's types
+    val novel = Seq((999L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+        1L, "never_seen_type", 42.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dropped = EventStream.anomalyFilter(novel, stats)
+    assert(dropped.isEmpty, "default inner join must keep batch-oracle parity")
+    val surfaced = EventStream.anomalyFilter(novel, stats, passUnknownTypes = true)
+      .collect()
+    assert(surfaced.length == 1 && surfaced.head.isNullAt(surfaced.head.fieldIndex("z")),
+      "opt-in mode must forward the unscorable type with z = null")
+    // known types behave identically in both modes
+    val known = Sessions.events(spark, sf)
+    val a = EventStream.anomalyFilter(known, stats).collect().toSet
+    val b = EventStream.anomalyFilter(known, stats, passUnknownTypes = true).collect().toSet
+    assert(a == b)
+  }
+
   test("streaming daily actives sketch ≡ batch per-day sketch estimates") {
     val stream = EventStream.dailyActivesStream(EventStream.readEvents(spark, eventsDir))
     assert(stream.isStreaming)
