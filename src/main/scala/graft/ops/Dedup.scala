@@ -12,10 +12,16 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * operator is CANDIDATE GENERATION (a bucketed self-join that only
   * pairs rows sharing an LSH band — never an all-pairs cartesian)
   * followed by EXACT VERIFICATION of the candidates. Because the final
-  * filter re-checks the true similarity, the output is independent of
-  * the hash family — which is also what makes a brute-force DuckDB
-  * oracle valid: at sf0.01 the oracle enumerates all pairs, the engine
-  * never does.
+  * filter re-checks the true similarity, FALSE POSITIVES are
+  * independent of the hash family — no unqualified pair can survive.
+  * RECALL is not: a qualifying pair can miss every band (e.g. a
+  * jaccard-0.5 pair misses all 16 (16,4)-minhash bands with p ≈ 0.35;
+  * only the simhash banding is exact, by pigeonhole). The brute-force
+  * DuckDB oracles enumerate every qualifying pair, so strict equality
+  * additionally certifies recall = 1.0 on THIS corpus — whose planted
+  * near-dups sit in the high-similarity band where miss probability is
+  * negligible; a regenerated fixture with mid-similarity pairs would
+  * need the oracle relaxed to a recall gate (the ANN/PQ pattern).
   */
 object Dedup {
 
@@ -190,13 +196,12 @@ object Dedup {
     * any blocking near-quadratic; word shingles keep it ~0.) */
   val NgramJaccardThreshold = 0.6
 
+  // Delegates to the ONE shingle contract (Docs.shinglesN with n = 2):
+  // a local re-derivation of the adjacent-pair + short-doc-fallback
+  // rule could drift from the n-gram family's shared definition.
   private def bigrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), Docs.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        when(size(col("toks")) >= 2,
-          array_distinct(transform(sequence(lit(1), size(col("toks")) - 1),
-            i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))))
-          .otherwise(array(concat_ws(" ", col("toks")))).as("sh"))
+      .select(col("doc_id"), Docs.shinglesN(col("toks"), 2).as("sh"))
 
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val sh = bigrams(Docs.fanned(spark, dir))
@@ -349,7 +354,14 @@ object Dedup {
       .join(n.as("a"), col("vec_a") === col("a.vec_id"))
       .join(n.as("b"), col("vec_b") === col("b.vec_id"))
       .select(col("vec_a"), col("vec_b"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+        // nullif: two all-zero embeddings sign-band identically (every
+        // hyperplane dot is 0) so they ALWAYS form a candidate pair,
+        // and this default-ANSI runtime throws DIVIDE_BY_ZERO on the
+        // 0-norm product — null the cosine instead; the >= threshold
+        // then drops the pair, exactly what DuckDB's NULL-propagating
+        // list_cosine_similarity does oracle-side.
+        (dot(col("a.v"), col("b.v")) /
+          nullif(col("a.nrm") * col("b.nrm"), lit(0.0))).as("cosine"))
       .filter(col("cosine") >= CosineThreshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("vec_a", "vec_b")

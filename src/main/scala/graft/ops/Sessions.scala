@@ -406,11 +406,18 @@ object Sessions {
       sum((col("value") * col("value")).cast(DecimalType(28, 4)))
         .cast("double").as("s2"))
 
-  /** z of `value` against the joined (n, s1, s2) stats columns. */
+  /** z of `value` against the joined (n, s1, s2) stats columns.
+    * nullif guards, not bare division: this runtime is default-ANSI
+    * (Spark 4) where even DOUBLE division by zero THROWS — an
+    * event_type with exactly one event (n-1 = 0) or zero variance
+    * (sd = 0) would otherwise kill the whole query, while the DuckDB
+    * oracle yields NULL z and the |z| filter silently drops the row.
+    * The null propagates through the comparison to the same drop. */
   private[graft] def zExpr: Column = {
     val mean = col("s1") / col("n")
-    val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
-    (col("value") - mean) / sd
+    val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+      nullif(col("n") - 1, lit(0L)))
+    (col("value") - mean) / nullif(sd, lit(0.0))
   }
 
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
@@ -526,7 +533,7 @@ object Sessions {
        |         CAST(floor(value / $HistWidth) AS BIGINT) AS bucket
        |  FROM events)
        |SELECT event_type, bucket,
-       |       bucket * $HistWidth AS bucket_lo,
+       |       CAST(bucket * $HistWidth AS DOUBLE) AS bucket_lo,
        |       count(*) AS n
        |FROM b GROUP BY event_type, bucket
        |ORDER BY event_type, bucket""".stripMargin

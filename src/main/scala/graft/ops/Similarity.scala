@@ -124,7 +124,12 @@ object Similarity {
     // query scan — pin the intended shape instead of relying on luck.
     val pairs = broadcast(a).join(b, "blk").filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (Dedup.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+        // nullif: a zero-norm vector would otherwise THROW under this
+        // default-ANSI runtime; null sims are skipped by the topk
+        // aggregate (TopKByScore.update's null guard), matching the
+        // oracle's NULL-propagating comparisons.
+        (Dedup.dot(col("va"), col("vb")) /
+          nullif(col("na") * col("nb"), lit(0.0))).as("sim"))
     ranked(pairs.groupBy("query_id")
       .agg(topk_by_score(col("sim"), col("neighbor_id"), K).as("nn")))
   }
@@ -167,8 +172,12 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
 
+  // nullif: a zero-norm vector (or degenerate all-zero seed) must not
+  // THROW under default-ANSI double division — assignment of such a
+  // vector is contract-undefined, but the query must survive it.
   private def cosTo(cell: (Long, Array[Double], Double)): Column =
-    Dedup.dot(col("v"), typedLit(cell._2.toSeq)) / (col("nrm") * lit(cell._3))
+    Dedup.dot(col("v"), typedLit(cell._2.toSeq)) /
+      nullif(col("nrm") * lit(cell._3), lit(0.0))
 
   /** One Lloyd iteration (the classic IVF centroid-training step):
     * assign every vector to its nearest seed, recompute each cell's
@@ -456,8 +465,8 @@ object Similarity {
     val dups = asg.as("a").join(asg.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
           col("b.vec_id") < col("a.vec_id"))
-      .filter(Dedup.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
-        >= SemDedupThreshold)
+      .filter(Dedup.dot(col("a.v"), col("b.v")) /
+        nullif(col("a.nrm") * col("b.nrm"), lit(0.0)) >= SemDedupThreshold)
       .groupBy(col("a.vec_id").as("vec_id"))
       .agg(min(col("b.vec_id")).as("dup_of"))
     asg.select(col("vec_id"), col("cluster_id"))

@@ -36,7 +36,10 @@ object TextAnalysis {
     val cEn = hits(En); val cDe = hits(De); val cFr = hits(Fr); val cEs = hits(Es)
     val nChars = length(col("text"))
     val punct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
-    val punctRatio = punct.cast(DoubleType) / nChars
+    // nullif like the sibling ratios: an empty text (n_chars = 0)
+    // under this default-ANSI runtime would otherwise THROW
+    // DIVIDE_BY_ZERO and kill the query; DuckDB yields NULL.
+    val punctRatio = punct.cast(DoubleType) / nullif(nChars, lit(0))
     val stopRatio = cEn.cast(DoubleType) / nullif(nTokens, lit(0))
     d.select(
       col("doc_id"),
@@ -53,7 +56,12 @@ object TextAnalysis {
       // pattern means the same thing in both engines on ANY corpus.
       size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\\\t\\\\n\\\\f\\\\r]+', 0)"))
         .cast(LongType).as("n_bpe_pieces"),
-      (aggregate(transform(col("toks"), t => length(t)), lit(0), (acc, x) => acc + x)
+      // LongType fold, the corpusQualityFilter convention: the Int
+      // accumulator is unreachable-overflow in practice (2 GB string
+      // cap) but two folds of the same sum on different conventions
+      // invite a divergent future edit.
+      (aggregate(transform(col("toks"), t => length(t).cast(LongType)),
+        lit(0L), (acc, x) => acc + x)
         .cast(DoubleType) / nullif(nTokens, lit(0))).as("avg_token_len"),
       punctRatio.as("punct_ratio"),
       stopRatio.as("stop_ratio"),
@@ -363,7 +371,10 @@ object TextAnalysis {
     *
     * 100 TB shape: one codegen'd map-side projection (regexp_replace /
     * regexp_count are native expressions), no shuffle except the
-    * verification orderBy. */
+    * verification orderBy. [[Docs.fanned]] (r16): six regex passes per
+    * document are the heaviest per-row compute in the text family —
+    * on the single split a sub-128 MB parquet scans as, the whole
+    * scrub ran on ONE core, the exact collapse fanned exists to fix. */
   def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
     val aug = concat(col("text"),
       lit(" contact user"), col("doc_id"), lit("@example.com or 10.0."),
@@ -374,7 +385,7 @@ object TextAnalysis {
         regexp_replace(aug, PiiEmail, "<EMAIL>"),
         PiiIp, "<IP>"),
       PiiPhone, "<PHONE>")
-    Docs.documents(spark, dir)
+    Docs.fanned(spark, dir)
       .select(col("doc_id"), clean.as("clean"),
         regexp_count(aug, lit(PiiEmail)).cast(LongType).as("n_email"),
         regexp_count(aug, lit(PiiIp)).cast(LongType).as("n_ip"),
@@ -784,9 +795,14 @@ object TextAnalysis {
         expr(s"n_chars div $MixCharsPerToken").as("doc_tokens"))
     // Fixture mix table: srcN -> weight 3 (even N) / 1 (odd N). A real
     // deployment joins its curated (source, weight) dimension here.
+    // TRY_CAST, matching the oracle's: this runtime is default-ANSI
+    // (Spark 4), where a plain CAST on a non-numeric source suffix
+    // THROWS mid-query — try_cast nulls it, null % 2 = 0 is null
+    // (falsy), and the source lands in the weight-1 lane both engines
+    // agree on.
     val weights = docs.select(col("source")).distinct()
       .withColumn("w",
-        when(expr("CAST(substr(source, 4) AS INT)") % 2 === 0, 3L).otherwise(1L))
+        when(expr("TRY_CAST(substr(source, 4) AS INT)") % 2 === 0, 3L).otherwise(1L))
     val totals = docs.agg(sum(col("doc_tokens")).as("total_tokens"))
     val sumW = weights.agg(sum(col("w")).as("sum_w"))
     val quotas = weights.crossJoin(broadcast(totals)).crossJoin(broadcast(sumW))
@@ -810,9 +826,9 @@ object TextAnalysis {
        |         CAST(n_chars // $MixCharsPerToken AS BIGINT) AS doc_tokens
        |  FROM documents),
        |wt AS (
-       |  -- TRY_CAST: Spark's non-ANSI CAST nulls a non-numeric suffix
-       |  -- (null % 2 = 0 is false -> weight 1); DuckDB's strict CAST
-       |  -- would throw instead of matching that lane
+       |  -- TRY_CAST on BOTH sides: plain CAST throws on a non-numeric
+       |  -- suffix in DuckDB AND in this default-ANSI Spark build;
+       |  -- try semantics null it -> weight-1 lane, agreed
        |  SELECT DISTINCT source,
        |         CAST(CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0
        |              THEN 3 ELSE 1 END AS BIGINT) AS w
