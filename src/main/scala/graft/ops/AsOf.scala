@@ -66,21 +66,33 @@ object AsOf {
 
     // One unioned frame, ref rows flagged 0 so they sort BEFORE probe
     // rows at an equal timestamp — that tiebreak IS the >= inclusivity.
+    //
+    // The reference payload rides as ONE STRUCT, not per-column
+    // last() windows (r16): a per-column carry mixes values from
+    // DIFFERENT reference rows whenever the latest row holds a NULL
+    // in some payload column (its last() reaches back to an older
+    // row — a frankenrow DuckDB's whole-row ASOF attach never
+    // produces). The struct is non-null exactly when the ROW is a
+    // reference row, so one last(ignoreNulls) carries the whole row
+    // atomically, NULL fields included.
     val keyCols = keys.map(col)
+    val refStruct = org.apache.spark.sql.types.StructType(
+      refPayload.map(c => ref.schema(c)))
     val pSide = probe.select(
       keyCols ++ Seq(col(probeTs).as("__ts"), lit(1).as("__side")) ++
-        probePayload.map(col) ++ refPayload.map(nullAs(ref, _)): _*)
+        probePayload.map(col) :+ lit(null).cast(refStruct).as("__ref"): _*)
     val rSide = ref.select(
       keyCols ++ Seq(col(refTs).as("__ts"), lit(0).as("__side")) ++
-        probePayload.map(nullAs(probe, _)) ++ refPayload.map(col): _*)
+        probePayload.map(nullAs(probe, _)) :+
+        struct(refPayload.map(col): _*).as("__ref"): _*)
 
     val w = Window.partitionBy(keyCols: _*).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = refPayload.foldLeft(pSide.unionByName(rSide)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = pSide.unionByName(rSide)
+      .withColumn("__ref", last(col("__ref"), ignoreNulls = true).over(w))
     carried.where(col("__side") === 1)
-      .select(keyCols ++ probePayload.map(col) ++ refPayload.map(col): _*)
+      .select(keyCols ++ probePayload.map(col) ++
+        refPayload.map(c => col("__ref").getField(c).as(c)): _*)
   }
 
   /** `events_asof`: for each event, the user's most recent checkpoint

@@ -431,7 +431,17 @@ object Multimodal {
   def rawMedia(spark: SparkSession, dir: String): DataFrame =
     Docs.documents(spark, dir).select(
       col("doc_id").as("media_id"),
-      encode(col("text"), "UTF-8").as("content"),
+      // Same byte-vs-char oracle coupling as the image lane: the
+      // engine slices UTF-8 BYTES, the DuckDB oracle slices VARCHAR
+      // chars — equal only for ASCII. Fail loudly on a multibyte
+      // document (mediaOver's guard, declarative form) instead of
+      // silently diverging frame boundaries and hashes.
+      when(octet_length(encode(col("text"), "UTF-8")) === length(col("text")),
+        encode(col("text"), "UTF-8"))
+        .otherwise(raise_error(concat(lit("rawMedia: doc "), col("doc_id"),
+          lit(" contains non-ASCII text — the frame-sample oracle " +
+            "equates chars with bytes and would silently diverge"))))
+        .as("content"),
       struct(
         lit("application/octet-stream").as("mime"),
         octet_length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"),

@@ -175,6 +175,18 @@ object Similarity {
   // nullif: a zero-norm vector (or degenerate all-zero seed) must not
   // THROW under default-ANSI double division — assignment of such a
   // vector is contract-undefined, but the query must survive it.
+  /** Seed pivots memoized per corpus snapshot (r16): the seed scan is
+    * a full-corpus window pass + driver collect — index CONSTRUCTION
+    * under the [[pivotCache]] doctrine, which must not ride along with
+    * every embedding_cluster / dedup_semantic / streaming-assignment
+    * invocation. Same key discipline as the other index caches. */
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Array[(Long, Array[Double], Double)]]()
+
+  private def seedPivotsCached(spark: SparkSession, dir: String)
+      : Array[(Long, Array[Double], Double)] =
+    seedCache.computeIfAbsent((dir, IvfCells), _ => seedPivots(normed(spark, dir)))
+
   private def cosTo(cell: (Long, Array[Double], Double)): Column =
     Dedup.dot(col("v"), typedLit(cell._2.toSeq)) /
       nullif(col("nrm") * lit(cell._3), lit(0.0))
@@ -192,6 +204,11 @@ object Similarity {
     val assigned = n.withColumn("cellSims", sims)
       .withColumn("cell", expr("array_position(cellSims, array_max(cellSims)) - 1"))
     val centroidRows = assigned
+      // cell IS NULL: a zero-norm vector's cellSims are all null
+      // (cosTo's ANSI divide guard), so argmax position is null —
+      // such a vector belongs to no cell and must not reach the
+      // driver-side getLong (NPE) or skew a centroid mean.
+      .where(col("cell").isNotNull)
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("cell", "pos").agg(round(avg(col("x")), 6).as("m"))
       .collect()
@@ -226,10 +243,8 @@ object Similarity {
 
   private[graft] def ivfPivots(spark: SparkSession, dir: String)
       : Array[(Long, Array[Double], Double)] =
-    pivotCache.computeIfAbsent((dir, IvfCells), _ => {
-      val n = normed(spark, dir)
-      refinedPivots(n, seedPivots(n))
-    })
+    pivotCache.computeIfAbsent((dir, IvfCells), _ =>
+      refinedPivots(normed(spark, dir), seedPivotsCached(spark, dir)))
 
   /** Approximate top-k: IVF with deterministically seeded,
     * one-iteration-refined centroids. Returns the same schema as
@@ -265,7 +280,10 @@ object Similarity {
     val pairs = broadcast(probes).join(assigned, "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (Dedup.dot(col("va"), col("v")) / (col("na") * col("nrm"))).as("sim"))
+        // nullif: the default-ANSI zero-norm guard, same as the exact
+        // path — null sims are skipped by the topk aggregate.
+        (Dedup.dot(col("va"), col("v")) /
+          nullif(col("na") * col("nrm"), lit(0.0))).as("sim"))
     ranked(pairs.groupBy("query_id")
       .agg(topk_by_score(col("sim"), col("neighbor_id"), K).as("nn")))
   }
@@ -354,7 +372,7 @@ object Similarity {
     * Tie-break (sim desc, cls asc) is pinned by the (-sim, cls)
     * struct ordering, mirrored in the oracle's row_number. */
   def embeddingCluster(spark: SparkSession, dir: String): DataFrame =
-    clusterAssignment(normed(spark, dir), seedPivots(normed(spark, dir)))
+    clusterAssignment(normed(spark, dir), seedPivotsCached(spark, dir))
       .orderBy("vec_id")
 
   /** The assignment projection over any (vec_id, v, nrm) frame —
@@ -387,7 +405,7 @@ object Similarity {
     * scale) — the index an embedding ingest stream assigns against. */
   private[graft] def seedPivotsFor(spark: SparkSession, dir: String)
       : Array[(Long, Array[Double], Double)] =
-    seedPivots(normed(spark, dir))
+    seedPivotsCached(spark, dir)
 
   val embeddingClusterOracle: String =
     s"""WITH v AS (
@@ -452,7 +470,7 @@ object Similarity {
     * shuffles whenever clusters produce more pairs than rows. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     val n = normed(spark, dir)
-    val seeds = seedPivots(n)
+    val seeds = seedPivotsCached(spark, dir)
     val cands = seeds.map(s =>
       struct((-cosTo(s)).as("negsim"), lit(s._1).as("cls")))
     val asg = fanOut(spark, dir, "embeddings",
@@ -561,6 +579,17 @@ object Similarity {
     * cluster structure for the codebook to exploit); embeddings with
     * real structure reach the same recall at far smaller budgets. */
   val PqShortlistFrac = 0.25
+
+  /** Hard ceiling on the per-query shortlist (r16): the fractional
+    * contract cannot scale unbounded — the shortlist is a TopKBuffer
+    * of 16·k bytes allocated per query group in the aggregate, and
+    * `(n·frac).toInt` would silently saturate at Int.MaxValue on a
+    * multi-billion-row corpus. 1M entries = 16 MB per query buffer,
+    * already generous; past the cap, recall comes from a better
+    * codebook / larger M (the published IVF-PQ recipe), not from
+    * reranking a quarter of the corpus — which at that size is no
+    * longer "approximate" retrieval at all. */
+  val PqShortlistMax = 1000000
 
   /** Quantized integer view of the corpus: round(x·[[PqScale]]) per
     * component, as array<long>. */
@@ -785,7 +814,7 @@ object Similarity {
     // job per corpus snapshot, memoized like the codebook.
     val n = corpusCountCache.computeIfAbsent(dir,
       _ => spark.read.parquet(s"$dir/embeddings.parquet").count()).longValue()
-    val shortlist = math.ceil(n * PqShortlistFrac).toInt
+    val shortlist = math.min(math.ceil(n * PqShortlistFrac), PqShortlistMax.toDouble).toInt
     val adc = pqAdcStage(spark, dir, lutScoring)
     val short = adc.groupBy("query_id")
       .agg(topk_by_score(col("negd"), col("neighbor_id"), shortlist).as("nn"))
@@ -798,7 +827,11 @@ object Similarity {
       .join(nv.select(col("vec_id").as("query_id"), col("v").as("vqr"), col("nrm").as("nq")),
         "query_id")
       .select(col("query_id"), col("neighbor_id"),
-        (Dedup.dot(col("vqr"), col("vb")) / (col("nq") * col("nb"))).as("sim"))
+        // nullif: a zero-norm vector can reach the shortlist (the ADC
+        // stage over integer codes has no division to stop it) — the
+        // default-ANSI guard, same as every cosine site.
+        (Dedup.dot(col("vqr"), col("vb")) /
+          nullif(col("nq") * col("nb"), lit(0.0))).as("sim"))
     ranked(reranked.groupBy("query_id")
       .agg(topk_by_score(col("sim"), col("neighbor_id"), K).as("nn")))
   }

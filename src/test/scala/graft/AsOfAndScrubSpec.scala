@@ -39,6 +39,20 @@ class AsOfAndScrubSpec extends SparkSpec {
       (3L, 7L, "p6", None, None)))            // key with no refs at all
   }
 
+  test("asofJoin attaches the matched reference row ATOMICALLY (null payloads ride along)") {
+    // The frankenrow trap: per-column last(ignoreNulls) would fill the
+    // latest row's NULL column from an OLDER row — DuckDB's ASOF
+    // attaches the whole row, NULLs included.
+    val probe = Seq((1L, 30L, "p1")).toDF("k", "ts", "p")
+    val ref = Seq((1L, 1L, Some("a1"), Some("b1")), (1L, 2L, None, Some("b2")))
+      .toDF("k", "rts", "ra", "rb")
+    val out = AsOf.asofJoin(probe, ref, Seq("k"), "ts", "rts")
+      .select("rts", "ra", "rb").head()
+    assert(out.getLong(0) == 2L, "latest ref row must match")
+    assert(out.isNullAt(1), s"ra must be the matched row's NULL, not an older row's value: $out")
+    assert(out.getString(2) == "b2")
+  }
+
   test("asofJoin strictUniqueRef: duplicate (keys, refTs) ref rows error; unique pass") {
     val probe = Seq((1L, 10L, "p1")).toDF("k", "ts", "p")
     val dupRef = Seq((1L, 10L, "a"), (1L, 10L, "b"), (1L, 20L, "c"))
