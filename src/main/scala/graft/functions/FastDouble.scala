@@ -62,7 +62,14 @@ object FastDouble {
         if (m >= 100000000000000L) fast = false
         else {
           m = m * 10 + (b - '0')
-          if (frac >= 0) frac += 1
+          if (frac >= 0) {
+            frac += 1
+            // Pow10 tops out at 10^22 — and frac counts LEADING
+            // fractional zeros the significant-digit cap never sees
+            // (m stays 0), so '0.00000000000000000000005' would
+            // otherwise index Pow10(23): AIOOBE, not a fallback.
+            if (frac > 22) fast = false
+          }
         }
       } else if (b == '.' && frac < 0) frac = 0
       else fast = false

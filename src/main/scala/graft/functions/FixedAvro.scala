@@ -94,13 +94,11 @@ object FixedAvro {
     private val nFields = fixed.fields.size
     private val starts: Array[Int] = fixed.runeStarts.toArray
     private val lens: Array[Int] = fixed.fields.map(_.runeLen).toArray
-    // Same trim set as the Strict parser: numerics/timestamps trimmed,
-    // strings/bytes verbatim (FixedWidthParser.strictTrims).
+    // THE Strict parser's trim table, not a copy: the fused encoder's
+    // byte-identity contract with the parse chain (FixedAvroSpec)
+    // depends on the two never drifting.
     private val trims: Array[Boolean] =
-      fixed.fields.map(f => f.parseType match {
-        case "string" | "bytes" | "Bytes" => false
-        case _                            => true
-      }).toArray
+      fixed.fields.map(graft.parse.FixedWidthParser.strictTrims).toArray
     private val kinds: Array[Int] =
       fixed.fields.map(f => planKind(f.parseType, f.name)).toArray
     private val header: Array[Byte] =

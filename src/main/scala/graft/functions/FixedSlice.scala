@@ -75,7 +75,14 @@ object FixedSlice {
             & 0x8080808080808080L) == 0L) {
         b += 8; c += 8
       } else {
-        b += UTF8String.numBytesForFirstByte(line.getByte(b)); c += 1
+        // Clamp: a TRUNCATED multibyte tail (a 4-byte lead as the
+        // line's last byte) would otherwise step b past numBytes, and
+        // the slice built from it reads beyond the line buffer — on
+        // LineScan's zero-copy mmap rows that is an out-of-bounds
+        // read of the file mapping, potentially a SIGSEGV at a
+        // page-aligned EOF. Well-formed UTF-8 never hits the clamp.
+        b = Math.min(b + UTF8String.numBytesForFirstByte(line.getByte(b)), numBytes)
+        c += 1
       }
     }
     (b.toLong << 32) | (c.toLong & 0xffffffffL)

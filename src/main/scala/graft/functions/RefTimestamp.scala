@@ -111,6 +111,14 @@ object RefTimestamp {
     val d = doy - (153 * mp + 2) / 5 + 1
     val m = if (mp < 10) mp + 3 else mp - 9
     val y = if (m <= 2) y0 + 1 else y0
+    // The 26-byte layout holds 4 year digits: outside 0000-9999 the
+    // put2 arithmetic would emit non-digit bytes (':', '/') and the
+    // corrupt "timestamp" would pass every downstream width check and
+    // be WRITTEN silently — fail loudly instead, like parseMicros
+    // bounds its inputs.
+    if (y < 0L || y > 9999L) throw new IllegalArgumentException(
+      s"format_ref_timestamp: year $y outside the renderable 0000-9999 " +
+        s"(micros=$micros); the reference's fixed 26-byte layout cannot hold it")
     val out = new Array[Byte](26)
     @inline def put2(i: Int, v: Int): Unit = {
       out(i) = ('0' + v / 10).toByte; out(i + 1) = ('0' + v % 10).toByte
@@ -125,6 +133,42 @@ object RefTimestamp {
     while (i >= 20) { out(i) = ('0' + f % 10).toByte; f /= 10; i -= 1 }
     UTF8String.fromBytes(out)
   }
+
+  /** string → Unix SECONDS as long (micros floor-div 1e6), null on
+    * malformed input — TIMEZONE-FREE, for the Compat F1 lane: the
+    * previous `unix_timestamp(ntz.cast(TimestampType))` route
+    * interprets the wall-clock in spark.sql.session.timeZone, so any
+    * caller on a non-UTC session got values shifted off the reference
+    * (which parses against UTC, `time.Parse`'s zero location).
+    * floorDiv matches unix_timestamp's pre-epoch floor. */
+  case class ParseRefSeconds(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "parse_ref_seconds"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = parseMicros(input.asInstanceOf[UTF8String])
+      if (v == Long.MinValue) null else Math.floorDiv(v, MicrosPerSecond)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val tmp = ctx.freshName("micros")
+        s"""
+           |long $tmp = graft.functions.RefTimestamp.parseMicros($c);
+           |if ($tmp == Long.MIN_VALUE) { ${ev.isNull} = true; }
+           |else { ${ev.value} = java.lang.Math.floorDiv($tmp, ${MicrosPerSecond}L); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): ParseRefSeconds =
+      copy(child = c)
+  }
+
+  def parse_ref_seconds(c: Column): Column =
+    ColumnBridge.column(ParseRefSeconds(ColumnBridge.expression(c)))
 
   /** string → TimestampNTZ (micros), null on malformed input. */
   case class ParseRefTimestamp(child: Expression) extends UnaryExpression

@@ -129,12 +129,19 @@ object VectorOps {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "vec_lsh_bands"
     override def nullIntolerant: Boolean = true
+    // Dimension mismatch is data corruption and yields NULL, the
+    // DotProduct/L2SqLong convention: a silently prefix-truncated dot
+    // would hand the corrupt vector a plausible signature and flow it
+    // through the LSH joins undetectably.
+    override def nullable: Boolean = true
 
     @transient private lazy val nBands = planes.length / rowsPerBand
+    @transient private lazy val dim0 = planes(0).length
 
     override def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val dim = x.numElements()
+      if (dim != dim0) return null
       val out = new Array[Int](nBands)
       var b = 0
       while (b < nBands) {
@@ -169,21 +176,24 @@ object VectorOps {
         val n = ctx.freshName("n")
         s"""
            |int $dim = $a.numElements();
-           |int[] $out = new int[$nBands];
-           |for (int $b = 0; $b < $nBands; $b++) {
-           |  int $sig = 0;
-           |  for (int $r = 0; $r < $rowsPerBand; $r++) {
-           |    double[] $p = $planesRef[$b * $rowsPerBand + $r];
-           |    double $s = 0.0;
-           |    int $n = java.lang.Math.min($dim, $p.length);
-           |    for (int $i = 0; $i < $n; $i++) {
-           |      $s += $a.getDouble($i) * $p[$i];
+           |if ($dim != $dim0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int[] $out = new int[$nBands];
+           |  for (int $b = 0; $b < $nBands; $b++) {
+           |    int $sig = 0;
+           |    for (int $r = 0; $r < $rowsPerBand; $r++) {
+           |      double[] $p = $planesRef[$b * $rowsPerBand + $r];
+           |      double $s = 0.0;
+           |      for (int $i = 0; $i < $dim; $i++) {
+           |        $s += $a.getDouble($i) * $p[$i];
+           |      }
+           |      $sig = ($sig << 1) | ($s >= 0.0 ? 1 : 0);
            |    }
-           |    $sig = ($sig << 1) | ($s >= 0.0 ? 1 : 0);
+           |    $out[$b] = $sig;
            |  }
-           |  $out[$b] = $sig;
+           |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
            |}
-           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          """.stripMargin
       })
     }

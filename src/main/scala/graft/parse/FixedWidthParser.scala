@@ -46,6 +46,16 @@ object FixedWidthParser {
     * (`fixed2avro/ColumnBuilder.go:211-214`, fine print F6). */
   val FooterPrefix = "************"
 
+  /** The reference's footer test as a Column predicate — `len > 12 &&`
+    * the 12-asterisk prefix (strictly greater: EXACTLY 12 asterisks is
+    * data) — the ONE home for the fine print, shared by the parse
+    * filter, the fused toAvro filter, and the OCF export
+    * ([[graft.sources.Ocf]]); see the conjunct-order note at the parse
+    * call site (startsWith first — a leading length() walk cost
+    * +0.2 s/GB on every parse leg). */
+  def isFooter(line: Column): Column =
+    line.startsWith(FooterPrefix) && octet_length(line) > FooterPrefix.length
+
   /** Parse to NTZ wall-clock, null on failure — the fixed-layout
     * codegen'd parser (graft.functions.RefTimestamp): same accepted
     * grammar as `try_to_timestamp(c, TimestampFormat)` incl. the F3
@@ -57,8 +67,11 @@ object FixedWidthParser {
     graft.functions.RefTimestamp.parse_ref_timestamp(c)
 
   /** Should the raw slice be space-trimmed before typing in Strict
-    * mode? (strings/bytes keep their padding verbatim). */
-  private def strictTrims(f: FixedField): Boolean = f.parseType match {
+    * mode? (strings/bytes keep their padding verbatim). Shared with
+    * the fused encoder (FixedAvro.LineEncoder), whose byte-identity
+    * contract with this parse chain depends on the two trim tables
+    * never drifting. */
+  private[graft] def strictTrims(f: FixedField): Boolean = f.parseType match {
     case "string" | "bytes" | "Bytes" => false
     case _                            => true
   }
@@ -145,8 +158,11 @@ object FixedWidthParser {
       // (ColumnBuilder.go:279,330,381); parse failure → 0. The raw
       // substring stays UNtrimmed: Go time.Parse rejects padded input,
       // so a space-padded timestamp is a failure → 0, faithfully.
-      coalesce(unix_timestamp(
-        graft.functions.RefTimestamp.parse_ref_timestamp(raw).cast(TimestampType)), lit(0L))
+      // parse_ref_seconds is TIMEZONE-FREE (the previous
+      // unix_timestamp-over-instant-cast route read the session zone,
+      // shifting every value for a caller on a non-UTC session —
+      // this parse is public API beyond the UTC-pinned GraftSession).
+      coalesce(graft.functions.RefTimestamp.parse_ref_seconds(raw), lit(0L))
     case other =>
       throw new IllegalArgumentException(s"unsupported type '$other' for ${f.name}")
   }
@@ -187,7 +203,7 @@ object FixedWidthParser {
     // is equivalent to `length` whenever `startsWith` holds.
     val kept =
       if (dropFooter)
-        lines.filter(!(line.startsWith(FooterPrefix) && octet_length(line) > FooterPrefix.length))
+        lines.filter(!isFooter(line))
       else lines
     val wellFormed = length(line) === schema.rowRuneLen
     // All raw slices come from ONE single-pass expression
@@ -266,7 +282,7 @@ object FixedWidthParser {
     val line = col(lineCol)
     val kept =
       if (dropFooter)
-        lines.filter(!(line.startsWith(FooterPrefix) && octet_length(line) > FooterPrefix.length))
+        lines.filter(!isFooter(line))
       else lines
     val validated =
       if (strict)

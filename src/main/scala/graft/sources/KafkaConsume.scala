@@ -23,9 +23,19 @@ object KafkaConsume {
   /** Distinct schema ids present in the frame — metadata-scale collect
     * (the set of schema versions, not the data). Only used when the
     * caller cannot enumerate ids up front; the input should be persisted
-    * by then (see [[decode]]) so this does not recompute the pipeline. */
+    * by then (see [[decode]]) so this does not recompute the pipeline.
+    *
+    * Junk-gated (r16): only well-framed messages (non-null, >= 5 bytes,
+    * magic byte) contribute an id. Without the gate, ONE non-Confluent
+    * message (plain JSON bytes, a tombstone null) put a garbage id —
+    * or a null — into the discovery set, and the registry lookup for
+    * it crashed the whole decode, the opposite of the documented
+    * "bad messages are dropped" contract. */
   def schemaIds(framed: DataFrame, valueCol: String = "value"): Seq[Int] =
-    framed.select(Confluent.schemaId(col(valueCol)).as("sid"))
+    framed
+      .where(col(valueCol).isNotNull &&
+        length(col(valueCol)) >= 5 && Confluent.hasMagic(col(valueCol)))
+      .select(Confluent.schemaId(col(valueCol)).as("sid"))
       .distinct().collect().map(_.getInt(0)).toSeq
 
   /** Decode a framed `value` column into typed rows in ONE pass.

@@ -35,8 +35,22 @@ final case class KafkaOptions(
 
   def sslEnabled: Boolean = caFile.isDefined || keyFile.isDefined || certificateFile.isDefined
 
-  /** Options map for `spark.readStream/read.format("kafka")`. */
+  /** Options map for `spark.readStream/read.format("kafka")`.
+    *
+    * SSL (r16): the env surface takes librdkafka-style PEM FILE paths
+    * (the reference's interface), but Spark's kafka source forwards
+    * `kafka.*` to the JVM client, which has no `ssl.ca.location` /
+    * `ssl.key.location` / `ssl.certificate.location` configs — it
+    * LOGS-and-DROPS unknown keys, silently connecting with the
+    * default truststore and no client cert. The JVM client does
+    * accept PEM CONTENT inline (`ssl.truststore.certificates`,
+    * `ssl.keystore.key`, `ssl.keystore.certificate.chain` with the
+    * PEM store types), so the files are read here, at config time on
+    * the driver, and passed as content. */
   def toSourceOptions(topics: Seq[String]): Map[String, String] = {
+    def pem(path: String): String =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
     val base = Map(
       "kafka.bootstrap.servers" -> broker,
       "subscribe" -> topics.mkString(","),
@@ -46,10 +60,12 @@ final case class KafkaOptions(
     val ssl =
       if (!sslEnabled) Nil
       else Seq(
-        Some("kafka.security.protocol" -> "ssl"),
-        caFile.map("kafka.ssl.ca.location" -> _),
-        keyFile.map("kafka.ssl.key.location" -> _),
-        certificateFile.map("kafka.ssl.certificate.location" -> _)).flatten
+        Some("kafka.security.protocol" -> "SSL"),
+        caFile.map(f => "kafka.ssl.truststore.type" -> "PEM"),
+        caFile.map(f => "kafka.ssl.truststore.certificates" -> pem(f)),
+        keyFile.map(f => "kafka.ssl.keystore.type" -> "PEM"),
+        keyFile.map(f => "kafka.ssl.keystore.key" -> pem(f)),
+        certificateFile.map(f => "kafka.ssl.keystore.certificate.chain" -> pem(f))).flatten
     base ++ group ++ ssl
   }
 }

@@ -89,7 +89,15 @@ object Ocf {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val avroSchema = new Schema.Parser().parse(avroJson)
       val path = new Path(dir, f"part-$pid%05d.avro")
-      val fs = path.getFileSystem(hadoopConf.value)
+      // newInstance, NOT the JVM-cached getFileSystem: the checksum
+      // toggle below would otherwise mutate the SHARED cached instance,
+      // silently disabling client-side CRC for every other writer in
+      // this executor (Spark's own outputs included) for the rest of
+      // the JVM's life. The uncached instance is closed after the
+      // part-file is written.
+      val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+        path.toUri, hadoopConf.value)
+      try {
       // OCF blocks already carry sync markers and the container is
       // seekable/splittable without Hadoop's client-side CRC — the
       // shadow .crc files cost a second pass over every byte (measured
@@ -116,6 +124,7 @@ object Ocf {
         try rows.foreach(w.append) // append encodes eagerly: row-buffer reuse is safe
         finally w.close()
       }
+      } finally fs.close()
     }
   }
 
@@ -132,11 +141,10 @@ object Ocf {
     * the scan's codegen stage; rows are one-string UnsafeRows whose
     * UTF8String is consumed immediately, so no copy is needed). */
   private def keptLines(lines: DataFrame, dropFooter: Boolean): DataFrame = {
-    import org.apache.spark.sql.functions.{col, octet_length}
+    import org.apache.spark.sql.functions.col
     val line = col("value")
-    val fp = graft.parse.FixedWidthParser.FooterPrefix
     if (dropFooter)
-      lines.filter(!(line.startsWith(fp) && octet_length(line) > fp.length)).select(line)
+      lines.filter(!graft.parse.FixedWidthParser.isFooter(line)).select(line)
     else lines.select(line)
   }
 
@@ -156,20 +164,25 @@ object Ocf {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val avroSchema = new Schema.Parser().parse(avroJson)
       val path = new Path(dir, f"part-$pid%05d.avro")
-      val fs = path.getFileSystem(hadoopConf.value)
-      fs.setWriteChecksum(false)
-      val out = fs.create(path, true, 1 << 20)
-      // Lines encode STRAIGHT into the container block buffer (see
-      // OcfWire.appendLine): the whole file→OCF pipeline allocates
-      // nothing per row — the first writeFixed cut (line → byte[] rows →
-      // block) measured ~0.7 s/4.4 GB slower on the tmpfs wall leg from
-      // exactly that per-row byte[]/UnsafeRow garbage.
-      val w = new OcfWire.Writer(avroSchema, sparkSchema, out, 1 << 20)
+      // newInstance + close: see the [[write]] note — the checksum
+      // toggle must not mutate the JVM-cached shared FileSystem.
+      val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+        path.toUri, hadoopConf.value)
       try {
-        var n = 0L
-        rows.foreach { r => w.appendLine(enc, r.getUTF8String(0)); n += 1 }
-        rowsWritten.add(n)
-      } finally w.close()
+        fs.setWriteChecksum(false)
+        val out = fs.create(path, true, 1 << 20)
+        // Lines encode STRAIGHT into the container block buffer (see
+        // OcfWire.appendLine): the whole file→OCF pipeline allocates
+        // nothing per row — the first writeFixed cut (line → byte[] rows →
+        // block) measured ~0.7 s/4.4 GB slower on the tmpfs wall leg from
+        // exactly that per-row byte[]/UnsafeRow garbage.
+        val w = new OcfWire.Writer(avroSchema, sparkSchema, out, 1 << 20)
+        try {
+          var n = 0L
+          rows.foreach { r => w.appendLine(enc, r.getUTF8String(0)); n += 1 }
+          rowsWritten.add(n)
+        } finally w.close()
+      } finally fs.close()
     }
     rowsWritten.value
   }

@@ -37,15 +37,26 @@ class SetOpsAndOptionsSpec extends SparkSpec {
   }
 
   test("KafkaOptions.fromEnv reads the reference env surface and fails fast") {
+    // the env surface takes PEM file PATHS (librdkafka-style, the
+    // reference's interface); toSourceOptions must hand the JVM client
+    // PEM CONTENT under the configs it actually recognizes
+    val ca = java.nio.file.Files.createTempFile("graft-ca", ".pem")
+    val caPem = "-----BEGIN CERTIFICATE-----\nMIIB...\n-----END CERTIFICATE-----\n"
+    java.nio.file.Files.writeString(ca, caPem)
     val env = Map(
       "KAFKA_BROKER" -> "broker:9092",
       "KAFKA_SCHEMA_REGISTRY" -> "http://reg:8081",
       "KAFKA_GROUP_ID" -> "g1",
-      "KAFKA_CA_FILE" -> "/ca.pem")
+      "KAFKA_CA_FILE" -> ca.toString)
     val o = KafkaOptions.fromEnv(env)
     assert(o.broker == "broker:9092" && o.groupId.contains("g1") && o.sslEnabled)
     val src = o.toSourceOptions(Seq("t1", "t2"))
-    assert(src("subscribe") == "t1,t2" && src("kafka.security.protocol") == "ssl")
+    assert(src("subscribe") == "t1,t2" && src("kafka.security.protocol") == "SSL")
+    assert(src("kafka.ssl.truststore.type") == "PEM")
+    assert(src("kafka.ssl.truststore.certificates") == caPem,
+      "the JVM client needs the PEM content, not a librdkafka path key")
+    assert(!src.contains("kafka.ssl.ca.location"),
+      "librdkafka-style keys are silently dropped by the JVM client")
     val e = intercept[IllegalArgumentException](KafkaOptions.fromEnv(Map.empty))
     assert(e.getMessage.contains("KAFKA_BROKER"))
   }
