@@ -51,11 +51,12 @@ object AllTypes {
     * cast dodges cross-engine BLOB stringification in the compare). */
   def alltypesRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val src = source(spark, dir)
-    val rendered = Pipeline.barrier(src.select(FixedWidth.renderValue(fixed).as("value"),
-      col("l_orderkey"), col("l_linenumber")))
+    // value only: the source keys used to ride through the barrier
+    // exchange and the parse projection just to be dropped at the final
+    // select (the ordering below uses output columns alone).
+    val rendered = Pipeline.barrier(src.select(FixedWidth.renderValue(fixed).as("value")))
     val parsed = rendered.select(
-      FixedWidthParser.fieldColumns(col("value"), fixed, Strict) ++
-        Seq(col("l_orderkey"), col("l_linenumber")): _*)
+      FixedWidthParser.fieldColumns(col("value"), fixed, Strict): _*)
     // Order by every output column: (l_orderkey, l_linenumber) is NOT
     // unique in the fixture, and tied rows must be output-identical for
     // the hash compare to be order-insensitive.

@@ -43,11 +43,7 @@ object Docs {
     * via [[shingled]]), not the tokens expression itself — `element_at`
     * re-evaluates its array operand per call, so an inline
     * `filter(split(...))` would be recomputed ~3x per shingle. */
-  def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
-      .otherwise(array(concat_ws(" ", toks)))
+  def shingles3(toks: Column): Column = shinglesN(toks, 3)
 
   /** (doc_id, sh): shingle sets with the token array materialized in its
     * own projection first. The multi-reference of a non-cheap alias
@@ -71,9 +67,9 @@ object Docs {
 
   /** [[shinglesN]] in DuckDB SQL: CTE body over `documents` producing
     * `sN`(doc_id, sh). */
-  def shinglesNSql(n: Int): String =
+  def shinglesNSql(n: Int, cte: String = "sN"): String =
     s"""w AS (SELECT doc_id, list_filter(string_split(text,' '), t -> len(t)>0) AS ws FROM documents),
-       |sN AS (SELECT doc_id,
+       |$cte AS (SELECT doc_id,
        |  CASE WHEN len(ws) >= $n
        |       THEN list_distinct(list_transform(range(1, len(ws)-${n - 2}),
        |              i -> array_to_string(list_slice(ws, i, i+${n - 1}), ' ')))
@@ -94,11 +90,5 @@ object Docs {
 
   /** The same shingle definition in DuckDB SQL, as a CTE body over
     * `documents` producing (doc_id, sh). */
-  val shinglesSql: String =
-    """w AS (SELECT doc_id, list_filter(string_split(text,' '), t -> len(t)>0) AS ws FROM documents),
-      |s AS (SELECT doc_id,
-      |  CASE WHEN len(ws) >= 3
-      |       THEN list_distinct(list_transform(range(1, len(ws)-1),
-      |              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
-      |       ELSE [array_to_string(ws, ' ')] END AS sh FROM w)""".stripMargin
+  val shinglesSql: String = shinglesNSql(3, cte = "s")
 }

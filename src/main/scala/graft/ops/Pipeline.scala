@@ -98,11 +98,17 @@ object Pipeline {
     val framed = df.select(
       AvroCodec.to_avro_confluent(lineitemFixed.fields.map(f => col(f.name)),
         lineitemFixed.avroJson, schemaId).as("value"))
-    barrier(framed
+    // barrier BEFORE the magic/id filter (r16): sat directly on the
+    // encode projection, PushPredicateThroughProject substitutes the
+    // whole AvroEncodeDirect into the predicate — every row encoded
+    // TWICE (codegen CSE does not span Filter/Project), silently
+    // inflating this bench leg. Same recompute class the sibling
+    // queries' barriers already document.
+    barrier(framed)
       .filter(Confluent.hasMagic(col("value")) && Confluent.schemaId(col("value")) === schemaId)
       .select(AvroCodec.from_avro_rows(col("value"),
         Map(schemaId -> lineitemFixed.avroJson),
-        lineitemFixed.avroJson, lineitemFixed.sparkSchema)))
+        lineitemFixed.avroJson, lineitemFixed.sparkSchema))
       .orderBy(orderCols: _*)
   }
 
@@ -175,6 +181,14 @@ object Pipeline {
   def fixedwidthFileScan(spark: SparkSession, dir: String): DataFrame = {
     val out = Scratch.dir(spark, "fw")
     FixedWidth.write(lineitem(spark, dir), lineitemFixed, out)
+    // An actual footer file (13 asterisks — `len > 12`, the
+    // strictly-greater fine print) lands in the scanned directory, so
+    // the S3 drop path is exercised BY THIS QUERY as the doc above
+    // promises (r16: the claim predated the file — a footer-predicate
+    // regression would have passed this oracle cleanly). The DuckDB
+    // oracle reads the parquet source, so the engine must drop it.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "part-zz-footer.txt"), "*************\n")
     FixedWidth.read(spark, out, lineitemFixed, Strict).orderBy(orderCols: _*)
   }
 

@@ -25,12 +25,18 @@ trait SchemaRegistryClient {
 /** In-memory fake: deterministic ids in registration order. Also the
   * offline stand-in required by SURVEY.md §5.5. */
 final class InMemorySchemaRegistry extends SchemaRegistryClient {
-  private val byKey = TrieMap.empty[(String, String), Int]
+  // Keyed by SCHEMA CONTENT, not (subject, schema): a real Confluent
+  // registry dedupes by content and returns the SAME global id when
+  // one schema registers under two subjects (two topics sharing a
+  // record type) — a per-subject fake would hand offline tests
+  // distinct ids where production hands one, silently diverging any
+  // id-keyed logic (knownIds sets, decode maps) validated against it.
+  private val bySchema = TrieMap.empty[String, Int]
   private val byId = TrieMap.empty[Int, String]
   private val nextId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   override def register(subject: String, schemaJson: String): Int =
-    byKey.getOrElseUpdate((subject, schemaJson), {
+    bySchema.getOrElseUpdate(schemaJson, {
       val id = nextId.incrementAndGet()
       byId.put(id, schemaJson)
       id
@@ -62,13 +68,19 @@ final class HttpSchemaRegistry(baseUrl: String) extends SchemaRegistryClient {
   override def register(subject: String, schemaJson: String): Int = {
     val body = mapper.createObjectNode()
     body.put("schema", schemaJson)
-    val req = HttpRequest.newBuilder(URI.create(s"$baseUrl/subjects/$subject/versions"))
+    val subj = java.net.URLEncoder.encode(subject, StandardCharsets.UTF_8)
+    val req = HttpRequest.newBuilder(URI.create(s"$baseUrl/subjects/$subj/versions"))
       .header("Content-Type", "application/vnd.schemaregistry.v1+json")
       .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body)))
       .build()
     val resp = http.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
     require(resp.statusCode() / 100 == 2, s"registry register failed: ${resp.statusCode()} ${resp.body()}")
-    mapper.readTree(resp.body()).path("id").asInt()
+    val idNode = mapper.readTree(resp.body()).path("id")
+    // path() returns a missing node whose asInt() is 0 — a silently
+    // wrong schema id stamped on every frame; fail at the cause.
+    require(idNode.isInt || idNode.isLong,
+      s"registry register response carries no numeric 'id': ${resp.body()}")
+    idNode.asInt()
   }
 
   override def getById(id: Int): String = {

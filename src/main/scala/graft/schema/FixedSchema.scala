@@ -135,8 +135,16 @@ object FixedSchema {
           val carrier = lt match {
             case "date"                                   => "int"
             case "timestamp-millis" | "timestamp-micros"  => "long"
-            case "time-millis"                            => "int"
-            case "time-micros"                            => "long"
+            // time-millis/time-micros are declared-unsupported
+            // engine-wide (the reference's own builder has no case for
+            // them — fixed2avro/ColumnBuilder.go:420-421); emitting a
+            // well-formed Avro carrier here while sparkSchema/parse
+            // throw would imply support that does not exist.
+            case "time-millis" | "time-micros" =>
+              throw new IllegalArgumentException(
+                s"unsupported logicalType '$lt': time types are " +
+                  "declared-unsupported (reference parity; " +
+                  "fixed2avro/ColumnBuilder.go:420-421)")
             case _                                        => physical
           }
           tn.put("type", carrier)

@@ -47,8 +47,12 @@ object KafkaStage {
   /** Stage a typed DataFrame for the Kafka sink. The value column is the
     * fused header+body encoder ([[AvroCodec.AvroEncodeDirect]]) — one
     * buffer pass, one output allocation per message. */
+  // keySchemaId is REQUIRED (r16): the old `= 1` default hardcoded the
+  // in-memory fake's first allocated id — against a real registry the
+  // key frames would carry whatever unrelated schema holds id 1. Every
+  // caller gets the id from registerSubjects anyway.
   def stage(df: DataFrame, schema: FixedSchema, schemaId: Int, topic: String,
-      keySchemaId: Int = 1): DataFrame = {
+      keySchemaId: Int): DataFrame = {
     val fieldCols: Seq[Column] = schema.fields.map(f => col(f.name))
     df.select(
       Confluent.frame(lit(KeyBytes), keySchemaId).as("key"),
