@@ -5,16 +5,22 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    if (args.length != 2) {
-      System.err.println("usage: graft.Verify <sfDir> <outDir>")
+    if (args.length < 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [queryName ...]")
       sys.exit(2)
     }
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // Optional name filter for local iteration (the driver passes
+    // exactly two args → full sweep, unchanged).
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt, "graft-verify")
     try {
       new java.io.File(outDir).mkdirs()
-      SparkEntry.queries.foreach { case (name, fn) =>
+      SparkEntry.queries
+        .filter { case (name, _) => only.isEmpty || only.contains(name) }
+        .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.functions.TopK.topk_by_score
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
@@ -151,23 +150,80 @@ object Similarity {
 
   // ------------------------------------------------------------ IVF ANN
 
-  val IvfCells = 16
+  /** Cluster-geometry scale law (r17). The centroid count is DERIVED
+    * from corpus size, not fixed: k = clamp(ceil(N / [[TargetClusterSize]]),
+    * [[MinCells]], [[MaxCells]]). A fixed k makes E[cluster size] grow
+    * linearly with the corpus, which turns every within-cluster stage
+    * (SemDeDup's pair sweep, IVF's probed rerank) quadratic at 100 TB —
+    * "never all-pairs" decays into all-pairs/k. Deriving k keeps
+    * E[cluster size] ≤ TargetClusterSize, so per-cluster pair work is
+    * bounded by TargetClusterSize² regardless of N (SemDeDup itself
+    * runs ~10⁵ clusters at web scale for exactly this reason; the
+    * MaxCells clamp is the point past which centroid literals stop
+    * being plan-metadata-scale and the index wants a real ANN
+    * structure). The residue-class seed scheme generalizes to any k
+    * unchanged, and the SQL oracles derive the SAME k from count(*)
+    * ([[cellsSql]]), so value checks stay exact while k varies across
+    * scale factors. */
+  val MinCells = 16
+  val MaxCells = 1 << 17
+  val TargetClusterSize = 32
 
-  /** Probe count is the recall/cost dial. 12/16 is tuned for THIS
-    * fixture's weak cluster structure (near-random 64-dim vectors:
-    * measured recall@5 vs exact = 0.93-0.94 at sf0.001/sf0.01, vs 0.70
-    * at 6 probes); a corpus with real cluster structure reaches the
-    * same recall at far lower nProbe/cells ratios — tune per corpus. */
-  val IvfProbes = 12
+  /** Corpus row count, one metadata-scale count job per immutable
+    * snapshot dir (shared by the PQ shortlist budget and the cluster
+    * geometry). */
+  private val corpusCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  /** Seed pivots: the vector with the smallest vec_id in each of
-    * IvfCells residue classes — no RNG, stable across runs;
-    * driver-collected (IvfCells * dim doubles — metadata scale). */
-  private def seedPivots(n: DataFrame): Array[(Long, Array[Double], Double)] =
-    n.withColumn("cls", col("vec_id") % IvfCells)
-      .withColumn("rk", row_number().over(Window.partitionBy("cls").orderBy("vec_id")))
-      .filter(col("rk") === 1)
-      .select(col("cls"), col("v"), col("nrm"))
+  private[graft] def corpusCount(spark: SparkSession, dir: String): Long =
+    corpusCountCache.computeIfAbsent(dir,
+      _ => spark.read.parquet(s"$dir/embeddings.parquet").count()).longValue()
+
+  /** The scale law itself: k for a corpus of n vectors. Integer-exact
+    * (one double ceil on n/32 — exact for any n below 2^53), so the
+    * SQL twin [[cellsSql]] reproduces it bit-for-bit. */
+  private[graft] def cellsFor(n: Long): Int =
+    math.max(MinCells.toLong,
+      math.min(MaxCells.toLong,
+        math.ceil(n.toDouble / TargetClusterSize).toLong)).toInt
+
+  private[graft] def ivfCells(spark: SparkSession, dir: String): Int =
+    cellsFor(corpusCount(spark, dir))
+
+  /** SQL twin of [[cellsFor]] over the embeddings table — the oracle
+    * derives k from the same count the engine memoizes, so the value
+    * compare stays exact while k varies with corpus size. */
+  private[graft] val cellsSql: String =
+    s"SELECT GREATEST($MinCells, LEAST($MaxCells, " +
+      s"CAST(ceil(count(*) / $TargetClusterSize.0) AS BIGINT))) AS k FROM embeddings"
+
+  /** Probe fraction is the recall/cost dial: nProbe = ceil(ProbeFrac·k).
+    * 0.75 is tuned for THIS fixture's weak cluster structure
+    * (near-random 64-dim vectors — IVF's worst case: recall tracks the
+    * corpus fraction scanned, measured recall@5 vs exact = 0.93-0.94 at
+    * 12/16 probes, 0.70 at 6/16); embeddings with real cluster
+    * structure reach the same recall at far smaller fractions — tune
+    * per corpus. The fraction (not a fixed probe count) is what the
+    * recall gate enforces across scale factors: as k grows with N,
+    * nProbe grows with it, holding the scanned fraction — and thus the
+    * measured recall band — roughly constant. */
+  val ProbeFrac = 0.75
+
+  private[graft] def ivfProbes(cells: Int): Int =
+    math.max(1, math.ceil(cells * ProbeFrac).toInt)
+
+  /** Seed pivots: the vector with the smallest vec_id in each of the
+    * k residue classes — no RNG, stable across runs; driver-collected
+    * (k × dim doubles — metadata scale). One partial-agg pass:
+    * `min_by(struct(v, nrm), vec_id)` per class reduces map-side to k
+    * buffers per task (vec_id is unique, so the min_by tie rule never
+    * fires) — the r16 window formulation sorted the full corpus at
+    * k-way parallelism to pick the same k rows. */
+  private def seedPivots(n: DataFrame, cells: Int): Array[(Long, Array[Double], Double)] =
+    n.withColumn("cls", col("vec_id") % cells)
+      .groupBy("cls")
+      .agg(min_by(struct(col("v"), col("nrm")), col("vec_id")).as("s"))
+      .select(col("cls"), col("s.v"), col("s.nrm"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
@@ -184,8 +240,10 @@ object Similarity {
     (String, Int), Array[(Long, Array[Double], Double)]]()
 
   private def seedPivotsCached(spark: SparkSession, dir: String)
-      : Array[(Long, Array[Double], Double)] =
-    seedCache.computeIfAbsent((dir, IvfCells), _ => seedPivots(normed(spark, dir)))
+      : Array[(Long, Array[Double], Double)] = {
+    val cells = ivfCells(spark, dir)
+    seedCache.computeIfAbsent((dir, cells), _ => seedPivots(normed(spark, dir), cells))
+  }
 
   private def cosTo(cell: (Long, Array[Double], Double)): Column =
     Dedup.dot(col("v"), typedLit(cell._2.toSeq)) /
@@ -237,20 +295,20 @@ object Similarity {
     * with each query. The cache key is the corpus path: an IVF index is
     * valid for the immutable snapshot it was built from (rebuilds on a
     * new path; a real deployment persists the centroids next to the
-    * data). Value size is IvfCells x dim doubles — metadata scale. */
+    * data). Value size is k x dim doubles — metadata scale. */
   private val pivotCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int), Array[(Long, Array[Double], Double)]]()
 
   private[graft] def ivfPivots(spark: SparkSession, dir: String)
       : Array[(Long, Array[Double], Double)] =
-    pivotCache.computeIfAbsent((dir, IvfCells), _ =>
+    pivotCache.computeIfAbsent((dir, ivfCells(spark, dir)), _ =>
       refinedPivots(normed(spark, dir), seedPivotsCached(spark, dir)))
 
   /** Approximate top-k: IVF with deterministically seeded,
     * one-iteration-refined centroids. Returns the same schema as
     * similarityTopk. */
   def similarityAnnIvf(spark: SparkSession, dir: String): DataFrame =
-    similarityAnnIvf(spark, dir, IvfProbes)
+    similarityAnnIvf(spark, dir, ivfProbes(ivfCells(spark, dir)))
 
   private[graft] def similarityAnnIvf(spark: SparkSession, dir: String,
       nProbe: Int): DataFrame = {
@@ -291,8 +349,8 @@ object Similarity {
   /** Driver-visible ANN quality gate: recall@K of the IVF result against
     * the exact baseline, computed engine-side; the oracle side is the
     * same inequality as a constant row. Hash-matches iff recall >= the
-    * floor (measured 0.93-0.94 with the refined centroids at 12
-    * probes; see [[IvfProbes]]). */
+    * floor (measured 0.93-0.97 with the refined centroids at the
+    * [[ProbeFrac]]-derived probe count across sf0.001/0.01/0.1). */
   val AnnRecallFloor = 0.9
 
   /** Exact-baseline top-k pairs, built ONCE per (corpus dir, K) and
@@ -411,12 +469,10 @@ object Similarity {
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
+       |kk AS ($cellsSql),
        |seeds AS (
-       |  SELECT cls, v AS c FROM (
-       |    SELECT vec_id % $IvfCells AS cls, v,
-       |           row_number() OVER (PARTITION BY vec_id % $IvfCells
-       |                              ORDER BY vec_id) AS rk
-       |    FROM v) WHERE rk = 1),
+       |  SELECT vec_id % kk.k AS cls, min_by(v, vec_id) AS c
+       |  FROM v CROSS JOIN kk GROUP BY 1),
        |sims AS (
        |  SELECT a.vec_id, s.cls, list_cosine_similarity(a.v, s.c) AS sim
        |  FROM v a CROSS JOIN seeds s),
@@ -450,9 +506,10 @@ object Similarity {
     * across cluster boundaries are never compared (recall loss by
     * construction), in exchange for a candidate stage that is ONE
     * equi-shuffle on cluster_id with per-task work bounded by cluster
-    * size. At 100 TB the cluster count scales with the corpus (k is
-    * chosen so E[cluster size] stays bounded — 16 fixture cells stand
-    * in for SemDeDup's 50k), AQE's skew split handles a hot cluster,
+    * size. At 100 TB the cluster count scales with the corpus — k is
+    * DERIVED from N by [[cellsFor]] so E[cluster size] stays at
+    * [[TargetClusterSize]] and per-cluster pair work is bounded by
+    * TargetClusterSize² at any N — AQE's skew split handles a hot cluster,
     * and the exact cosine runs only on within-cluster pairs. The
     * assignment pass itself is map-side (centroids are plan
     * literals), so nothing all-pairs ever forms.
@@ -498,12 +555,10 @@ object Similarity {
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
+       |kk AS ($cellsSql),
        |seeds AS (
-       |  SELECT cls, v AS c FROM (
-       |    SELECT vec_id % $IvfCells AS cls, v,
-       |           row_number() OVER (PARTITION BY vec_id % $IvfCells
-       |                              ORDER BY vec_id) AS rk
-       |    FROM v) WHERE rk = 1),
+       |  SELECT vec_id % kk.k AS cls, min_by(v, vec_id) AS c
+       |  FROM v CROSS JOIN kk GROUP BY 1),
        |sims AS (
        |  SELECT a.vec_id, s.cls, list_cosine_similarity(a.v, s.c) AS sim
        |  FROM v a CROSS JOIN seeds s),
@@ -611,9 +666,8 @@ object Similarity {
   private def pqSeeds(spark: SparkSession, dir: String): Array[(Int, Array[Long])] =
     quantized(spark, dir)
       .withColumn("cls", col("vec_id") % PqCodewords)
-      .withColumn("rk", row_number().over(Window.partitionBy("cls").orderBy("vec_id")))
-      .filter(col("rk") === 1)
-      .select(col("cls"), col("vq"))
+      .groupBy("cls")
+      .agg(min_by(col("vq"), col("vec_id")).as("vq"))
       .collect()
       .sortBy(_.getLong(0))
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
@@ -670,9 +724,6 @@ object Similarity {
     * [[pivotCache]]. */
   private val pqCodebookCache = new java.util.concurrent.ConcurrentHashMap[
     String, Array[(Int, Array[Long])]]()
-
-  private val corpusCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private[graft] def pqCodebook(spark: SparkSession, dir: String): Array[(Int, Array[Long])] =
     pqCodebookCache.computeIfAbsent(dir, _ => {
@@ -812,8 +863,7 @@ object Similarity {
       lutScoring: Boolean): DataFrame = {
     // Corpus count for the shortlist budget: one metadata-scale count
     // job per corpus snapshot, memoized like the codebook.
-    val n = corpusCountCache.computeIfAbsent(dir,
-      _ => spark.read.parquet(s"$dir/embeddings.parquet").count()).longValue()
+    val n = corpusCount(spark, dir)
     val shortlist = math.min(math.ceil(n * PqShortlistFrac), PqShortlistMax.toDouble).toInt
     val adc = pqAdcStage(spark, dir, lutScoring)
     val short = adc.groupBy("query_id")

@@ -80,7 +80,8 @@ class FunnelRepetitionClusterSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     assert(out.length == vecs.length)
-    val seeds = vecs.groupBy(_._1 % Similarity.IvfCells).map { case (cls, vs) =>
+    val k = Similarity.cellsFor(vecs.length)
+    val seeds = vecs.groupBy(_._1 % k).map { case (cls, vs) =>
       cls -> vs.minBy(_._1)._2
     }
     def cos(a: Array[Double], b: Array[Double]): Double = {
@@ -97,7 +98,7 @@ class FunnelRepetitionClusterSpec extends SparkSpec {
     }
     // seeds must land in their own cluster at sim ~ 1
     seeds.foreach { case (cls, _) =>
-      val seedId = vecs.filter(_._1 % Similarity.IvfCells == cls).minBy(_._1)._1
+      val seedId = vecs.filter(_._1 % k == cls).minBy(_._1)._1
       val row = out.find(_.getAs[Long]("vec_id") == seedId).get
       assert(math.abs(row.getAs[Double]("sim") - 1.0) < 1e-9)
     }
