@@ -21,10 +21,11 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType}
   * scale path: deterministic IVF — assign every vector to its nearest
   * of C pivot centroids (one broadcast of C*dim doubles), probe the
   * nProbe nearest cells per query, exact cosine only within probed
-  * cells, same bounded top-k rerank. Recall is validated in the test
-  * suite against the exact baseline; the ANN result is approximate by
-  * construction, so its oracle entry is the self-reported recall
-  * check (see `annRecallOracle`) rather than a value compare.
+  * cells, same bounded top-k rerank. The ANN results are approximate
+  * relative to the exact baseline — that gap is priced by the
+  * oracle-visible recall gates — but their CONSTRUCTION is
+  * deterministic (derived k, min-id seeds, rounded Lloyd step, pinned
+  * tie-breaks), so both also carry full value oracles (r17).
   */
 object Similarity {
 
@@ -409,6 +410,74 @@ object Similarity {
 
   val annRecallOracle: String =
     s"SELECT CAST(TRUE AS BOOLEAN) AS recall_ok, CAST($AnnRecallFloor AS DOUBLE) AS floor"
+
+  /** Full value oracle for `similarity_ann_ivf` (r17). The IVF result
+    * is APPROXIMATE relative to exact top-k (that contract is what the
+    * recall gate prices) but the construction itself is deterministic
+    * end-to-end, so DuckDB can replay it: derived k ([[cellsSql]]),
+    * min-id seeds, ONE Lloyd step (assign by cosine argmax, tie-break
+    * smallest class; per-component mean rounded to 1e-6 — the rounding
+    * that makes the distributed mean replayable; empty/zero-norm cells
+    * keep their seed), re-assignment against the refined centroids,
+    * the top-ceil(0.75·k) probe list per query (sim desc, class asc),
+    * exact cosine only on probed-cell pairs, and the same bounded
+    * top-[[K]] rerank as the exact baseline. Every tie-break the
+    * engine pins (struct-min / array_position-first / TopK's
+    * (score desc, id asc)) appears as the matching ORDER BY. */
+  val similarityAnnIvfOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |kk AS ($cellsSql),
+       |np AS (SELECT CAST(ceil(k * $ProbeFrac) AS BIGINT) AS p FROM kk),
+       |seeds AS (
+       |  SELECT vec_id % kk.k AS cls, min_by(v, vec_id) AS c
+       |  FROM v CROSS JOIN kk GROUP BY 1),
+       |s_sims AS (
+       |  SELECT a.vec_id, s.cls, list_cosine_similarity(a.v, s.c) AS sim
+       |  FROM v a CROSS JOIN seeds s),
+       |s_asg AS (
+       |  SELECT vec_id, cls FROM (
+       |    SELECT vec_id, cls,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cls) AS rk
+       |    FROM s_sims) WHERE rk = 1),
+       |means AS (
+       |  SELECT g.cls, i.i, round(avg(v.v[i.i]), 6) AS m
+       |  FROM s_asg g JOIN v USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(generate_series(1, len((SELECT v FROM v LIMIT 1)))) AS i) i
+       |  GROUP BY g.cls, i.i),
+       |refined AS (
+       |  SELECT seeds.cls,
+       |         CASE WHEN m.c IS NOT NULL AND list_sum(list_transform(m.c, x -> x*x)) > 0
+       |              THEN m.c ELSE seeds.c END AS c
+       |  FROM seeds LEFT JOIN (
+       |    SELECT cls, list(m ORDER BY i) AS c FROM means GROUP BY cls) m USING (cls)),
+       |r_sims AS (
+       |  SELECT a.vec_id, r.cls, list_cosine_similarity(a.v, r.c) AS sim
+       |  FROM v a CROSS JOIN refined r),
+       |r_asg AS (
+       |  SELECT vec_id, cls AS cell FROM (
+       |    SELECT vec_id, cls,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cls) AS rk
+       |    FROM r_sims) WHERE rk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cls AS cell FROM (
+       |    SELECT vec_id, cls,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cls) AS rk
+       |    FROM r_sims) CROSS JOIN np WHERE rk <= np.p),
+       |pairs AS (
+       |  SELECT p.query_id, g.vec_id AS neighbor_id,
+       |         list_cosine_similarity(a.v, b.v) AS sim
+       |  FROM probes p
+       |  JOIN r_asg g ON g.cell = p.cell AND g.vec_id <> p.query_id
+       |  JOIN v a ON a.vec_id = p.query_id
+       |  JOIN v b ON b.vec_id = g.vec_id),
+       |rked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
+       |FROM rked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   // ------------------------------------------------- cluster assignment
 
@@ -837,9 +906,10 @@ object Similarity {
     * adds; the shortlist of the closest ceil([[PqShortlistFrac]]·N)
     * codes per query is exact-reranked on the true float vectors, and
     * the final top-[[K]] comes out in [[similarityTopk]]'s schema.
-    * Approximate by construction → rows-only check; its quality gate
-    * is the oracle-visible `similarity_pq_recall` row, exactly the
-    * [[similarityAnnRecall]] pattern.
+    * Approximate relative to exact top-k — the oracle-visible
+    * `similarity_pq_recall` row prices that gap — and since r17 also
+    * value-checked end-to-end ([[similarityPqTopkOracle]]): every
+    * stage is deterministic, integer-exact through the shortlist.
     *
     * 100 TB shape: the ADC join carries (id, 8 codes) per corpus row —
     * the whole point of PQ: the O(N·queries) candidate stage streams
@@ -990,6 +1060,93 @@ object Similarity {
   val pqRecallOracle: String =
     s"SELECT CAST(TRUE AS BOOLEAN) AS recall_ok, CAST($PqRecallFloor AS DOUBLE) AS floor"
 
+  /** Full value oracle for `similarity_pq_topk` (r17). Approximate
+    * relative to exact top-k (the recall gate's contract) but
+    * deterministic by construction, so DuckDB replays it end-to-end:
+    * the trained codebook is integer-exact (the [[embeddingPqOracle]]
+    * machinery verbatim: min-id seeds on the 1e-3 grid, one per-
+    * subspace Lloyd step with round(sum/count)), the ADC stage is an
+    * integer sum of per-(query, subspace, codeword) table entries —
+    * `pairs` doubles as BOTH the code assignment (its per-vector
+    * argmin) and the query LUT, exactly the asymmetry ADC exploits —
+    * the shortlist keeps the closest least(ceil($PqShortlistFrac·N),
+    * $PqShortlistMax) codes per query under the engine's pinned
+    * (distance asc, id asc) order, and the rerank is the exact-cosine
+    * top-[[K]] machinery the `similarity_topk` oracle already pins. */
+  val similarityPqTopkOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $PqScale) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id % $PqCodewords AS j, min_by(vq, vec_id) AS c
+       |  FROM v GROUP BY 1),
+       |sp AS (
+       |  SELECT a.vec_id, s.s, seeds.j,
+       |         CAST(list_sum(list_transform(generate_series(1, $PqDims),
+       |           i -> (a.vq[s.s * $PqDims + i] - seeds.c[s.s * $PqDims + i])
+       |              * (a.vq[s.s * $PqDims + i] - seeds.c[s.s * $PqDims + i]))) AS BIGINT) AS d
+       |  FROM v a
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS s) s
+       |  CROSS JOIN seeds),
+       |sb AS (
+       |  SELECT vec_id, s, j,
+       |         row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rk
+       |  FROM sp),
+       |asg AS (SELECT vec_id, s, j FROM sb WHERE rk = 1),
+       |comp AS (
+       |  SELECT g.s, g.j, i.i,
+       |         CAST(round(CAST(sum(v.vq[g.s * $PqDims + i.i]) AS DOUBLE) / count(*))
+       |              AS BIGINT) AS m
+       |  FROM asg g JOIN v USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $PqDims)) AS i) i
+       |  GROUP BY g.s, g.j, i.i),
+       |cb AS (
+       |  SELECT s.s, seeds.j, i.i,
+       |         coalesce(c.m, seeds.c[s.s * $PqDims + i.i]) AS m
+       |  FROM (SELECT unnest(generate_series(0, ${PqM - 1})) AS s) s
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $PqDims)) AS i) i
+       |  CROSS JOIN seeds
+       |  LEFT JOIN comp c ON c.s = s.s AND c.j = seeds.j AND c.i = i.i),
+       |pairs AS (
+       |  SELECT a.vec_id, cb.s, cb.j,
+       |         CAST(sum((a.vq[cb.s * $PqDims + cb.i] - cb.m)
+       |                * (a.vq[cb.s * $PqDims + cb.i] - cb.m)) AS BIGINT) AS d
+       |  FROM v a CROSS JOIN cb
+       |  GROUP BY a.vec_id, cb.s, cb.j),
+       |codes AS (
+       |  SELECT vec_id, s, j FROM (
+       |    SELECT vec_id, s, j,
+       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rk
+       |    FROM pairs) WHERE rk = 1),
+       |adc AS (
+       |  SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id, sum(l.d) AS d
+       |  FROM codes c JOIN pairs l ON l.s = c.s AND l.j = c.j
+       |  WHERE l.vec_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |budget AS (
+       |  SELECT LEAST(CAST(ceil(count(*) * $PqShortlistFrac) AS BIGINT), $PqShortlistMax) AS r
+       |  FROM embeddings),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
+       |    FROM adc) CROSS JOIN budget WHERE rk <= budget.r),
+       |fv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         list_cosine_similarity(a.v, b.v) AS sim
+       |  FROM short s JOIN fv a ON a.vec_id = s.query_id
+       |               JOIN fv b ON b.vec_id = s.neighbor_id),
+       |rked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM rr)
+       |SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
+       |FROM rked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_topk" -> (similarityTopk _),
     "similarity_ann_ivf" -> (similarityAnnIvf _),
@@ -1003,14 +1160,16 @@ object Similarity {
 
   def oracleSql: Map[String, String] = Map(
     "similarity_topk" -> similarityTopkOracle,
-    // similarity_ann_ivf: approximate by construction → rows-only check;
-    // its quality gate is the oracle-visible similarity_ann_recall row.
+    // The two ANN results are APPROXIMATE relative to exact top-k (that
+    // gap is what the recall gates price) but DETERMINISTIC by
+    // construction — every stage is replayable, so since r17 both carry
+    // full value oracles instead of rows-only checks.
+    "similarity_ann_ivf" -> similarityAnnIvfOracle,
     "similarity_ann_recall" -> annRecallOracle,
     "embedding_cluster" -> embeddingClusterOracle,
     "dedup_semantic" -> dedupSemanticOracle,
     "embedding_pq" -> embeddingPqOracle,
-    // similarity_pq_topk: approximate by construction → rows-only check;
-    // its quality gate is the oracle-visible similarity_pq_recall row.
+    "similarity_pq_topk" -> similarityPqTopkOracle,
     "similarity_pq_recall" -> pqRecallOracle,
   )
 }
