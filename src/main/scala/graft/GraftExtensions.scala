@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AvroCodec, Confluent, RefTimestamp, TopK, VectorOps, Winnow}
+import graft.functions.{AvroCodec, Confluent, RefTimestamp, SimHash, TopK, VectorOps, Winnow}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Conv, EqualTo, Expression, ExpressionInfo, Hex, Literal, Substring}
@@ -113,6 +113,11 @@ object GraftExtensions {
       "_FUNC_(text, width) - (pos, md5) of content-sampled windows (first nibble 0)") { es =>
       arity("winnow_sampled_spans", "(text, width)", es, 2)
       Winnow.WinnowSampledSpans(es(0), intLit("winnow_sampled_spans", "width", es(1)))
+    },
+    fn("simhash64",
+      "_FUNC_(tokens) - 64-bit SimHash of a token array as struct<sim_hi,sim_lo>") { es =>
+      arity("simhash64", "(tokens)", es, 1)
+      SimHash.SimHash64(es(0))
     },
     fn("topk_by_score",
       "_FUNC_(score, id, k) - aggregate: k best (score DESC, id ASC) as array<struct<id,score>>") { es =>

@@ -230,24 +230,17 @@ object Dedup {
     * bands), so unlike MinHash there is no recall probability — the
     * bucketed join provably finds every qualifying pair, and the oracle
     * can brute-force the same predicate. */
-  def simhashSig(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Docs.fanned(spark, dir)
-    val toks = docs.select(col("doc_id"), explode(Docs.tokens(col("text"))).as("t"))
-    val hx = toks.select(col("doc_id"),
-      conv(substring(md5(col("t")), 1, 8), 16, 10).cast(LongType).as("hi"),
-      conv(substring(md5(col("t")), 9, 8), 16, 10).cast(LongType).as("lo"))
-    // 64 signed bit-counters, partially aggregated map-side.
-    val counters =
-      (0 until 32).map(k =>
-        sum(when(shiftright(col("hi"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"h$k")) ++
-      (0 until 32).map(k =>
-        sum(when(shiftright(col("lo"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"l$k"))
-    val sums = hx.groupBy("doc_id").agg(counters.head, counters.tail: _*)
-    def pack(prefix: String): Column =
-      (0 until 32).map(k => when(col(s"$prefix$k") > 0, lit(1L << k)).otherwise(lit(0L)))
-        .reduce(_ + _)
-    sums.select(col("doc_id"), pack("h").as("sim_hi"), pack("l").as("sim_lo"))
-  }
+  def simhashSig(spark: SparkSession, dir: String): DataFrame =
+    Docs.fanned(spark, dir)
+      .select(col("doc_id"), Docs.tokens(col("text")).as("toks"))
+      // explode semantics: a document with no tokens has NO signature
+      // (the oracle's unnest produces no rows for it)
+      .where(size(col("toks")) > 0)
+      // the struct lands in its own projection (multi-referenced,
+      // non-cheap → CollapseProject will not inline it into both
+      // field extractions — the pqCoded sub_s pattern)
+      .select(col("doc_id"), graft.functions.SimHash.simhash64(col("toks")).as("s"))
+      .select(col("doc_id"), col("s.sim_hi").as("sim_hi"), col("s.sim_lo").as("sim_lo"))
 
   val HammingMax = 3
 

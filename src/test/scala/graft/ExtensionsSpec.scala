@@ -42,6 +42,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(v == 20L + 70L)
   }
 
+  test("simhash64 via SQL == Column API == the declarative ±1 counter formulation") {
+    val s = registered
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq("the", "quick", "brown", "fox", "the")), // duplicate votes twice
+      (2L, Seq("lorem")),
+      (3L, Seq("a", "b", "c", "d", "e", "f", "g", "h"))).toDF("doc_id", "toks")
+    df.createOrReplaceTempView("simdocs")
+    val sql = s.sql(
+      "SELECT doc_id, simhash64(toks).sim_hi AS hi, simhash64(toks).sim_lo AS lo " +
+        "FROM simdocs ORDER BY doc_id").collect()
+    val api = df.select(col("doc_id"),
+        graft.functions.SimHash.simhash64(col("toks")).as("sg"))
+      .select(col("doc_id"), col("sg.sim_hi").as("hi"), col("sg.sim_lo").as("lo"))
+      .orderBy("doc_id").collect()
+    assert(sql.toSeq == api.toSeq)
+    // bit-identity with the declarative chain the expression replaced:
+    // explode → md5 halves via conv(substring) → 64 sum(±1) counters →
+    // sign-pack (the r16 dedup_simhash formulation, verbatim)
+    val toksE = df.select(col("doc_id"), explode(col("toks")).as("t"))
+    val hx = toksE.select(col("doc_id"),
+      conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("hi"),
+      conv(substring(md5(col("t")), 9, 8), 16, 10).cast("long").as("lo"))
+    val counters =
+      (0 until 32).map(k =>
+        sum(when(shiftright(col("hi"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"h$k")) ++
+      (0 until 32).map(k =>
+        sum(when(shiftright(col("lo"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"l$k"))
+    val sums = hx.groupBy("doc_id").agg(counters.head, counters.tail: _*)
+    def pack(prefix: String) =
+      (0 until 32).map(k => when(col(s"$prefix$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    val legacy = sums.select(col("doc_id"), pack("h").as("hi"), pack("l").as("lo"))
+      .orderBy("doc_id").collect()
+    assert(api.toSeq == legacy.toSeq)
+  }
+
   test("ref timestamp functions via SQL round-trip") {
     val s = registered
     val row = s.sql(
