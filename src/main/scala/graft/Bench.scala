@@ -899,10 +899,15 @@ object Bench {
       // The committed twin of the gitignored bench_details.json: the
       // driver's BENCH_r{N}.json keeps only a 2 KB stdout tail, so
       // the judge's cross-round per-query history needs a durable
-      // home in the repo — written ONLY from the canonical config,
-      // like the README block, so a toy-sf run can't pollute it.
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_canonical.json"), detail)
+      // home in the repo — written from the canonical config ONLY.
+      // Unlike the README block there is NO env override here: a
+      // SPARK_GRAFT_README=1 toy-sf run used to replace the committed
+      // cross-round history with non-comparable figures (r17 fix) —
+      // the README rewrite is recoverable from this artifact, the
+      // artifact is not recoverable from a polluted run.
+      if (canonical)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("bench_canonical.json"), detail)
     } else
       System.err.println(s"[bench] README rewrite skipped: non-canonical run " +
         s"(sf=$sfDir cores=$nCores; set SPARK_GRAFT_README=1 to force)")

@@ -46,15 +46,23 @@ object Layout {
   private def dec2(c: Column): Column = Relational.dec2(c)
   private def one: Column = Relational.one
 
-  /** Staging root: per sf-dir, stable across JVMs so a re-run reuses
-    * nothing stale (overwrite) but tests and Verify in one JVM stage
-    * once. Lives under java.io.tmpdir, never inside the read-only
-    * testdata dir. */
-  private def stageRoot(dir: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
+  /** Staging root: per (sf-dir, PROCESS). The memo and stage lock only
+    * guard within one JVM — two processes (e.g. bench and verify
+    * running together) sharing a dir-keyed root would race: one's
+    * mode-overwrite stage deletes bucket/day files out from under the
+    * other's running scan (r17 fix, per ADVICE). The pid discriminator
+    * gives each process its own root at the cost of re-staging per
+    * process — staging is fixture-scale and already paid once per JVM.
+    * Lives under java.io.tmpdir, never inside the read-only testdata
+    * dir. */
+  private def stageTag(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"${sys.props("java.io.tmpdir")}/graft-layout-$tag"
+    s"${h}p${ProcessHandle.current().pid()}"
   }
+
+  private def stageRoot(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-layout-${stageTag(dir)}"
 
   private val stagedBuckets = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private val stagedPartitions = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -82,7 +90,7 @@ object Layout {
       }
       cached.getOrElse {
         val root = stageRoot(dir)
-        val tag = root.substring(root.lastIndexOf('-') + 1)
+        val tag = stageTag(dir)
         val oTbl = s"graft_bucketed_orders_$tag"
         val lTbl = s"graft_bucketed_lineitem_$tag"
         spark.read.parquet(s"$dir/orders.parquet")

@@ -109,6 +109,25 @@ object Similarity {
   def similarityTopk(spark: SparkSession, dir: String): DataFrame =
     similarityTopk(spark, dir, Blocks)
 
+  /** Broadcast-regime ceiling for the exact baseline's query side.
+    * `similarityTopk` makes EVERY corpus vector a query, so the r16
+    * unconditional broadcast(a) pin carried corpus × Blocks replicated
+    * vectors — correct and measured-faster at fixture scale, but it
+    * hard-fails on Spark's 8 GB broadcast ceiling the moment the query
+    * set is no longer small, with no fallback (r17, per ADVICE). The
+    * gate estimates the replicated build size from the memoized corpus
+    * count and embedding dim; past the bound the join falls back to
+    * the SHUFFLE regime the [[Blocks]] doc prices (each task sees all
+    * queries × 1/B of the corpus — B becomes the per-task memory dial
+    * again). 2 GiB leaves 4× headroom under the hard ceiling. */
+  val MaxQueryBroadcastBytes: Long = 2L << 30
+
+  /** Estimated replicated build-side bytes: rows × (vector + norm +
+    * ids/block overhead) × block replication — unit-tested arithmetic,
+    * shared by the gate and its spec. */
+  private[graft] def queryBroadcastBytes(rows: Long, dim: Int, blocks: Int): Long =
+    rows * (dim * 8L + 32L) * blocks
+
   private[graft] def similarityTopk(spark: SparkSession, dir: String,
       blocks: Int): DataFrame = {
     val n = normed(spark, dir)
@@ -122,7 +141,12 @@ object Similarity {
     // BuildLeft here, but the PQ/IVF variants showed one projection
     // slimming the corpus side flips it to streaming the one-split
     // query scan — pin the intended shape instead of relying on luck.
-    val pairs = broadcast(a).join(b, "blk").filter(col("query_id") =!= col("neighbor_id"))
+    // Gated (r17): the pin only applies while the replicated query
+    // side fits [[MaxQueryBroadcastBytes]]; see the gate doc.
+    val fits = queryBroadcastBytes(corpusCount(spark, dir),
+      embeddingDim(spark, dir), blocks) <= MaxQueryBroadcastBytes
+    val build = if (fits) broadcast(a) else a
+    val pairs = build.join(b, "blk").filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         // nullif: a zero-norm vector would otherwise THROW under this
         // default-ANSI runtime; null sims are skipped by the topk
@@ -335,7 +359,10 @@ object Similarity {
     // left to the size heuristic, Catalyst broadcast the fanned-out
     // corpus side and STREAMED the probe side (a one-split scan at
     // fixture scale), single-coring the probed-pair stage; the query
-    // side is the bounded side by assumption.
+    // side is the bounded side BY ASSUMPTION (a production ANN serves
+    // a bounded query batch against a huge corpus — when the query set
+    // is the whole corpus, run similarityTopk, whose pin is gated on
+    // [[MaxQueryBroadcastBytes]] with a shuffle fallback).
     val pairs = broadcast(probes).join(assigned, "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -674,13 +701,18 @@ object Similarity {
     * snapshot). */
   private val dimCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  /** Embedding dimension of a corpus snapshot: one head-row probe,
+    * memoized (shared by the PQ geometry and the broadcast gate). */
+  private[graft] def embeddingDim(spark: SparkSession, dir: String): Int =
+    dimCache.computeIfAbsent(dir, _ =>
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(size(col("embedding"))).head().getInt(0)).intValue()
+
   /** Subspace width for this corpus: dim / [[PqM]], failing loudly on
     * a non-divisible embedding dimension rather than silently
     * truncating trailing components out of every code. */
   private[graft] def pqSubDims(spark: SparkSession, dir: String): Int = {
-    val dim = dimCache.computeIfAbsent(dir, _ =>
-      spark.read.parquet(s"$dir/embeddings.parquet")
-        .select(size(col("embedding"))).head().getInt(0)).intValue()
+    val dim = embeddingDim(spark, dir)
     require(dim % PqM == 0,
       s"PQ geometry: embedding dim $dim (corpus $dir) is not divisible by " +
         s"PqM=$PqM subspaces — choose an M dividing the embedding model's dim")
@@ -1011,9 +1043,11 @@ object Similarity {
       // a raw one-file scan at fixture scale, and the whole O(N·Q)
       // ADC stage lands on one core (the r8-r11 single-core collapse,
       // resurrected by the build-side flip; measured 2× on the full
-      // query at sf0.1). The query side is the bounded side by
-      // assumption — the 100 TB shape streams the huge fanned-out
-      // code corpus against a broadcast of query LUTs.
+      // query at sf0.1). The query side is the bounded side BY
+      // ASSUMPTION — the 100 TB shape streams the huge fanned-out
+      // code corpus against a broadcast of query LUTs (~1 KB each at
+      // M=8, C=16); an unbounded query set wants the
+      // [[MaxQueryBroadcastBytes]]-gated shuffle fallback pattern.
       broadcast(a).join(b, "blk").filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           (-graft.functions.VectorOps.pq_adc(col("codes"), col("lut")))

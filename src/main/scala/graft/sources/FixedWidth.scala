@@ -72,8 +72,33 @@ object FixedWidth {
     val spark = lines.sparkSession
     import spark.implicits._
     val prefix = FixedWidthParser.FooterPrefix
-    val truncated = lines.mapPartitions(
-      _.takeWhile(l => !(l.length > prefix.length && l.startsWith(prefix))))
+    // Truncation is per FILE, not per packed partition (r17, per
+    // ADVICE): the text scan PACKS many small files into one
+    // FilePartition (size-descending bin packing), so a partition-wide
+    // takeWhile would let one file's footer silently drop every row of
+    // a LATER file packed behind it — the reference's chunk never
+    // spans files (common/fixed.go:66-84: chunks subdivide ONE input
+    // buffer). Rows of one file are contiguous and in order inside a
+    // packed partition, so resetting the dropping flag on each file
+    // boundary reproduces the reference semantics at any packing. A
+    // non-file lines source (the streaming twin's tests hand
+    // in-memory frames) yields one constant source tag — per-partition
+    // truncation, the pre-r17 behavior, which is exact there because
+    // those partitions ARE the chunks.
+    val truncated = lines
+      .select(col("value"), input_file_name().as("src"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        var cur: String = null
+        var dropping = false
+        it.filter { case (l, f) =>
+          if (f != cur) { cur = f; dropping = false }
+          if (!dropping && l.length > prefix.length && l.startsWith(prefix))
+            dropping = true // the footer line itself is dropped too
+          !dropping
+        }
+      }
+      .map(_._1)
     FixedWidthParser.parse(truncated.toDF("value"), schema, mode, dropFooter = false)
   }
 

@@ -146,6 +146,43 @@ class FooterTruncateSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("footer truncates per FILE even when packing puts another file behind it in one partition") {
+    // r17 regression guard: before the per-file dropping flag, the
+    // parity mode's takeWhile was per packed PARTITION — with the
+    // default openCostInBytes both small files bin-pack together
+    // (size-descending, so the larger footer file reads FIRST) and
+    // f0's footer silently swallowed every row of f1. Here the packing
+    // is forced (openCost 0, one bin) so this test fails loudly if the
+    // per-file reset ever regresses to partition-wide truncation.
+    val dir = Files.createTempDirectory("graft-footer-packed").toString
+    Files.write(Paths.get(dir, "f0.txt"),
+      Seq("aaaa   1", "************* trailer", "bbbb   2", "eeee   5")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "f1.txt"),
+      Seq("cccc   3", "dddd   4").mkString("", "\n", "\n").getBytes("UTF-8"))
+    val costKey = "spark.sql.files.openCostInBytes"
+    val minKey = "spark.sql.files.minPartitionNum"
+    val prevCost = spark.conf.get(costKey)
+    val prevMin = spark.conf.getOption(minKey)
+    spark.conf.set(costKey, "0")
+    spark.conf.set(minKey, "1")
+    try {
+      val lines = spark.read.textFile(dir)
+      assert(lines.rdd.getNumPartitions == 1,
+        "fixture must pack both files into ONE partition to exercise the regression")
+      val batch = FixedWidth.readTruncateAtFooter(spark, dir, fixed, Strict)
+        .collect().map(r => (r.getString(0).trim, r.getInt(1))).sorted.toSeq
+      assert(batch == Seq(("aaaa", 1), ("cccc", 3), ("dddd", 4)),
+        s"f0's footer must truncate f0 only — f1 packed behind it survives: $batch")
+    } finally {
+      spark.conf.set(costKey, prevCost)
+      prevMin match {
+        case Some(v) => spark.conf.set(minKey, v)
+        case None => spark.conf.unset(minKey)
+      }
+    }
+  }
+
   test("footer as last line: strict parity and default filter agree (the normal feed)") {
     val dir = fixture(Seq("aaaa   1", "bbbb   2", "************* trailer"))
     val strict = FixedWidth.readTruncateAtFooter(spark, dir, fixed, Strict)

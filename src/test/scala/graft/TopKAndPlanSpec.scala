@@ -66,6 +66,21 @@ class TopKAndPlanSpec extends SparkSpec {
       s"quadratic join shape in plan:\n${plan.take(1200)}")
   }
 
+  test("query-broadcast gate: fixture fits, an 8 GB-ceiling-breaking corpus falls back") {
+    // fixture scale: 2000 x 64-dim x 4 blocks ≈ 4.4 MB — broadcasts
+    assert(Similarity.queryBroadcastBytes(2000, 64, 4) <= Similarity.MaxQueryBroadcastBytes)
+    // 10M 1536-dim queries x 4 blocks ≈ 493 GB — must take the shuffle
+    // regime, not explode on the broadcast ceiling
+    assert(Similarity.queryBroadcastBytes(10000000, 1536, 4) > Similarity.MaxQueryBroadcastBytes)
+    // the gate bound itself keeps 4x headroom under Spark's 8 GB hard cap
+    assert(Similarity.MaxQueryBroadcastBytes * 4 <= (8L << 30))
+    // and the broadcast pin IS present on the fixture plan (the r16
+    // build-side flip regression this pin exists for)
+    val plan = executed(Similarity.similarityTopk(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"fixture-scale query side must broadcast:\n${plan.take(1200)}")
+  }
+
   test("similarity joins fan the pair compute out past the corpus scan's splits") {
     // The fixture corpus is one tiny parquet file = ONE scan split, and
     // the optimizer (correctly) broadcasts the replicated query side of
