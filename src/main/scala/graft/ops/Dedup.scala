@@ -381,9 +381,15 @@ object Dedup {
     * (dup fraction << corpus). */
   val MinTokens = 20
 
-  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
-    val victims = dedupMinhash(spark, dir)
-      .select(col("doc_b").as("doc_id")).distinct()
+  def corpusClean(spark: SparkSession, dir: String): DataFrame =
+    cleanPairGreedy(spark, dir, dedupMinhash(spark, dir))
+
+  /** The pair-greedy clean policy over ANY verified pair frame — the
+    * body shared by the self-contained oracle query ([[corpusClean]])
+    * and the staged-graph production path ([[corpusCleanStaged]]). */
+  private def cleanPairGreedy(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
+    val victims = pairs.select(col("doc_b").as("doc_id")).distinct()
     Docs.fanned(spark, dir)
       .withColumn("n_tokens", size(Docs.tokens(col("text"))).cast(LongType))
       .filter(col("n_tokens") >= MinTokens)
@@ -713,10 +719,11 @@ object Dedup {
     * This is the step a production dedup actually keys its
     * keep-one-per-cluster decision on; pairs alone under-delete
     * transitive families (a~b, b~c but not a~c). */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersOver(dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  private def clustersOver(pairs: DataFrame): DataFrame =
     connectedComponents(pairs, "doc_a", "doc_b").orderBy("doc_id")
-  }
 
   /** Oracle: transitive closure by recursive CTE over the same verified
     * pair set, cluster = min reachable id (self included). */
@@ -753,8 +760,14 @@ object Dedup {
     * union-find under the metadata bound); the final anti-join's right
     * side is one id per dropped document — broadcast-sized relative
     * to the corpus it filters. */
-  def corpusCleanClustered(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+  def corpusCleanClustered(spark: SparkSession, dir: String): DataFrame =
+    cleanClusterCollapse(spark, dir,
+      dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  /** The cluster-collapse clean policy over ANY verified pair frame
+    * (shared by the oracle query and the staged-graph path). */
+  private def cleanClusterCollapse(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     val victims = connectedComponents(pairs, "doc_a", "doc_b")
       .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
     Docs.fanned(spark, dir)
@@ -861,6 +874,70 @@ object Dedup {
        |FROM g JOIN f USING (h) JOIN documents d ON d.doc_id = f.first_doc
        |ORDER BY g.h""".stripMargin
 
+  // ----------------------------------------- staged pair-graph reuse
+
+  /** Most corpora a session cleans at once; past the bound the
+    * least-recently-used graph is unpersisted and dropped (rebuilt on
+    * next touch) — the [[graft.ops.Similarity]] ground-truth cache's
+    * LRU discipline. */
+  private val MaxPairGraphCorpora = 4
+
+  /** Access-ordered LRU over persisted pair graphs. The monitor guards
+    * MAP MUTATION only — a cold build (the full LSH + verify cascade)
+    * runs outside it, so it never blocks hits for other corpora; two
+    * threads racing one cold key both build, the loser unpersists its
+    * copy and adopts the winner's. */
+  private val pairGraphCache =
+    new java.util.LinkedHashMap[String, DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+        val evict = size() > MaxPairGraphCorpora
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
+
+  /** The verified near-dup pair graph of a corpus snapshot as a
+    * PERSISTED artifact, built once per (process, snapshot dir).
+    *
+    * The production shape the r16 verdict asked for: `corpus_clean`,
+    * `dedup_clusters` and `corpus_clean_clustered` each re-derive the
+    * identical minhash LSH + exact-Jaccard-verify cascade (~1.9 s each
+    * per sweep at sf0.1 — and at 100 TB each re-derivation is a full
+    * corpus scan, a shingle explode and a banded shuffle). The graph
+    * itself is id-pair scale — two longs + a double per VERIFIED
+    * near-dup pair, orders of magnitude smaller than the corpus — so
+    * persisting it distributed is cheap, and a real deployment writes
+    * it next to the snapshot and feeds every downstream dedup policy
+    * from it. The self-contained derivations stay registered as the
+    * oracle queries; the `*_staged` registry entries run the SAME
+    * policies over this artifact against the SAME oracles, so the
+    * driver's correctness sweep also checks staged ≡ inline and the
+    * bench shows the reuse (first consumer pays the cascade, the rest
+    * read the persisted graph). */
+  def pairGraph(spark: SparkSession, dir: String): DataFrame = {
+    val hit = pairGraphCache.synchronized(pairGraphCache.get(dir))
+    if (hit != null) return hit
+    val df = dedupMinhash(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count() // materialize now: every later consumer is a cache read
+    pairGraphCache.synchronized {
+      val raced = pairGraphCache.get(dir)
+      if (raced != null) { df.unpersist(false); raced }
+      else { pairGraphCache.put(dir, df); df }
+    }
+  }
+
+  def corpusCleanStaged(spark: SparkSession, dir: String): DataFrame =
+    cleanPairGreedy(spark, dir, pairGraph(spark, dir))
+
+  def dedupClustersStaged(spark: SparkSession, dir: String): DataFrame =
+    clustersOver(pairGraph(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  def corpusCleanClusteredStaged(spark: SparkSession, dir: String): DataFrame =
+    cleanClusterCollapse(spark, dir,
+      pairGraph(spark, dir).select(col("doc_a"), col("doc_b")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> (corpusClean _),
     "corpus_clean_clustered" -> (corpusCleanClustered _),
@@ -872,6 +949,11 @@ object Dedup {
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_clusters" -> (dedupClusters _),
     "corpus_shared_spans" -> (corpusSharedSpans _),
+    // staged pair-graph consumers: same policies, same oracles — the
+    // driver sweep checks staged ≡ inline, the bench shows the reuse
+    "corpus_clean_staged" -> (corpusCleanStaged _),
+    "dedup_clusters_staged" -> (dedupClustersStaged _),
+    "corpus_clean_clustered_staged" -> (corpusCleanClusteredStaged _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -885,5 +967,8 @@ object Dedup {
     "dedup_embedding" -> dedupEmbeddingOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "corpus_shared_spans" -> corpusSharedSpansOracle,
+    "corpus_clean_staged" -> corpusCleanOracle,
+    "dedup_clusters_staged" -> dedupClustersOracle,
+    "corpus_clean_clustered_staged" -> corpusCleanClusteredOracle,
   )
 }
