@@ -41,7 +41,30 @@ object AvroCodec {
     * re-encode round trip. */
   private[graft] type FieldWriter = (InternalRow, Int, org.apache.avro.io.Encoder) => Unit
 
+  /** For an optional `["null", T]` union, the (null branch index,
+    * value branch index, value schema). Only two-branch unions with a
+    * null member are supported — the standard Avro optional-field
+    * encoding ([[graft.schema.FixedSchema.nullableAvroJson]]); wider
+    * unions are outside both the reference's model and this codec's. */
+  private def optionalBranches(avro: Schema): (Int, Int, Schema) = {
+    val ts = avro.getTypes
+    require(ts.size == 2 &&
+        (ts.get(0).getType == Schema.Type.NULL || ts.get(1).getType == Schema.Type.NULL),
+      s"AvroCodec: only optional [\"null\", T] unions are supported, got $avro")
+    val nullIdx = if (ts.get(0).getType == Schema.Type.NULL) 0 else 1
+    (nullIdx, 1 - nullIdx, ts.get(1 - nullIdx))
+  }
+
   private def fieldWriter(dt: DataType, avro: Schema): FieldWriter = {
+    if (avro.getType == Schema.Type.UNION) {
+      // Optional union: branch index (zigzag long on the wire), then
+      // nothing for null / the value encoding for the value branch.
+      val (nullIdx, valIdx, valSchema) = optionalBranches(avro)
+      val base = fieldWriter(dt, valSchema)
+      return (r, i, e) =>
+        if (r.isNullAt(i)) { e.writeIndex(nullIdx); e.writeNull() }
+        else { e.writeIndex(valIdx); base(r, i, e) }
+    }
     val logical = Option(avro.getProp("logicalType"))
     dt match {
       case StringType  => (r, i, e) => {
@@ -92,6 +115,14 @@ object AvroCodec {
   private[graft] type FieldReader = org.apache.avro.io.Decoder => Any
 
   private def fieldReader(avro: Schema, dt: DataType): FieldReader = {
+    if (avro.getType == Schema.Type.UNION) {
+      val (nullIdx, _, valSchema) = optionalBranches(avro)
+      val base = fieldReader(valSchema, dt)
+      return d => {
+        val idx = d.readIndex()
+        if (idx == nullIdx) { d.readNull(); null } else base(d)
+      }
+    }
     val logical = Option(avro.getProp("logicalType"))
     (avro.getType, dt) match {
       case (Schema.Type.STRING, StringType) => d => {
@@ -140,6 +171,13 @@ object AvroCodec {
 
   /** Avro field value → Catalyst value converters. */
   private def decoder(avro: Schema, dt: DataType): AnyRef => Any = {
+    if (avro.getType == Schema.Type.UNION) {
+      // GenericDatumReader resolves the union per value: null or the
+      // value branch's Java representation.
+      val (_, _, valSchema) = optionalBranches(avro)
+      val base = decoder(valSchema, dt)
+      return v => if (v == null) null else base(v)
+    }
     val logical = Option(avro.getProp("logicalType"))
     (avro.getType, dt) match {
       case (Schema.Type.STRING, StringType)  => v => UTF8String.fromString(v.toString)
@@ -196,16 +234,27 @@ object AvroCodec {
     @transient private lazy val bos = new ByteArrayOutputStream(256)
     @transient private var binEnc: BinaryEncoder = _
 
+    /** Null rejection applies only to NON-optional fields: an
+      * `["null", T]` union field carries its null as a branch index
+      * (r17, [[graft.schema.FixedSchema.nullableAvroJson]]); a null in
+      * a plain field still fails loudly — the flat reference model has
+      * nowhere to put it. */
+    @transient private lazy val rejectsNull: Array[Boolean] =
+      (0 until avroSchema.getFields.size)
+        .map(i => avroSchema.getFields.get(i).schema().getType != Schema.Type.UNION)
+        .toArray
+
     override def nullSafeEval(input: Any): Any = {
       val row = input.asInstanceOf[InternalRow]
       val n = structType.size
       var i = 0
       while (i < n) {
-        if (row.isNullAt(i))
+        if (rejectsNull(i) && row.isNullAt(i))
           throw new IllegalArgumentException(
             s"avro_encode: null in field '${structType(i).name}' — the fixed-width " +
               "schema model has no unions/nullable fields (SURVEY.md §1.2); " +
-              "filter or default nulls before encoding")
+              "filter or default nulls before encoding, or encode with the " +
+              "[\"null\", T] optional schema (nullableAvroJson)")
         i += 1
       }
       bos.reset()

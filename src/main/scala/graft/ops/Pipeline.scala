@@ -112,6 +112,53 @@ object Pipeline {
       .orderBy(orderCols: _*)
   }
 
+  /** Optional-union round trip (r17): rows with NULLS in three fields
+    * (a double, a string, a timestamp — one per physical encoding
+    * class) encode under the `["null", T]` optional schema
+    * ([[graft.schema.FixedSchema.nullableAvroJson]]), frame, and decode
+    * back with the nulls intact. The reference's flat model has no
+    * unions — [[avroRoundtrip]] stays faithful to it and rejects nulls
+    * loudly — but a real pipeline carrying strict-parse nulls needs the
+    * standard Avro optional encoding; the union branch-index bytes are
+    * pinned separately in AvroDirectSpec (golden bytes), this query
+    * pins end-to-end VALUES against DuckDB. NULLS FIRST in the oracle's
+    * ORDER BY mirrors Spark's asc default (DuckDB defaults nulls
+    * last). */
+  def avroNullableRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val schemaId = 77
+    val nulled = lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+      when(col("l_orderkey") % 5 === 0, lit(null)).otherwise(col("l_quantity"))
+        .as("l_quantity"),
+      col("l_extendedprice"), col("l_discount"), col("l_tax"),
+      when(col("l_orderkey") % 7 === 0, lit(null)).otherwise(col("l_returnflag"))
+        .as("l_returnflag"),
+      col("l_linestatus"),
+      when(col("l_orderkey") % 3 === 0, lit(null)).otherwise(col("l_shipdate"))
+        .as("l_shipdate"))
+    val framed = nulled.select(Confluent.frame(
+      AvroCodec.to_avro(struct(lineitemFixed.fields.map(f => col(f.name)): _*),
+        lineitemFixed.nullableAvroJson), schemaId).as("value"))
+    // barrier before the decode projection — the same recompute class
+    // every sibling roundtrip documents (encode must not be
+    // substituted into the decode's consumer expressions).
+    barrier(framed)
+      .select(AvroCodec.from_avro_rows(col("value"),
+        Map(schemaId -> lineitemFixed.nullableAvroJson),
+        lineitemFixed.nullableAvroJson, lineitemFixed.sparkSchema))
+      .orderBy(orderCols: _*)
+  }
+
+  val avroNullableOracle: String =
+    s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+       |       CASE WHEN l_orderkey % 5 = 0 THEN NULL ELSE l_quantity END AS l_quantity,
+       |       l_extendedprice, l_discount, l_tax,
+       |       CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_returnflag END AS l_returnflag,
+       |       l_linestatus,
+       |       CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_shipdate END AS l_shipdate
+       |FROM lineitem
+       |ORDER BY ${lineitemFixed.fields.map(f => s"${f.name} NULLS FIRST").mkString(", ")}""".stripMargin
+
   /** fixed-width lines → FUSED line→Avro expression
     * ([[graft.functions.FixedAvro]], the hot export path) → unframe →
     * decode ≡ input. FixedAvroSpec pins the wire bytes identical to the
@@ -238,6 +285,7 @@ object Pipeline {
     "fixedwidth_compat" -> (compatParse _),
     "fixedwidth_compat_spacepad" -> (compatSpacePad _),
     "avro_confluent_roundtrip" -> (avroRoundtrip _),
+    "avro_nullable_roundtrip" -> (avroNullableRoundtrip _),
     "fixedwidth_toavro_fused" -> (fixedToAvroRoundtrip _),
     "fixedwidth_toavro_strict" -> (fixedToAvroStrict _),
     "ocf_roundtrip" -> (ocfRoundtrip _),
@@ -250,6 +298,7 @@ object Pipeline {
     "fixedwidth_compat" -> compatOracle,
     "fixedwidth_compat_spacepad" -> compatSpacePadOracle,
     "avro_confluent_roundtrip" -> identityOracle,
+    "avro_nullable_roundtrip" -> avroNullableOracle,
     "fixedwidth_toavro_fused" -> identityOracle,
     "fixedwidth_toavro_strict" -> fixedToAvroStrictOracle,
     "ocf_roundtrip" -> identityOracle,

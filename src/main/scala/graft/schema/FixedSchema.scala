@@ -75,6 +75,18 @@ final case class FixedSchema(recordName: String, fields: Seq[FixedField]) {
     * stripped, suitable for Avro serialization (the reference parses the
     * same file twice for the same reason — `common/avro.go:28-36`). */
   def avroJson: String = FixedSchema.toAvroJson(this)
+
+  /** The OPTIONAL-fields variant: every field's type wrapped in a
+    * `["null", T]` union with `"default": null`. The reference's model
+    * has no unions (SURVEY.md §1.2) and [[avroJson]] stays faithful to
+    * it — but strict-mode parses yield nulls, and a real pipeline that
+    * wants to CARRY those rows (rather than filter or default them)
+    * needs the standard Avro optional encoding on the write path; the
+    * read path already resolves writer schemas by id
+    * (kafkaavro/consumer.go:178-189 reads whatever schema the registry
+    * returns, unions included). Null-first branch order is the Avro
+    * convention required for a null default. */
+  def nullableAvroJson: String = FixedSchema.toAvroJson(this, nullable = true)
 }
 
 object FixedSchema {
@@ -116,7 +128,7 @@ object FixedSchema {
   /** Re-emit standard Avro JSON (no `len`). Types keep their physical
     * Avro type plus logicalType annotation so Avro consumers see the
     * same schema the reference registers. */
-  private[schema] def toAvroJson(s: FixedSchema): String = {
+  private[schema] def toAvroJson(s: FixedSchema, nullable: Boolean = false): String = {
     val root = mapper.createObjectNode()
     root.put("type", "record")
     root.put("name", s.recordName)
@@ -128,9 +140,9 @@ object FixedSchema {
         case "Bytes" => "bytes" // reference spells it with a capital B (common/avro.go:44)
         case t       => t
       }
-      f.logicalType match {
+      val typeNode: com.fasterxml.jackson.databind.JsonNode = f.logicalType match {
         case Some(lt) =>
-          val tn = fn.putObject("type")
+          val tn = mapper.createObjectNode()
           // Avro logical types ride on a physical carrier type.
           val carrier = lt match {
             case "date"                                   => "int"
@@ -149,9 +161,19 @@ object FixedSchema {
           }
           tn.put("type", carrier)
           tn.put("logicalType", lt)
+          tn
         case None =>
-          fn.put("type", physical)
+          mapper.getNodeFactory.textNode(physical)
       }
+      if (nullable) {
+        // ["null", T] with a null default — the standard Avro optional
+        // field encoding (null branch FIRST: Avro requires the default's
+        // type to match the union's first branch).
+        val u = fn.putArray("type")
+        u.add("null")
+        u.add(typeNode)
+        fn.putNull("default")
+      } else fn.set[ObjectNode]("type", typeNode)
     }
     mapper.writeValueAsString(root)
   }
