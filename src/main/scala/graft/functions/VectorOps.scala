@@ -258,6 +258,90 @@ object VectorOps {
       copy(left = l, right = r)
   }
 
+  /** Cosine similarity of one vector against a whole CENTROID MATRIX
+    * in a single expression: element j of the output is
+    * `dot(v, centroids(j)) / (nrm · norms(j))`, null where the norm
+    * product is zero (the engine-wide ANSI-divide zero-norm guard) —
+    * value-identical, cell by cell, to the `array(dot/nullif, …)`
+    * composition it replaces.
+    *
+    * Why it exists (r17): with the cluster count now DERIVED from
+    * corpus size, the per-centroid expression composition stopped
+    * scaling in PLAN size — at k=63 the assignment projection carried
+    * 63 inlined dot products with 64-element literal arrays each, and
+    * whole-stage codegen gave up on the stage entirely (no `*(n)`
+    * spans — every row evaluated interpreted; embedding_cluster
+    * 0.33 → 1.63 s at sf0.1). One expression holding the matrix as a
+    * reference object keeps the generated code CONSTANT-size in k, so
+    * the k=clamp(N/32, …) law can push k to 10⁵ without touching the
+    * plan. Dimension mismatch → null result, the
+    * DotProduct/HyperplaneSignBands corruption convention. */
+  case class CentroidSims(left: Expression, right: Expression,
+      centroids: Array[Array[Double]], norms: Array[Double])
+      extends BinaryExpression with ImplicitCastInputTypes {
+    require(centroids.nonEmpty && centroids.length == norms.length,
+      s"centroid matrix/norms mismatch: ${centroids.length} vs ${norms.length}")
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), DoubleType)
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+    override def prettyName: String = "vec_centroid_sims"
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+
+    @transient private lazy val k = centroids.length
+    @transient private lazy val dim0 = centroids(0).length
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val nrm = b.asInstanceOf[Double]
+      if (x.numElements() != dim0) return null
+      val out = new Array[Any](k)
+      var j = 0
+      while (j < k) {
+        val c = centroids(j)
+        var s = 0.0
+        var i = 0
+        while (i < dim0) { s += x.getDouble(i) * c(i); i += 1 }
+        val den = nrm * norms(j)
+        out(j) = if (den == 0.0) null else java.lang.Double.valueOf(s / den)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val nRef = ctx.addReferenceObj("norms", norms, "double[]")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val out = ctx.freshName("out")
+        val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val s = ctx.freshName("s")
+        val i = ctx.freshName("i")
+        val den = ctx.freshName("den")
+        s"""
+           |if ($a.numElements() != $dim0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  Object[] $out = new Object[$k];
+           |  for (int $j = 0; $j < $k; $j++) {
+           |    double[] $c = $cRef[$j];
+           |    double $s = 0.0;
+           |    for (int $i = 0; $i < $dim0; $i++) {
+           |      $s += $a.getDouble($i) * $c[$i];
+           |    }
+           |    double $den = $b * $nRef[$j];
+           |    $out[$j] = ($den == 0.0) ? null : (Object) java.lang.Double.valueOf($s / $den);
+           |  }
+           |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |}
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CentroidSims =
+      copy(left = l, right = r)
+  }
+
   /** Asymmetric-distance (ADC) table lookup: given a vector's PQ codes
     * (array<int>, one codeword index per subspace) and a QUERY's
     * precomputed distance table (ONE FLAT array<long> of M·C entries,
@@ -342,6 +426,11 @@ object VectorOps {
 
   def vec_lsh_bands(a: Column, planes: Array[Array[Double]], rowsPerBand: Int): Column =
     ColumnBridge.column(HyperplaneSignBands(ColumnBridge.expression(a), planes, rowsPerBand))
+
+  def vec_centroid_sims(v: Column, nrm: Column,
+      centroids: Array[Array[Double]], norms: Array[Double]): Column =
+    ColumnBridge.column(CentroidSims(ColumnBridge.expression(v),
+      ColumnBridge.expression(nrm), centroids, norms))
 
   def pq_adc(codes: Column, lut: Column): Column =
     ColumnBridge.column(AdcLookup(ColumnBridge.expression(codes), ColumnBridge.expression(lut)))

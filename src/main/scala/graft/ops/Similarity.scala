@@ -270,9 +270,17 @@ object Similarity {
     seedCache.computeIfAbsent((dir, cells), _ => seedPivots(normed(spark, dir), cells))
   }
 
-  private def cosTo(cell: (Long, Array[Double], Double)): Column =
-    Dedup.dot(col("v"), typedLit(cell._2.toSeq)) /
-      nullif(col("nrm") * lit(cell._3), lit(0.0))
+  /** The per-cell cosine array over the whole centroid set as ONE
+    * expression (r17): `array(dot/nullif, …)` composed per centroid
+    * made the plan grow linearly in k, and past a few dozen cells
+    * whole-stage codegen gave up on the stage (interpreted eval,
+    * embedding_cluster 0.33 → 1.63 s when the derived k hit 63).
+    * [[graft.functions.VectorOps.CentroidSims]] holds the matrix as a
+    * reference object — generated code constant-size in k, cell values
+    * identical (same dot order, same zero-norm null guard). */
+  private def centroidSimsCol(seeds: Array[(Long, Array[Double], Double)]): Column =
+    graft.functions.VectorOps.vec_centroid_sims(col("v"), col("nrm"),
+      seeds.map(_._2), seeds.map(_._3))
 
   /** One Lloyd iteration (the classic IVF centroid-training step):
     * assign every vector to its nearest seed, recompute each cell's
@@ -283,12 +291,11 @@ object Similarity {
     * index build. */
   private def refinedPivots(n: DataFrame,
       seeds: Array[(Long, Array[Double], Double)]): Array[(Long, Array[Double], Double)] = {
-    val sims = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(seeds.map(cosTo)): _*)
-    val assigned = n.withColumn("cellSims", sims)
+    val assigned = n.withColumn("cellSims", centroidSimsCol(seeds))
       .withColumn("cell", expr("array_position(cellSims, array_max(cellSims)) - 1"))
     val centroidRows = assigned
       // cell IS NULL: a zero-norm vector's cellSims are all null
-      // (cosTo's ANSI divide guard), so argmax position is null —
+      // (CentroidSims' ANSI-divide guard), so argmax position is null —
       // such a vector belongs to no cell and must not reach the
       // driver-side getLong (NPE) or skew a centroid mean.
       .where(col("cell").isNotNull)
@@ -341,8 +348,7 @@ object Similarity {
     val pivots = ivfPivots(spark, dir)
     // Cell similarity array → assigned cell (argmax) per vector, probe
     // list (top nProbe cells) per query.
-    val cellSims = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(pivots.map(cosTo)): _*)
-    val withCells = n.withColumn("cellSims", cellSims)
+    val withCells = n.withColumn("cellSims", centroidSimsCol(pivots))
       .withColumn("cell", expr(
         s"array_position(cellSims, array_max(cellSims)) - 1"))
     val assigned = fanOut(spark, dir, "embeddings",
@@ -536,14 +542,25 @@ object Similarity {
     * streaming assignment arithmetic too. Centroids are plan
     * literals: works identically on a batch or micro-batch plan. */
   private[graft] def clusterAssignment(n: DataFrame,
+      seeds: Array[(Long, Array[Double], Double)]): DataFrame =
+    assignedCells(n, seeds)
+      .select(col("vec_id"), col("cluster_id"),
+        round(element_at(col("sims"), col("pos").cast(IntegerType)), 6).as("sim"))
+
+  /** Shared assignment block: (input columns…, sims, pos, cluster_id).
+    * Argmax = FIRST position of the array max — seeds are sorted by
+    * class, so equal sims resolve to the smallest class, exactly the
+    * struct-min (−sim, cls) tie-break this replaces (and the oracle's
+    * `ORDER BY sim DESC, cls` row_number). A zero-norm vector's sims
+    * are all null → array_max null → pos/cluster_id null (it belongs
+    * to no cell — the [[refinedPivots]] convention; assignment of such
+    * a vector is contract-undefined but must not throw). */
+  private def assignedCells(n: DataFrame,
       seeds: Array[(Long, Array[Double], Double)]): DataFrame = {
-    val cands = seeds.map(s =>
-      struct((-cosTo(s)).as("negsim"), lit(s._1).as("cls")))
-    n.withColumn("best",
-        array_min(array(scala.collection.immutable.ArraySeq.unsafeWrapArray(cands): _*)))
-      .select(col("vec_id"),
-        col("best.cls").cast(org.apache.spark.sql.types.LongType).as("cluster_id"),
-        round(-col("best.negsim"), 6).as("sim"))
+    val clsLit = typedLit(seeds.map(_._1).toSeq)
+    n.withColumn("sims", centroidSimsCol(seeds))
+      .withColumn("pos", expr("array_position(sims, array_max(sims))"))
+      .withColumn("cluster_id", element_at(clsLit, col("pos").cast(IntegerType)))
   }
 
   /** Normalize an embeddings-shaped frame (vec_id, embedding) to the
@@ -624,14 +641,9 @@ object Similarity {
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     val n = normed(spark, dir)
     val seeds = seedPivotsCached(spark, dir)
-    val cands = seeds.map(s =>
-      struct((-cosTo(s)).as("negsim"), lit(s._1).as("cls")))
     val asg = fanOut(spark, dir, "embeddings",
-      n.withColumn("best",
-          array_min(array(scala.collection.immutable.ArraySeq.unsafeWrapArray(cands): _*)))
-        .select(col("vec_id"),
-          col("best.cls").cast(org.apache.spark.sql.types.LongType).as("cluster_id"),
-          col("v"), col("nrm")),
+      assignedCells(n, seeds)
+        .select(col("vec_id"), col("cluster_id"), col("v"), col("nrm")),
       col("cluster_id"), col("vec_id"))
     val dups = asg.as("a").join(asg.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&

@@ -82,6 +82,52 @@ class ClusterGeometrySpec extends SparkSpec {
     assert(p.contains("partial_min_by"), p)
   }
 
+  test("CentroidSims == the per-cell dot/nullif composition, cell by cell") {
+    import graft.functions.VectorOps
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .limit(64)
+    val seeds = Similarity.seedPivotsFor(spark, sf)
+    val centroids = seeds.map(_._2)
+    val norms = seeds.map(_._3)
+    val n = vecs.withColumn("nrm", VectorOps.vec_norm(col("v")))
+    val one = seeds.indices.map(j =>
+      (VectorOps.vec_dot(col("v"), typedLit(centroids(j).toSeq)) /
+        nullif(col("nrm") * lit(norms(j)), lit(0.0))).as(s"c$j"))
+    val composed = n.select(col("vec_id") +: one: _*).collect()
+      .map(r => r.getLong(0) -> seeds.indices.map(j =>
+        if (r.isNullAt(j + 1)) null else r.getDouble(j + 1))).toMap
+    val fused = n.select(col("vec_id"),
+        VectorOps.vec_centroid_sims(col("v"), col("nrm"), centroids, norms).as("sims"))
+      .collect()
+    fused.foreach { r =>
+      val got = r.getSeq[Any](1)
+      assert(got == composed(r.getLong(0)), s"vec ${r.getLong(0)}")
+    }
+    // corruption convention: wrong dimension → null result, zero norm
+    // product → null cell
+    val bad = spark.range(1).select(
+      VectorOps.vec_centroid_sims(typedLit(Seq(1.0, 2.0)), lit(1.0),
+        centroids, norms).as("s")).head()
+    assert(bad.isNullAt(0), "dimension mismatch must null out")
+    val zeroN = spark.range(1).select(
+      VectorOps.vec_centroid_sims(typedLit(centroids(0).toSeq), lit(0.0),
+        centroids, norms).as("s")).head().getSeq[Any](0)
+    assert(zeroN.forall(_ == null), "zero query norm nulls every cell")
+  }
+
+  test("assignment stage stays inside whole-stage codegen at derived k") {
+    // The r17 regression this pins: at k=63 the per-centroid expression
+    // composition blew past codegen limits and the WHOLE stage ran
+    // interpreted (no *(n) spans anywhere in the plan; 0.33 → 1.63 s).
+    // CentroidSims keeps generated code constant-size in k.
+    val df = Similarity.embeddingCluster(spark, "/root/testdata/sf0.1")
+    df.collect() // AQE renders *(n) spans only once the plan is final
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("),
+      s"no WholeStageCodegen span in embedding_cluster's plan:\n${plan.take(800)}")
+  }
+
   test("measured cluster sizes on the fixtures track the law's expectation") {
     for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
       val asg = Similarity.embeddingCluster(spark, dir)
