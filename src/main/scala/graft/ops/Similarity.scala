@@ -354,23 +354,34 @@ object Similarity {
     val assigned = fanOut(spark, dir, "embeddings",
       withCells.select(col("vec_id"), col("v"), col("nrm"), col("cell")),
       col("cell"), col("vec_id"))
-    val probes = withCells.select(col("vec_id").as("query_id"),
-      col("v").as("va"), col("nrm").as("na"),
+    // Probe list SLIMMED to id pairs (r17): the probe frame used to
+    // carry the full query vector on every (query, probed cell) row —
+    // nProbe-fold replication of the vectors through the broadcast
+    // (Q·nProbe·vecBytes; the derived geometry quadrupled it the
+    // moment k grew). Split into two map-side broadcast joins instead:
+    // the (query_id, cell) id pairs first (Q·nProbe·16 B), then the
+    // query vectors ONCE per query (Q·vecBytes) onto the matched
+    // pairs. At a bounded query batch against a 100 TB corpus both
+    // broadcasts stay trivially small while the corpus side streams.
+    val probeCells = withCells.select(col("vec_id").as("query_id"),
       explode(slice(expr(
         "transform(array_sort(zip_with(cellSims, sequence(0, size(cellSims)-1), (s, i) -> struct(-s AS negs, i AS idx))), p -> p.idx)"),
         1, nProbe)).as("cell"))
+    val queryVecs = n.select(col("vec_id").as("query_id"),
+      col("v").as("va"), col("nrm").as("na"))
     // Exact rerank within probed cells, bounded top-k aggregation — the
     // same shape as the exact baseline, over nProbe/C of the pairs.
-    // broadcast(probes): the same build-side pin as the PQ paths —
-    // left to the size heuristic, Catalyst broadcast the fanned-out
-    // corpus side and STREAMED the probe side (a one-split scan at
-    // fixture scale), single-coring the probed-pair stage; the query
-    // side is the bounded side BY ASSUMPTION (a production ANN serves
-    // a bounded query batch against a huge corpus — when the query set
+    // broadcast(...): the same build-side pin as the PQ paths — left
+    // to the size heuristic, Catalyst broadcast the fanned-out corpus
+    // side and STREAMED the probe side (a one-split scan at fixture
+    // scale), single-coring the probed-pair stage; the query side is
+    // the bounded side BY ASSUMPTION (a production ANN serves a
+    // bounded query batch against a huge corpus — when the query set
     // is the whole corpus, run similarityTopk, whose pin is gated on
     // [[MaxQueryBroadcastBytes]] with a shuffle fallback).
-    val pairs = broadcast(probes).join(assigned, "cell")
+    val pairs = broadcast(probeCells).join(assigned, "cell")
       .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(queryVecs), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         // nullif: the default-ANSI zero-norm guard, same as the exact
         // path — null sims are skipped by the topk aggregate.
