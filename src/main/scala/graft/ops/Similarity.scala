@@ -253,11 +253,8 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
 
-  // nullif: a zero-norm vector (or degenerate all-zero seed) must not
-  // THROW under default-ANSI double division — assignment of such a
-  // vector is contract-undefined, but the query must survive it.
   /** Seed pivots memoized per corpus snapshot (r16): the seed scan is
-    * a full-corpus window pass + driver collect — index CONSTRUCTION
+    * a full-corpus aggregation pass + driver collect — index CONSTRUCTION
     * under the [[pivotCache]] doctrine, which must not ride along with
     * every embedding_cluster / dedup_semantic / streaming-assignment
     * invocation. Same key discipline as the other index caches. */
