@@ -507,6 +507,14 @@ object AvroCodec {
   private[graft] final val KTsMillis = 8
 
   private def fieldKind(dt: DataType, avro: Schema): Int = {
+    // The fused direct encoder dispatches on the SPARK type — handed an
+    // optional-union schema it would silently write the value WITHOUT
+    // its branch index: bytes that CLAIM the union schema but decode as
+    // garbage. Reject at plan build; the general [[AvroEncode]] path
+    // carries optional unions (r17).
+    require(avro.getType != Schema.Type.UNION,
+      "avro_encode_direct: union schemas are not supported by the fused " +
+        "encoder — use to_avro/AvroEncode for [\"null\", T] optional fields")
     val logical = Option(avro.getProp("logicalType"))
     dt match {
       case StringType => KStr
