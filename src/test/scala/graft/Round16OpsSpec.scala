@@ -152,18 +152,29 @@ class Round16OpsSpec extends SparkSpec {
     // side flips Catalyst's broadcast heuristic to streaming the
     // one-split query scan, single-coring the quadratic stage. The
     // explicit broadcast() pins must hold in the executed plan.
-    for ((name, df) <- Seq(
-      "similarity_topk" -> Similarity.similarityTopk(spark, sf),
-      "similarity_ann_ivf" -> Similarity.similarityAnnIvf(spark, sf),
-      "pq_adc_lut" -> Similarity.pqAdcStage(spark, sf, lutScoring = true),
-      "pq_adc_recon" -> Similarity.pqAdcStage(spark, sf, lutScoring = false))) {
+    for ((name, df, key) <- Seq(
+      ("similarity_topk", Similarity.similarityTopk(spark, sf), "blk"),
+      ("similarity_ann_ivf", Similarity.similarityAnnIvf(spark, sf), "cell"),
+      ("pq_adc_lut", Similarity.pqAdcStage(spark, sf, lutScoring = true), "blk"),
+      ("pq_adc_recon", Similarity.pqAdcStage(spark, sf, lutScoring = false), "blk"))) {
       val plan = df.queryExecution.executedPlan.toString
       val joins = plan.split("\n").filter(_.contains("BroadcastHashJoin"))
-      assert(joins.nonEmpty, s"$name: expected a broadcast hash join:\n$plan")
-      // the blocked/celled candidate join is the first (topmost) one
-      assert(joins.head.contains("BuildLeft"),
-        s"$name: candidate join must broadcast the query side:\n${joins.head}")
+      // the candidate join is the one keyed on the block/cell column
+      val cand = joins.filter(_.contains(s"[$key#"))
+      assert(cand.nonEmpty, s"$name: expected a broadcast hash join on $key:\n$plan")
+      assert(cand.forall(_.contains("BuildLeft")),
+        s"$name: candidate join must broadcast the query side:\n${cand.mkString("\n")}")
     }
+    // the r17 slimmed IVF additionally re-attaches the query vectors in
+    // a SECOND broadcast join keyed on query_id — its build side is the
+    // broadcast vector frame on the RIGHT (the pair stream stays
+    // streamed); a BuildLeft here would broadcast the pair stream.
+    val ivfPlan = Similarity.similarityAnnIvf(spark, sf)
+      .queryExecution.executedPlan.toString
+    val attach = ivfPlan.split("\n")
+      .filter(l => l.contains("BroadcastHashJoin") && l.contains("[query_id#"))
+    assert(attach.nonEmpty && attach.forall(_.contains("BuildRight")),
+      s"query-vector attach must broadcast the vector side:\n${attach.mkString("\n")}")
   }
 
   test("corpus_domain_cap plan: bounded aggregate, not a window sort") {
