@@ -36,7 +36,18 @@ object Ocf {
     * mirror of the writer: timestamps/dates stay epoch micros/days
     * longs/ints (no LocalDateTime round-trip), strings wrap the Avro
     * Utf8 buffer's bytes without a char decode. */
-  private def avroToInternal(avro: Schema, dt: DataType): AnyRef => Any = {
+  private def avroToInternal(avroRaw: Schema, dt: DataType): AnyRef => Any = {
+    // Optional-union fields (r17): the resolving reader hands us the
+    // VALUE (or null — handled by the caller's null guard), but the
+    // logicalType annotation lives on the union's value BRANCH, not the
+    // union itself — dispatching on the raw union schema would silently
+    // read timestamp-millis as micros.
+    val avro =
+      if (avroRaw.getType == Schema.Type.UNION)
+        avroRaw.getTypes.stream.filter(_.getType != Schema.Type.NULL)
+          .findFirst.orElseThrow(() => new IllegalArgumentException(
+            s"Ocf: union without a value branch: $avroRaw"))
+      else avroRaw
     val logical = Option(avro.getProp("logicalType"))
     dt match {
       case StringType  => {
@@ -72,9 +83,17 @@ object Ocf {
 
   /** Write `df` as snappy OCF, one file per partition named
     * `<dir>/part-<partitionId>.avro` (≡ `<dir><chunkNr>`,
-    * `fixed2avro/Exporters.go:112-123`). */
-  def write(df: DataFrame, schema: FixedSchema, dir: String): Unit = {
-    val avroJson = schema.avroJson
+    * `fixed2avro/Exporters.go:112-123`).
+    *
+    * `nullable = true` writes the `["null", T]` optional-union schema
+    * ([[graft.schema.FixedSchema.nullableAvroJson]]) so null fields
+    * are carried instead of crashing the encode — the r17 write-path
+    * union support. Union shapes fail [[OcfWire.supports]], so they
+    * take the stock DataFileWriter over the union-capable datum
+    * writer; the flat default keeps the direct wire path. */
+  def write(df: DataFrame, schema: FixedSchema, dir: String,
+      nullable: Boolean = false): Unit = {
+    val avroJson = if (nullable) schema.nullableAvroJson else schema.avroJson
     val sparkSchema = df.schema
     // Session Hadoop conf, serializably captured: keeps fs.defaultFS /
     // object-store credentials working on executors (a bare
@@ -238,9 +257,10 @@ object Ocf {
     * schema of `schema`. Decoding uses each file's embedded writer
     * schema (implicit evolution, like the consumer read path —
     * `kafkaavro/consumer.go:178-189`). */
-  def read(spark: SparkSession, dir: String, schema: FixedSchema): DataFrame = {
+  def read(spark: SparkSession, dir: String, schema: FixedSchema,
+      nullable: Boolean = false): DataFrame = {
     val sparkSchema = schema.sparkSchema
-    val readerJson = schema.avroJson
+    val readerJson = if (nullable) schema.nullableAvroJson else schema.avroJson
     val rdd = spark.sparkContext
       .binaryFiles(dir + "/*.avro")
       .flatMap { case (_, pds) =>
