@@ -38,9 +38,10 @@ object KafkaStage {
     * the produced VALUE frames use `schemaId` from config, not this
     * valueId, for reference parity (§2.4). */
   def registerSubjects(registry: SchemaRegistryClient, topic: String,
-      schema: FixedSchema): (Int, Int) = {
+      schema: FixedSchema, nullable: Boolean = false): (Int, Int) = {
     val keyId = registry.register(s"$topic-key", "\"string\"")
-    val valueId = registry.register(s"$topic-value", schema.avroJson)
+    val valueId = registry.register(s"$topic-value",
+      if (nullable) schema.nullableAvroJson else schema.avroJson)
     (keyId, valueId)
   }
 
@@ -57,6 +58,27 @@ object KafkaStage {
     df.select(
       Confluent.frame(lit(KeyBytes), keySchemaId).as("key"),
       AvroCodec.to_avro_confluent(fieldCols, schema.avroJson, schemaId).as("value"),
+      lit(topic).as("topic"),
+      spark_partition_id().as("partition"))
+  }
+
+  /** Optional-union staging variant (r17): frames the value under the
+    * `["null", T]` schema so null fields are CARRIED to the topic
+    * instead of killing the encode — pair with
+    * `registerSubjects(..., nullable = true)` so consumers resolve the
+    * union by the registered id ([[graft.sources.KafkaConsume]]'s
+    * field readers handle optional unions). Goes through the general
+    * [[AvroCodec.to_avro]] path: the fused direct encoder is flat-only
+    * BY DESIGN (it rejects union schemas at plan build) — the fused
+    * fast path remains the null-free reference shape. */
+  def stageNullable(df: DataFrame, schema: FixedSchema, schemaId: Int,
+      topic: String, keySchemaId: Int): DataFrame = {
+    val fieldCols: Seq[Column] = schema.fields.map(f => col(f.name))
+    df.select(
+      Confluent.frame(lit(KeyBytes), keySchemaId).as("key"),
+      Confluent.frame(
+        AvroCodec.to_avro(struct(fieldCols: _*), schema.nullableAvroJson),
+        schemaId).as("value"),
       lit(topic).as("topic"),
       spark_partition_id().as("partition"))
   }

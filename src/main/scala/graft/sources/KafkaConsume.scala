@@ -56,7 +56,7 @@ object KafkaConsume {
     */
   def decode(framed: DataFrame, registry: SchemaRegistryClient,
       target: FixedSchema, knownIds: Seq[Int] = Nil,
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value", nullable: Boolean = false): DataFrame = {
     val spark = framed.sparkSession
     // Discovery path: persist so the id scan and the decode share one
     // materialization (round-1 ran the whole upstream pipeline N+1 times
@@ -75,7 +75,12 @@ object KafkaConsume {
     // Generator form: one decode per message emitting top-level columns
     // (the struct + `r.*` form decodes once per OUTPUT column after
     // projection collapse); junk messages yield zero rows.
+    // nullable (r17): a stream produced under the ["null", T] optional
+    // schema (KafkaStage.stageNullable) needs the union READER schema
+    // too — resolving a union writer into the flat reader only works
+    // until the first actual null, which would kill the decode.
+    val readerJson = if (nullable) target.nullableAvroJson else target.avroJson
     input.select(AvroCodec.from_avro_rows(col(valueCol), schemasById,
-      target.avroJson, target.sparkSchema))
+      readerJson, target.sparkSchema))
   }
 }
