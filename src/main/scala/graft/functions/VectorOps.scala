@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -342,6 +343,150 @@ object VectorOps {
       copy(left = l, right = r)
   }
 
+  /** Per-subspace PQ codeword argmin over the WHOLE codebook in one
+    * expression: for each of the `m` subspaces, the candidate class
+    * with the smallest integer L2² to the input's subvector (ties →
+    * the earlier candidate; `classes` is sorted ascending, so this is
+    * the smallest class — the (d, j) struct-min rule the composed
+    * formulation pinned). Returns
+    * struct<codes: array<int>, pq_code: long, distortion: long> —
+    * the per-subspace classes, the packed 4-bit/subspace code, and the
+    * summed quantization distortion.
+    *
+    * Why (r17): the composed form built m×|classes| `vec_l2sq_long`
+    * candidates (128 at the fixture geometry) into one projection —
+    * outside whole-stage codegen the stage ran interpreted, and the
+    * plan carried every codeword as a separate literal. One reference
+    * object + one generated loop keeps plan and code constant-size.
+    * Only candidates in `classes` are considered — an uninhabited
+    * residue class is NOT a zero codeword (the dense-with-zeros trap). */
+  case class PqCodeArgmin(child: Expression, classes: Array[Int],
+      codewords: Array[Array[Long]], m: Int, dims: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(classes.nonEmpty && classes.length == codewords.length && m > 0 && dims > 0)
+    require(classes.sameElements(classes.sorted),
+      "pq_code_argmin: classes must be sorted (the smallest-class tie-break)")
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = StructType(Seq(
+      StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+      StructField("pq_code", LongType, nullable = false),
+      StructField("distortion", LongType, nullable = false)))
+    override def prettyName: String = "pq_code_argmin"
+    override def nullIntolerant: Boolean = true
+    // Length mismatch (corrupt vector) → null, the vec_dot convention.
+    override def nullable: Boolean = true
+
+    @transient private lazy val n = classes.length
+    @transient private lazy val total = m * dims
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      if (x.numElements() != total) return null
+      val codes = new Array[Int](m)
+      var pq = 0L
+      var dist = 0L
+      var s = 0
+      while (s < m) {
+        var bestD = Long.MaxValue
+        var bestJ = 0
+        var j = 0
+        while (j < n) {
+          val cw = codewords(j)
+          var d = 0L
+          var i = 0
+          val off = s * dims
+          while (i < dims) {
+            val t = x.getLong(off + i) - cw(off + i)
+            d += t * t
+            i += 1
+          }
+          if (d < bestD) { bestD = d; bestJ = classes(j) }
+          j += 1
+        }
+        codes(s) = bestJ
+        pq += bestJ.toLong << (4 * s)
+        dist += bestD
+        s += 1
+      }
+      InternalRow(new GenericArrayData(codes), pq, dist)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqArgmin", this, classOf[PqCodeArgmin].getName)
+      nullSafeCodeGen(ctx, ev, a => {
+        val r = ctx.freshName("r")
+        s"""
+           |Object $r = $ref.nullSafeEval($a);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): PqCodeArgmin =
+      copy(child = c)
+  }
+
+  /** A query's flat ADC lookup table in one expression: entry
+    * s·`numClasses` + cls = integer L2² of the query's subspace-s
+    * subvector to class cls's codeword; slots of uninhabited classes
+    * stay 0 (no code ever indexes them — exactly the composed
+    * formulation's zero-filled rows). Output feeds [[AdcLookup]]. */
+  case class PqQueryLut(child: Expression, classes: Array[Int],
+      codewords: Array[Array[Long]], m: Int, dims: Int, numClasses: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(classes.nonEmpty && classes.length == codewords.length && m > 0 && dims > 0)
+    require(classes.forall(c => c >= 0 && c < numClasses))
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "pq_query_lut"
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+
+    @transient private lazy val n = classes.length
+    @transient private lazy val total = m * dims
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      if (x.numElements() != total) return null
+      val out = new Array[Long](m * numClasses)
+      var s = 0
+      while (s < m) {
+        var j = 0
+        while (j < n) {
+          val cw = codewords(j)
+          var d = 0L
+          var i = 0
+          val off = s * dims
+          while (i < dims) {
+            val t = x.getLong(off + i) - cw(off + i)
+            d += t * t
+            i += 1
+          }
+          out(s * numClasses + classes(j)) = d
+          j += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqLut", this, classOf[PqQueryLut].getName)
+      nullSafeCodeGen(ctx, ev, a => {
+        val r = ctx.freshName("r")
+        s"""
+           |Object $r = $ref.nullSafeEval($a);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): PqQueryLut =
+      copy(child = c)
+  }
+
   /** Asymmetric-distance (ADC) table lookup: given a vector's PQ codes
     * (array<int>, one codeword index per subspace) and a QUERY's
     * precomputed distance table (ONE FLAT array<long> of M·C entries,
@@ -431,6 +576,16 @@ object VectorOps {
       centroids: Array[Array[Double]], norms: Array[Double]): Column =
     ColumnBridge.column(CentroidSims(ColumnBridge.expression(v),
       ColumnBridge.expression(nrm), centroids, norms))
+
+  def pq_code_argmin(vq: Column, classes: Array[Int],
+      codewords: Array[Array[Long]], m: Int, dims: Int): Column =
+    ColumnBridge.column(PqCodeArgmin(ColumnBridge.expression(vq),
+      classes, codewords, m, dims))
+
+  def pq_query_lut(vq: Column, classes: Array[Int], codewords: Array[Array[Long]],
+      m: Int, dims: Int, numClasses: Int): Column =
+    ColumnBridge.column(PqQueryLut(ColumnBridge.expression(vq),
+      classes, codewords, m, dims, numClasses))
 
   def pq_adc(codes: Column, lut: Column): Column =
     ColumnBridge.column(AdcLookup(ColumnBridge.expression(codes), ColumnBridge.expression(lut)))

@@ -807,22 +807,15 @@ object Similarity {
   private def pqRefine(spark: SparkSession, dir: String,
       seeds: Array[(Int, Array[Long])]): Array[(Int, Array[Long])] = {
     val dims = pqSubDims(spark, dir)
-    val subbed = quantized(spark, dir).select(
-      col("vec_id") +:
-        (0 until PqM).map(s => slice(col("vq"), s * dims + 1, dims).as(s"sub_$s")): _*)
-    val bests = (0 until PqM).map { s =>
-      val cands = seeds.map { case (cls, cw) =>
-        struct(pqL2(col(s"sub_$s"), scala.collection.immutable.ArraySeq.unsafeWrapArray(
-          cw.slice(s * dims, (s + 1) * dims))).as("d"),
-          lit(cls).as("j"))
-      }
-      array_min(array(scala.collection.immutable.ArraySeq.unsafeWrapArray(cands): _*))
-        .getField("j").as(s"j_$s")
-    }
-    val assigned = subbed.select(
-      (0 until PqM).map(s => col(s"sub_$s")) ++ bests: _*)
+    // One fused argmin pass (r17): the per-candidate struct-min
+    // composition is now [[graft.functions.VectorOps.PqCodeArgmin]] —
+    // same (d, smallest-class) rule, constant-size plan/codegen.
+    val assigned = quantized(spark, dir)
+      .withColumn("pc", graft.functions.VectorOps.pq_code_argmin(col("vq"),
+        seeds.map(_._1), seeds.map(_._2), PqM, dims))
     val stacked = assigned.select(explode(array((0 until PqM).map(s =>
-      struct(lit(s).as("s"), col(s"j_$s").as("j"), col(s"sub_$s").as("sub"))): _*)).as("e"))
+      struct(lit(s).as("s"), element_at(col("pc.codes"), s + 1).as("j"),
+        slice(col("vq"), s * dims + 1, dims).as("sub"))): _*)).as("e"))
       .select(col("e.s").as("s"), col("e.j").as("j"),
         posexplode(col("e.sub")).as(Seq("pos", "x")))
     val means = stacked.groupBy("s", "j", "pos")
@@ -852,39 +845,23 @@ object Similarity {
       pqRefine(spark, dir, seeds)
     })
 
-  /** Integer L2² between a column slice and a literal codeword slice —
-    * the codegen'd [[graft.functions.VectorOps.vec_l2sq_long]] (a spec
-    * pins it equal to the declarative zip_with/aggregate fold). */
-  private def pqL2(sub: Column, cw: Seq[Long]): Column =
-    graft.functions.VectorOps.vec_l2sq_long(sub, typedLit(cw))
-
   /** (vec_id, vq, codes: array<int>, pq_code, distortion): per-subspace
-    * argmin codeword (tie-break smallest j, pinned by the (d, j) struct
-    * min), the packed 4-bit-per-subspace code, and total quantization
-    * distortion. One codegen'd map-side pass: the codebook rides the
-    * plan as literals, the sub_s slices are materialized once in their
-    * own projection (multi-referenced by 16 candidates each — stops
-    * Catalyst inlining the slice into every L2), zero shuffle. */
+    * argmin codeword (tie-break smallest class), the packed
+    * 4-bit-per-subspace code, and total quantization distortion. ONE
+    * fused map-side expression (r17,
+    * [[graft.functions.VectorOps.PqCodeArgmin]]): the r16 composition
+    * built m×16 `vec_l2sq_long` candidates into one projection — the
+    * stage fell out of whole-stage codegen and every codeword rode the
+    * plan as a separate literal; the codebook is now a reference
+    * object and the generated code is constant-size. Zero shuffle. */
   private def pqCoded(spark: SparkSession, dir: String): DataFrame = {
     val cb = pqCodebook(spark, dir)
     val dims = pqSubDims(spark, dir)
-    val subbed = quantized(spark, dir).select(
-      col("vec_id") +: col("vq") +:
-        (0 until PqM).map(s => slice(col("vq"), s * dims + 1, dims).as(s"sub_$s")): _*)
-    val bests = (0 until PqM).map { s =>
-      val cands = cb.map { case (cls, cw) =>
-        struct(pqL2(col(s"sub_$s"), scala.collection.immutable.ArraySeq.unsafeWrapArray(
-          cw.slice(s * dims, (s + 1) * dims))).as("d"),
-          lit(cls).as("j"))
-      }
-      array_min(array(scala.collection.immutable.ArraySeq.unsafeWrapArray(cands): _*)).as(s"best_$s")
-    }
-    val withBest = subbed.select(col("vec_id") +: col("vq") +: bests: _*)
-    withBest.select(col("vec_id"), col("vq"),
-      array((0 until PqM).map(s => col(s"best_$s.j")): _*).as("codes"),
-      (0 until PqM).map(s => col(s"best_$s.j").cast(org.apache.spark.sql.types.LongType)
-        * (1L << (4 * s))).reduce(_ + _).as("pq_code"),
-      (0 until PqM).map(s => col(s"best_$s.d")).reduce(_ + _).as("distortion"))
+    quantized(spark, dir)
+      .withColumn("pc", graft.functions.VectorOps.pq_code_argmin(col("vq"),
+        cb.map(_._1), cb.map(_._2), PqM, dims))
+      .select(col("vec_id"), col("vq"), col("pc.codes").as("codes"),
+        col("pc.pq_code").as("pq_code"), col("pc.distortion").as("distortion"))
   }
 
   /** `embedding_pq`: the PQ encode step — every vector's packed code
@@ -1033,29 +1010,23 @@ object Similarity {
       col("blk"), col("neighbor_id"))
     if (lutScoring) {
       // Textbook ADC: each query precomputes its M×PqCodewords table of
-      // subspace distances to every codeword ONCE (one map-side pass,
-      // codebook as plan literals; the qsub slices sit in their own
-      // projection so Catalyst cannot inline one slice into its 16
-      // candidate L2s), and each candidate pair then costs M table
-      // loads + adds instead of a dim-wide L2 over a reconstruction.
-      // The table is ONE FLAT array of M×PqCodewords longs (entry
-      // s·PqCodewords + cls = query's subspace-s distance to class
-      // cls's codeword): a nested array-of-arrays costs a getArray
-      // allocation per (pair, subspace) in the hot stage, the flat
-      // layout is a single stride-indexed getLong. Uninhabited
-      // residue classes keep zero-filled slots no code ever indexes.
-      val aSub = quantized(spark, dir).select(
-        col("vec_id").as("query_id") +:
-          (0 until PqM).map(s => slice(col("vq"), s * dims + 1, dims).as(s"qsub_$s")): _*)
-      val lut = array((0 until PqM).flatMap { s =>
-        val row = Array.fill[Column](PqCodewords)(lit(0L))
-        cb.foreach { case (cls, cw) =>
-          row(cls) = pqL2(col(s"qsub_$s"), scala.collection.immutable.ArraySeq.unsafeWrapArray(
-            cw.slice(s * dims, (s + 1) * dims)))
-        }
-        row.toSeq
-      }: _*)
-      val a = aSub.select(col("query_id"), lut.as("lut"))
+      // subspace distances to every codeword ONCE, and each candidate
+      // pair then costs M table loads + adds instead of a dim-wide L2
+      // over a reconstruction. The table is ONE FLAT array of
+      // M×PqCodewords longs (entry s·PqCodewords + cls = query's
+      // subspace-s distance to class cls's codeword): a nested
+      // array-of-arrays costs a getArray allocation per
+      // (pair, subspace) in the hot stage, the flat layout is a single
+      // stride-indexed getLong. Uninhabited residue classes keep
+      // zero-filled slots no code ever indexes. Since r17 the whole
+      // table is ONE fused expression
+      // ([[graft.functions.VectorOps.PqQueryLut]], codebook as a
+      // reference object) — the 128-candidate column composition ran
+      // outside whole-stage codegen.
+      val a = quantized(spark, dir)
+        .select(col("vec_id").as("query_id"),
+          graft.functions.VectorOps.pq_query_lut(col("vq"),
+            cb.map(_._1), cb.map(_._2), PqM, dims, PqCodewords).as("lut"))
         .withColumn("blk", explode(typedLit((0 until PqBlocks).toArray)))
       // broadcast(a): pin the build side. Left to size heuristics,
       // Catalyst flips to broadcasting the corpus side the moment its

@@ -57,6 +57,19 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("PQ encode stage runs inside whole-stage codegen (fused argmin expression)") {
+    // r17: the composed m×16-candidate struct-min projection ran
+    // OUTSIDE whole-stage codegen (interpreted eval, every codeword a
+    // separate plan literal); the fused PqCodeArgmin keeps plan and
+    // generated code constant-size. Execute first — AQE renders *(n)
+    // spans only on the final plan.
+    val df = Similarity.embeddingPq(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen span:\n${plan.take(600)}")
+    assert(plan.contains("pq_code_argmin"), plan.take(600))
+  }
+
   test("pq_code packs 4-bit codes: every nibble < PqCodewords") {
     Similarity.embeddingPq(spark, sf).collect().foreach { r =>
       val code = r.getAs[Long]("pq_code")
