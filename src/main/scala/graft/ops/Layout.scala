@@ -61,8 +61,27 @@ object Layout {
     s"${h}p${ProcessHandle.current().pid()}"
   }
 
-  private def stageRoot(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-layout-${stageTag(dir)}"
+  private def stageRoot(dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-layout-${stageTag(dir)}"
+    // The pid-keyed root is garbage the moment this process exits (no
+    // other process can ever reuse it — that isolation is the point),
+    // so clean it on JVM shutdown; without this, every bench/verify
+    // run leaves a staged copy of two fact tables in /tmp.
+    cleanupRoots.computeIfAbsent(root, r => {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(
+        new java.io.File(r))))
+      java.lang.Boolean.TRUE
+    })
+    root
+  }
+
+  private val cleanupRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
 
   private val stagedBuckets = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private val stagedPartitions = scala.collection.concurrent.TrieMap.empty[String, String]
