@@ -87,4 +87,32 @@ class RoundtripPropertySpec extends SparkSpec {
       assert(lens == Set(schema.rowRuneLen))
     }
   }
+
+  test("optional-union avro encode → decode is the identity under random null masks") {
+    // r17 write-path unions: every field type the generator produces,
+    // nulled at random positions, must survive
+    // to_avro(nullableAvroJson) → from_avro byte-exactly — including
+    // the all-null and no-null rows the mask generator hits by chance.
+    val gen = genSchemaAndRows.flatMap { case (schema, rows) =>
+      Gen.listOfN(rows.length,
+        Gen.listOfN(schema.fields.length, Gen.oneOf(true, false)))
+        .map(masks => (schema, rows, masks))
+    }
+    forAllSeeded(gen) { case (schema, rows, masks) =>
+      val nulled = rows.zip(masks).map { case (r, m) =>
+        r.zip(m).map { case (v, isNull) => if (isNull) null else v }
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(nulled.map(Row.fromSeq(_)), 2),
+        schema.sparkSchema)
+      val cols = schema.fields.map(f => col(f.name))
+      val back = df.select(graft.functions.AvroCodec.from_avro(
+          graft.functions.AvroCodec.to_avro(struct(cols: _*), schema.nullableAvroJson),
+          schema.nullableAvroJson, schema.sparkSchema).as("r"))
+        .select(col("r.*")).collect().map(_.toSeq.toList).toList
+      val expected = nulled.map(_.toList)
+      assert(back.sortBy(_.mkString("|")) == expected.sortBy(_.mkString("|")),
+        s"nullable avro round trip drifted for schema ${schema.fields.map(_.parseType)}")
+    }
+  }
 }
