@@ -532,13 +532,14 @@ object Similarity {
     * `similarity_ann_ivf` layers the refined-centroid variant on the
     * same machinery, gated by its recall entry.
     *
-    * 100 TB shape: the C centroids ride into the plan as literals
-    * (seedPivots' driver collect is C x dim doubles — metadata scale,
-    * the comment-audited site), so assignment is one codegen'd
-    * map-side pass — C fused dot products and a lexicographic
-    * struct-array min per row, zero shuffle before the output sort.
-    * Tie-break (sim desc, cls asc) is pinned by the (-sim, cls)
-    * struct ordering, mirrored in the oracle's row_number. */
+    * 100 TB shape: the k centroids ride into the plan as ONE
+    * reference object (seedPivots' driver collect is k × dim doubles —
+    * metadata scale, the comment-audited site), so assignment is one
+    * codegen'd map-side pass — [[centroidSimsCol]]'s fused k-dot loop
+    * plus a first-position-of-max argmax, zero shuffle before the
+    * output sort, and plan/codegen size constant in k (r17). Tie-break
+    * (sim desc, cls asc) = first occurrence of the max over
+    * class-sorted seeds, mirrored in the oracle's row_number. */
   def embeddingCluster(spark: SparkSession, dir: String): DataFrame =
     clusterAssignment(normed(spark, dir), seedPivotsCached(spark, dir))
       .orderBy("vec_id")
