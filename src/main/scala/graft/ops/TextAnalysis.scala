@@ -850,7 +850,95 @@ object TextAnalysis {
        |FROM c WHERE cum_tokens <= quota_tokens
        |ORDER BY source, doc_id""".stripMargin
 
+  // ------------------------------------------- statistical LM filter
+
+  /** Fixed-point probability scale for [[corpusLmScore]]: trigram
+    * conditional probabilities become integers in [0, LmProbScale]. */
+  val LmProbScale = 1000000L
+
+  /** Keep threshold on the SCALED mean trigram probability. 645000
+    * drops the bottom ~8% of the fixture corpora (the 5th percentile
+    * sits ~641k, the median ~660k, stable across sf0.001/0.01/0.1) —
+    * like the IVF probe fraction, a per-corpus dial: a real deployment
+    * calibrates it against a held-out clean/garbage sample. The keep
+    * rule compares `score_sum >= LmKeepAvg · n_tri` in INTEGER
+    * arithmetic, so admission can never flicker on a rounding ulp. */
+  val LmKeepAvg = 645000L
+
+  /** `corpus_lm_score`: statistical language-model quality filter —
+    * the model-based sibling of the rule-based
+    * [[corpusQualityFilter]] (CCNet filters on LM perplexity; this is
+    * that architecture with a corpus-self-trained character-trigram
+    * model and an exactness twist). Each document is scored by the
+    * mean conditional probability of its character trigrams,
+    * P(c₃ | c₁c₂) ≈ count(tri) / count(prefix-bigram at trigram
+    * starts), estimated from the corpus itself — garbage/atypical text
+    * (mojibake, random ids, wrong-language fragments) scores low
+    * because its trigrams are rare continuations of their prefixes.
+    *
+    * Exactness: probabilities live on a fixed-point integer grid —
+    * `p(tri) = (LmProbScale · c3) div c2` (both counts exact, floor
+    * division identical in both engines) — and the keep rule is an
+    * integer comparison, so the whole filter is DuckDB-replayable
+    * value-for-value. A true log-space perplexity would hinge on
+    * cross-engine `ln` ulps; the linear-space mean is monotone enough
+    * for filtering and stays exact — the documented deviation.
+    * `avg_score` is one double division of two exact integers
+    * (IEEE-exact), rounded to 1e-6.
+    *
+    * 100 TB shape: trigram extraction is a map-side explode (one row
+    * per character, the shingle-family cost); the two count tables are
+    * partial-agg passes whose size is bounded by the OBSERVED trigram
+    * vocabulary (≤ |charset|³ — a few MB even at web scale), so the
+    * score table broadcasts back onto the exploded stream and the
+    * per-document sum is one partial-agg shuffle on doc_id. Nothing
+    * corpus×corpus, no window. Documents shorter than 3 characters
+    * have no trigrams and are out of the filter's domain (absent from
+    * the output; the oracle's WHERE mirrors it). */
+  def corpusLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = Docs.fanned(spark, dir)
+      .where(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3)))).as("tri"))
+    val c3 = t.groupBy("tri").agg(count(lit(1)).as("c3"))
+    val c2 = t.groupBy(substring(col("tri"), 1, 2).as("pre"))
+      .agg(count(lit(1)).as("c2"))
+    // trigram → scaled conditional probability; every trigram's prefix
+    // exists in c2 by construction (counted over the same rows), so
+    // the join is total and the division denominator never 0
+    val sc = c3.join(c2, substring(col("tri"), 1, 2) === col("pre"))
+      .select(col("tri"), expr(s"($LmProbScale * c3) div c2").as("p"))
+    t.join(broadcast(sc), "tri")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum(col("p")).as("score_sum"))
+      .select(col("doc_id"), col("n_tri"), col("score_sum"),
+        round(col("score_sum").cast(DoubleType) / col("n_tri"), 6).as("avg_score"),
+        (col("score_sum") >= lit(LmKeepAvg) * col("n_tri")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val corpusLmScoreOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(text)-2),
+       |    i -> substr(text, i, 3))) AS tri
+       |  FROM documents WHERE len(text) >= 3),
+       |c3 AS (SELECT tri, count(*) AS c3 FROM t GROUP BY tri),
+       |c2 AS (SELECT substr(tri,1,2) AS pre, count(*) AS c2 FROM t GROUP BY 1),
+       |sc AS (
+       |  SELECT c3.tri, ($LmProbScale * c3.c3) // c2.c2 AS p
+       |  FROM c3 JOIN c2 ON c2.pre = substr(c3.tri,1,2)),
+       |d AS (
+       |  SELECT t.doc_id, count(*) AS n_tri, sum(sc.p) AS score_sum
+       |  FROM t JOIN sc USING (tri) GROUP BY t.doc_id)
+       |SELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri,
+       |       CAST(score_sum AS BIGINT) AS score_sum,
+       |       round(CAST(score_sum AS DOUBLE) / n_tri, 6) AS avg_score,
+       |       score_sum >= $LmKeepAvg * n_tri AS keep
+       |FROM d ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_lm_score" -> (corpusLmScore _),
     "text_analysis" -> (textAnalysis _),
     "doc_fingerprint" -> (docFingerprint _),
     "corpus_split" -> (corpusSplit _),
@@ -868,6 +956,7 @@ object TextAnalysis {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "corpus_lm_score" -> corpusLmScoreOracle,
     "text_analysis" -> textAnalysisOracle,
     "doc_fingerprint" -> docFingerprintOracle,
     "corpus_split" -> corpusSplitOracle,

@@ -88,6 +88,48 @@ class ChunkQualityPathsSpec extends SparkSpec {
     }
   }
 
+  test("corpus_lm_score matches a driver-side trigram-LM recompute; filter is live") {
+    val out = graft.ops.TextAnalysis.corpusLmScore(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // driver-side recompute: trigram and prefix counts over trigram
+    // starts, fixed-point floor-divided conditional probability,
+    // integer keep rule
+    val tris = docs.toSeq.flatMap { case (id, text) =>
+      val cps = text.codePoints().toArray
+      if (cps.length < 3) Nil
+      else (0 to cps.length - 3).map(i => id -> new String(cps, i, 3))
+    }
+    val c3 = tris.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c2 = tris.groupBy { case (_, t) =>
+      val cp = t.codePoints().toArray; new String(cp, 0, 2)
+    }.view.mapValues(_.size.toLong).toMap
+    def p(tri: String): Long = {
+      val cp = tri.codePoints().toArray
+      graft.ops.TextAnalysis.LmProbScale * c3(tri) / c2(new String(cp, 0, 2))
+    }
+    val expected = tris.groupBy(_._1).map { case (id, ts) =>
+      id -> (ts.size.toLong, ts.map(t => p(t._2)).sum)
+    }
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (n, sum) = expected(id)
+      assert(r.getAs[Long]("n_tri") == n, s"doc $id n_tri")
+      assert(r.getAs[Long]("score_sum") == sum, s"doc $id score_sum")
+      assert(math.abs(r.getAs[Double]("avg_score") - sum.toDouble / n) < 1e-6)
+      assert(r.getAs[Boolean]("keep") ==
+        (sum >= graft.ops.TextAnalysis.LmKeepAvg * n), s"doc $id keep")
+      // probabilities live on [0, scale] → so does the mean
+      assert(r.getAs[Double]("avg_score") >= 0 &&
+        r.getAs[Double]("avg_score") <= graft.ops.TextAnalysis.LmProbScale)
+    }
+    // the filter must be LIVE on the fixture: both keep and drop non-empty
+    assert(out.exists(_.getAs[Boolean]("keep")) && out.exists(!_.getAs[Boolean]("keep")),
+      "threshold must split the fixture corpus")
+  }
+
   test("events_top_paths matches a driver-side sequence recompute") {
     val ev = Sessions.events(spark, sf)
       .select(col("user_id"),
