@@ -366,6 +366,13 @@ object VectorOps {
     require(classes.nonEmpty && classes.length == codewords.length && m > 0 && dims > 0)
     require(classes.sameElements(classes.sorted),
       "pq_code_argmin: classes must be sorted (the smallest-class tie-break)")
+    // pq_code packs 4 bits per subspace: a class id >= 16 or more than
+    // 16 subspaces would silently corrupt the packed code via nibble
+    // overlap while codes/distortion stayed correct (r18, per ADVICE) —
+    // reject at construction like PqQueryLut's classes-bounds require.
+    require(classes.last < 16 && m <= 16,
+      s"pq_code_argmin: pq_code packs 4-bit nibbles — need class ids < 16 " +
+        s"(got max ${classes.last}) and m <= 16 (got $m)")
     override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
     override def dataType: DataType = StructType(Seq(
       StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),

@@ -886,16 +886,27 @@ object Dedup {
     * MAP MUTATION only — a cold build (the full LSH + verify cascade)
     * runs outside it, so it never blocks hits for other corpora; two
     * threads racing one cold key both build, the loser unpersists its
-    * copy and adopts the winner's. */
+    * copy and adopts the winner's. Keyed by SESSION as well as corpus
+    * (r18, per ADVICE): a persisted DataFrame is bound to the
+    * SparkSession that planned it — a dir-only key in a multi-session
+    * process could hand a frame of a STOPPED session to a live caller.
+    * Eviction is logged so a silently-degraded staged path (every
+    * consumer quietly re-deriving the cascade) is observable. */
   private val pairGraphCache =
-    new java.util.LinkedHashMap[String, DataFrame](8, 0.75f, true) {
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean = {
         val evict = size() > MaxPairGraphCorpora
-        if (evict) e.getValue.unpersist(false)
+        if (evict) {
+          log.info(s"evicting persisted pair graph for ${e.getKey._2} " +
+            s"(cache bound $MaxPairGraphCorpora corpora exceeded)")
+          e.getValue.unpersist(false)
+        }
         evict
       }
     }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** The verified near-dup pair graph of a corpus snapshot as a
     * PERSISTED artifact, built once per (process, snapshot dir).
@@ -916,17 +927,33 @@ object Dedup {
     * bench shows the reuse (first consumer pays the cascade, the rest
     * read the persisted graph). */
   def pairGraph(spark: SparkSession, dir: String): DataFrame = {
-    val hit = pairGraphCache.synchronized(pairGraphCache.get(dir))
+    val key = (spark, dir)
+    val hit = pairGraphCache.synchronized(pairGraphCache.get(key))
     if (hit != null) return hit
-    val df = dedupMinhash(spark, dir)
+    // Since r18 the graph is a WRITTEN artifact ([[graft.ops.IndexStore]],
+    // content-fingerprinted parquet beside the other index state): the
+    // first process over a snapshot pays the LSH + verify cascade and
+    // writes id-pair-scale parquet; every later process — and every
+    // later session in this one — loads it.
+    val df = IndexStore.loadOrBuild(spark, dir, "documents",
+        s"pair_graph_j$JaccardThreshold") { dedupMinhash(spark, dir) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df.count() // materialize now: every later consumer is a cache read
     pairGraphCache.synchronized {
-      val raced = pairGraphCache.get(dir)
+      val raced = pairGraphCache.get(key)
       if (raced != null) { df.unpersist(false); raced }
-      else { pairGraphCache.put(dir, df); df }
+      else { pairGraphCache.put(key, df); df }
     }
   }
+
+  /** Test hook (IndexStoreSpec): drop the in-process pair-graph memo,
+    * simulating a fresh driver — a graph reproduced after this call
+    * without an [[graft.ops.IndexStore]] build came from the artifact. */
+  private[graft] def clearPairGraphCache(): Unit =
+    pairGraphCache.synchronized {
+      val it = pairGraphCache.values().iterator()
+      while (it.hasNext) { it.next().unpersist(false); it.remove() }
+    }
 
   def corpusCleanStaged(spark: SparkSession, dir: String): DataFrame =
     cleanPairGreedy(spark, dir, pairGraph(spark, dir))

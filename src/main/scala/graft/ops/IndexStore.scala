@@ -1,0 +1,124 @@
+package graft.ops
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Durable home for index artifacts (r18): the IVF seed/refined
+  * centroids, the PQ codebook, the verified near-dup pair graph, and
+  * the exact-top-k ground truth are index CONSTRUCTION — one or two
+  * full corpus passes each — whose results are metadata- or id-pair-
+  * scale. Through r17 they lived in per-process ConcurrentHashMaps, so
+  * every new driver re-paid the construction passes; at 100 TB that is
+  * hours of cluster time per process for state that fits in kilobytes
+  * (centroids) to gigabytes (pair graph). This store writes each
+  * artifact as parquet under a content-fingerprinted directory and
+  * loads-not-rebuilds on any later request — from this process or the
+  * next one.
+  *
+  * Layout: `<root>/<fingerprint>/<artifact>.parquet`, where the
+  * fingerprint is a SHA-1 over the source table's file inventory
+  * (name, length, modification time per part file). Content-keying —
+  * not path-keying — is what makes cross-process reuse SAFE: a
+  * regenerated snapshot at the same path gets a new fingerprint and a
+  * fresh build, while two paths holding byte-identical data share one
+  * artifact (every construction here is deterministic in the data, so
+  * sharing is sound). A real deployment points `spark.graft.index.root`
+  * at durable storage beside the corpus snapshots; the default keeps
+  * artifacts under the build tree so local runs get cross-process
+  * reuse without touching anything outside the repo.
+  *
+  * Write protocol: build → write to a dot-prefixed temp dir → rename
+  * into place. Rename is the commit point, so a reader never observes
+  * a half-written artifact; if two PROCESSES race one cold artifact,
+  * the rename loser deletes its copy and reads the winner's (both
+  * built the same deterministic result — a wasted job, never a wrong
+  * one). In-process races are already single-flighted by the callers'
+  * memo maps.
+  */
+object IndexStore {
+
+  /** Session conf naming the artifact root. The value `off` disables
+    * persistence entirely (build-only, the pre-r18 behavior) — the
+    * escape hatch for read-only environments and for specs that need
+    * to exercise the raw construction path. */
+  val RootConf = "spark.graft.index.root"
+
+  /** Default root: under the sbt build tree (gitignored), absolute so
+    * executors and driver agree regardless of working-directory
+    * quirks. Production overrides this to durable shared storage. */
+  lazy val DefaultRoot: String =
+    new java.io.File("target/graft-index").getAbsolutePath
+
+  /** Observability counters (also the spec's hook): how many artifacts
+    * this process BUILT (paid the construction passes) vs LOADED from
+    * a written artifact. A fresh process over an already-indexed
+    * snapshot should show loads>0, builds==0. */
+  val builds = new AtomicLong
+  val loads = new AtomicLong
+
+  private[graft] def root(spark: SparkSession): Option[String] = {
+    val r = spark.conf.get(RootConf, DefaultRoot)
+    if (r == "off" || r.isEmpty) None else Some(r)
+  }
+
+  /** One listStatus per (dir, table) per process: the inventory of an
+    * immutable snapshot does not change under us — the same assumption
+    * every other per-snapshot memo here makes. */
+  private val fpCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def fingerprint(spark: SparkSession, dir: String, table: String): String =
+    fpCache.computeIfAbsent(s"$dir#$table", _ => {
+      val p = new Path(s"$dir/$table.parquet")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val statuses =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).sortBy(_.getPath.getName)
+        else Array(fs.getFileStatus(p))
+      val md = java.security.MessageDigest.getInstance("SHA-1")
+      statuses.foreach { st =>
+        md.update(
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime};".getBytes("UTF-8"))
+      }
+      md.digest().map("%02x".format(_)).mkString
+    })
+
+  /** Load the named artifact for (dir, table)'s current content, or
+    * build it via `build`, write it, and return a reader over the
+    * WRITTEN copy — both paths hand back a plan rooted at the artifact
+    * parquet, so a value produced by a cold build and one produced by
+    * a warm load are the same bytes through the same scan. With
+    * persistence off, returns `build` directly. */
+  def loadOrBuild(spark: SparkSession, dir: String, table: String, name: String)(
+      build: => DataFrame): DataFrame = root(spark) match {
+    case None => build
+    case Some(r) =>
+      val fp = fingerprint(spark, dir, table)
+      val dest = new Path(s"$r/$fp/$name.parquet")
+      val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(new Path(dest, "_SUCCESS"))) {
+        loads.incrementAndGet()
+        spark.read.parquet(dest.toString)
+      } else {
+        val tmp = new Path(s"$r/$fp/.${name}_tmp_${java.util.UUID.randomUUID()}")
+        build.write.mode("overwrite").parquet(tmp.toString)
+        if (!fs.rename(tmp, dest)) {
+          // Lost a cross-process race (or a stale half-write occupies
+          // dest without _SUCCESS): adopt the existing artifact if it
+          // committed, else clear the debris and retry once.
+          fs.delete(tmp, true)
+          if (!fs.exists(new Path(dest, "_SUCCESS"))) {
+            fs.delete(dest, true)
+            return loadOrBuild(spark, dir, table, name)(build)
+          }
+        }
+        builds.incrementAndGet()
+        spark.read.parquet(dest.toString)
+      }
+  }
+
+  /** Test hook: drop the fingerprint memo (a spec that rewrites a
+    * fixture table mid-process needs the next call to re-list). */
+  private[graft] def clearFingerprints(): Unit = fpCache.clear()
+}

@@ -257,14 +257,34 @@ object Similarity {
     * a full-corpus aggregation pass + driver collect — index CONSTRUCTION
     * under the [[pivotCache]] doctrine, which must not ride along with
     * every embedding_cluster / dedup_semantic / streaming-assignment
-    * invocation. Same key discipline as the other index caches. */
+    * invocation. Same key discipline as the other index caches.
+    * Since r18 the in-memory memo is backed by a WRITTEN artifact
+    * ([[graft.ops.IndexStore]]): a fresh process loads the parquet
+    * instead of re-running the seed scan. */
   private val seedCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int), Array[(Long, Array[Double], Double)]]()
+
+  /** Pivot array ⇄ artifact frame. Parquet round-trips the doubles
+    * bit-exactly, and the collect re-sorts by class, so a loaded pivot
+    * set is indistinguishable from a freshly built one. */
+  private def pivotsToDf(spark: SparkSession,
+      arr: Array[(Long, Array[Double], Double)]): DataFrame = {
+    import spark.implicits._
+    arr.toSeq.map { case (c, v, nr) => (c, v.toSeq, nr) }.toDF("cls", "v", "nrm")
+  }
+
+  private def collectPivots(df: DataFrame): Array[(Long, Array[Double], Double)] =
+    df.select(col("cls"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
 
   private def seedPivotsCached(spark: SparkSession, dir: String)
       : Array[(Long, Array[Double], Double)] = {
     val cells = ivfCells(spark, dir)
-    seedCache.computeIfAbsent((dir, cells), _ => seedPivots(normed(spark, dir), cells))
+    seedCache.computeIfAbsent((dir, cells), _ =>
+      collectPivots(IndexStore.loadOrBuild(spark, dir, "embeddings", s"ivf_seeds_k$cells") {
+        pivotsToDf(spark, seedPivots(normed(spark, dir), cells))
+      }))
   }
 
   /** The per-cell cosine array over the whole centroid set as ONE
@@ -323,15 +343,23 @@ object Similarity {
     * CONSTRUCTION, not query work, and at 100 TB must not ride along
     * with each query. The cache key is the corpus path: an IVF index is
     * valid for the immutable snapshot it was built from (rebuilds on a
-    * new path; a real deployment persists the centroids next to the
-    * data). Value size is k x dim doubles — metadata scale. */
+    * new path). Value size is k x dim doubles — metadata scale. Since
+    * r18 the refined centroids ARE persisted next to the data
+    * ([[graft.ops.IndexStore]], content-fingerprinted): a fresh
+    * process loads the artifact instead of re-paying the seed scan +
+    * Lloyd pass. */
   private val pivotCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int), Array[(Long, Array[Double], Double)]]()
 
   private[graft] def ivfPivots(spark: SparkSession, dir: String)
-      : Array[(Long, Array[Double], Double)] =
-    pivotCache.computeIfAbsent((dir, ivfCells(spark, dir)), _ =>
-      refinedPivots(normed(spark, dir), seedPivotsCached(spark, dir)))
+      : Array[(Long, Array[Double], Double)] = {
+    val cells = ivfCells(spark, dir)
+    pivotCache.computeIfAbsent((dir, cells), _ =>
+      collectPivots(IndexStore.loadOrBuild(spark, dir, "embeddings",
+          s"ivf_centroids_k$cells") {
+        pivotsToDf(spark, refinedPivots(normed(spark, dir), seedPivotsCached(spark, dir)))
+      }))
+  }
 
   /** Approximate top-k: IVF with deterministically seeded,
     * one-iteration-refined centroids. Returns the same schema as
@@ -414,23 +442,38 @@ object Similarity {
     * corpus never blocks cache hits (or concurrent builds) for others.
     * Two threads racing the same cold key both build; the loser
     * unpersists its copy and adopts the winner's — a wasted job, never a
-    * wrong result or a leaked storage block. */
+    * wrong result or a leaked storage block. Keyed by SESSION as well
+    * as corpus (r18, per ADVICE): a persisted DataFrame is bound to
+    * the SparkSession that planned it, and a dir-only key in a
+    * multi-session process could hand a frame of a STOPPED session to
+    * a live caller. Eviction is logged — a silently-degraded cache is
+    * the failure mode the log line makes observable. */
   private val exactPairsCache =
-    new java.util.LinkedHashMap[(String, Int), DataFrame](8, 0.75f, true) {
+    new java.util.LinkedHashMap[(SparkSession, String, Int), DataFrame](8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int), DataFrame]): Boolean = {
+          e: java.util.Map.Entry[(SparkSession, String, Int), DataFrame]): Boolean = {
         val evict = size() > MaxExactPairCorpora
-        if (evict) e.getValue.unpersist(false)
+        if (evict) {
+          log.info(s"evicting exact-top-k ground truth for ${e.getKey._2} " +
+            s"(cache bound $MaxExactPairCorpora corpora exceeded)")
+          e.getValue.unpersist(false)
+        }
         evict
       }
     }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def exactTopkPairs(spark: SparkSession, dir: String): DataFrame = {
-    val key = (dir, K)
+    val key = (spark, dir, K)
     val hit = exactPairsCache.synchronized(exactPairsCache.get(key))
     if (hit != null) return hit
-    val df = similarityTopk(spark, dir).select(col("query_id"), col("neighbor_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The O(N²) ground-truth pass is the most expensive construction in
+    // the engine — since r18 it is a written artifact too (id-pair
+    // scale on disk), so only the FIRST process over a snapshot pays it.
+    val df = IndexStore.loadOrBuild(spark, dir, "embeddings", s"exact_topk_k$K") {
+        similarityTopk(spark, dir).select(col("query_id"), col("neighbor_id"))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df.count() // materialize now so every later recall check is a cache read
     exactPairsCache.synchronized {
       val raced = exactPairsCache.get(key)
@@ -464,7 +507,18 @@ object Similarity {
     * exact cosine only on probed-cell pairs, and the same bounded
     * top-[[K]] rerank as the exact baseline. Every tie-break the
     * engine pins (struct-min / array_position-first / TopK's
-    * (score desc, id asc)) appears as the matching ORDER BY. */
+    * (score desc, id asc)) appears as the matching ORDER BY.
+    *
+    * Exactness caveat (r18, per ADVICE): unlike the PQ oracle (exact
+    * integer grid end-to-end), this replay rests on round(avg,6)
+    * Lloyd means and unrounded double cosines agreeing across engines
+    * for every argmax/probe-rank decision. A partition-order sum
+    * landing within an ulp of a 5e-7 rounding boundary, or a near-tie
+    * in assignment rank, could flip on a new fixture. Verified
+    * empirically at all three SFs; if this value compare ever flakes,
+    * `similarity_ann_recall` (the recall gate) is the authoritative
+    * check and this oracle should drop to a rows-only entry rather
+    * than chase cross-engine float reproducibility. */
   val similarityAnnIvfOracle: String =
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -836,14 +890,24 @@ object Similarity {
 
   /** Trained PQ codebook (seeds + one Lloyd step) as (residue class,
     * codeword) pairs sorted by class, cached per corpus snapshot like
-    * [[pivotCache]]. */
+    * [[pivotCache]] — and since r18 persisted through
+    * [[graft.ops.IndexStore]] (artifact name carries the PQ geometry,
+    * so a constants change invalidates rather than misreads; longs
+    * round-trip parquet exactly). */
   private val pqCodebookCache = new java.util.concurrent.ConcurrentHashMap[
     String, Array[(Int, Array[Long])]]()
 
   private[graft] def pqCodebook(spark: SparkSession, dir: String): Array[(Int, Array[Long])] =
     pqCodebookCache.computeIfAbsent(dir, _ => {
-      val seeds = pqSeeds(spark, dir)
-      pqRefine(spark, dir, seeds)
+      val df = IndexStore.loadOrBuild(spark, dir, "embeddings",
+          s"pq_codebook_m${PqM}_c${PqCodewords}_s$PqScale") {
+        import spark.implicits._
+        pqRefine(spark, dir, pqSeeds(spark, dir))
+          .toSeq.map { case (cls, cw) => (cls, cw.toSeq) }.toDF("cls", "cw")
+      }
+      df.select(col("cls"), col("cw")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
     })
 
   /** (vec_id, vq, codes: array<int>, pq_code, distortion): per-subspace
@@ -1172,6 +1236,19 @@ object Similarity {
        |  FROM rr)
        |SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
        |FROM rked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** Test hook (IndexStoreSpec): drop every in-process memo, simulating
+    * a fresh driver over the same snapshot — anything reproduced after
+    * this call without an [[graft.ops.IndexStore]] build came from a
+    * written artifact, which is exactly what the spec asserts. */
+  private[graft] def clearProcessCaches(): Unit = {
+    seedCache.clear(); pivotCache.clear(); pqCodebookCache.clear()
+    corpusCountCache.clear(); dimCache.clear(); scanSplitsCache.clear()
+    exactPairsCache.synchronized {
+      val it = exactPairsCache.values().iterator()
+      while (it.hasNext) { it.next().unpersist(false); it.remove() }
+    }
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_topk" -> (similarityTopk _),

@@ -84,7 +84,15 @@ object FixedWidth {
     // non-file lines source (the streaming twin's tests hand
     // in-memory frames) yields one constant source tag — per-partition
     // truncation, the pre-r17 behavior, which is exact there because
-    // those partitions ARE the chunks.
+    // those partitions ARE the chunks. Remaining caveat (r18, per
+    // ADVICE): when ONE large file is SPLIT across partitions
+    // (maxPartitionBytes), a mid-file footer only drops rows within
+    // its own split — rows of the same file in a LATER split survive,
+    // where the reference would truncate the rest of the buffer.
+    // Exact parity for footer-bearing multi-gigabyte single files
+    // requires reading them unsplit (wholetext / isSplitable=false);
+    // footer files in practice are small trailer-carrying extracts,
+    // so the packing case fixed above is the one that occurs.
     val truncated = lines
       .select(col("value"), input_file_name().as("src"))
       .as[(String, String)]

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.ops.{Dedup, IndexStore, Similarity}
+
+/** r18 durable index artifacts: the IVF seeds/centroids, PQ codebook,
+  * exact-top-k ground truth and verified pair graph are written as
+  * content-fingerprinted parquet and LOADED — not rebuilt — by any
+  * later process over the same snapshot. The fresh-process simulation
+  * here is the round's done-criterion: clear every in-memory memo,
+  * re-run the operators, and assert (a) zero new builds, (b) loads
+  * observed, (c) results identical value-for-value. */
+class IndexStoreSpec extends SparkSpec {
+
+  private def withRoot[T](root: String)(body: => T): T = {
+    val prev = spark.conf.get(IndexStore.RootConf, IndexStore.DefaultRoot)
+    spark.conf.set(IndexStore.RootConf, root)
+    try body
+    finally spark.conf.set(IndexStore.RootConf, prev)
+  }
+
+  private def freshProcess(): Unit = {
+    Similarity.clearProcessCaches()
+    Dedup.clearPairGraphCache()
+  }
+
+  private def graphRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+
+  test("fresh process loads artifacts instead of rebuilding, identical results") {
+    val root = Files.createTempDirectory("graft-index-spec").toString
+    withRoot(root) {
+      freshProcess()
+      val b0 = IndexStore.builds.get()
+      // Cold pass: pays construction, writes the artifacts.
+      val cluster1 = Similarity.embeddingCluster(spark, sf).collect().toSeq
+      val pq1 = Similarity.embeddingPq(spark, sf).collect().toSeq
+      val ann1 = Similarity.similarityAnnIvf(spark, sf).collect().toSeq
+      val graph1 = graphRows(Dedup.pairGraph(spark, sf))
+      val coldBuilds = IndexStore.builds.get() - b0
+      assert(coldBuilds >= 4, // seeds, centroids, codebook, pair graph
+        s"cold pass must build the artifacts (built $coldBuilds)")
+
+      // Simulated fresh process: memos gone, written artifacts remain.
+      freshProcess()
+      val b1 = IndexStore.builds.get()
+      val l1 = IndexStore.loads.get()
+      val cluster2 = Similarity.embeddingCluster(spark, sf).collect().toSeq
+      val pq2 = Similarity.embeddingPq(spark, sf).collect().toSeq
+      val ann2 = Similarity.similarityAnnIvf(spark, sf).collect().toSeq
+      val graph2 = graphRows(Dedup.pairGraph(spark, sf))
+      assert(IndexStore.builds.get() == b1,
+        "a fresh process over an indexed snapshot must LOAD, never rebuild")
+      assert(IndexStore.loads.get() > l1, "warm pass must read written artifacts")
+      assert(cluster2 == cluster1, "loaded centroids drifted from built ones")
+      assert(pq2 == pq1, "loaded PQ codebook produced different codes")
+      assert(ann2 == ann1, "loaded IVF index produced a different ANN result")
+      assert(graph2 == graph1, "loaded pair graph drifted from built one")
+    }
+    // Leave no memos bound to the spec's temp root for later suites.
+    freshProcess()
+  }
+
+  test("persistence off: the raw construction path still runs") {
+    withRoot("off") {
+      freshProcess()
+      val b0 = IndexStore.builds.get()
+      val l0 = IndexStore.loads.get()
+      val c = Similarity.embeddingCluster(spark, sf).limit(5).collect()
+      assert(c.nonEmpty)
+      assert(IndexStore.builds.get() == b0 && IndexStore.loads.get() == l0,
+        "root=off must bypass the store entirely")
+    }
+    freshProcess()
+  }
+
+  test("fingerprint is content-keyed: a regenerated snapshot invalidates") {
+    val tmp = Files.createTempDirectory("graft-fp-spec")
+    val src = Paths.get(s"$sf/embeddings.parquet")
+    val dst = tmp.resolve("embeddings.parquet")
+    Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    val fp1 = IndexStore.fingerprint(spark, tmp.toString, "embeddings")
+    // Regenerate: same path, different modification time.
+    IndexStore.clearFingerprints()
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(dst).toMillis + 60000))
+    val fp2 = IndexStore.fingerprint(spark, tmp.toString, "embeddings")
+    assert(fp1 != fp2, "a touched snapshot must map to a new artifact directory")
+    IndexStore.clearFingerprints()
+  }
+}
