@@ -343,6 +343,162 @@ object VectorOps {
       copy(left = l, right = r)
   }
 
+  /** Two-level (coarse-quantized) centroid argmax (r18): the scale
+    * path past the point where a FLAT scan over the centroid matrix —
+    * O(k·dim) per vector — stops being acceptable (the MaxCells
+    * regime: k = 2¹⁷ at dim 64 is 8.4M multiplies per assigned
+    * vector). The standard IVF coarse-quantizer step: the k fine
+    * centroids are partitioned into ⌈k/groupSize⌉ contiguous groups
+    * (groupSize ≈ √k), each summarized by its element-wise MEAN; a
+    * vector first ranks the ⌈k/groupSize⌉ coarse means (O(√k·dim)),
+    * probes the `probeGroups` best groups, and scans only their fine
+    * centroids exactly (O(probeGroups·√k·dim)) — total O(√k·dim)
+    * per vector for constant probeGroups, vs O(k·dim) flat.
+    *
+    * Deterministic at both levels — contiguous grouping over the
+    * class-sorted centroid array and exact means, no RNG — so the
+    * result is a pure function of (centroids, dials), same as flat.
+    * With probeGroups ≥ numGroups the probe set is every group and
+    * the scan IS the flat scan (identical arithmetic, identical
+    * ascending-index strict-> tie-break — the property the geometry
+    * spec pins); at smaller probeGroups the assignment is approximate
+    * exactly the way an IVF probe list is: a vector whose true cell's
+    * group ranks below the probe cut gets its best PROBED cell. The
+    * fixtures (k ≤ 63) never reach the two-level threshold, so every
+    * oracle replays the flat rule unchanged.
+    *
+    * Null semantics mirror the flat composition: wrong input dim or
+    * zero query norm → null result; zero-norm fine centroids are
+    * skipped (never win); all probed candidates zero-norm → null.
+    * Output struct<pos: int, sim: double> with pos 1-BASED — the same
+    * convention as `array_position(sims, array_max(sims))`, so callers
+    * index the class array identically on both paths. */
+  case class CentroidArgmaxTwoLevel(left: Expression, right: Expression,
+      centroids: Array[Array[Double]], norms: Array[Double],
+      groupSize: Int, probeGroups: Int)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    require(centroids.nonEmpty && centroids.length == norms.length,
+      s"centroid matrix/norms mismatch: ${centroids.length} vs ${norms.length}")
+    require(groupSize > 0 && probeGroups > 0,
+      s"two-level dials must be positive: groupSize=$groupSize probeGroups=$probeGroups")
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), DoubleType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("sim", DoubleType, nullable = false)))
+    override def prettyName: String = "centroid_argmax_two_level"
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+
+    @transient private lazy val k = centroids.length
+    @transient private lazy val dim0 = centroids(0).length
+    @transient private lazy val numGroups = (k + groupSize - 1) / groupSize
+
+    /** Coarse summary: element-wise mean of each contiguous group and
+      * its norm — recomputed lazily after deserialization (exact
+      * double arithmetic over shipped centroids: deterministic). */
+    @transient private lazy val coarse: Array[Array[Double]] =
+      Array.tabulate(numGroups) { g =>
+        val from = g * groupSize
+        val to = math.min(from + groupSize, k)
+        val m = new Array[Double](dim0)
+        var j = from
+        while (j < to) {
+          val c = centroids(j)
+          var i = 0
+          while (i < dim0) { m(i) += c(i); i += 1 }
+          j += 1
+        }
+        val cnt = (to - from).toDouble
+        var i = 0
+        while (i < dim0) { m(i) /= cnt; i += 1 }
+        m
+      }
+    @transient private lazy val coarseNorm: Array[Double] =
+      coarse.map(c => math.sqrt(c.map(x => x * x).sum))
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val nrm = b.asInstanceOf[Double]
+      if (x.numElements() != dim0 || nrm == 0.0) return null
+      val w = math.min(probeGroups, numGroups)
+      // Rank coarse groups: top-w by (sim desc, group asc). w is small
+      // (a constant dial), so an insertion pass over a w-slot buffer
+      // beats sorting numGroups entries.
+      val selIdx = new Array[Int](w)
+      val selSim = new Array[Double](w)
+      var filled = 0
+      var g = 0
+      while (g < numGroups) {
+        val cm = coarse(g)
+        var s = 0.0
+        var i = 0
+        while (i < dim0) { s += x.getDouble(i) * cm(i); i += 1 }
+        val den = nrm * coarseNorm(g)
+        val sim = if (den == 0.0) Double.NegativeInfinity else s / den
+        // insert (sim, g) if it beats the current worst slot
+        if (filled < w) {
+          var p = filled
+          while (p > 0 && selSim(p - 1) < sim) {
+            selSim(p) = selSim(p - 1); selIdx(p) = selIdx(p - 1); p -= 1
+          }
+          selSim(p) = sim; selIdx(p) = g; filled += 1
+        } else if (sim > selSim(w - 1)) {
+          var p = w - 1
+          while (p > 0 && selSim(p - 1) < sim) {
+            selSim(p) = selSim(p - 1); selIdx(p) = selIdx(p - 1); p -= 1
+          }
+          selSim(p) = sim; selIdx(p) = g
+        }
+        g += 1
+      }
+      // Fine scan in ASCENDING group order so the strict-> update
+      // reproduces flat's first-position-of-max tie-break restricted
+      // to the probed set.
+      java.util.Arrays.sort(selIdx, 0, filled)
+      var bestPos = -1
+      var bestSim = 0.0
+      var sel = 0
+      while (sel < filled) {
+        val gg = selIdx(sel)
+        var j = gg * groupSize
+        val to = math.min(j + groupSize, k)
+        while (j < to) {
+          val den = nrm * norms(j)
+          if (den != 0.0) {
+            val c = centroids(j)
+            var s = 0.0
+            var i = 0
+            while (i < dim0) { s += x.getDouble(i) * c(i); i += 1 }
+            val sim = s / den
+            if (bestPos < 0 || sim > bestSim) { bestSim = sim; bestPos = j }
+          }
+          j += 1
+        }
+        sel += 1
+      }
+      if (bestPos < 0) null else InternalRow(bestPos + 1, bestSim)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // Constant-size generated code regardless of k: the whole matrix
+      // and probe loop live behind one reference object, same pattern
+      // as PqCodeArgmin — the point is that k can reach 10⁵ without
+      // the stage falling out of whole-stage codegen.
+      val ref = ctx.addReferenceObj("twoLevel", this, classOf[CentroidArgmaxTwoLevel].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val r = ctx.freshName("r")
+        s"""
+           |Object $r = $ref.nullSafeEval($a, $b);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression)
+        : CentroidArgmaxTwoLevel = copy(left = l, right = r)
+  }
+
   /** Per-subspace PQ codeword argmin over the WHOLE codebook in one
     * expression: for each of the `m` subspaces, the candidate class
     * with the smallest integer L2² to the input's subvector (ties →
@@ -588,6 +744,12 @@ object VectorOps {
       codewords: Array[Array[Long]], m: Int, dims: Int): Column =
     ColumnBridge.column(PqCodeArgmin(ColumnBridge.expression(vq),
       classes, codewords, m, dims))
+
+  def centroid_argmax_two_level(v: Column, nrm: Column,
+      centroids: Array[Array[Double]], norms: Array[Double],
+      groupSize: Int, probeGroups: Int): Column =
+    ColumnBridge.column(CentroidArgmaxTwoLevel(ColumnBridge.expression(v),
+      ColumnBridge.expression(nrm), centroids, norms, groupSize, probeGroups))
 
   def pq_query_lut(vq: Column, classes: Array[Int], codewords: Array[Array[Long]],
       m: Int, dims: Int, numClasses: Int): Column =

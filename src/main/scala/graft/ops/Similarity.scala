@@ -183,13 +183,21 @@ object Similarity {
     * "never all-pairs" decays into all-pairs/k. Deriving k keeps
     * E[cluster size] ≤ TargetClusterSize, so per-cluster pair work is
     * bounded by TargetClusterSize² regardless of N (SemDeDup itself
-    * runs ~10⁵ clusters at web scale for exactly this reason; the
-    * MaxCells clamp is the point past which centroid literals stop
-    * being plan-metadata-scale and the index wants a real ANN
-    * structure). The residue-class seed scheme generalizes to any k
-    * unchanged, and the SQL oracles derive the SAME k from count(*)
-    * ([[cellsSql]]), so value checks stay exact while k varies across
-    * scale factors. */
+    * runs ~10⁵ clusters at web scale for exactly this reason). The
+    * residue-class seed scheme generalizes to any k unchanged, and
+    * the SQL oracles derive the SAME k from count(*) ([[cellsSql]]),
+    * so value checks stay exact while k varies across scale factors.
+    *
+    * Per-vector assignment COST no longer flat-scans at large k: past
+    * [[TwoLevelMinCells]] the assignment operators use the two-level
+    * coarse-quantized scan (O(√k·dim), r18) — so at the MaxCells
+    * regime the flat 8.4M-mult-per-vector scan the r17 comment warned
+    * about is gone. The clamp itself REMAINS, now bounding the
+    * centroid matrix's MEMORY (k×dim doubles rides every executor as
+    * one reference object: 64 MB at k=2¹⁷·dim 64 — fine; 8× past it
+    * is not). Past the clamp E[cluster size] grows linearly again;
+    * that regime wants the centroids themselves sharded, not a bigger
+    * reference object. */
   val MinCells = 16
   val MaxCells = 1 << 17
   val TargetClusterSize = 32
@@ -299,6 +307,46 @@ object Similarity {
     graft.functions.VectorOps.vec_centroid_sims(col("v"), col("nrm"),
       seeds.map(_._2), seeds.map(_._3))
 
+  /** Cell count past which assignment switches from the flat
+    * O(k·dim)-per-vector scan to the two-level coarse-quantized form
+    * ([[graft.functions.VectorOps.CentroidArgmaxTwoLevel]],
+    * O(√k·dim·(1+[[TwoLevelProbeGroups]]))). 4096 sits far above every
+    * fixture's derived k (sf0.1 → 63), so all oracle queries replay
+    * the flat rule; at the MaxCells clamp (k = 2¹⁷, 8.4M mults/vector
+    * flat at dim 64) the two-level path cuts per-vector cost ~40× —
+    * the scale-safe assignment the r17 clamp comment promised. Past
+    * the threshold assignment is approximate the way an IVF probe
+    * list is (a vector whose true cell's coarse group misses the
+    * probe cut gets its best probed cell); [[ClusterGeometrySpec]]
+    * pins exhaustive-probe ≡ flat identity and the cost law. */
+  val TwoLevelMinCells = 4096
+
+  /** Coarse groups probed per vector — the recall/cost dial of the
+    * two-level assignment; constant, so cost stays O(√k·dim). 8 of
+    * ~√k groups probes ~8·√k of k centroids (at k=2¹⁷: 8·362 ≈ 2.9k
+    * of 131k — a 2.2% exact scan guided by the coarse ranking). */
+  val TwoLevelProbeGroups = 8
+
+  private[graft] def twoLevelGroupSize(k: Int): Int =
+    math.ceil(math.sqrt(k.toDouble)).toInt
+
+  /** 0-based best-cell column over a (v, nrm) frame: the flat argmax
+    * below [[TwoLevelMinCells]] (the oracle-replayed rule), the
+    * two-level coarse-quantized scan past it. Shared by the Lloyd
+    * build and the assignment operators so every consumer flips to
+    * the scale path together. */
+  private def withBestCell0(n: DataFrame,
+      seeds: Array[(Long, Array[Double], Double)]): DataFrame =
+    if (seeds.length < TwoLevelMinCells)
+      n.withColumn("cellSims", centroidSimsCol(seeds))
+        .withColumn("cell", expr("array_position(cellSims, array_max(cellSims)) - 1"))
+    else
+      n.withColumn("tl", graft.functions.VectorOps.centroid_argmax_two_level(
+          col("v"), col("nrm"), seeds.map(_._2), seeds.map(_._3),
+          twoLevelGroupSize(seeds.length), TwoLevelProbeGroups))
+        .withColumn("cell",
+          (col("tl.pos") - 1).cast(org.apache.spark.sql.types.LongType))
+
   /** One Lloyd iteration (the classic IVF centroid-training step):
     * assign every vector to its nearest seed, recompute each cell's
     * centroid as the element-wise mean, re-collect (metadata scale).
@@ -308,8 +356,7 @@ object Similarity {
     * index build. */
   private def refinedPivots(n: DataFrame,
       seeds: Array[(Long, Array[Double], Double)]): Array[(Long, Array[Double], Double)] = {
-    val assigned = n.withColumn("cellSims", centroidSimsCol(seeds))
-      .withColumn("cell", expr("array_position(cellSims, array_max(cellSims)) - 1"))
+    val assigned = withBestCell0(n, seeds)
     val centroidRows = assigned
       // cell IS NULL: a zero-norm vector's cellSims are all null
       // (CentroidSims' ANSI-divide guard), so argmax position is null —
@@ -608,22 +655,30 @@ object Similarity {
       seeds: Array[(Long, Array[Double], Double)]): DataFrame =
     assignedCells(n, seeds)
       .select(col("vec_id"), col("cluster_id"),
-        round(element_at(col("sims"), col("pos").cast(IntegerType)), 6).as("sim"))
+        round(col("best_sim"), 6).as("sim"))
 
-  /** Shared assignment block: (input columns…, sims, pos, cluster_id).
-    * Argmax = FIRST position of the array max — seeds are sorted by
-    * class, so equal sims resolve to the smallest class, exactly the
-    * struct-min (−sim, cls) tie-break this replaces (and the oracle's
-    * `ORDER BY sim DESC, cls` row_number). A zero-norm vector's sims
-    * are all null → array_max null → pos/cluster_id null (it belongs
-    * to no cell — the [[refinedPivots]] convention; assignment of such
-    * a vector is contract-undefined but must not throw). */
+  /** Shared assignment block: (input columns…, cell, best_sim,
+    * cluster_id). Below [[TwoLevelMinCells]]: argmax = FIRST position
+    * of the sims-array max — seeds are sorted by class, so equal sims
+    * resolve to the smallest class, exactly the struct-min (−sim, cls)
+    * tie-break this replaces (and the oracle's `ORDER BY sim DESC,
+    * cls` row_number). A zero-norm vector's sims are all null →
+    * array_max null → cell/cluster_id null (it belongs to no cell —
+    * the [[refinedPivots]] convention; assignment of such a vector is
+    * contract-undefined but must not throw). Past the threshold the
+    * [[withBestCell0]] two-level scan applies the same tie-break over
+    * the probed candidate set. */
   private def assignedCells(n: DataFrame,
       seeds: Array[(Long, Array[Double], Double)]): DataFrame = {
     val clsLit = typedLit(seeds.map(_._1).toSeq)
-    n.withColumn("sims", centroidSimsCol(seeds))
-      .withColumn("pos", expr("array_position(sims, array_max(sims))"))
-      .withColumn("cluster_id", element_at(clsLit, col("pos").cast(IntegerType)))
+    val withCell = withBestCell0(n, seeds)
+    val best =
+      if (seeds.length < TwoLevelMinCells)
+        withCell.withColumn("best_sim",
+          element_at(col("cellSims"), (col("cell") + 1).cast(IntegerType)))
+      else withCell.withColumn("best_sim", col("tl.sim"))
+    best.withColumn("cluster_id",
+      element_at(clsLit, (col("cell") + 1).cast(IntegerType)))
   }
 
   /** Normalize an embeddings-shaped frame (vec_id, embedding) to the

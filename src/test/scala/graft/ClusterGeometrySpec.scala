@@ -128,6 +128,98 @@ class ClusterGeometrySpec extends SparkSpec {
       s"no WholeStageCodegen span in embedding_cluster's plan:\n${plan.take(800)}")
   }
 
+  test("two-level argmax with exhaustive probes ≡ the flat rule, row for row") {
+    // r18: past TwoLevelMinCells assignment switches to the coarse-
+    // quantized scan. With probeGroups >= numGroups the probe set is
+    // every group, so the scan must reproduce the flat argmax EXACTLY
+    // (same dot loop, same ascending-index strict-> tie-break) — the
+    // identity this test pins on the real fixture vectors.
+    import graft.functions.VectorOps
+    val seeds = Similarity.seedPivotsFor(spark, sf)
+    val centroids = seeds.map(_._2)
+    val norms = seeds.map(_._3)
+    val gs = Similarity.twoLevelGroupSize(seeds.length)
+    val numGroups = (seeds.length + gs - 1) / gs
+    val n = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", VectorOps.vec_norm(col("v")))
+    val flat = n.select(col("vec_id"),
+        VectorOps.vec_centroid_sims(col("v"), col("nrm"), centroids, norms).as("sims"))
+      .withColumn("pos", expr("array_position(sims, array_max(sims))"))
+      .select(col("vec_id"), col("pos"),
+        element_at(col("sims"), col("pos").cast("int")).as("sim"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val two = n.select(col("vec_id"),
+        VectorOps.centroid_argmax_two_level(col("v"), col("nrm"),
+          centroids, norms, gs, numGroups).as("a"))
+      .select(col("vec_id"), col("a.pos"), col("a.sim")).collect()
+    assert(two.length == flat.size)
+    two.foreach { r =>
+      val (ePos, eSim) = flat(r.getLong(0))
+      assert(r.getInt(1).toLong == ePos, s"vec ${r.getLong(0)}: pos")
+      assert(r.getDouble(2) == eSim, s"vec ${r.getLong(0)}: sim must be bit-identical")
+    }
+  }
+
+  test("two-level assignment end-to-end past the threshold (structured centroids)") {
+    // Exercises the REAL route selection: clusterAssignment over >=
+    // TwoLevelMinCells seeds plans the two-level expression, and on
+    // centroids with coarse structure the default probe dial recovers
+    // the exact assignment. Construction: centroid j = e_{j/gs} +
+    // 0.5·e_{j mod gs} at dim = gs — group g's coarse mean points at
+    // e_g, so a query equal to centroid j ranks group j/gs first and
+    // the in-group exact scan finds j (sim 1.0).
+    val spark2 = spark
+    import spark2.implicits._
+    val k = Similarity.TwoLevelMinCells // 4096: the smallest two-level k
+    val gs = Similarity.twoLevelGroupSize(k)
+    assert(gs * gs == k, "fixture geometry: k must be a perfect square here")
+    def centroid(j: Int): Array[Double] = {
+      val v = new Array[Double](gs)
+      v(j / gs) += 1.0
+      v(j % gs) += 0.5
+      v
+    }
+    val seeds: Array[(Long, Array[Double], Double)] = Array.tabulate(k) { j =>
+      val v = centroid(j)
+      (j.toLong, v, math.sqrt(v.map(x => x * x).sum))
+    }
+    val queryIds = Seq(0, 1, gs - 1, gs, 17 * gs + 3, k - 1)
+    val n = queryIds.map(j => (j.toLong, centroid(j).toSeq)).toDF("vec_id", "v")
+      .withColumn("nrm", graft.functions.VectorOps.vec_norm(col("v")))
+    val asg = Similarity.clusterAssignment(n, seeds).collect()
+    assert(asg.length == queryIds.length)
+    asg.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0),
+        s"query ${r.getLong(0)} must land in its own cell, got ${r.getLong(1)}")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9, s"self-sim must be 1.0")
+    }
+  }
+
+  test("two-level cost law: probed centroids stay O(√k), not O(k)") {
+    // Pure arithmetic of the dials: at the MaxCells clamp the flat
+    // scan is k = 131072 centroid dots per vector; the two-level scan
+    // is numGroups coarse dots + probeGroups·groupSize fine dots.
+    for (k <- Seq(Similarity.TwoLevelMinCells, 1 << 15, Similarity.MaxCells)) {
+      val gs = Similarity.twoLevelGroupSize(k)
+      val numGroups = (k + gs - 1) / gs
+      val scanned = numGroups + Similarity.TwoLevelProbeGroups * gs
+      // scanned = numGroups + w·groupSize ≈ (1+w)·√k — the O(√k) law
+      assert(scanned.toDouble <=
+          (Similarity.TwoLevelProbeGroups + 2) * math.sqrt(k.toDouble),
+        s"k=$k: scanned $scanned exceeds the (1+w)·√k law")
+      // and the flat path is never planned at this k
+      assert(k >= Similarity.TwoLevelMinCells)
+    }
+    // At the MaxCells clamp the saving is ~40×: the 8.4M-mult flat scan
+    // the r17 verdict flagged shrinks to a ~2.5% guided exact scan.
+    val gsMax = Similarity.twoLevelGroupSize(Similarity.MaxCells)
+    val scannedMax = (Similarity.MaxCells + gsMax - 1) / gsMax +
+      Similarity.TwoLevelProbeGroups * gsMax
+    assert(scannedMax.toDouble / Similarity.MaxCells <= 0.03,
+      s"clamp-scale ratio ${scannedMax.toDouble / Similarity.MaxCells}")
+  }
+
   test("measured cluster sizes on the fixtures track the law's expectation") {
     for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
       val asg = Similarity.embeddingCluster(spark, dir)
