@@ -856,14 +856,19 @@ object TextAnalysis {
     * conditional probabilities become integers in [0, LmProbScale]. */
   val LmProbScale = 1000000L
 
-  /** Keep threshold on the SCALED mean trigram probability. 645000
-    * drops the bottom ~8% of the fixture corpora (the 5th percentile
-    * sits ~641k, the median ~660k, stable across sf0.001/0.01/0.1) —
-    * like the IVF probe fraction, a per-corpus dial: a real deployment
-    * calibrates it against a held-out clean/garbage sample. The keep
-    * rule compares `score_sum >= LmKeepAvg · n_tri` in INTEGER
-    * arithmetic, so admission can never flicker on a rounding ulp. */
-  val LmKeepAvg = 645000L
+  /** Percentile the keep threshold is drawn at: the bottom
+    * [[LmDropPct]] percent of documents (by floored integer score
+    * `score_sum div n_tri`) are dropped. r17 used a fixed scaled-score
+    * constant (`LmKeepAvg = 645000`, hand-read off the fixture's
+    * distribution); r18 derives the threshold from the corpus itself
+    * in the SAME exact-integer arithmetic as the rest of the filter —
+    * rank r = (N·[[LmDropPct]]) div 100 + 1, threshold = the r-th
+    * smallest integer score, keep iff score ≥ threshold — so the dial
+    * is self-calibrating across corpora (CCNet's own head/middle/tail
+    * split is a percentile cut for the same reason) and admission
+    * still can never flicker on a rounding ulp: every quantity in the
+    * selection is an exact integer both engines agree on. */
+  val LmDropPct = 8L
 
   /** `corpus_lm_score`: statistical language-model quality filter —
     * the model-based sibling of the rule-based
@@ -891,10 +896,16 @@ object TextAnalysis {
     * partial-agg passes whose size is bounded by the OBSERVED trigram
     * vocabulary (≤ |charset|³ — a few MB even at web scale), so the
     * score table broadcasts back onto the exploded stream and the
-    * per-document sum is one partial-agg shuffle on doc_id. Nothing
-    * corpus×corpus, no window. Documents shorter than 3 characters
-    * have no trigrams and are out of the filter's domain (absent from
-    * the output; the oracle's WHERE mirrors it). */
+    * per-document sum is one partial-agg shuffle on doc_id. The
+    * percentile threshold adds NO corpus-scale stage: the per-doc
+    * integer scores live on the [0, LmProbScale] grid, so their
+    * histogram (groupBy score → ≤ 1M+1 rows regardless of N) is
+    * grid-bounded, the running-count window runs over that bounded
+    * table (never the corpus), and the selected threshold broadcasts
+    * back. Nothing corpus×corpus, no corpus-wide sort. Documents
+    * shorter than 3 characters have no trigrams and are out of the
+    * filter's domain (absent from the output; the oracle's WHERE
+    * mirrors it). */
   def corpusLmScore(spark: SparkSession, dir: String): DataFrame = {
     val t = Docs.fanned(spark, dir)
       .where(length(col("text")) >= 3)
@@ -909,12 +920,27 @@ object TextAnalysis {
     // the join is total and the division denominator never 0
     val sc = c3.join(c2, substring(col("tri"), 1, 2) === col("pre"))
       .select(col("tri"), expr(s"($LmProbScale * c3) div c2").as("p"))
-    t.join(broadcast(sc), "tri")
+    val perDoc = t.join(broadcast(sc), "tri")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tri"), sum(col("p")).as("score_sum"))
+      .withColumn("si", expr("score_sum div n_tri"))
+    // Exact percentile selection on the integer grid: histogram of the
+    // floored scores (grid-bounded), running count, threshold = the
+    // smallest score whose cumulative count reaches rank
+    // (N·LmDropPct) div 100 + 1 — i.e. the r-th smallest score.
+    val hist = perDoc.groupBy("si").agg(count(lit(1)).as("cnt"))
+    val cumWin = org.apache.spark.sql.expressions.Window.orderBy("si")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val nDocs = hist.agg(sum(col("cnt")).as("n_docs"))
+    val thr = hist.withColumn("cum", sum(col("cnt")).over(cumWin))
+      .crossJoin(broadcast(nDocs))
+      .where(col("cum") >= expr(s"(n_docs * $LmDropPct) div 100 + 1"))
+      .agg(min(col("si")).as("thr"))
+    perDoc.crossJoin(broadcast(thr))
       .select(col("doc_id"), col("n_tri"), col("score_sum"),
         round(col("score_sum").cast(DoubleType) / col("n_tri"), 6).as("avg_score"),
-        (col("score_sum") >= lit(LmKeepAvg) * col("n_tri")).as("keep"))
+        (col("si") >= col("thr")).as("keep"))
       .orderBy("doc_id")
   }
 
@@ -929,13 +955,22 @@ object TextAnalysis {
        |  SELECT c3.tri, ($LmProbScale * c3.c3) // c2.c2 AS p
        |  FROM c3 JOIN c2 ON c2.pre = substr(c3.tri,1,2)),
        |d AS (
-       |  SELECT t.doc_id, count(*) AS n_tri, sum(sc.p) AS score_sum
-       |  FROM t JOIN sc USING (tri) GROUP BY t.doc_id)
+       |  SELECT t.doc_id, count(*) AS n_tri, sum(sc.p) AS score_sum,
+       |         sum(sc.p) // count(*) AS si
+       |  FROM t JOIN sc USING (tri) GROUP BY t.doc_id),
+       |nn AS (SELECT count(*) AS n_docs FROM d),
+       |thr AS (
+       |  -- the r-th smallest integer score, r = (N*$LmDropPct)//100 + 1:
+       |  -- same exact rank selection the engine does over the score
+       |  -- histogram (min score whose cumulative count reaches r)
+       |  SELECT min(si) AS thr FROM (
+       |    SELECT si, row_number() OVER (ORDER BY si, doc_id) AS rk FROM d) q, nn
+       |  WHERE rk >= (n_docs * $LmDropPct) // 100 + 1)
        |SELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri,
        |       CAST(score_sum AS BIGINT) AS score_sum,
        |       round(CAST(score_sum AS DOUBLE) / n_tri, 6) AS avg_score,
-       |       score_sum >= $LmKeepAvg * n_tri AS keep
-       |FROM d ORDER BY doc_id""".stripMargin
+       |       si >= thr.thr AS keep
+       |FROM d, thr ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_lm_score" -> (corpusLmScore _),

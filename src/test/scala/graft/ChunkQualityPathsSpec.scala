@@ -112,6 +112,12 @@ class ChunkQualityPathsSpec extends SparkSpec {
     val expected = tris.groupBy(_._1).map { case (id, ts) =>
       id -> (ts.size.toLong, ts.map(t => p(t._2)).sum)
     }
+    // r18 percentile threshold: the r-th smallest floored integer
+    // score, r = (N·LmDropPct) div 100 + 1 — recomputed driver-side
+    // with the same exact integer arithmetic.
+    val sis = expected.values.map { case (n, sum) => sum / n }.toSeq.sorted
+    val rank = (sis.size.toLong * graft.ops.TextAnalysis.LmDropPct / 100 + 1).toInt
+    val thr = sis(rank - 1)
     assert(out.length == expected.size)
     out.foreach { r =>
       val id = r.getAs[Long]("doc_id")
@@ -119,8 +125,7 @@ class ChunkQualityPathsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_tri") == n, s"doc $id n_tri")
       assert(r.getAs[Long]("score_sum") == sum, s"doc $id score_sum")
       assert(math.abs(r.getAs[Double]("avg_score") - sum.toDouble / n) < 1e-6)
-      assert(r.getAs[Boolean]("keep") ==
-        (sum >= graft.ops.TextAnalysis.LmKeepAvg * n), s"doc $id keep")
+      assert(r.getAs[Boolean]("keep") == (sum / n >= thr), s"doc $id keep")
       // probabilities live on [0, scale] → so does the mean
       assert(r.getAs[Double]("avg_score") >= 0 &&
         r.getAs[Double]("avg_score") <= graft.ops.TextAnalysis.LmProbScale)
