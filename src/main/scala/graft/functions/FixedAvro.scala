@@ -89,8 +89,22 @@ object FixedAvro {
 
   /** One-pass line → Avro-record-bytes encoder writing into a
     * CALLER-SUPPLIED [[AvroCodec.AvroWire]]. NOT thread-safe (holds a
-    * reused parse wrapper); one instance per task. */
-  final class LineEncoder(fixed: FixedSchema, frameId: Int) extends Serializable {
+    * reused parse wrapper); one instance per task.
+    *
+    * `nullable = true` (r18) emits the `["null", T]` OPTIONAL-union
+    * wire shape ([[graft.schema.FixedSchema.nullableAvroJson]]): every
+    * field is prefixed by its union branch index (0 = null, 1 = T —
+    * null-first, the nullableAvroJson branch order), and a slice whose
+    * strict parse is null encodes as the null branch instead of
+    * throwing. This closes the r17 restriction where nullable corpora
+    * lost the fused fast path: the branch-index bytes are pinned
+    * byte-identical to the general codec
+    * (parse → to_avro(nullableAvroJson)) by FixedAvroSpec. Every value
+    * is parsed BEFORE its branch index is written, so a failed parse
+    * never leaves a half-written field. The flat default (`nullable =
+    * false`) is unchanged: branch-less bytes, loud throw on null. */
+  final class LineEncoder(fixed: FixedSchema, frameId: Int,
+      nullable: Boolean = false) extends Serializable {
     private val nFields = fixed.fields.size
     private val starts: Array[Int] = fixed.runeStarts.toArray
     private val lens: Array[Int] = fixed.fields.map(_.runeLen).toArray
@@ -188,52 +202,89 @@ object FixedAvro {
         }
         val n = eB - sB
         val fOff = off + sB
+        // nullable lane: nothing touches the wire before the parse is
+        // known-good — branch index 1 then value on success, a single
+        // 0x00 (branch 0, null-first union) on a failed strict parse.
         kinds(f) match {
-          case PStr | PBytes => wire.writeMemory(base, fOff, n)
+          case PStr | PBytes =>
+            if (nullable) wire.writeLong(1L)
+            wire.writeMemory(base, fOff, n)
           case PLong | PInt =>
-            // Avro int and long share the zigzag varint encoding over the
-            // int range (pinned in AvroDirectSpec), so one writeLong
-            // serves both — and any int/long → Avro long promotion.
-            val v = parseLong(base, fOff, n, f)
-            if (kinds(f) == PInt && (v < Int.MinValue || v > Int.MaxValue)) fail(f)
-            wire.writeLong(v)
+            if (nullable) {
+              // cast-equivalent surface directly (UTF8String.toLong):
+              // the fused digit loop's only job was avoiding this
+              // wrapper on the throwing path's hot loop
+              val s = UTF8String.fromAddress(base, fOff, n)
+              if (s.toLong(longWrapper) && (kinds(f) == PLong ||
+                  (longWrapper.value >= Int.MinValue && longWrapper.value <= Int.MaxValue))) {
+                wire.writeLong(1L); wire.writeLong(longWrapper.value)
+              } else wire.writeLong(0L)
+            } else {
+              // Avro int and long share the zigzag varint encoding over the
+              // int range (pinned in AvroDirectSpec), so one writeLong
+              // serves both — and any int/long → Avro long promotion.
+              val v = parseLong(base, fOff, n, f)
+              if (kinds(f) == PInt && (v < Int.MinValue || v > Int.MaxValue)) fail(f)
+              wire.writeLong(v)
+            }
           case PDouble =>
             val bits = FastDouble.fastBits(base, fOff, n)
-            if (bits != FastDouble.FallbackBits)
+            if (bits != FastDouble.FallbackBits) {
+              if (nullable) wire.writeLong(1L)
               wire.writeDouble(java.lang.Double.longBitsToDouble(bits))
-            else {
+            } else {
               val d = FastDouble.tryParse(UTF8String.fromAddress(base, fOff, n))
-              if (d == null) fail(f)
-              wire.writeDouble(d.doubleValue())
+              if (d == null) { if (nullable) wire.writeLong(0L) else fail(f) }
+              else {
+                if (nullable) wire.writeLong(1L)
+                wire.writeDouble(d.doubleValue())
+              }
             }
           case PTsMicros =>
             val micros = RefTimestamp.parseMicros(base, fOff, n)
-            if (micros == Long.MinValue) fail(f)
-            wire.writeLong(micros)
+            if (micros == Long.MinValue) { if (nullable) wire.writeLong(0L) else fail(f) }
+            else {
+              if (nullable) wire.writeLong(1L)
+              wire.writeLong(micros)
+            }
           case PTsMillis =>
             val micros = RefTimestamp.parseMicros(base, fOff, n)
-            if (micros == Long.MinValue) fail(f)
-            wire.writeLong(Math.floorDiv(micros, 1000L))
+            if (micros == Long.MinValue) { if (nullable) wire.writeLong(0L) else fail(f) }
+            else {
+              if (nullable) wire.writeLong(1L)
+              wire.writeLong(Math.floorDiv(micros, 1000L))
+            }
           case PDate =>
             val micros = RefTimestamp.parseMicros(base, fOff, n)
-            if (micros == Long.MinValue) fail(f)
-            wire.writeLong(Math.floorDiv(micros, 86400000000L))
+            if (micros == Long.MinValue) { if (nullable) wire.writeLong(0L) else fail(f) }
+            else {
+              if (nullable) wire.writeLong(1L)
+              wire.writeLong(Math.floorDiv(micros, 86400000000L))
+            }
           case PBool =>
             // Strict vocabulary: first char J/j/Y/y → true, N/n → false,
-            // anything else (incl. empty) is a null parse → throw. A
-            // multibyte first char can never match, exactly like the
-            // upper(substring(raw,1,1)).isin chain.
-            if (n == 0) fail(f)
-            val c = org.apache.spark.unsafe.Platform.getByte(base, fOff)
-            if (c == 'J' || c == 'j' || c == 'Y' || c == 'y') wire.writeBoolean(true)
-            else if (c == 'N' || c == 'n') wire.writeBoolean(false)
+            // anything else (incl. empty) is a null parse → throw (or
+            // null branch). A multibyte first char can never match,
+            // exactly like the upper(substring(raw,1,1)).isin chain.
+            val c = if (n == 0) 0.toByte
+              else org.apache.spark.unsafe.Platform.getByte(base, fOff)
+            if (c == 'J' || c == 'j' || c == 'Y' || c == 'y') {
+              if (nullable) wire.writeLong(1L)
+              wire.writeBoolean(true)
+            } else if (c == 'N' || c == 'n') {
+              if (nullable) wire.writeLong(1L)
+              wire.writeBoolean(false)
+            } else if (nullable) wire.writeLong(0L)
             else fail(f)
           case PFloat =>
             // Rare type on hot schemas; route through the cast-equivalent
             // surface (tryParseFloat: trim → specials → parseFloat).
             val v = tryParseFloat(UTF8String.fromAddress(base, fOff, n))
-            if (v == null) fail(f)
-            wire.writeFloat(v.floatValue())
+            if (v == null) { if (nullable) wire.writeLong(0L) else fail(f) }
+            else {
+              if (nullable) wire.writeLong(1L)
+              wire.writeFloat(v.floatValue())
+            }
         }
         f += 1
       }
@@ -243,8 +294,11 @@ object FixedAvro {
   /** line → (optional Confluent header +) Avro record body as a bytes
     * column. `frameId >= 0` prepends `[0x00][id:4B BE]`; -1 emits the
     * bare body. Strict parse mode only — Compat's zero-fill semantics
-    * stay on the composable chain, which is not a hot path. */
-  case class FixedEncode(child: Expression, fixed: FixedSchema, frameId: Int)
+    * stay on the composable chain, which is not a hot path.
+    * `nullable = true` emits the `["null", T]` optional-union wire
+    * shape (see [[LineEncoder]]). */
+  case class FixedEncode(child: Expression, fixed: FixedSchema, frameId: Int,
+      optional: Boolean = false)
       extends UnaryExpression {
     override def dataType: DataType = BinaryType
     override def prettyName: String = "fixed_to_avro"
@@ -253,7 +307,7 @@ object FixedAvro {
     // Reused per-task state (expressions are deserialized per task, so
     // instance state is single-threaded — same contract as
     // AvroEncodeDirect's wire buffer).
-    @transient private lazy val encoder = new LineEncoder(fixed, frameId)
+    @transient private lazy val encoder = new LineEncoder(fixed, frameId, optional)
     @transient private lazy val wire = new AvroCodec.AvroWire(1024)
 
     def encodeLine(line: UTF8String): Array[Byte] = {
@@ -281,4 +335,18 @@ object FixedAvro {
   /** Column API: fused line → bare Avro record body. */
   def fixed_to_avro(line: Column, schema: FixedSchema): Column =
     ColumnBridge.column(FixedEncode(ColumnBridge.expression(line), schema, -1))
+
+  /** Column API: fused line → Confluent-framed OPTIONAL-union Avro
+    * bytes — the wire shape of
+    * [[graft.schema.FixedSchema.nullableAvroJson]]; failed strict
+    * parses encode as the null branch instead of throwing. */
+  def fixed_to_avro_confluent_nullable(line: Column, schema: FixedSchema,
+      schemaId: Int): Column =
+    ColumnBridge.column(FixedEncode(ColumnBridge.expression(line), schema, schemaId,
+      optional = true))
+
+  /** Column API: fused line → bare optional-union Avro record body. */
+  def fixed_to_avro_nullable(line: Column, schema: FixedSchema): Column =
+    ColumnBridge.column(FixedEncode(ColumnBridge.expression(line), schema, -1,
+      optional = true))
 }

@@ -202,6 +202,41 @@ object Pipeline {
   val fixedToAvroStrictOracle: String =
     s"SELECT * FROM lineitem WHERE l_orderkey % 7 <> 0 ORDER BY $orderColsSql"
 
+  /** The FUSED export path under the `["null", T]` optional-union wire
+    * (r18): ~1/5 of the rendered lines (l_orderkey divisible by 5 —
+    * computable on the line's first 12 chars) get their l_quantity
+    * slice blanked to spaces; the fused nullable encoder must carry
+    * those as the null branch (not throw, not garbage), and the
+    * resolving decode hands the nulls back. This puts the
+    * [[graft.functions.FixedAvro.LineEncoder]] nullable lane — pinned
+    * byte-identical to the general codec in FixedAvroSpec — behind the
+    * same end-to-end DuckDB value gate as the flat fused path. */
+  def fixedToAvroNullableFused(spark: SparkSession, dir: String): DataFrame = {
+    val schemaId = 43
+    val rendered = barrier(FixedWidth.render(lineitem(spark, dir), lineitemFixed))
+    // l_quantity is chars 41..50 (after 12+12+12+4); overlay with spaces
+    val corrupted = rendered.select(
+      when(trim(substring(col("value"), 1, 12)).cast("long") % 5 === 0,
+        concat(substring(col("value"), 1, 40), lit(" " * 10),
+          substring(col("value"), 51, Int.MaxValue)))
+        .otherwise(col("value")).as("value"))
+    val framed = corrupted.select(
+      graft.functions.FixedAvro.fixed_to_avro_confluent_nullable(
+        col("value"), lineitemFixed, schemaId).as("value"))
+    barrier(framed)
+      .select(AvroCodec.from_avro_rows(col("value"),
+        Map(schemaId -> lineitemFixed.nullableAvroJson),
+        lineitemFixed.nullableAvroJson, lineitemFixed.sparkSchema))
+      .orderBy(orderCols: _*)
+  }
+
+  val fixedToAvroNullableOracle: String =
+    s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+       |       CASE WHEN l_orderkey % 5 = 0 THEN NULL ELSE l_quantity END AS l_quantity,
+       |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+       |FROM lineitem
+       |ORDER BY ${lineitemFixed.fields.map(f => s"${f.name} NULLS FIRST").mkString(", ")}""".stripMargin
+
   /** typed rows → snappy OCF files (one per partition) → read back ≡ input. */
   def ocfRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = Scratch.dir(spark, "ocf")
@@ -287,6 +322,7 @@ object Pipeline {
     "avro_confluent_roundtrip" -> (avroRoundtrip _),
     "avro_nullable_roundtrip" -> (avroNullableRoundtrip _),
     "fixedwidth_toavro_fused" -> (fixedToAvroRoundtrip _),
+    "fixedwidth_toavro_nullable_fused" -> (fixedToAvroNullableFused _),
     "fixedwidth_toavro_strict" -> (fixedToAvroStrict _),
     "ocf_roundtrip" -> (ocfRoundtrip _),
     "kafka_stage_roundtrip" -> (kafkaRoundtrip _),
@@ -300,6 +336,7 @@ object Pipeline {
     "avro_confluent_roundtrip" -> identityOracle,
     "avro_nullable_roundtrip" -> avroNullableOracle,
     "fixedwidth_toavro_fused" -> identityOracle,
+    "fixedwidth_toavro_nullable_fused" -> fixedToAvroNullableOracle,
     "fixedwidth_toavro_strict" -> fixedToAvroStrictOracle,
     "ocf_roundtrip" -> identityOracle,
     "kafka_stage_roundtrip" -> identityOracle,

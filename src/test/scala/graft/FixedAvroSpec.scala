@@ -95,6 +95,59 @@ class FixedAvroSpec extends SparkSpec {
     }
   }
 
+  private def unfusedNullable(df: DataFrame): Seq[Seq[Byte]] =
+    // the general codec (to_avro) + frame: AvroEncodeDirect — the fused
+    // STRUCT encoder — rejects union schemas by design, so the
+    // union-capable general writer is the reference formulation here
+    FixedWidthParser.parse(df, schema, Strict, dropFooter = false)
+      .select(graft.functions.Confluent.frame(
+        AvroCodec.to_avro(struct(schema.fields.map(f => col(f.name)): _*),
+          schema.nullableAvroJson), 42).as("value"))
+      .collect().map(_.getAs[Array[Byte]]("value").toSeq).toSeq
+
+  private def fusedNullable(df: DataFrame): Seq[Seq[Byte]] =
+    df.select(graft.functions.FixedAvro.fixed_to_avro_confluent_nullable(
+        col("value"), schema, 42).as("value"))
+      .collect().map(_.getAs[Array[Byte]]("value").toSeq).toSeq
+
+  /** One bad field per physical encoding class — under the optional
+    * union these must encode as the null branch, not throw. */
+  private val ts2 = "2020-07-09-09.59.59.993750"
+  private def nullableBads: Seq[String] = Seq(
+    line("Q", "ab", "1", "2", "3", "4", "s", ts2, ts2, ts2), // bad boolean vocab
+    line("J", "ab", "x1", "2", "3", "4", "s", ts2, ts2, ts2), // garbage int
+    line("J", "ab", "1", "92233720368547758080", "3", "4", "s", ts2, ts2, ts2), // long overflow
+    line("J", "ab", "99999999999", "2", "3", "4", "s", ts2, ts2, ts2), // int overflow
+    line("J", "ab", "1", "2", "xx", "4", "s", ts2, ts2, ts2), // float garbage
+    line("J", "ab", "1", "2", "3", "1..2", "s", ts2, ts2, ts2), // double garbage
+    line("J", "ab", "1", "2", "3", "4", "s", "2020-13-01-00.00.00", ts2, ts2), // bad month
+    line("J", "ab", "1", "2", "3", "4", "s", ts2, "2020-07-09-09.59", ts2), // truncated tsm
+    line("", "", "", "", "", "", "", "", "", "")) // all-empty short line
+
+  test("fused nullable encoder ≡ parse + to_avro(nullableAvroJson), byte for byte") {
+    // r18: the optional-union wire shape through the FUSED path — every
+    // field branch-indexed, failed strict parses as the null branch.
+    // Byte-identity with the general codec over both clean lines and
+    // lines with one failure per encoding class.
+    val df = linesDf(goodLines ++ nullableBads)
+    val a = unfusedNullable(df)
+    val b = fusedNullable(df)
+    assert(a.size == b.size)
+    a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x == y, s"line $i nullable wire bytes diverge")
+    }
+    // and the union shape actually engaged: a bad line's body differs
+    // from nothing — decode side is pinned by avro_nullable_roundtrip
+    assert(a.distinct.size > 1)
+  }
+
+  test("flat (non-nullable) fused mode still throws on the same bad lines") {
+    nullableBads.dropRight(1).zipWithIndex.foreach { case (l, i) =>
+      assert(intercept[Exception](fused(linesDf(Seq(l)))) != null,
+        s"bad line $i: flat fused mode must reject")
+    }
+  }
+
   test("both paths throw on a slice whose strict parse is null") {
     val bads = Seq(
       line("Q", "ab", "1", "2", "3", "4", "s", ts, ts, ts), // bad boolean vocab
