@@ -169,10 +169,14 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
 
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Docs.shingled(Docs.fanned(spark, dir))
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    pairGraphOver(Docs.shingled(Docs.fanned(spark, dir)))
+
+  /** The full minhash LSH + exact-verify cascade over any shingled
+    * frame — factored so the incremental path's spec can run the same
+    * rebuild over arbitrary corpus subsets. */
+  private[graft] def pairGraphOver(sh: DataFrame): DataFrame =
     verifyJaccard(minhashCandidates(sh), sh, JaccardThreshold)
-  }
 
   val dedupMinhashOracle: String =
     s"""WITH ${Docs.shinglesSql},
@@ -954,6 +958,68 @@ object Dedup {
       val it = pairGraphCache.values().iterator()
       while (it.hasNext) { it.next().unpersist(false); it.remove() }
     }
+
+  // ----------------------------------- incremental pair-graph delta
+
+  /** The persistable LSH state of a docs frame: its (doc_id, band,
+    * sig) band-signature rows — the batch dual of
+    * [[graft.streaming.DocStream.nearDupIngest]]'s signature store
+    * (that store keeps the 64-long `sig` arrays per doc; this is the
+    * banded projection the candidate match actually joins on). Size:
+    * 16 rows × (id + ~40 B signature string) per document — id-scale,
+    * no text. */
+  private[graft] def bandStoreOf(docs: DataFrame): DataFrame =
+    bandSigs(minhashSigs(Docs.shingled(docs)))
+
+  /** Durable band store of a snapshot (r18): content-fingerprinted
+    * parquet beside the pair graph ([[graft.ops.IndexStore]]), so a
+    * later delta can extend the graph without re-deriving the base
+    * corpus's shingle + signature cascade. */
+  def bandStore(spark: SparkSession, dir: String): DataFrame =
+    IndexStore.loadOrBuild(spark, dir, "documents", "band_store") {
+      bandStoreOf(Docs.fanned(spark, dir))
+    }
+
+  /** NEW verified near-dup pairs created by a DELTA of documents,
+    * given the base corpus's persisted band store — the incremental
+    * (cross-snapshot) form of [[pairGraph]]: extended graph =
+    * base graph ∪ this. Only the delta is shingled and signed; the
+    * candidate match joins the delta's band rows against base ∪ delta
+    * buckets (so delta↔base and delta↔delta pairs are both found,
+    * base↔base pairs cannot change by adding documents), and
+    * verification re-attaches shingles for matched docs only.
+    *
+    * Bucket-cap parity: the [[MaxBucketWidth]] cap is evaluated on the
+    * UNION's bucket widths — identical to what a full rebuild over
+    * base+delta would see — so (base graph ∪ extend) ≡ full rebuild
+    * exactly, UNLESS a bucket crossed the cap between the base build
+    * and now: pairs that bucket contributed to the base graph predate
+    * the overflow and are kept, where a rebuild would skip the whole
+    * bucket. That divergence is the streaming store's too, and the
+    * right one — the cap exists to bound candidate quadratics, not to
+    * retract already-verified pairs.
+    *
+    * 100 TB shape: one shingle+sign pass over the DELTA only, one
+    * (band, sig) equi-join of delta band rows against the stored
+    * bucket rows, exact verification on matched candidates — the full
+    * corpus is never re-scanned (`allDocs` is touched only by the
+    * id-equi-join that re-attaches the matched candidates' shingles). */
+  def pairGraphExtend(baseStore: DataFrame, allDocs: DataFrame,
+      deltaDocs: DataFrame): DataFrame = {
+    val deltaStore = bandStoreOf(deltaDocs)
+    val full = baseStore.select(col("doc_id"), col("band"), col("sig"))
+      .unionByName(deltaStore.select(col("doc_id"), col("band"), col("sig")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+    val kept = full.withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= MaxBucketWidth)
+    val cands = deltaStore.select(col("doc_id").as("d_id"), col("band"), col("sig"))
+      .join(kept, Seq("band", "sig"))
+      .filter(col("doc_id") =!= col("d_id"))
+      .select(least(col("d_id"), col("doc_id")).as("doc_a"),
+        greatest(col("d_id"), col("doc_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(cands, Docs.shingled(allDocs), JaccardThreshold)
+  }
 
   def corpusCleanStaged(spark: SparkSession, dir: String): DataFrame =
     cleanPairGreedy(spark, dir, pairGraph(spark, dir))
