@@ -59,6 +59,14 @@ object Bench {
 
   val Runs = 3
 
+  /** Sweep bimodality defense (r18): max ADDITIONAL counted runs a
+    * query gets when its median sits more than 20% (+50 ms grace)
+    * above its min — a 3-run window straddling a writeback/GC mode
+    * flip can double the median while the min improves (q1_pricing's
+    * r17 [1.24, 2.21, 1.25, 2.07]); extending the window lets the
+    * median settle on the true steady state either way. */
+  val SweepExtraRuns = 4
+
   /** The two parse legs are the headline baseline comparison, so they
     * get more runs than the query sweep: r04's lineitem parse runs
     * spread [4.5, 0.9, 3.7] s — a median over 3 can land anywhere in
@@ -722,7 +730,7 @@ object Bench {
       // against the machine state it ran under, the same way the parse
       // legs are. (~100 ms x query count — negligible vs the sweep.)
       val qEnv = s"[${fmt0(microCal())},${fmt2(loadavg())},${siblingJvms()}]"
-      val runs = (0 to Runs).map { i =>
+      def timedRun(i: Int): Double = {
         ioBarrier() // drain the previous run's writes; collect its debris
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
@@ -740,8 +748,25 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      val counted = runs.drop(1)
-      (name, median(counted), counted.min, runs, qEnv)
+      val runsBuf = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (0 to Runs).foreach(i => runsBuf += timedRun(i))
+      // Bimodality defense (r18, VERDICT #4): q1_pricing's r17 record ran
+      // [1.24, 2.21, 1.25, 2.07] — a 3-run counted window straddling a
+      // writeback/GC mode flip doubles the median while the min IMPROVES.
+      // When the median sits far off the min, the window is too small to
+      // call: extend it (up to SweepExtraRuns more barriered runs) until
+      // the median stabilizes within the band or the slow mode proves to
+      // be the steady state — in which case the elevated median is the
+      // honest figure. Stable queries pay nothing.
+      var counted = runsBuf.drop(1).toVector
+      var extra = 0
+      while (extra < SweepExtraRuns && !errors.contains(name) &&
+          median(counted) > 1.2 * counted.min + 0.05) {
+        runsBuf += timedRun(runsBuf.size)
+        counted = runsBuf.drop(1).toVector
+        extra += 1
+      }
+      (name, median(counted), counted.min, runsBuf.toSeq, qEnv)
     }
 
     // Terse 2-dp values (trailing zeros stripped): at 76 queries the
@@ -812,8 +837,11 @@ object Bench {
       "same calibration (1 GiB) on the tmpfs mount, attributing the " +
       "ocf_write_ram minus ocf_cpu delta. queries are the median of runs " +
       "AFTER one discarded warmup (kept as queries_runs[0]), every run " +
-      "behind a sync+GC barrier; queries_min / total_min are the per-query " +
-      "and summed minima of the counted runs, and outliers flags " +
+      "behind a sync+GC barrier; a query whose median exceeds 1.2x its " +
+      "min (+50ms) gets up to " + SweepExtraRuns + " extra counted runs " +
+      "(visible as longer queries_runs arrays) so a bimodal window " +
+      "settles on the steady state (r18); queries_min / total_min are " +
+      "the per-query and summed minima of the counted runs, and outliers flags " +
       "[min,median] for any query whose median still exceeds 1.5x min " +
       "by >0.3s (empty = clean sweep). The stdout headline (r16) is " +
       "the driver-contract minimum — metric/value/unit/queries/" +
