@@ -938,11 +938,26 @@ object Dedup {
     // content-fingerprinted parquet beside the other index state): the
     // first process over a snapshot pays the LSH + verify cascade and
     // writes id-pair-scale parquet; every later process — and every
-    // later session in this one — loads it.
-    val df = IndexStore.loadOrBuild(spark, dir, "documents",
-        s"pair_graph_j$JaccardThreshold") { dedupMinhash(spark, dir) }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    df.count() // materialize now: every later consumer is a cache read
+    // later session in this one — loads it. On the BUILD path the
+    // returned frame keeps the CASCADE plan (persisted; the artifact
+    // is written FROM the cache): Spark's CacheManager then substitutes
+    // the persisted graph into the inline `dedup_minhash` derivation
+    // too — the same-process reuse r17 measured — while a warm process
+    // reads the artifact (whose parquet plan matches nothing inline;
+    // inline queries there pay their honest cascade cost, which is
+    // what they price).
+    val name = s"pair_graph_j$JaccardThreshold"
+    val df = IndexStore.tryLoad(spark, dir, "documents", name) match {
+      case Some(loaded) =>
+        val p = loaded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count(); p
+      case None =>
+        val g = dedupMinhash(spark, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        g.count() // materialize now: every later consumer is a cache read
+        IndexStore.write(spark, dir, "documents", name, g) // reads the cache
+        g
+    }
     pairGraphCache.synchronized {
       val raced = pairGraphCache.get(key)
       if (raced != null) { df.unpersist(false); raced }

@@ -84,37 +84,65 @@ object IndexStore {
       md.digest().map("%02x".format(_)).mkString
     })
 
+  private def destPath(spark: SparkSession, dir: String, table: String,
+      name: String, r: String): Path =
+    new Path(s"$r/${fingerprint(spark, dir, table)}/$name.parquet")
+
+  /** The committed artifact as a DataFrame, if it exists (None with
+    * persistence off or before the first write). */
+  private[graft] def tryLoad(spark: SparkSession, dir: String, table: String,
+      name: String): Option[DataFrame] = root(spark).flatMap { r =>
+    val dest = destPath(spark, dir, table, name, r)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(dest, "_SUCCESS"))) {
+      loads.incrementAndGet()
+      Some(spark.read.parquet(dest.toString))
+    } else None
+  }
+
+  /** Write `df` as the named artifact (temp dir + rename commit). A
+    * no-op with persistence off; a cross-process rename race resolves
+    * to the winner's committed copy. */
+  private[graft] def write(spark: SparkSession, dir: String, table: String,
+      name: String, df: DataFrame): Unit = root(spark).foreach { r =>
+    val dest = destPath(spark, dir, table, name, r)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(s"$r/${fingerprint(spark, dir, table)}/" +
+      s".${name}_tmp_${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, dest)) {
+      // Lost a cross-process race (or a stale half-write occupies dest
+      // without _SUCCESS): adopt the existing artifact if it committed,
+      // else clear the debris and commit ours.
+      fs.delete(tmp, true)
+      if (!fs.exists(new Path(dest, "_SUCCESS"))) {
+        fs.delete(dest, true)
+        val tmp2 = new Path(s"$r/${fingerprint(spark, dir, table)}/" +
+          s".${name}_tmp_${java.util.UUID.randomUUID()}")
+        df.write.mode("overwrite").parquet(tmp2.toString)
+        if (!fs.rename(tmp2, dest)) fs.delete(tmp2, true)
+      }
+    }
+    builds.incrementAndGet()
+  }
+
   /** Load the named artifact for (dir, table)'s current content, or
     * build it via `build`, write it, and return a reader over the
     * WRITTEN copy — both paths hand back a plan rooted at the artifact
     * parquet, so a value produced by a cold build and one produced by
     * a warm load are the same bytes through the same scan. With
-    * persistence off, returns `build` directly. */
+    * persistence off, returns `build` directly. (Callers that want to
+    * keep the BUILD plan visible to Spark's CacheManager — so
+    * same-process consumers of the underived formulation still get
+    * plan-cache substitution — compose [[tryLoad]]/[[write]] around a
+    * persisted build frame instead; see `Dedup.pairGraph`.) */
   def loadOrBuild(spark: SparkSession, dir: String, table: String, name: String)(
       build: => DataFrame): DataFrame = root(spark) match {
     case None => build
     case Some(r) =>
-      val fp = fingerprint(spark, dir, table)
-      val dest = new Path(s"$r/$fp/$name.parquet")
-      val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(new Path(dest, "_SUCCESS"))) {
-        loads.incrementAndGet()
-        spark.read.parquet(dest.toString)
-      } else {
-        val tmp = new Path(s"$r/$fp/.${name}_tmp_${java.util.UUID.randomUUID()}")
-        build.write.mode("overwrite").parquet(tmp.toString)
-        if (!fs.rename(tmp, dest)) {
-          // Lost a cross-process race (or a stale half-write occupies
-          // dest without _SUCCESS): adopt the existing artifact if it
-          // committed, else clear the debris and retry once.
-          fs.delete(tmp, true)
-          if (!fs.exists(new Path(dest, "_SUCCESS"))) {
-            fs.delete(dest, true)
-            return loadOrBuild(spark, dir, table, name)(build)
-          }
-        }
-        builds.incrementAndGet()
-        spark.read.parquet(dest.toString)
+      tryLoad(spark, dir, table, name).getOrElse {
+        write(spark, dir, table, name, build)
+        spark.read.parquet(destPath(spark, dir, table, name, r).toString)
       }
   }
 

@@ -307,6 +307,95 @@ object TextAnalysis {
        |       (tok_start + n_tokens - 1) // $PackBudget AS seq_last
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Fixture BPE merge vocabulary for the tokenizer-true lane (r18):
+    * a fixed rank-ordered byte-level merge list (common English
+    * digraphs + space-fused word tails, the shape a real learned
+    * vocabulary has at tiny size). A production pipeline ships its
+    * tokenizer's learned merges here — the operator takes any list;
+    * this one exists so the oracle can replay tokenization exactly
+    * ([[graft.functions.Bpe]]): each rule is one `replace()` in a
+    * recursive CTE, so determinism needs nothing beyond the list
+    * itself. Rank order is load-bearing: later rules may consume
+    * tokens earlier rules create ("t"+"h" → "th", "th"+"e" → "the",
+    * "the"+" " → "the "). */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "the" -> " ",
+    "i" -> "n", "a" -> "n", "an" -> "d", "and" -> " ",
+    "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n",
+    "o" -> "r", "e" -> "s", "i" -> "s", "o" -> "u", "a" -> "l",
+    "in" -> "g", "ing" -> " ", "er" -> " ", "es" -> " ",
+    "is" -> " ", "on" -> " ", "at" -> " ", "en" -> " ", "or" -> " ",
+    "e" -> " ", "s" -> " ", "t" -> " ", "d" -> " ", "n" -> " ", "y" -> " ",
+    " " -> "t", " " -> "a", " " -> "s", " " -> "w", " " -> "o", " " -> "c")
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The merge list as SQL VALUES rows `(rank, pattern, replacement)` —
+    * ONE definition shared by engine and oracle. */
+  private[graft] val bpeMergesValues: String =
+    BpeMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"($i, chr(2)||${sqlLit(a)}||chr(3)||chr(2)||${sqlLit(b)}||chr(3), " +
+        s"chr(2)||${sqlLit(a + b)}||chr(3))"
+    }.mkString(", ")
+
+  /** `corpus_pack_bpe`: the [[corpusPack]] manifest with the token
+    * budget measured in BPE TOKENS ([[graft.functions.Bpe]], the
+    * [[BpeMerges]] fixture vocabulary) instead of the whitespace-token
+    * proxy — tokenizer-true sequence packing, what the data loader of
+    * a real pretraining run actually consumes. Same packing law
+    * (per-source stream, n_tokens + 1 EOS each, [[PackBudget]]-token
+    * cuts); only the measure changes. Same 100 TB shape as
+    * [[corpusPack]]: tokenization is map-side (vocabulary as a codegen
+    * reference object), one window shuffle on the group key. */
+  def corpusPackBpe(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Docs.fanned(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.Bpe.bpe_token_count(col("text"), BpeMerges).as("n_tokens"))
+      .withColumn("tok_start",
+        sum(col("n_tokens") + 1).over(w) - (col("n_tokens") + 1))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_start"),
+        expr(s"tok_start div $PackBudget").as("seq_first"),
+        expr(s"(tok_start + n_tokens - 1) div $PackBudget").as("seq_last"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle replay of the BPE tokenization: seed each document as its
+    * code-point sequence with every character wrapped chr(2)..chr(3)
+    * ((?s): '.' must match newlines), then one recursive-CTE step per
+    * merge rank applies that rule as a literal `replace` — DuckDB's
+    * left-to-right non-overlapping replace is exactly the engine's
+    * `String.replace`, and the wrappers anchor each pattern to whole
+    * adjacent tokens — and the surviving chr(2) count is the token
+    * count. The packing tail is [[corpusPackOracle]]'s. */
+  val corpusPackBpeOracle: String =
+    s"""WITH RECURSIVE m(rk, pat, rep) AS (VALUES $bpeMergesValues),
+       |init AS (
+       |  SELECT doc_id, source,
+       |         regexp_replace(text, '(?s)(.)', chr(2) || '\\1' || chr(3), 'g') AS s
+       |  FROM documents),
+       |steps AS (
+       |  SELECT doc_id, source, s, 0 AS i FROM init
+       |  UNION ALL
+       |  SELECT st.doc_id, st.source, replace(st.s, m.pat, m.rep), st.i + 1
+       |  FROM steps st JOIN m ON m.rk = st.i),
+       |t AS (
+       |  SELECT doc_id, source,
+       |         CAST(length(s) - length(replace(s, chr(2), '')) AS BIGINT) AS n_tokens
+       |  FROM steps WHERE i = ${BpeMerges.size}),
+       |c AS (SELECT *,
+       |        CAST(sum(n_tokens + 1) OVER (PARTITION BY source ORDER BY doc_id
+       |                                     ROWS UNBOUNDED PRECEDING) - (n_tokens + 1)
+       |             AS BIGINT) AS tok_start
+       |      FROM t)
+       |SELECT doc_id, source, n_tokens, tok_start,
+       |       tok_start // $PackBudget AS seq_first,
+       |       (tok_start + n_tokens - 1) // $PackBudget AS seq_last
+       |FROM c ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------- stratified sampling
 
   /** Deterministic stratified corpus sampling: per-language keep rates
@@ -979,6 +1068,7 @@ object TextAnalysis {
     "corpus_split" -> (corpusSplit _),
     "doc_embed" -> (docEmbed _),
     "corpus_pack" -> (corpusPack _),
+    "corpus_pack_bpe" -> (corpusPackBpe _),
     "corpus_sample" -> (corpusSample _),
     "text_pii_scrub" -> (textPiiScrub _),
     "corpus_ngram_counts" -> (corpusNgramCounts _),
@@ -997,6 +1087,7 @@ object TextAnalysis {
     "corpus_split" -> corpusSplitOracle,
     "doc_embed" -> docEmbedOracle,
     "corpus_pack" -> corpusPackOracle,
+    "corpus_pack_bpe" -> corpusPackBpeOracle,
     "corpus_sample" -> corpusSampleOracle,
     "text_pii_scrub" -> textPiiScrubOracle,
     "corpus_ngram_counts" -> corpusNgramCountsOracle,

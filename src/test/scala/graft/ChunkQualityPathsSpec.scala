@@ -135,6 +135,43 @@ class ChunkQualityPathsSpec extends SparkSpec {
       "threshold must split the fixture corpus")
   }
 
+  test("corpus_pack_bpe: BPE counts match a driver-side merge-loop recompute") {
+    // r18 tokenizer-true lane: sequential rank-order merges, each a
+    // literal left-to-right replace on the SEP-joined code points —
+    // recomputed here independently (per-code-point list merge, NOT
+    // String.replace) so the expression's string representation trick
+    // is checked against the actual BPE definition.
+    val out = TextAnalysis.corpusPackBpe(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def bpe(text: String): Long = {
+      var toks: Vector[String] =
+        text.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+      for ((a, b) <- TextAnalysis.BpeMerges) {
+        val merged = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            merged += (a + b); i += 2 // left-to-right, non-overlapping
+          } else { merged += toks(i); i += 1 }
+        }
+        toks = merged.result()
+      }
+      toks.length.toLong
+    }
+    assert(out.size == docs.length)
+    docs.foreach { case (id, text) =>
+      assert(out(id) == bpe(text), s"doc $id BPE count")
+    }
+    // the lane must actually compress: fewer tokens than characters
+    val chars = docs.map(_._2.length.toLong).sum
+    assert(out.values.sum < chars, "merges must reduce the token count")
+    // and no fixture doc carries the wrapper code points
+    assert(docs.forall(d => !d._2.contains('\u0002') && !d._2.contains('\u0003')))
+  }
+
   test("events_top_paths matches a driver-side sequence recompute") {
     val ev = Sessions.events(spark, sf)
       .select(col("user_id"),
