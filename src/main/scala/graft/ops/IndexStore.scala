@@ -101,8 +101,17 @@ object IndexStore {
   }
 
   /** Write `df` as the named artifact (temp dir + rename commit). A
-    * no-op with persistence off; a cross-process rename race resolves
-    * to the winner's committed copy. */
+    * no-op with persistence off; a cross-process race resolves to a
+    * committed copy either way (every build of an artifact is
+    * deterministic in the snapshot, so whichever writer lands, the
+    * bytes carry the same values).
+    *
+    * An EXISTING dest is handled BEFORE the rename: committed
+    * (_SUCCESS) → adopt it and drop ours; uncommitted debris (a
+    * writer that died mid-commit) → delete it first. This matters
+    * because Hadoop's local rename into an existing non-empty
+    * directory does not replace it — it can move the source INSIDE
+    * the target, silently nesting the new artifact under the debris. */
   private[graft] def write(spark: SparkSession, dir: String, table: String,
       name: String, df: DataFrame): Unit = root(spark).foreach { r =>
     val dest = destPath(spark, dir, table, name, r)
@@ -110,18 +119,11 @@ object IndexStore {
     val tmp = new Path(s"$r/${fingerprint(spark, dir, table)}/" +
       s".${name}_tmp_${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(tmp, dest)) {
-      // Lost a cross-process race (or a stale half-write occupies dest
-      // without _SUCCESS): adopt the existing artifact if it committed,
-      // else clear the debris and commit ours.
-      fs.delete(tmp, true)
-      if (!fs.exists(new Path(dest, "_SUCCESS"))) {
-        fs.delete(dest, true)
-        val tmp2 = new Path(s"$r/${fingerprint(spark, dir, table)}/" +
-          s".${name}_tmp_${java.util.UUID.randomUUID()}")
-        df.write.mode("overwrite").parquet(tmp2.toString)
-        if (!fs.rename(tmp2, dest)) fs.delete(tmp2, true)
-      }
+    if (fs.exists(dest) && fs.exists(new Path(dest, "_SUCCESS"))) {
+      fs.delete(tmp, true) // lost the race to a committed writer
+    } else {
+      if (fs.exists(dest)) fs.delete(dest, true) // crash debris, never committed
+      if (!fs.rename(tmp, dest)) fs.delete(tmp, true) // raced: winner committed
     }
     builds.incrementAndGet()
   }

@@ -76,6 +76,29 @@ class IndexStoreSpec extends SparkSpec {
     freshProcess()
   }
 
+  test("a half-written artifact (no _SUCCESS) is rebuilt, not trusted") {
+    // Simulates a writer that died after creating the destination dir
+    // but before the rename commit: debris without _SUCCESS must be
+    // cleared and rebuilt — a reader must never consume it.
+    val root = Files.createTempDirectory("graft-index-crash").toString
+    withRoot(root) {
+      val fp = IndexStore.fingerprint(spark, sf, "embeddings")
+      val dest = Paths.get(root, fp, "crash_test.parquet")
+      Files.createDirectories(dest)
+      Files.writeString(dest.resolve("part-00000.parquet"), "debris")
+      assert(IndexStore.tryLoad(spark, sf, "embeddings", "crash_test").isEmpty,
+        "uncommitted debris must not load")
+      val b0 = IndexStore.builds.get()
+      val df = IndexStore.loadOrBuild(spark, sf, "embeddings", "crash_test") {
+        import org.apache.spark.sql.functions.lit
+        spark.range(3).withColumn("v", lit("ok"))
+      }
+      assert(IndexStore.builds.get() == b0 + 1)
+      assert(df.count() == 3, "rebuilt artifact must read cleanly")
+      assert(Files.exists(dest.resolve("_SUCCESS")), "rebuild must commit")
+    }
+  }
+
   test("fingerprint is content-keyed: a regenerated snapshot invalidates") {
     val tmp = Files.createTempDirectory("graft-fp-spec")
     val src = Paths.get(s"$sf/embeddings.parquet")
