@@ -418,14 +418,18 @@ object Similarity {
       nProbe: Int): DataFrame = {
     val n = normed(spark, dir)
     val pivots = ivfPivots(spark, dir)
-    // Cell similarity array → assigned cell (argmax) per vector, probe
-    // list (top nProbe cells) per query.
-    val withCells = n.withColumn("cellSims", centroidSimsCol(pivots))
-      .withColumn("cell", expr(
-        s"array_position(cellSims, array_max(cellSims)) - 1"))
+    // Corpus-side assignment goes through the shared best-cell route
+    // (r18): flat argmax below [[TwoLevelMinCells]] — the
+    // oracle-replayed rule at every fixture k — and the two-level
+    // coarse-quantized scan past it, so the CORPUS pass (the side
+    // that is 100 TB) never flat-scans a 2¹⁷-centroid matrix per
+    // vector. The probe list below stays a full cellSims ranking —
+    // that runs per QUERY, the bounded side by assumption (and
+    // nProbe = 0.75·k wants most cells ranked anyway).
     val assigned = fanOut(spark, dir, "embeddings",
-      withCells.select(col("vec_id"), col("v"), col("nrm"), col("cell")),
+      withBestCell0(n, pivots).select(col("vec_id"), col("v"), col("nrm"), col("cell")),
       col("cell"), col("vec_id"))
+    val withCells = n.withColumn("cellSims", centroidSimsCol(pivots))
     // Probe list SLIMMED to id pairs (r17): the probe frame used to
     // carry the full query vector on every (query, probed cell) row —
     // nProbe-fold replication of the vectors through the broadcast
