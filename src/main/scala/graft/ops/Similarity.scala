@@ -347,13 +347,26 @@ object Similarity {
         .withColumn("cell",
           (col("tl.pos") - 1).cast(org.apache.spark.sql.types.LongType))
 
+  /** Fixed-point grid for the Lloyd means (r18, per ADVICE): centroid
+    * components land on a 1e-6 grid via EXACT integer sums —
+    * `round(Σ round(x·10⁶) / count) / 10⁶` — the PQ-oracle pattern.
+    * The r17 formulation (`round(avg(x), 6)`) also landed on the grid
+    * but through a partition-order-dependent double sum: a sum within
+    * an ulp of a 5e-7 rounding boundary could flip the 6th decimal
+    * between engines (or between runs at different parallelism). Here
+    * every term is an exact integer both engines agree on, the one
+    * double division (exact int / exact int) is IEEE
+    * correctly-rounded identically, and `round` half-away-from-zero
+    * matches. Overflow headroom: unit-scale components quantize to
+    * ~10⁶ per row, so a cell needs ~9·10⁹ members to threaten 2⁵³ —
+    * three orders past the derived geometry's bound. */
+  val LloydGrid = 1000000L
+
   /** One Lloyd iteration (the classic IVF centroid-training step):
     * assign every vector to its nearest seed, recompute each cell's
-    * centroid as the element-wise mean, re-collect (metadata scale).
-    * Coordinates round to 1e-6 so the distributed mean's float
-    * summation order cannot jitter the build between runs; empty cells
-    * keep their seed. One extra pass over the corpus, done once at
-    * index build. */
+    * centroid as the element-wise mean on the [[LloydGrid]] integer
+    * grid, re-collect (metadata scale); empty cells keep their seed.
+    * One extra pass over the corpus, done once at index build. */
   private def refinedPivots(n: DataFrame,
       seeds: Array[(Long, Array[Double], Double)]): Array[(Long, Array[Double], Double)] = {
     val assigned = withBestCell0(n, seeds)
@@ -364,7 +377,11 @@ object Similarity {
       // driver-side getLong (NPE) or skew a centroid mean.
       .where(col("cell").isNotNull)
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos").agg(round(avg(col("x")), 6).as("m"))
+      .select(col("cell"), col("pos"),
+        round(col("x") * LloydGrid).cast(org.apache.spark.sql.types.LongType).as("xi"))
+      .groupBy("cell", "pos")
+      .agg((round(sum(col("xi")).cast(DoubleType) / count(lit(1))) / (LloydGrid.toDouble))
+        .as("m"))
       .collect()
     val byCell = centroidRows.groupBy(_.getLong(0)).map { case (cell, rows) =>
       val vec = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
@@ -401,9 +418,14 @@ object Similarity {
   private[graft] def ivfPivots(spark: SparkSession, dir: String)
       : Array[(Long, Array[Double], Double)] = {
     val cells = ivfCells(spark, dir)
+    // The artifact name carries the mean-grid parameter: the content
+    // fingerprint keys on the SNAPSHOT, so a construction-semantics
+    // change (r18: round(avg,6) → exact integer-grid means) must
+    // rename the artifact or a warm process would load centroids the
+    // current oracle no longer replays.
     pivotCache.computeIfAbsent((dir, cells), _ =>
       collectPivots(IndexStore.loadOrBuild(spark, dir, "embeddings",
-          s"ivf_centroids_k$cells") {
+          s"ivf_centroids_k${cells}_g$LloydGrid") {
         pivotsToDf(spark, refinedPivots(normed(spark, dir), seedPivotsCached(spark, dir)))
       }))
   }
@@ -560,16 +582,19 @@ object Similarity {
     * engine pins (struct-min / array_position-first / TopK's
     * (score desc, id asc)) appears as the matching ORDER BY.
     *
-    * Exactness caveat (r18, per ADVICE): unlike the PQ oracle (exact
-    * integer grid end-to-end), this replay rests on round(avg,6)
-    * Lloyd means and unrounded double cosines agreeing across engines
-    * for every argmax/probe-rank decision. A partition-order sum
-    * landing within an ulp of a 5e-7 rounding boundary, or a near-tie
-    * in assignment rank, could flip on a new fixture. Verified
-    * empirically at all three SFs; if this value compare ever flakes,
-    * `similarity_ann_recall` (the recall gate) is the authoritative
-    * check and this oracle should drop to a rows-only entry rather
-    * than chase cross-engine float reproducibility. */
+    * Exactness (r18, per ADVICE): the Lloyd means are now EXACT —
+    * integer sums on the [[LloydGrid]] fixed-point grid, the PQ-oracle
+    * pattern — so the partition-order float-sum window the r17
+    * round(avg,6) formulation carried is gone; both engines construct
+    * bit-identical centroids by construction. The remaining
+    * cross-engine surface is the double cosine RANKING (assignment
+    * argmax, probe rank): identical inputs on both sides, so only a
+    * sub-ulp formula difference inside DuckDB's
+    * list_cosine_similarity at an exact near-tie could flip a rank.
+    * Verified empirically at all three SFs; if the value compare ever
+    * flakes there, `similarity_ann_recall` (the recall gate) is the
+    * authoritative check and this oracle should drop to a rows-only
+    * entry rather than chase cross-engine float reproducibility. */
   val similarityAnnIvfOracle: String =
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -588,7 +613,12 @@ object Similarity {
        |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cls) AS rk
        |    FROM s_sims) WHERE rk = 1),
        |means AS (
-       |  SELECT g.cls, i.i, round(avg(v.v[i.i]), 6) AS m
+       |  -- exact-integer Lloyd means (r18): round(sum_int/count)/grid,
+       |  -- every term an integer both engines agree on — no
+       |  -- partition-order float-sum window
+       |  SELECT g.cls, i.i,
+       |         round(CAST(sum(CAST(round(v.v[i.i] * $LloydGrid) AS BIGINT)) AS DOUBLE)
+       |               / count(*)) / $LloydGrid.0 AS m
        |  FROM s_asg g JOIN v USING (vec_id)
        |  CROSS JOIN (SELECT unnest(generate_series(1, len((SELECT v FROM v LIMIT 1)))) AS i) i
        |  GROUP BY g.cls, i.i),
