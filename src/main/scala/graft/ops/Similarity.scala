@@ -1326,6 +1326,267 @@ object Similarity {
        |SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
        |FROM rked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------- IVF-PQ ANN
+
+  /** Rerank budget for the IVF-PQ composite: the PQ rerank fraction
+    * applied to the candidate pool the probe list actually admits
+    * (~[[ProbeFrac]]·N, not N — the flat-PQ budget over the full corpus
+    * would rerank a THIRD of the probed candidates and erase most of
+    * the composite's cost win), floored at [[K]] so the result is
+    * never starved below the output contract, capped at
+    * [[PqShortlistMax]] like the flat path. Pure arithmetic shared
+    * with the oracle's `budget` CTE: one left-associated double
+    * product + ceil, identical IEEE steps in both engines. */
+  private[graft] def ivfPqShortlist(n: Long): Int =
+    math.max(K, math.min(math.ceil(n * ProbeFrac * PqShortlistFrac),
+      PqShortlistMax.toDouble).toInt)
+
+  /** `similarity_ann_ivfpq`: the textbook IVFADC composite (Jégou,
+    * Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
+    * Search" §IV) — the production ANN shape at 100 TB, assembled
+    * entirely from index pieces this file already constructs and
+    * persists: the coarse IVF quantizer prunes WHICH rows are scanned
+    * (nProbe of k cells per query) and PQ codes compress WHAT is
+    * scanned (4·[[PqM]] bits per row instead of the vector), so the
+    * candidate stage streams (id, cell, codes) — neither the corpus
+    * vectors nor an uncompressed probed subset ever move. Divergence
+    * from the paper, deliberate: codes quantize the RAW vectors (the
+    * [[embeddingPq]] codebook, shared artifact), not the per-cell
+    * residuals — residual codebooks couple the PQ artifact to the IVF
+    * artifact (k codebooks or a shared one over residuals, retrained
+    * whenever centroids move) for accuracy this corpus's near-random
+    * vectors cannot realize, and the raw-vector form keeps both
+    * artifacts independently reusable and the whole construction
+    * integer-exact in DuckDB. The ADC shortlist reranks on the true
+    * vectors exactly like the flat PQ path, so output schema and
+    * tie-breaks are [[similarityTopk]]'s.
+    *
+    * 100 TB shape: corpus-side work is ONE map pass (two-level-safe
+    * cell assignment + fused code argmin) over the scan, then an
+    * equi-shuffle on cell; the query side broadcasts (query, cell) id
+    * pairs plus one ~1 KB LUT per query (bounded query batch BY
+    * ASSUMPTION, as every ANN path here); the ADC join output is
+    * id-pair + one long — the only corpus-scale shuffle is the
+    * fanOut exchange itself, and the rerank joins move shortlist·Q
+    * ids against the vector table. */
+  def similarityAnnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    similarityAnnIvfPq(spark, dir, ivfProbes(ivfCells(spark, dir)),
+      ivfPqShortlist(corpusCount(spark, dir)))
+
+  /** Parameterized form: `IvfPqSpec` pins the exhaustive identity —
+    * nProbe = k and shortlist ≥ N reduce the composite to exact
+    * [[similarityTopk]] (every cell probed → every pair ADC'd →
+    * shortlist keeps all → the exact rerank IS the exact baseline). */
+  private[graft] def similarityAnnIvfPq(spark: SparkSession, dir: String,
+      nProbe: Int, shortlistN: Int): DataFrame = {
+    val pivots = ivfPivots(spark, dir)
+    val cb = pqCodebook(spark, dir)
+    val dims = pqSubDims(spark, dir)
+    val n = normed(spark, dir)
+    // round(v·PqScale) over the double-cast vector ≡ [[quantized]]'s
+    // projection (same cast, same grid) — computed inline so the
+    // corpus index row (cell + codes) is ONE map pass over one scan,
+    // not an id-equi-join of two derived frames.
+    def vqCol = transform(col("v"),
+      x => round(x * PqScale).cast(org.apache.spark.sql.types.LongType))
+    val corpusIdx = withBestCell0(n, pivots)
+      .withColumn("pc", graft.functions.VectorOps.pq_code_argmin(vqCol,
+        cb.map(_._1), cb.map(_._2), PqM, dims))
+      // cell IS NULL (zero-norm vector, belongs to no cell): the
+      // probe equi-join would drop it anyway; filter keeps the
+      // fanned-out index frame clean.
+      .where(col("cell").isNotNull)
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("pc.codes").as("codes"))
+    val corpus = fanOut(spark, dir, "embeddings", corpusIdx,
+      col("cell"), col("neighbor_id"))
+    // Query side: the slimmed (query, cell) probe pairs of the IVF
+    // path + the flat ADC LUT of the PQ path, each broadcast once.
+    val withCells = n.withColumn("cellSims", centroidSimsCol(pivots))
+    val probeCells = withCells.select(col("vec_id").as("query_id"),
+      explode(slice(expr(
+        "transform(array_sort(zip_with(cellSims, sequence(0, size(cellSims)-1), (s, i) -> struct(-s AS negs, i AS idx))), p -> p.idx)"),
+        1, nProbe)).as("cell"))
+    val luts = n.select(col("vec_id").as("query_id"),
+      graft.functions.VectorOps.pq_query_lut(vqCol,
+        cb.map(_._1), cb.map(_._2), PqM, dims, PqCodewords).as("lut"))
+    // Same build-side pins as the parents: both query-side frames are
+    // the bounded side by assumption; left to the heuristic the
+    // moment the corpus side slims to (id, cell, codes) Catalyst
+    // flips to broadcasting IT and streams the one-split query scan —
+    // the single-core collapse every ANN path here pins away.
+    val cands = broadcast(probeCells).join(corpus, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(luts), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (-graft.functions.VectorOps.pq_adc(col("codes"), col("lut")))
+          .cast(DoubleType).as("negd"))
+    val short = cands.groupBy("query_id")
+      .agg(topk_by_score(col("negd"), col("neighbor_id"), shortlistN).as("nn"))
+      .select(col("query_id"), explode(col("nn.id")).as("neighbor_id"))
+    // Exact rerank on the true vectors: the flat PQ path verbatim.
+    val reranked = short
+      .join(n.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb")),
+        "neighbor_id")
+      .join(n.select(col("vec_id").as("query_id"), col("v").as("vqr"), col("nrm").as("nq")),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (Dedup.dot(col("vqr"), col("vb")) /
+          nullif(col("nq") * col("nb"), lit(0.0))).as("sim"))
+    ranked(reranked.groupBy("query_id")
+      .agg(topk_by_score(col("sim"), col("neighbor_id"), K).as("nn")))
+  }
+
+  /** Recall floor for the composite. It stacks both approximations —
+    * the probe list's recall ceiling (~0.93-0.97 measured for IVF
+    * alone) times the ADC shortlist's (~0.86-0.92 for flat PQ at a
+    * budget 4× this one's corpus fraction) — so the floor sits under
+    * their product's measured band rather than under either parent's:
+    * recall@5 vs exact = 0.814 / 0.792 / 0.878 at sf0.001/0.01/0.1. */
+  val IvfPqRecallFloor = 0.75
+
+  def similarityAnnIvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = exactTopkPairs(spark, dir)
+    val ann = similarityAnnIvfPq(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hit = ann.withColumn("hit", lit(1L))
+    exact.join(hit, Seq("query_id", "neighbor_id"), "left_outer")
+      .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1L))).as("recall"))
+      .select((col("recall") >= IvfPqRecallFloor).as("recall_ok"),
+        lit(IvfPqRecallFloor).as("floor"))
+  }
+
+  val ivfPqRecallOracle: String =
+    s"SELECT CAST(TRUE AS BOOLEAN) AS recall_ok, CAST($IvfPqRecallFloor AS DOUBLE) AS floor"
+
+  /** Full value oracle for `similarity_ann_ivfpq`: the
+    * [[similarityAnnIvfOracle]] centroid/probe machinery verbatim
+    * (exact integer-grid Lloyd means, probe list by (sim desc, cls))
+    * composed with the [[embeddingPqOracle]] codebook machinery
+    * verbatim (integer grid end-to-end; `ppairs` doubles as code
+    * assignment AND query LUT, the ADC asymmetry), the composite's
+    * defining join — ADC distances summed ONLY over probed-cell
+    * candidates — the probe-scaled shortlist under the engine's
+    * pinned (distance asc, id asc) order, and the exact-cosine
+    * top-[[K]] rerank. Deterministic for the same reasons as the two
+    * parents; the only non-integer surface is the double cosine
+    * RANKING (assignment/probe/rerank), shared with and bounded by
+    * the parent oracles' argument. */
+  val similarityAnnIvfPqOracle: String =
+    s"""WITH fv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |kk AS ($cellsSql),
+       |np AS (SELECT CAST(ceil(k * $ProbeFrac) AS BIGINT) AS p FROM kk),
+       |seeds AS (
+       |  SELECT vec_id % kk.k AS cls, min_by(v, vec_id) AS c
+       |  FROM fv CROSS JOIN kk GROUP BY 1),
+       |s_sims AS (
+       |  SELECT a.vec_id, s.cls, list_cosine_similarity(a.v, s.c) AS sim
+       |  FROM fv a CROSS JOIN seeds s),
+       |s_asg AS (
+       |  SELECT vec_id, cls FROM (
+       |    SELECT vec_id, cls,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cls) AS rk
+       |    FROM s_sims) WHERE rk = 1),
+       |means AS (
+       |  SELECT g.cls, i.i,
+       |         round(CAST(sum(CAST(round(fv.v[i.i] * $LloydGrid) AS BIGINT)) AS DOUBLE)
+       |               / count(*)) / $LloydGrid.0 AS m
+       |  FROM s_asg g JOIN fv USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(generate_series(1, len((SELECT v FROM fv LIMIT 1)))) AS i) i
+       |  GROUP BY g.cls, i.i),
+       |refined AS (
+       |  SELECT seeds.cls,
+       |         CASE WHEN m.c IS NOT NULL AND list_sum(list_transform(m.c, x -> x*x)) > 0
+       |              THEN m.c ELSE seeds.c END AS c
+       |  FROM seeds LEFT JOIN (
+       |    SELECT cls, list(m ORDER BY i) AS c FROM means GROUP BY cls) m USING (cls)),
+       |r_sims AS (
+       |  SELECT a.vec_id, r.cls, list_cosine_similarity(a.v, r.c) AS sim
+       |  FROM fv a CROSS JOIN refined r),
+       |r_asg AS (
+       |  SELECT vec_id, cls AS cell FROM (
+       |    SELECT vec_id, cls,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cls) AS rk
+       |    FROM r_sims) WHERE rk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cls AS cell FROM (
+       |    SELECT vec_id, cls,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cls) AS rk
+       |    FROM r_sims) CROSS JOIN np WHERE rk <= np.p),
+       |qv AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $PqScale) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |pseeds AS (
+       |  SELECT vec_id % $PqCodewords AS j, min_by(vq, vec_id) AS c
+       |  FROM qv GROUP BY 1),
+       |psp AS (
+       |  SELECT a.vec_id, s.s, pseeds.j,
+       |         CAST(list_sum(list_transform(generate_series(1, $PqDims),
+       |           i -> (a.vq[s.s * $PqDims + i] - pseeds.c[s.s * $PqDims + i])
+       |              * (a.vq[s.s * $PqDims + i] - pseeds.c[s.s * $PqDims + i]))) AS BIGINT) AS d
+       |  FROM qv a
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS s) s
+       |  CROSS JOIN pseeds),
+       |pasg AS (
+       |  SELECT vec_id, s, j FROM (
+       |    SELECT vec_id, s, j,
+       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rk
+       |    FROM psp) WHERE rk = 1),
+       |pcomp AS (
+       |  SELECT g.s, g.j, i.i,
+       |         CAST(round(CAST(sum(qv.vq[g.s * $PqDims + i.i]) AS DOUBLE) / count(*))
+       |              AS BIGINT) AS m
+       |  FROM pasg g JOIN qv USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $PqDims)) AS i) i
+       |  GROUP BY g.s, g.j, i.i),
+       |pcb AS (
+       |  SELECT s.s, pseeds.j, i.i,
+       |         coalesce(c.m, pseeds.c[s.s * $PqDims + i.i]) AS m
+       |  FROM (SELECT unnest(generate_series(0, ${PqM - 1})) AS s) s
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $PqDims)) AS i) i
+       |  CROSS JOIN pseeds
+       |  LEFT JOIN pcomp c ON c.s = s.s AND c.j = pseeds.j AND c.i = i.i),
+       |ppairs AS (
+       |  SELECT a.vec_id, pcb.s, pcb.j,
+       |         CAST(sum((a.vq[pcb.s * $PqDims + pcb.i] - pcb.m)
+       |                * (a.vq[pcb.s * $PqDims + pcb.i] - pcb.m)) AS BIGINT) AS d
+       |  FROM qv a CROSS JOIN pcb
+       |  GROUP BY a.vec_id, pcb.s, pcb.j),
+       |pcodes AS (
+       |  SELECT vec_id, s, j FROM (
+       |    SELECT vec_id, s, j,
+       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rk
+       |    FROM ppairs) WHERE rk = 1),
+       |adc AS (
+       |  SELECT p.query_id, g.vec_id AS neighbor_id, sum(l.d) AS d
+       |  FROM probes p
+       |  JOIN r_asg g ON g.cell = p.cell AND g.vec_id <> p.query_id
+       |  JOIN pcodes c ON c.vec_id = g.vec_id
+       |  JOIN ppairs l ON l.vec_id = p.query_id AND l.s = c.s AND l.j = c.j
+       |  GROUP BY 1, 2),
+       |budget AS (
+       |  SELECT GREATEST($K, LEAST(CAST(ceil(count(*) * $ProbeFrac * $PqShortlistFrac) AS BIGINT),
+       |                            $PqShortlistMax)) AS r
+       |  FROM embeddings),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
+       |    FROM adc) CROSS JOIN budget WHERE rk <= budget.r),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         list_cosine_similarity(a.v, b.v) AS sim
+       |  FROM short s JOIN fv a ON a.vec_id = s.query_id
+       |               JOIN fv b ON b.vec_id = s.neighbor_id),
+       |rked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM rr)
+       |SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
+       |FROM rked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   /** Test hook (IndexStoreSpec): drop every in-process memo, simulating
     * a fresh driver over the same snapshot — anything reproduced after
     * this call without an [[graft.ops.IndexStore]] build came from a
@@ -1348,6 +1609,8 @@ object Similarity {
     "embedding_pq" -> (embeddingPq _),
     "similarity_pq_topk" -> (similarityPqTopk _),
     "similarity_pq_recall" -> (similarityPqRecall _),
+    "similarity_ann_ivfpq" -> ((s: SparkSession, d: String) => similarityAnnIvfPq(s, d)),
+    "similarity_ann_ivfpq_recall" -> (similarityAnnIvfPqRecall _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1363,5 +1626,7 @@ object Similarity {
     "embedding_pq" -> embeddingPqOracle,
     "similarity_pq_topk" -> similarityPqTopkOracle,
     "similarity_pq_recall" -> pqRecallOracle,
+    "similarity_ann_ivfpq" -> similarityAnnIvfPqOracle,
+    "similarity_ann_ivfpq_recall" -> ivfPqRecallOracle,
   )
 }
