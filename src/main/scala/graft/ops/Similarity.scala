@@ -1378,18 +1378,25 @@ object Similarity {
     * [[similarityTopk]] (every cell probed → every pair ADC'd →
     * shortlist keeps all → the exact rerank IS the exact baseline). */
   private[graft] def similarityAnnIvfPq(spark: SparkSession, dir: String,
-      nProbe: Int, shortlistN: Int): DataFrame = {
+      nProbe: Int, shortlistN: Int): DataFrame =
+    ivfPqQuery(spark, dir, ivfPqIndexRows(spark, dir), nProbe, shortlistN)
+
+  /** round(v·[[PqScale]]) over the double-cast vector ≡ [[quantized]]'s
+    * projection (same cast, same grid) — computed inline so a corpus
+    * index row (cell + codes) is ONE map pass over one scan, not an
+    * id-equi-join of two derived frames. */
+  private def vqCol: Column = transform(col("v"),
+    x => round(x * PqScale).cast(org.apache.spark.sql.types.LongType))
+
+  /** The IVFADC corpus index rows — (neighbor_id, cell, codes), the
+    * inverted lists + code table of the index in one frame: one
+    * map pass (two-level-safe cell assignment + fused code argmin)
+    * over the embedding scan. */
+  private[graft] def ivfPqIndexRows(spark: SparkSession, dir: String): DataFrame = {
     val pivots = ivfPivots(spark, dir)
     val cb = pqCodebook(spark, dir)
     val dims = pqSubDims(spark, dir)
-    val n = normed(spark, dir)
-    // round(v·PqScale) over the double-cast vector ≡ [[quantized]]'s
-    // projection (same cast, same grid) — computed inline so the
-    // corpus index row (cell + codes) is ONE map pass over one scan,
-    // not an id-equi-join of two derived frames.
-    def vqCol = transform(col("v"),
-      x => round(x * PqScale).cast(org.apache.spark.sql.types.LongType))
-    val corpusIdx = withBestCell0(n, pivots)
+    withBestCell0(normed(spark, dir), pivots)
       .withColumn("pc", graft.functions.VectorOps.pq_code_argmin(vqCol,
         cb.map(_._1), cb.map(_._2), PqM, dims))
       // cell IS NULL (zero-norm vector, belongs to no cell): the
@@ -1398,7 +1405,44 @@ object Similarity {
       .where(col("cell").isNotNull)
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("pc.codes").as("codes"))
-    val corpus = fanOut(spark, dir, "embeddings", corpusIdx,
+  }
+
+  /** The corpus index as a WRITTEN artifact — unlike the centroid/
+    * codebook artifacts (metadata scale) this one is CORPUS-scale
+    * rows, but ~20 bytes each (id + cell + packed codes): the inverted
+    * lists a production ANN service actually serves from, persisted
+    * beside the snapshot so query processes load them instead of
+    * re-running the assignment + encode pass over the full corpus.
+    * The artifact name carries every construction dial (cell count,
+    * Lloyd grid, PQ geometry) — a semantics change renames rather
+    * than misreads, the same discipline as the parent artifacts. */
+  private[graft] def ivfPqIndexStored(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ivfCells(spark, dir)
+    IndexStore.loadOrBuild(spark, dir, "embeddings",
+      s"ivfpq_index_k${cells}_g${LloydGrid}_m${PqM}_c${PqCodewords}_s$PqScale") {
+      ivfPqIndexRows(spark, dir)
+    }
+  }
+
+  /** `similarity_ann_ivfpq_staged`: the same retrieval over the
+    * persisted index artifact — registered against the SAME oracle as
+    * the inline form, so the driver's sweep checks staged ≡ inline
+    * value-for-value (the `pairGraph` staging discipline). This is
+    * the production serving shape: index construction ran once,
+    * queries touch only the artifact scan + the true-vector rerank. */
+  def similarityAnnIvfPqStaged(spark: SparkSession, dir: String): DataFrame =
+    ivfPqQuery(spark, dir, ivfPqIndexStored(spark, dir),
+      ivfProbes(ivfCells(spark, dir)), ivfPqShortlist(corpusCount(spark, dir)))
+
+  /** The retrieval machinery over any (neighbor_id, cell, codes)
+    * index frame — inline-built or artifact-loaded. */
+  private def ivfPqQuery(spark: SparkSession, dir: String, indexRows: DataFrame,
+      nProbe: Int, shortlistN: Int): DataFrame = {
+    val pivots = ivfPivots(spark, dir)
+    val cb = pqCodebook(spark, dir)
+    val dims = pqSubDims(spark, dir)
+    val n = normed(spark, dir)
+    val corpus = fanOut(spark, dir, "embeddings", indexRows,
       col("cell"), col("neighbor_id"))
     // Query side: the slimmed (query, cell) probe pairs of the IVF
     // path + the flat ADC LUT of the PQ path, each broadcast once.
@@ -1610,6 +1654,7 @@ object Similarity {
     "similarity_pq_topk" -> (similarityPqTopk _),
     "similarity_pq_recall" -> (similarityPqRecall _),
     "similarity_ann_ivfpq" -> ((s: SparkSession, d: String) => similarityAnnIvfPq(s, d)),
+    "similarity_ann_ivfpq_staged" -> (similarityAnnIvfPqStaged _),
     "similarity_ann_ivfpq_recall" -> (similarityAnnIvfPqRecall _),
   )
 
@@ -1627,6 +1672,10 @@ object Similarity {
     "similarity_pq_topk" -> similarityPqTopkOracle,
     "similarity_pq_recall" -> pqRecallOracle,
     "similarity_ann_ivfpq" -> similarityAnnIvfPqOracle,
+    // The staged form consumes the persisted index artifact but runs
+    // against the SAME oracle — the driver's sweep is what checks
+    // staged ≡ inline (the pairGraph staging discipline).
+    "similarity_ann_ivfpq_staged" -> similarityAnnIvfPqOracle,
     "similarity_ann_ivfpq_recall" -> ivfPqRecallOracle,
   )
 }

@@ -56,6 +56,20 @@ class IvfPqSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "nested loop in IVFADC plan")
   }
 
+  test("staged retrieval over the persisted index equals the inline form") {
+    val inline0 = Similarity.similarityAnnIvfPq(spark, sf).collect().toSeq
+    val staged = Similarity.similarityAnnIvfPqStaged(spark, sf).collect().toSeq
+    assert(staged == inline0)
+    // And the artifact is really on disk: a second staged run loads
+    // without paying a build.
+    val b0 = graft.ops.IndexStore.builds.get()
+    val l0 = graft.ops.IndexStore.loads.get()
+    val again = Similarity.similarityAnnIvfPqStaged(spark, sf).collect().toSeq
+    assert(again == inline0)
+    assert(graft.ops.IndexStore.builds.get() == b0, "staged re-run rebuilt the index")
+    assert(graft.ops.IndexStore.loads.get() > l0, "staged re-run did not load the artifact")
+  }
+
   test("composite recall gate holds on the fixture (and the row says so)") {
     val row = Similarity.similarityAnnIvfPqRecall(spark, sf).head()
     assert(row.getBoolean(0), "recall_ok")
