@@ -1435,9 +1435,30 @@ object Similarity {
       ivfProbes(ivfCells(spark, dir)), ivfPqShortlist(corpusCount(spark, dir)))
 
   /** The retrieval machinery over any (neighbor_id, cell, codes)
-    * index frame — inline-built or artifact-loaded. */
+    * index frame — inline-built or artifact-loaded — with the corpus
+    * itself as the query set (the registry contract). */
   private def ivfPqQuery(spark: SparkSession, dir: String, indexRows: DataFrame,
-      nProbe: Int, shortlistN: Int): DataFrame = {
+      nProbe: Int, shortlistN: Int): DataFrame =
+    ivfPqQueryOver(spark, dir, normed(spark, dir), indexRows, nProbe, shortlistN)
+
+  /** ANN retrieval for an ARBITRARY query batch — (vec_id,
+    * embedding: array<float>) rows that need not come from the corpus —
+    * against `dir`'s persisted index: the serving entry point, shared
+    * verbatim by the streaming dual
+    * ([[graft.streaming.EmbedStream.runAnnServe]]), so the batch
+    * oracle that value-checks `similarity_ann_ivfpq_staged` pins the
+    * served arithmetic too. A query whose vec_id collides with a
+    * corpus id is treated as that corpus vector re-asked (the
+    * self-match is excluded), which is exactly the registry queries'
+    * semantics. */
+  def annServe(spark: SparkSession, dir: String, queryVecs: DataFrame): DataFrame =
+    ivfPqQueryOver(spark, dir, normedOver(queryVecs), ivfPqIndexStored(spark, dir),
+      ivfProbes(ivfCells(spark, dir)), ivfPqShortlist(corpusCount(spark, dir)))
+
+  /** The retrieval machinery over any query frame (vec_id, v, nrm)
+    * and any (neighbor_id, cell, codes) index frame. */
+  private def ivfPqQueryOver(spark: SparkSession, dir: String, q: DataFrame,
+      indexRows: DataFrame, nProbe: Int, shortlistN: Int): DataFrame = {
     val pivots = ivfPivots(spark, dir)
     val cb = pqCodebook(spark, dir)
     val dims = pqSubDims(spark, dir)
@@ -1446,12 +1467,12 @@ object Similarity {
       col("cell"), col("neighbor_id"))
     // Query side: the slimmed (query, cell) probe pairs of the IVF
     // path + the flat ADC LUT of the PQ path, each broadcast once.
-    val withCells = n.withColumn("cellSims", centroidSimsCol(pivots))
+    val withCells = q.withColumn("cellSims", centroidSimsCol(pivots))
     val probeCells = withCells.select(col("vec_id").as("query_id"),
       explode(slice(expr(
         "transform(array_sort(zip_with(cellSims, sequence(0, size(cellSims)-1), (s, i) -> struct(-s AS negs, i AS idx))), p -> p.idx)"),
         1, nProbe)).as("cell"))
-    val luts = n.select(col("vec_id").as("query_id"),
+    val luts = q.select(col("vec_id").as("query_id"),
       graft.functions.VectorOps.pq_query_lut(vqCol,
         cb.map(_._1), cb.map(_._2), PqM, dims, PqCodewords).as("lut"))
     // Same build-side pins as the parents: both query-side frames are
@@ -1468,11 +1489,13 @@ object Similarity {
     val short = cands.groupBy("query_id")
       .agg(topk_by_score(col("negd"), col("neighbor_id"), shortlistN).as("nn"))
       .select(col("query_id"), explode(col("nn.id")).as("neighbor_id"))
-    // Exact rerank on the true vectors: the flat PQ path verbatim.
+    // Exact rerank on the true vectors: the flat PQ path verbatim —
+    // corpus vectors re-attached by neighbor id, QUERY vectors from
+    // the query frame (they need not exist in the corpus).
     val reranked = short
       .join(n.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb")),
         "neighbor_id")
-      .join(n.select(col("vec_id").as("query_id"), col("v").as("vqr"), col("nrm").as("nq")),
+      .join(q.select(col("vec_id").as("query_id"), col("v").as("vqr"), col("nrm").as("nq")),
         "query_id")
       .select(col("query_id"), col("neighbor_id"),
         (Dedup.dot(col("vqr"), col("vb")) /

@@ -50,4 +50,34 @@ object EmbedStream {
       Similarity.normedOver(vecs),
       Similarity.seedPivotsFor(spark, refDir))
   }
+
+  /** Streaming ANN serving: answer each arriving query vector with its
+    * top-k neighbors from `refDir`'s PERSISTED IVFADC index — the
+    * online dual of `similarity_ann_ivfpq_staged`, and the shape an
+    * embedding-retrieval service actually runs (index built once by
+    * the batch pipeline, queries arrive continuously).
+    *
+    * A query's result depends only on the query vector and the static
+    * index — never on other queries — so the retrieval is evaluated
+    * PER MICRO-BATCH via foreachBatch over the identical batch
+    * machinery ([[graft.ops.Similarity.annServe]]): stream ≡ batch by
+    * construction, pinned by the spec against the oracle-checked
+    * staged operator. foreachBatch (not a streaming aggregation) is
+    * the deliberate choice: the per-query top-k SHOULD finalize when
+    * its micro-batch completes — a streaming-agg formulation would
+    * hold every query's buffer as unbounded state waiting for a
+    * watermark the query stream does not have. */
+  def runAnnServe(queries: DataFrame, refDir: String, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val q = queries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Similarity.annServe(batch.sparkSession, refDir, batch)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
 }

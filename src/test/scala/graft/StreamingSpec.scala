@@ -521,4 +521,31 @@ class StreamingSpec extends SparkSpec {
     // and the two-batch replay covered the whole corpus incrementally
     assert(spark.table("embed_assign_1").count() == batch.count() / 2)
   }
+
+  test("streaming ANN serving ≡ batch staged IVFADC retrieval (per-file micro-batches)") {
+    import graft.streaming.EmbedStream
+    val landing = tmp("annq"); val out = tmp("annout"); val ck = tmp("annck")
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    all.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$landing/b0")
+    all.filter(col("vec_id") % 2 === 1).coalesce(1).write.parquet(s"$landing/b1")
+    // maxFilesPerTrigger=1 forces the two files into two micro-batches:
+    // the equality below then also proves a query's result is batch-
+    // placement independent (it depends only on the static index).
+    val queries = spark.readStream.schema(EmbedStream.embeddingsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$landing/*")
+    EmbedStream.runAnnServe(queries, sf, out, ck)
+    val streamed = spark.read.parquet(out)
+    val batch = graft.ops.Similarity.similarityAnnIvfPqStaged(spark, sf)
+    assert(streamed.count() == batch.count())
+    val diff = streamed.as("a").join(batch.as("b"), Seq("query_id", "rank"))
+      .filter(col("a.neighbor_id") =!= col("b.neighbor_id") ||
+        col("a.sim") =!= col("b.sim"))
+    assert(diff.isEmpty, diff.collect().take(5).mkString(","))
+    // restart on the same checkpoint with no new queries → no re-serve
+    val n1 = spark.read.parquet(out).count()
+    EmbedStream.runAnnServe(
+      spark.readStream.schema(EmbedStream.embeddingsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$landing/*"), sf, out, ck)
+    assert(spark.read.parquet(out).count() == n1, "restart re-served old queries")
+  }
 }
