@@ -75,4 +75,36 @@ class IvfPqSpec extends SparkSpec {
     assert(row.getBoolean(0), "recall_ok")
     assert(row.getDouble(1) == Similarity.IvfPqRecallFloor)
   }
+
+  test("filtered composite: exhaustive dials reduce to the exact filtered baseline") {
+    val k = Similarity.ivfCells(spark, sf)
+    val n = Similarity.corpusCount(spark, sf)
+    val exhaustive =
+      Similarity.similarityAnnIvfPqFiltered(spark, sf, k, n.toInt).collect().toSeq
+    val exact = Similarity.similarityFilteredTopk(spark, sf).collect().toSeq
+    assert(exhaustive == exact)
+  }
+
+  test("filtered retrieval: every emitted pair shares the query's label") {
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+    def labelViolations(out: org.apache.spark.sql.DataFrame): Long =
+      out.join(labels.withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("label", "ql"), "query_id")
+        .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+          .withColumnRenamed("label", "nl"), "neighbor_id")
+        .where(col("ql") =!= col("nl")).count()
+    assert(labelViolations(Similarity.similarityFilteredTopk(spark, sf)) == 0L)
+    assert(labelViolations(Similarity.similarityAnnIvfPqFiltered(spark, sf)) == 0L)
+    // and both still produce K rows per query (every fixture label has
+    // far more than K members)
+    assert(Similarity.similarityAnnIvfPqFiltered(spark, sf)
+      .groupBy("query_id").count().collect().forall(_.getLong(1) == Similarity.K))
+  }
+
+  test("filtered recall gate holds on the fixture (and the row says so)") {
+    val row = Similarity.similarityAnnIvfPqFilteredRecall(spark, sf).head()
+    assert(row.getBoolean(0), "recall_ok")
+    assert(row.getDouble(1) == Similarity.FilteredRecallFloor)
+  }
 }
