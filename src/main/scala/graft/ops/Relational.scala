@@ -242,6 +242,52 @@ object Relational {
       |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------- Q17: correlated subquery
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    * lineitems of one brand whose quantity falls under 20% of that
+    * PART's average quantity — written as a correlated scalar
+    * subquery through `spark.sql` deliberately: this query exists to
+    * exercise Catalyst's decorrelation
+    * (RewriteCorrelatedScalarSubquery), which plans the subquery as a
+    * partial-aggregated per-partkey average joined back on the
+    * correlation key — at 100 TB one map-side-combined agg over
+    * lineitem plus one equi-join, never a per-row re-scan (the naive
+    * reading of correlated SQL). The spec asserts exactly that plan:
+    * an Aggregate feeding a join, zero nested-loop operators.
+    *
+    * Cross-engine exactness: l_quantity is integer-valued (TPC-H
+    * quantities 1..50), so its double sum is EXACT under any
+    * partition order / parallelism; avg = exact-sum / exact-count and
+    * `0.2 * avg` are single correctly-rounded IEEE ops both engines
+    * perform identically, so the `<` admission can never flicker.
+    * Revenue then follows the house decimal convention (exact 2-dp
+    * sums, final cast to double). The /7.0 is Q17's published
+    * "yearly" scaling, kept for recognizability. */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("graft_q17_lineitem")
+    t(spark, dir, "part").createOrReplaceTempView("graft_q17_part")
+    spark.sql(
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |         AS avg_yearly
+        |FROM graft_q17_lineitem l
+        |JOIN graft_q17_part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#1'
+        |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                      FROM graft_q17_lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+  }
+
+  val q17Oracle: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+      |         AS avg_yearly
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#1'
+      |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+      |                      FROM lineitem l2
+      |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q3_top_orders" -> (q3TopOrders _),
@@ -250,6 +296,7 @@ object Relational {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_window_topn" -> (qWindowTopn _),
     "q_agg_distinct" -> (qAggDistinct _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -260,5 +307,6 @@ object Relational {
     "q_grouping_sets" -> qGroupingSetsOracle,
     "q_window_topn" -> qWindowTopnOracle,
     "q_agg_distinct" -> qAggDistinctOracle,
+    "q17_small_qty_revenue" -> q17Oracle,
   )
 }

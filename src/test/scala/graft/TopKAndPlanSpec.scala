@@ -172,4 +172,22 @@ class TopKAndPlanSpec extends SparkSpec {
     val row = Similarity.similarityAnnRecall(spark, sf).collect()
     assert(row.length == 1 && row(0).getAs[Boolean]("recall_ok"))
   }
+
+  test("q17 correlated subquery decorrelates to an aggregate + join (no loops)") {
+    val q = Relational.q17SmallQtyRevenue(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // Catalyst must have rewritten the per-row correlated avg into a
+    // per-partkey aggregate joined back on the correlation key — the
+    // naive reading (re-scan lineitem per outer row) would surface as
+    // a nested-loop/cartesian operator.
+    assert(!plan.contains("CartesianProduct"), "cartesian in q17 plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested loop in q17 plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"no aggregate in q17 plan:\n${plan.take(800)}")
+    // the decorrelated agg joins back on l_partkey
+    assert(plan.contains("partkey"), s"no partkey join in q17 plan:\n${plan.take(800)}")
+    // and the result is non-degenerate on the fixture
+    assert(q.collect().head.getDouble(0) > 0.0)
+  }
 }
