@@ -119,6 +119,11 @@ object GraftExtensions {
       arity("simhash64", "(tokens)", es, 1)
       SimHash.SimHash64(es(0))
     },
+    fn("normalize_text",
+      "_FUNC_(s) - NFC + lowercase + controls->space + collapse spaces + trim") { es =>
+      arity("normalize_text", "(s)", es, 1)
+      graft.functions.TextNorm.NormalizeText(es(0))
+    },
     fn("topk_by_score",
       "_FUNC_(score, id, k) - aggregate: k best (score DESC, id ASC) as array<struct<id,score>>") { es =>
       arity("topk_by_score", "(score, id, k)", es, 3)

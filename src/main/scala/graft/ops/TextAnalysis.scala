@@ -1061,6 +1061,39 @@ object TextAnalysis {
        |       si >= thr.thr AS keep
        |FROM d, thr ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- text_normalize
+
+  /** `text_normalize`: canonical text normalization — the CCNet/
+    * RefinedWeb step that runs BEFORE any shingling or hashing so
+    * encoding accidents (decomposed accents, CRLF, tab runs) cannot
+    * split identical content across dedup buckets. NFC composition,
+    * Unicode lowercase, C0/DEL → space, space-run collapse, trim —
+    * one codegen'd map-side expression
+    * ([[graft.functions.TextNorm.NormalizeText]]), zero shuffle
+    * beyond the verification sort. Emits the normalized text, its
+    * length, and whether normalization changed the document (the
+    * audit column a cleaning pipeline logs). */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    Docs.fanned(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextNorm.normalize_text(col("text")).as("norm_text"),
+        col("text"))
+      .select(col("doc_id"), col("norm_text"),
+        length(col("norm_text")).cast("long").as("n_chars_norm"),
+        (col("norm_text") =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+
+  val textNormalizeOracle: String =
+    """WITH n AS (
+      |  SELECT doc_id, text,
+      |         trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+      |           '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+      |  FROM documents)
+      |SELECT doc_id, norm_text,
+      |       CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+      |       norm_text <> text AS changed
+      |FROM n ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_lm_score" -> (corpusLmScore _),
     "text_analysis" -> (textAnalysis _),
@@ -1071,6 +1104,7 @@ object TextAnalysis {
     "corpus_pack_bpe" -> (corpusPackBpe _),
     "corpus_sample" -> (corpusSample _),
     "text_pii_scrub" -> (textPiiScrub _),
+    "text_normalize" -> (textNormalize _),
     "corpus_ngram_counts" -> (corpusNgramCounts _),
     "corpus_repetition" -> (corpusRepetition _),
     "doc_tfidf" -> (docTfidf _),
@@ -1090,6 +1124,7 @@ object TextAnalysis {
     "corpus_pack_bpe" -> corpusPackBpeOracle,
     "corpus_sample" -> corpusSampleOracle,
     "text_pii_scrub" -> textPiiScrubOracle,
+    "text_normalize" -> textNormalizeOracle,
     "corpus_ngram_counts" -> corpusNgramCountsOracle,
     "corpus_repetition" -> corpusRepetitionOracle,
     "doc_tfidf" -> docTfidfOracle,
