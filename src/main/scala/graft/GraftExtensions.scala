@@ -124,6 +124,12 @@ object GraftExtensions {
       arity("normalize_text", "(s)", es, 1)
       graft.functions.TextNorm.NormalizeText(es(0))
     },
+    fn("minhash64",
+      "_FUNC_(shingles) - 64 MinHash permutation minima (engine coefficients) as array<bigint>") { es =>
+      arity("minhash64", "(shingles)", es, 1)
+      graft.functions.MinHash.MinHash64(es(0),
+        graft.ops.Dedup.minHashA, graft.ops.Dedup.minHashB, graft.ops.Dedup.MinHashP)
+    },
     fn("topk_by_score",
       "_FUNC_(score, id, k) - aggregate: k best (score DESC, id ASC) as array<struct<id,score>>") { es =>
       arity("topk_by_score", "(score, id, k)", es, 3)

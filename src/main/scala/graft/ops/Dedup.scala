@@ -112,6 +112,9 @@ object Dedup {
       (rnd.nextInt((MinHashP - 1).toInt).toLong + 1L, rnd.nextInt(MinHashP.toInt).toLong))
   }
 
+  private[graft] val minHashA: Array[Long] = minHashCoef.map(_._1).toArray
+  private[graft] val minHashB: Array[Long] = minHashCoef.map(_._2).toArray
+
   /** MinHash-LSH candidate pairs for any (doc_id, sh: array<string>)
     * frame: shingle hashes as ROWS (explode), minhashes as 64
     * partial-aggregated mins — the canonical shuffle-based MinHash at
@@ -127,8 +130,25 @@ object Dedup {
     * persistable signature form. [[graft.streaming.DocStream]] keeps
     * exactly this frame between micro-batches (~64×8 B + id per doc:
     * corpus-scale METADATA, no text — the state a streaming near-dup
-    * can actually afford at 100 TB). */
-  private[graft] def minhashSigs(sh: DataFrame): DataFrame = {
+    * can actually afford at 100 TB).
+    *
+    * r18: ONE codegen'd map-side pass
+    * ([[graft.functions.MinHash.MinHash64]]) — the r17-and-earlier
+    * chain exploded one row per (doc, shingle) through an exchange
+    * into 64 min-aggregators (a token-count-scale shuffle with
+    * 512-byte aggregation buffers, the same shape the simhash fusion
+    * removed). Bit-identity with that chain — including the
+    * hash(null)=seed vote and empty-array ABSENCE (the expression's
+    * null, filtered here) — is pinned by `MinHashFuseSpec`, so the
+    * persisted band-store artifacts keep their exact contents. */
+  private[graft] def minhashSigs(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+        graft.functions.MinHash.minhash64(col("sh"), minHashA, minHashB, MinHashP).as("sig"))
+      .where(col("sig").isNotNull)
+
+  /** The pre-r18 explode + 64-min-aggregator formulation, kept ONLY so
+    * the spec can pin the fused expression bit-identical against it. */
+  private[graft] def minhashSigsAgg(sh: DataFrame): DataFrame = {
     val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), hash(col("s")).cast(LongType).bitwiseAND(lit(0x7fffffffL)).as("h"))
     val minCols = minHashCoef.zipWithIndex.map { case ((a, b), j) =>

@@ -86,7 +86,7 @@ object DocStream {
     * the batch they arrive.
     *
     * Reuses the batch family's exact shapes ([[graft.ops.Dedup]]):
-    * `minhashSigs` (64 partial-aggregated minima), `bandSigs`, and the
+    * `minhashSigs` (the fused one-pass 64-minima expression), `bandSigs`, and the
     * width-capped `bandedCandidates` self-join for batch-internal
     * pairs. What crosses batches is the SIGNATURE frame only —
     * (doc_id, 64 longs) ≈ 600 B/doc of metadata, never text — stored
