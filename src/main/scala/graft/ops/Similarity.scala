@@ -61,8 +61,13 @@ object Similarity {
     * of the FILTERED retrieval family (attribute rides the index row
     * as one int; everything downstream of the filter is label-blind). */
   private def normedL(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"),
+    normedLOver(spark.read.parquet(s"$dir/embeddings.parquet"))
+
+  /** [[normedL]] over any embeddings-shaped frame — the entry the
+    * index-maintenance paths (batch delta extend, streaming ingest)
+    * use for vectors that are not (yet) part of a stored snapshot. */
+  private[graft] def normedLOver(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"),
         col("label"))
       .withColumn("nrm", graft.functions.VectorOps.vec_norm(col("v")))
@@ -1405,11 +1410,21 @@ object Similarity {
     * the index row (one int) — how production filtered vector search
     * stores its metadata: beside the code, so a predicate prunes
     * candidates before any distance work. */
-  private[graft] def ivfPqIndexRows(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfPqIndexRows(spark: SparkSession, dir: String): DataFrame =
+    ivfPqIndexRowsOver(spark, dir,
+      spark.read.parquet(s"$dir/embeddings.parquet"))
+
+  /** Index rows for ANY embeddings-shaped frame under `dir`'s (frozen)
+    * dials — the per-row assignment+encode is deterministic in the
+    * dials, so the same vector gets the same index row whether it
+    * arrives in the original snapshot, a batch delta, or a streaming
+    * micro-batch ([[graft.streaming.EmbedStream.indexIngestStream]]). */
+  private[graft] def ivfPqIndexRowsOver(spark: SparkSession, dir: String,
+      vecs: DataFrame): DataFrame = {
     val pivots = ivfPivots(spark, dir)
     val cb = pqCodebook(spark, dir)
     val dims = pqSubDims(spark, dir)
-    withBestCell0(normedL(spark, dir), pivots)
+    withBestCell0(normedLOver(vecs), pivots)
       .withColumn("pc", graft.functions.VectorOps.pq_code_argmin(vqCol,
         cb.map(_._1), cb.map(_._2), PqM, dims))
       // cell IS NULL (zero-norm vector, belongs to no cell): the
@@ -1439,6 +1454,58 @@ object Similarity {
       ivfPqIndexRows(spark, dir)
     }
   }
+
+  /** Incremental (delta) index maintenance — FAISS-`add()` semantics,
+    * the vector-side dual of `Dedup.pairGraphExtend`: grow `baseDir`'s
+    * persisted index to cover `newDir` (a superset snapshot) WITHOUT
+    * re-encoding the base corpus and WITHOUT retraining the dials.
+    * New vectors are found by an id anti-join against the base
+    * artifact (id-scale), then assigned + coded under the base's
+    * FROZEN centroids and codebook — per-row deterministic, so
+    * (base artifact ∪ delta rows) is bit-identical to re-encoding the
+    * whole new corpus under the same dials (`IndexMaintSpec` pins it).
+    *
+    * The documented divergence, same class as the pair-graph extend:
+    * a FRESH build of `newDir` would RETRAIN dials on the full corpus
+    * (new seed set, new Lloyd means, and past a count boundary a new
+    * k), so extend ≡ rebuild only dials-frozen. That is the
+    * production trade — serve adds immediately, re-index on a cadence
+    * (or when N drifts past the geometry the frozen k was derived
+    * for). To keep the retrained-dials staged path honest, the frozen
+    * artifact is written under a name carrying the BASE fingerprint —
+    * `similarity_ann_ivfpq_staged` over `newDir` can never silently
+    * load frozen-dial rows. */
+  private[graft] def ivfPqIndexExtendRows(spark: SparkSession,
+      baseDir: String, newDir: String): DataFrame = {
+    val base = ivfPqIndexStored(spark, baseDir)
+    val delta = spark.read.parquet(s"$newDir/embeddings.parquet")
+      .join(base.select(col("neighbor_id").as("vec_id")), Seq("vec_id"), "left_anti")
+    base.unionByName(ivfPqIndexRowsOver(spark, baseDir, delta))
+  }
+
+  /** The extended index as a written artifact under `newDir`'s
+    * fingerprint (frozen-tagged name — see [[ivfPqIndexExtendRows]]). */
+  private[graft] def ivfPqIndexExtendStored(spark: SparkSession,
+      baseDir: String, newDir: String): DataFrame = {
+    val baseFp = IndexStore.fingerprint(spark, baseDir, "embeddings").take(8)
+    val cells = ivfCells(spark, baseDir)
+    IndexStore.loadOrBuild(spark, newDir, "embeddings",
+      s"ivfpq_index_frozen${baseFp}_k${cells}_g${LloydGrid}_m${PqM}_c${PqCodewords}_s${PqScale}_lbl") {
+      ivfPqIndexExtendRows(spark, baseDir, newDir)
+    }
+  }
+
+  /** Serve ANN queries from the frozen-dials extended index: the
+    * production read path between re-index cadences — base dials
+    * (probe ranking, LUTs) + the extended inverted lists; rerank
+    * vectors come from the NEW corpus (they must: delta neighbors
+    * exist only there). */
+  private[graft] def annServeExtended(spark: SparkSession, baseDir: String,
+      newDir: String, queryVecs: DataFrame): DataFrame =
+    ivfPqQueryOverDirs(spark, baseDir, newDir, normedOver(queryVecs),
+      ivfPqIndexExtendStored(spark, baseDir, newDir),
+      ivfProbes(ivfCells(spark, baseDir)),
+      ivfPqShortlist(corpusCount(spark, newDir)))
 
   /** `similarity_ann_ivfpq_staged`: the same retrieval over the
     * persisted index artifact — registered against the SAME oracle as
@@ -1479,12 +1546,21 @@ object Similarity {
     * label) against the index row's attribute column. */
   private def ivfPqQueryOver(spark: SparkSession, dir: String, q: DataFrame,
       indexRows: DataFrame, nProbe: Int, shortlistN: Int,
-      matchLabel: Boolean = false): DataFrame = {
-    val pivots = ivfPivots(spark, dir)
-    val cb = pqCodebook(spark, dir)
-    val dims = pqSubDims(spark, dir)
-    val n = normed(spark, dir)
-    val corpus = fanOut(spark, dir, "embeddings", indexRows,
+      matchLabel: Boolean = false): DataFrame =
+    ivfPqQueryOverDirs(spark, dir, dir, q, indexRows, nProbe, shortlistN, matchLabel)
+
+  /** Split-dir form: `dialsDir` owns the trained dials (centroids,
+    * codebook — the probe ranking and LUTs), `corpusDir` owns the
+    * vectors the rerank re-attaches. They differ only on the
+    * frozen-dials extended-index path ([[annServeExtended]]). */
+  private def ivfPqQueryOverDirs(spark: SparkSession, dialsDir: String,
+      corpusDir: String, q: DataFrame, indexRows: DataFrame,
+      nProbe: Int, shortlistN: Int, matchLabel: Boolean = false): DataFrame = {
+    val pivots = ivfPivots(spark, dialsDir)
+    val cb = pqCodebook(spark, dialsDir)
+    val dims = pqSubDims(spark, dialsDir)
+    val n = normed(spark, corpusDir)
+    val corpus = fanOut(spark, corpusDir, "embeddings", indexRows,
       col("cell"), col("neighbor_id"))
     // Query side: the slimmed (query, cell) probe pairs of the IVF
     // path + the flat ADC LUT of the PQ path, each broadcast once.

@@ -51,6 +51,21 @@ object EmbedStream {
       Similarity.seedPivotsFor(spark, refDir))
   }
 
+  /** Streaming index ingest: assign + PQ-encode each arriving vector
+    * under the reference corpus's FROZEN dials, emitting the exact
+    * index row shape the batch construction produces — (neighbor_id,
+    * cell, codes, label). The write side of [[runAnnServe]]'s read
+    * side, and the streaming dual of the batch delta extend
+    * (`Similarity.ivfPqIndexExtendRows`): a production pipeline sinks
+    * these rows into the inverted-list store as vectors land, and
+    * re-trains dials on a cadence. Stateless map — centroids and
+    * codebook ride the micro-batch plan as reference objects, no
+    * state store, no stream-side shuffle; per-row arithmetic
+    * IDENTICAL to the batch index build by construction (shared
+    * projection), spec-pinned. */
+  def indexIngestStream(vecs: DataFrame, refDir: String): DataFrame =
+    Similarity.ivfPqIndexRowsOver(vecs.sparkSession, refDir, vecs)
+
   /** Streaming ANN serving: answer each arriving query vector with its
     * top-k neighbors from `refDir`'s PERSISTED IVFADC index — the
     * online dual of `similarity_ann_ivfpq_staged`, and the shape an
