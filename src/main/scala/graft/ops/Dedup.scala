@@ -46,31 +46,49 @@ object Dedup {
     * attributable error at the source. */
   val StrictCapConf = "spark.graft.lsh.strictCap"
 
-  /** Banded-signature candidate self-join with the bucket-width cap:
+  /** Banded-signature candidate generation with the bucket-width cap:
     * input is (id, band, sig), output deduplicated (a, b) id pairs with
     * a < b from rows sharing a (band, sig) bucket of tolerable width.
-    * The window count runs on the same (band, sig) hash partitioning
-    * the self-join needs, so the cap adds no extra shuffle of the
-    * banded rows. */
+    *
+    * r18 REWORK: bucket-group-then-explode, not a self-join. The
+    * self-join formulation evaluated the ENTIRE signature pipeline
+    * (scan → shingle → 64-permutation minima → bands) once per join
+    * side: the CollectMetrics node the cap's observability rides makes
+    * the two sides non-canonical-equal, so neither ReuseExchange nor
+    * AQE stage reuse ever fired (measured: zero ReusedExchange in
+    * every LSH plan; A/B at sf0.1/32 shows the observe alone +0.2 s
+    * and the self-join another +0.2 s on the candidate stage — and
+    * the signature recompute grows with the corpus). One groupBy
+    * collects each bucket's SORTED id list (bounded by the cap check:
+    * an over-wide bucket is dropped/failed before any pair emits, so
+    * the carried arrays stay ≤ [[MaxBucketWidth]] ids), pairs emit as
+    * posexplode × slice-explode (only j > i positions — strict a < b
+    * by sortedness, no quadratic filter), and the signature pipeline
+    * runs EXACTLY once. The cap observability keeps its names and
+    * meanings: `dropped_rows` = rows in skipped buckets, `widest_bucket`
+    * = widest seen — both now computed on the one-row-per-bucket
+    * aggregate, which is also where the strict-mode raise_error fires.
+    * (Null (band, sig) keys cannot occur — every band constructor here
+    * emits non-null band ids and concat_ws/element_at signatures over
+    * non-null signature arrays.) */
   private[graft] def bandedCandidates(banded: DataFrame, idCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
     val strict = banded.sparkSession.conf.get(StrictCapConf, "false").toBoolean
-    val counted = banded
-      .withColumn("bucket_n", count(lit(1)).over(w))
+    val buckets = banded.groupBy("band", "sig")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .observe("lsh_buckets",
-        sum(when(col("bucket_n") > MaxBucketWidth, 1L).otherwise(0L)).as("dropped_rows"),
-        max(col("bucket_n")).as("widest_bucket"))
+        sum(when(size(col("ids")) > MaxBucketWidth,
+          size(col("ids")).cast(LongType)).otherwise(0L)).as("dropped_rows"),
+        max(size(col("ids")).cast(LongType)).as("widest_bucket"))
     val kept =
-      if (strict) counted.filter(when(col("bucket_n") > MaxBucketWidth,
+      if (strict) buckets.filter(when(size(col("ids")) > MaxBucketWidth,
           raise_error(concat(lit(s"LSH bucket wider than cap $MaxBucketWidth: "),
-            col("bucket_n").cast("string"), lit(" rows in band="),
+            size(col("ids")).cast("string"), lit(" rows in band="),
             col("band").cast("string"), lit(" sig="), col("sig").cast("string"))))
         .otherwise(lit(true)))
-      else counted.filter(col("bucket_n") <= MaxBucketWidth)
-    kept.as("x").join(kept.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      else buckets.filter(size(col("ids")) <= MaxBucketWidth)
+    kept
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("a"), explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("b"))
       .dropDuplicates("a", "b")
   }
 
@@ -142,9 +160,25 @@ object Dedup {
     * null, filtered here) — is pinned by `MinHashFuseSpec`, so the
     * persisted band-store artifacts keep their exact contents. */
   private[graft] def minhashSigs(sh: DataFrame): DataFrame =
+    // Absent-doc semantics via a GENERATOR, not a Filter: the original
+    // `.where(col("sig").isNotNull)` looked free, but predicate
+    // pushdown rewrites a filter on a projected alias by SUBSTITUTING
+    // the aliased expression into the predicate — the 64-permutation
+    // signature then appeared three times in the physical plan, and
+    // the pushed copy evaluated below [[Docs.fanned]]'s exchange,
+    // single-core on a one-split scan (measured 0.2 → 2.2 s at
+    // sf0.1/32: the r18 canonical record's whole dedup-family
+    // regression, caught by the bench sweep and bisected to exactly
+    // this predicate; a filter on the cheap-LOOKING `size(col("sh"))`
+    // is the same trap one level down — `sh` is itself an alias of
+    // the shingle construction). explode(filter(array(sig), notNull))
+    // drops the null-signature row inside the Generate operator,
+    // which pushdown cannot rewrite through, so the signature is
+    // evaluated EXACTLY once, map-side, above the fan-out exchange.
     sh.select(col("doc_id"),
-        graft.functions.MinHash.minhash64(col("sh"), minHashA, minHashB, MinHashP).as("sig"))
-      .where(col("sig").isNotNull)
+      explode(filter(array(
+        graft.functions.MinHash.minhash64(col("sh"), minHashA, minHashB, MinHashP)),
+        s => s.isNotNull)).as("sig"))
 
   /** The pre-r18 explode + 64-min-aggregator formulation, kept ONLY so
     * the spec can pin the fused expression bit-identical against it. */
@@ -184,9 +218,13 @@ object Dedup {
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType) /
-          size(array_union(col("sa.sh"), col("sb.sh")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        // Threshold via a GENERATOR (the minhashSigs trap): a
+        // `.filter(col("jaccard") >= t)` on the alias is pushdown-
+        // substituted and runs the set intersect+union twice per pair.
+        explode(filter(array(
+            size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType) /
+              size(array_union(col("sa.sh"), col("sb.sh")))),
+          j => j >= threshold)).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
@@ -258,12 +296,19 @@ object Dedup {
     Docs.fanned(spark, dir)
       .select(col("doc_id"), Docs.tokens(col("text")).as("toks"))
       // explode semantics: a document with no tokens has NO signature
-      // (the oracle's unnest produces no rows for it)
-      .where(size(col("toks")) > 0)
-      // the struct lands in its own projection (multi-referenced,
+      // (the oracle's unnest produces no rows for it). The drop rides
+      // a GENERATOR, not a Filter — `.where(size(col("toks")) > 0)`
+      // gets alias-substituted by predicate pushdown and re-evaluates
+      // the tokenizer below the fan-out exchange (the minhashSigs
+      // trap, same fix): the lambda guards the one-element array, the
+      // Generate drops the row, and the tokenizer stays evaluated
+      // once, map-side, post-exchange.
+      // The struct lands in its own projection (multi-referenced,
       // non-cheap → CollapseProject will not inline it into both
-      // field extractions — the pqCoded sub_s pattern)
-      .select(col("doc_id"), graft.functions.SimHash.simhash64(col("toks")).as("s"))
+      // field extractions — the pqCoded sub_s pattern).
+      .select(col("doc_id"),
+        explode(filter(array(graft.functions.SimHash.simhash64(col("toks"))),
+          _ => size(col("toks")) > 0)).as("s"))
       .select(col("doc_id"), col("s.sim_hi").as("sim_hi"), col("s.sim_lo").as("sim_lo"))
 
   val HammingMax = 3
@@ -377,9 +422,12 @@ object Dedup {
         // 0-norm product — null the cosine instead; the >= threshold
         // then drops the pair, exactly what DuckDB's NULL-propagating
         // list_cosine_similarity does oracle-side.
-        (dot(col("a.v"), col("b.v")) /
-          nullif(col("a.nrm") * col("b.nrm"), lit(0.0))).as("cosine"))
-      .filter(col("cosine") >= CosineThreshold)
+        // Threshold via a GENERATOR (the minhashSigs trap): a
+        // `.filter(col("cosine") >= t)` on the alias is pushdown-
+        // substituted and evaluates the dim-wide dot twice per pair.
+        explode(filter(array(dot(col("a.v"), col("b.v")) /
+            nullif(col("a.nrm") * col("b.nrm"), lit(0.0))),
+          c => c >= CosineThreshold)).as("cosine"))
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
