@@ -638,7 +638,44 @@ object Sessions {
        |SELECT day, active_7d, CAST(TRUE AS BOOLEAN) AS sketch_within_bound
        |FROM wau ORDER BY day""".stripMargin
 
+  /** Value-partition count for the salted exact-distinct shape. 16
+    * bounds the final merge at 16 rows per group key while splitting a
+    * hot key's distinct-value stream 16 ways; at a real cluster scale
+    * this dial rises toward the executor count. */
+  val DistinctSaltN = 16
+
+  /** `events_distinct_salted`: EXACT distinct users per event type via
+    * the two-phase SALTED aggregation — the skew-handling shape the
+    * 100 TB design calls for when a group key is hot. Spark's own
+    * distinct rewrite already dedups on (key, value) with partial
+    * combine, but its SECOND phase concentrates every distinct value
+    * of a key onto that key's single reducer: a key with a billion
+    * distinct users makes one straggler task. Salting by
+    * hash(value) % [[DistinctSaltN]] splits exactly that stream —
+    * each (key, salt) reducer dedups a disjoint 1/N of the key's
+    * values (disjoint BY VALUE, so per-salt counts add up exactly;
+    * any salt function of the value gives the same final result,
+    * which is why Spark's non-portable hash() is fine under a DuckDB
+    * value oracle) — and the final merge is [[DistinctSaltN]] tiny
+    * rows per key. The same two-phase rewrite is how every algebraic
+    * skew-salting works; count-distinct is the demonstrator because
+    * its built-in plan genuinely has the hot-reducer phase. */
+  def eventsDistinctSalted(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        pmod(hash(col("user_id")), lit(DistinctSaltN)).as("salt"))
+      .groupBy("event_type", "salt")
+      .agg(countDistinct(col("user_id")).as("pu"))
+      .groupBy("event_type")
+      .agg(sum(col("pu")).as("distinct_users"))
+      .orderBy("event_type")
+
+  val eventsDistinctSaltedOracle: String =
+    """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_distinct_salted" -> (eventsDistinctSalted _),
     "events_sessionize" -> (sessionize _),
     "events_sessionize_native" -> (sessionizeNative _),
     "events_window" -> (eventsWindow _),
@@ -655,6 +692,7 @@ object Sessions {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "events_distinct_salted" -> eventsDistinctSaltedOracle,
     "events_sessionize" -> sessionizeOracle,
     "events_sessionize_native" -> sessionizeNativeOracle,
     "events_window" -> eventsWindowOracle,

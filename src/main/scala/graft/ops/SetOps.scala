@@ -140,7 +140,45 @@ object SetOps {
        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** NOT IN over a subquery — the NULL-AWARE anti join, a different
+    * physical operator from [[qSemiAnti]]'s left_anti: `x NOT IN (S)`
+    * is three-valued (any NULL in S empties the result; a NULL x is
+    * never admitted), so the join must track null presence on BOTH
+    * sides, which plain LeftAnti semantics cannot express. Catalyst
+    * plans this as a broadcast null-aware anti join
+    * (`spark.sql.optimizeNullAwareAntiJoin`, on by default) — the
+    * spec asserts the NULL-aware hash form and not the
+    * BroadcastNestedLoopJoin it degrades to when that rule is off.
+    * The parquet key columns are schema-nullable (parquet optional
+    * fields), so the planner genuinely cannot elide the null
+    * handling even though TPC-H keys carry no null values — and
+    * because they carry none, DuckDB's NOT IN computes the identical
+    * two-valued result.
+    *
+    * 100 TB shape: the subquery side is a filtered DISTINCT key set —
+    * broadcastable the way every semi/anti key set is; past the
+    * broadcast ceiling the rewrite falls back to a shuffled
+    * formulation the same way the semi join does. */
+  def qNullAnti(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("graft_na_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("graft_na_orders")
+    spark.sql(
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_never_big
+        |FROM graft_na_customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM graft_na_orders
+        |                        WHERE o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val qNullAntiOracle: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_never_big
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_totalprice > 400000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_null_anti" -> (qNullAnti _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_setops" -> (qSetOps _),
     "q_cube" -> (qCube _),
@@ -149,6 +187,7 @@ object SetOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_null_anti" -> qNullAntiOracle,
     "q_semi_anti" -> qSemiAntiOracle,
     "q_setops" -> qSetOpsOracle,
     "q_cube" -> qCubeOracle,
