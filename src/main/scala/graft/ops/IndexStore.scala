@@ -148,6 +148,43 @@ object IndexStore {
       }
   }
 
+  /** Retire artifact generations of superseded snapshots (r18). Every
+    * regenerated snapshot gets a fresh fingerprint directory, so the
+    * root accumulates one generation per rewrite forever — at 100 TB
+    * the pair-graph artifacts alone make that a real storage leak.
+    * Deletes each fingerprint directory that (a) is not LIVE in this
+    * process (no (dir, table) this process has fingerprinted resolves
+    * to it — the generations current readers were handed plans over)
+    * and (b) has no artifact file newer than `maxAgeMs`. An aged-out
+    * generation a concurrent process still reads rebuilds on its next
+    * cache miss via [[loadOrBuild]] — a wasted build, never a wrong
+    * result (the same guarantee the write race leans on), which is
+    * what makes an mtime heuristic safe to run without coordination.
+    * Returns the retired fingerprints for observability; maintenance
+    * is OPERATOR-INVOKED — nothing here runs it implicitly. */
+  def prune(spark: SparkSession, maxAgeMs: Long): Seq[String] = root(spark) match {
+    case None => Nil
+    case Some(r) =>
+      val rp = new Path(r)
+      val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(rp)) Nil
+      else {
+        val live = new java.util.HashSet[String](fpCache.values())
+        val now = System.currentTimeMillis()
+        fs.listStatus(rp).toSeq
+          .filter(st => st.isDirectory && !live.contains(st.getPath.getName))
+          .filter { st =>
+            val children = fs.listStatus(st.getPath).map(_.getModificationTime)
+            val newest = (st.getModificationTime +: children.toSeq).max
+            now - newest > maxAgeMs
+          }
+          .map { st =>
+            fs.delete(st.getPath, true)
+            st.getPath.getName
+          }
+      }
+  }
+
   /** Test hook: drop the fingerprint memo (a spec that rewrites a
     * fixture table mid-process needs the next call to re-list). */
   private[graft] def clearFingerprints(): Unit = fpCache.clear()

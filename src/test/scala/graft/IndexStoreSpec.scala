@@ -114,4 +114,40 @@ class IndexStoreSpec extends SparkSpec {
     assert(fp1 != fp2, "a touched snapshot must map to a new artifact directory")
     IndexStore.clearFingerprints()
   }
+
+  test("prune retires aged superseded generations, never live or fresh ones") {
+    val root = Files.createTempDirectory("graft-prune-spec").toString
+    withRoot(root) {
+      IndexStore.clearFingerprints()
+      // A live generation: build one artifact for the real snapshot
+      // (its fingerprint enters the process's live set).
+      IndexStore.loadOrBuild(spark, sf, "embeddings", "prune_live") {
+        import org.apache.spark.sql.functions.lit
+        spark.range(2).withColumn("v", lit("live"))
+      }
+      val liveFp = IndexStore.fingerprint(spark, sf, "embeddings")
+      // A superseded generation: a fingerprint dir no (dir, table)
+      // resolves to anymore, aged past the horizon...
+      val stale = Paths.get(root, "deadbeef" * 5)
+      Files.createDirectories(stale)
+      Files.writeString(stale.resolve("old.parquet"), "x")
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10 * 86400 * 1000L)
+      Files.setLastModifiedTime(stale.resolve("old.parquet"), old)
+      Files.setLastModifiedTime(stale, old)
+      // ...and a RECENT superseded one that must survive (a writer may
+      // be mid-flight or a reader mid-plan on another process).
+      val fresh = Paths.get(root, "cafebabe" * 5)
+      Files.createDirectories(fresh)
+      Files.writeString(fresh.resolve("new.parquet"), "x")
+
+      val retired = IndexStore.prune(spark, maxAgeMs = 86400 * 1000L)
+      assert(retired == Seq("deadbeef" * 5), s"retired: $retired")
+      assert(!Files.exists(stale), "aged superseded generation must be deleted")
+      assert(Files.exists(fresh), "recent generation must survive the age gate")
+      assert(Files.exists(Paths.get(root, liveFp)), "live generation must survive")
+      // Idempotent: nothing left past the horizon.
+      assert(IndexStore.prune(spark, maxAgeMs = 86400 * 1000L).isEmpty)
+    }
+  }
 }
