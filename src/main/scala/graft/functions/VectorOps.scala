@@ -901,6 +901,62 @@ object VectorOps {
       copy(left = l, right = r)
   }
 
+  /** 1-bit-per-dimension binary quantization: bit i of the result is
+    * set iff component i exceeds its per-dimension threshold (the
+    * corpus median — balanced bits by construction). The cheapest
+    * rung of the compression ladder (64 dims → ONE long), scored at
+    * pair time by `bit_count(a XOR b)` — pure built-in codegen, no
+    * custom scorer needed. Dimension must fit one word (≤ 64, loud
+    * require); null on a wrong-dimension vector, the vec_dot
+    * corruption convention. */
+  case class BitPackGt(child: Expression, thresholds: Array[Long])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(thresholds.nonEmpty && thresholds.length <= 64,
+      s"bitpack_gt: dimension must be in [1, 64] to pack one long " +
+        s"(got ${thresholds.length}); wider vectors want an array-of-words variant")
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "bitpack_gt"
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+
+    @transient private lazy val dim = thresholds.length
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      if (x.numElements() != dim) return null
+      var bits = 0L
+      var i = 0
+      while (i < dim) {
+        if (x.getLong(i) > thresholds(i)) bits |= (1L << i)
+        i += 1
+      }
+      bits
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tRef = ctx.addReferenceObj("bqThresholds", thresholds, "long[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val bits = ctx.freshName("bits")
+        s"""
+           |if ($a.numElements() != $dim) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  long $bits = 0L;
+           |  for (int $i = 0; $i < $dim; $i++) {
+           |    if ($a.getLong($i) > $tRef[$i]) $bits |= (1L << $i);
+           |  }
+           |  ${ev.value} = $bits;
+           |}
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): BitPackGt =
+      copy(child = c)
+  }
+
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -936,6 +992,9 @@ object VectorOps {
 
   def pq_adc(codes: Column, lut: Column): Column =
     ColumnBridge.column(AdcLookup(ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
+
+  def bitpack_gt(vq: Column, thresholds: Array[Long]): Column =
+    ColumnBridge.column(BitPackGt(ColumnBridge.expression(vq), thresholds))
 
   def sq_encode(vq: Column, mins: Array[Long], maxs: Array[Long], levels: Int): Column =
     ColumnBridge.column(SqEncode(ColumnBridge.expression(vq), mins, maxs, levels))

@@ -1567,6 +1567,200 @@ object Similarity {
   val sqRecallOracle: String =
     s"SELECT CAST(TRUE AS BOOLEAN) AS recall_ok, CAST($SqRecallFloor AS DOUBLE) AS floor"
 
+  // ------------------------------------------- Binary quantization (BQ)
+
+  /** Per-dimension corpus MEDIANS on the shared grid — the BQ
+    * thresholds (bit i = "component above its median": balanced bits
+    * by construction, the standard sign/median binarization). EXACT
+    * rank selection via the bounded histogram, the corpus_lm_score
+    * architecture: the fixed-point grid bounds the (dim, value)
+    * table at dim × grid-width rows at ANY corpus size, so the
+    * cumulative window runs over the bounded table and the stats
+    * build never touches a corpus-scale sort. rank = (N+1) div 2
+    * (the lower median — deterministic, and the selected VALUE is
+    * well-defined under ties); med_i = min value whose cumulative
+    * count reaches the rank. Persisted like the other stats
+    * artifacts. */
+  private val bqStatsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Long]]()
+
+  private[graft] def bqThresholds(spark: SparkSession, dir: String): Array[Long] =
+    bqStatsCache.computeIfAbsent(dir, _ => {
+      val df = IndexStore.loadOrBuild(spark, dir, "embeddings",
+          s"bq_median_s$PqScale") {
+        val medRank = (corpusCount(spark, dir) + 1) / 2
+        val hist = quantized(spark, dir)
+          .select(posexplode(col("vq")).as(Seq("i", "x")))
+          .groupBy("i", "x").agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("i").orderBy("x")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        // `cum` is a WINDOW output — the filter stays above the
+        // Window operator (a barrier), so no alias-substitution
+        // hazard here.
+        hist.withColumn("cum", sum(col("c")).over(w))
+          .where(col("cum") >= medRank)
+          .groupBy("i").agg(min(col("x")).as("med"))
+      }
+      val rows = df.select(col("i"), col("med")).collect().sortBy(_.getInt(0))
+      require(rows.nonEmpty, s"bq_thresholds: empty embeddings corpus at $dir")
+      rows.map(_.getLong(1))
+    })
+
+  /** (vec_id, bq_bits): 64 dims → ONE long, map-side
+    * ([[graft.functions.VectorOps.BitPackGt]]), zero shuffle. */
+  private def bqCoded(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir).select(col("vec_id"),
+      graft.functions.VectorOps.bitpack_gt(col("vq"),
+        bqThresholds(spark, dir)).as("bq_bits"))
+
+  /** `embedding_bq`: the 1-bit-per-dimension encode — the CHEAPEST
+    * rung of the compression ladder (flat 8 B/component → SQ8
+    * 1 B/component → PQ 4 bit/subspace → BQ 1 bit/component), the
+    * shape modern binary-embedding retrieval ships (sign/median
+    * binarization + Hamming). Value-checked end-to-end: thresholds
+    * and bits are integer-exact and SQL-expressible. (Dimension 64
+    * lands in the long's SIGN bit; the oracle emits that one term as
+    * the signed minimum because DuckDB's `<<` range-checks BIGINT
+    * shifts where Java's wraps.) */
+  def embeddingBq(spark: SparkSession, dir: String): DataFrame =
+    bqCoded(spark, dir).orderBy("vec_id")
+
+  val embeddingBqOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $PqScale) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |dd AS (SELECT unnest(generate_series(1, ${PqM * PqDims})) AS i),
+       |hist AS (
+       |  SELECT dd.i, v.vq[dd.i] AS x, count(*) AS c
+       |  FROM v CROSS JOIN dd GROUP BY 1, 2),
+       |rk AS (SELECT (count(*) + 1) // 2 AS r FROM v),
+       |cum AS (
+       |  SELECT i, x, sum(c) OVER (PARTITION BY i ORDER BY x) AS cum FROM hist),
+       |med AS (
+       |  SELECT i, min(x) AS med FROM cum CROSS JOIN rk
+       |  WHERE cum >= rk.r GROUP BY i)
+       |SELECT v.vec_id,
+       |       CAST(sum(CASE WHEN v.vq[m.i] > m.med
+       |                     THEN CASE WHEN m.i = ${PqM * PqDims}
+       |                               THEN (CAST(-9223372036854775807 AS BIGINT) - 1)
+       |                               ELSE (CAST(1 AS BIGINT) << (m.i - 1)) END
+       |                     ELSE 0 END) AS BIGINT)
+       |         AS bq_bits
+       |FROM v CROSS JOIN med m
+       |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin
+
+  /** `similarity_bq_topk`: symmetric Hamming retrieval over the
+    * packed bits — the pair stage is `bit_count(a XOR b)` on two
+    * longs, pure built-in codegen (the cheapest candidate scorer any
+    * lane here has: 8 B per corpus row moves, one xor+popcount per
+    * pair); the closest ceil([[PqShortlistFrac]]·N) candidates
+    * (shared budget — the lanes' recall bands stay directly
+    * comparable) exact-rerank on the true vectors into
+    * [[similarityTopk]]'s schema. The recall gate prices what one
+    * bit per dimension keeps — the ladder's floor, see
+    * [[BqRecallFloor]]. */
+  def similarityBqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val n = corpusCount(spark, dir)
+    similarityBqTopk(spark, dir,
+      math.min(math.ceil(n * PqShortlistFrac), PqShortlistMax.toDouble).toInt)
+  }
+
+  /** Parameterized form: the spec pins the exhaustive identity —
+    * shortlist ≥ N reduces the retrieval to exact [[similarityTopk]]. */
+  private[graft] def similarityBqTopk(spark: SparkSession, dir: String,
+      shortlistN: Int): DataFrame = {
+    val b = fanOut(spark, dir, "embeddings",
+      bqCoded(spark, dir).select(col("vec_id").as("neighbor_id"), col("bq_bits").as("nb"))
+        .withColumn("blk", pmod(hash(col("neighbor_id")), lit(PqBlocks))),
+      col("blk"), col("neighbor_id"))
+    val a = bqCoded(spark, dir)
+      .select(col("vec_id").as("query_id"), col("bq_bits").as("qb"))
+      .withColumn("blk", explode(typedLit((0 until PqBlocks).toArray)))
+    // Build-side pin: see pqAdcStage — the corpus side shrinks to
+    // (id, one long) and a size heuristic would broadcast it,
+    // single-coring the O(N·Q) stage on the streamed query scan.
+    val adc = broadcast(a).join(b, "blk")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-bit_count(col("qb").bitwiseXOR(col("nb")))).cast(DoubleType).as("negd"))
+    rerankShortlist(spark, dir, adc, shortlistN)
+  }
+
+  val similarityBqTopkOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $PqScale) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |dd AS (SELECT unnest(generate_series(1, ${PqM * PqDims})) AS i),
+       |hist AS (
+       |  SELECT dd.i, v.vq[dd.i] AS x, count(*) AS c
+       |  FROM v CROSS JOIN dd GROUP BY 1, 2),
+       |rk AS (SELECT (count(*) + 1) // 2 AS r FROM v),
+       |cum AS (
+       |  SELECT i, x, sum(c) OVER (PARTITION BY i ORDER BY x) AS cum FROM hist),
+       |med AS (
+       |  SELECT i, min(x) AS med FROM cum CROSS JOIN rk
+       |  WHERE cum >= rk.r GROUP BY i),
+       |bits AS (
+       |  SELECT v.vec_id,
+       |         CAST(sum(CASE WHEN v.vq[m.i] > m.med
+       |                       THEN CASE WHEN m.i = ${PqM * PqDims}
+       |                                 THEN (CAST(-9223372036854775807 AS BIGINT) - 1)
+       |                                 ELSE (CAST(1 AS BIGINT) << (m.i - 1)) END
+       |                       ELSE 0 END) AS BIGINT)
+       |           AS bq_bits
+       |  FROM v CROSS JOIN med m GROUP BY v.vec_id),
+       |adc AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         bit_count(xor(a.bq_bits, b.bq_bits)) AS d
+       |  FROM bits a JOIN bits b ON a.vec_id <> b.vec_id),
+       |budget AS (
+       |  SELECT LEAST(CAST(ceil(count(*) * $PqShortlistFrac) AS BIGINT), $PqShortlistMax) AS r
+       |  FROM embeddings),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
+       |    FROM adc) CROSS JOIN budget WHERE rk <= budget.r),
+       |fv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         list_cosine_similarity(a.v, b.v) AS sim
+       |  FROM short s JOIN fv a ON a.vec_id = s.query_id
+       |               JOIN fv b ON b.vec_id = s.neighbor_id),
+       |rked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM rr)
+       |SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rank AS INTEGER) AS rank
+       |FROM rked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** Recall floor for the BQ path. Measured recall@5 vs the exact
+    * baseline: 0.891 / 0.896 / 0.945 at sf0.001/0.01/0.1 — one bit
+    * per dimension plus the 25% rerank budget holds a PQ-class band
+    * even on near-random vectors (the hardest case binary embeddings
+    * face: no dominant directions for the medians to exploit), at an
+    * 8× smaller code and a two-instruction pair scorer. The floor
+    * sits under the band the way [[PqRecallFloor]] does. */
+  val BqRecallFloor = 0.8
+
+  def similarityBqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = exactTopkPairs(spark, dir)
+    val bq = similarityBqTopk(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hit = bq.withColumn("hit", lit(1L))
+    exact.join(hit, Seq("query_id", "neighbor_id"), "left_outer")
+      .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1L))).as("recall"))
+      .select((col("recall") >= BqRecallFloor).as("recall_ok"),
+        lit(BqRecallFloor).as("floor"))
+  }
+
+  val bqRecallOracle: String =
+    s"SELECT CAST(TRUE AS BOOLEAN) AS recall_ok, CAST($BqRecallFloor AS DOUBLE) AS floor"
+
   // ---------------------------------------------------------- IVF-PQ ANN
 
   /** Rerank budget for the IVF-PQ composite: the PQ rerank fraction
@@ -2131,7 +2325,7 @@ object Similarity {
     * written artifact, which is exactly what the spec asserts. */
   private[graft] def clearProcessCaches(): Unit = {
     seedCache.clear(); pivotCache.clear(); pqCodebookCache.clear()
-    sqStatsCache.clear()
+    sqStatsCache.clear(); bqStatsCache.clear()
     corpusCountCache.clear(); dimCache.clear(); scanSplitsCache.clear()
     exactPairsCache.synchronized {
       val it = exactPairsCache.values().iterator()
@@ -2151,6 +2345,9 @@ object Similarity {
     "embedding_sq" -> (embeddingSq _),
     "similarity_sq_topk" -> ((s: SparkSession, d: String) => similaritySqTopk(s, d)),
     "similarity_sq_recall" -> (similaritySqRecall _),
+    "embedding_bq" -> (embeddingBq _),
+    "similarity_bq_topk" -> ((s: SparkSession, d: String) => similarityBqTopk(s, d)),
+    "similarity_bq_recall" -> (similarityBqRecall _),
     "similarity_ann_ivfpq" -> ((s: SparkSession, d: String) => similarityAnnIvfPq(s, d)),
     "similarity_ann_ivfpq_staged" -> (similarityAnnIvfPqStaged _),
     "similarity_ann_ivfpq_recall" -> (similarityAnnIvfPqRecall _),
@@ -2179,6 +2376,9 @@ object Similarity {
     "embedding_sq" -> embeddingSqOracle,
     "similarity_sq_topk" -> similaritySqTopkOracle,
     "similarity_sq_recall" -> sqRecallOracle,
+    "embedding_bq" -> embeddingBqOracle,
+    "similarity_bq_topk" -> similarityBqTopkOracle,
+    "similarity_bq_recall" -> bqRecallOracle,
     "similarity_ann_ivfpq" -> similarityAnnIvfPqOracle,
     // The staged form consumes the persisted index artifact but runs
     // against the SAME oracle — the driver's sweep is what checks
