@@ -520,11 +520,14 @@ object TextAnalysis {
     * sends its local top-K and the driver merges K rows. The final
     * row_number window runs over K rows, not the corpus. */
   def corpusNgramCounts(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Docs.fanned(spark, dir)
+    // Short-doc guard INSIDE the generator (`when` with no otherwise →
+    // null → explode drops the row): a `.where(size(col("toks")) >= 2)`
+    // on the tokens alias is pushdown-substituted and re-runs the
+    // tokenizer below the fan-out exchange (the minhashSigs trap).
+    val grams = Docs.fanned(spark, dir)
       .select(Docs.tokens(col("text")).as("toks"))
-      .where(size(col("toks")) >= 2)
-    val grams = toks.select(
-      explode(Docs.wordBigrams(col("toks"))).as("ngram"))
+      .select(explode(when(size(col("toks")) >= 2,
+        Docs.wordBigrams(col("toks")))).as("ngram"))
     val counted = grams.groupBy("ngram").agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("ngram"))
@@ -566,10 +569,13 @@ object TextAnalysis {
     * and null signals rather than dropping out. */
   def corpusRepetition(spark: SparkSession, dir: String): DataFrame = {
     val docs = Docs.fanned(spark, dir)
+    // Short-doc guard inside the generator — see corpusNgramCounts:
+    // a filter on the tokens alias re-runs the tokenizer in the
+    // pushed predicate below the fan-out.
     val grams = docs
       .select(col("doc_id"), Docs.tokens(col("text")).as("toks"))
-      .where(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(Docs.wordBigrams(col("toks"))).as("ngram"))
+      .select(col("doc_id"), explode(when(size(col("toks")) >= 2,
+        Docs.wordBigrams(col("toks")))).as("ngram"))
     val perGram = grams.groupBy("doc_id", "ngram").agg(count(lit(1)).as("n"))
     val perDoc = perGram.groupBy("doc_id").agg(
       sum("n").as("tot"),
