@@ -73,4 +73,19 @@ class BqSpec extends SparkSpec {
     val r = Similarity.similarityBqRecall(spark, sf).head()
     assert(r.getBoolean(0), s"BQ recall under floor ${r.getDouble(1)}")
   }
+
+  test("the O(N·Q) Hamming scorer stays inside whole-stage codegen") {
+    // Execute first (AQE shows WSCG markers only post-execution). The
+    // pair stage — bit_count(xor) — is the pinned hot path; the
+    // once-per-row pack projections carry the grid cast (`transform`
+    // = codegen fallback) and legitimately sit outside WSCG.
+    val df = Similarity.similarityBqTopk(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val scorer = plan.linesIterator
+      .filter(l => l.contains("bit_count") && l.contains("negd")).toSeq
+    assert(scorer.nonEmpty, "Hamming scorer missing from plan")
+    assert(scorer.exists(_.contains("*(")),
+      s"Hamming pair stage out of codegen:\n${scorer.mkString("\n")}")
+  }
 }

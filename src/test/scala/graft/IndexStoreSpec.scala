@@ -39,8 +39,10 @@ class IndexStoreSpec extends SparkSpec {
       val pq1 = Similarity.embeddingPq(spark, sf).collect().toSeq
       val ann1 = Similarity.similarityAnnIvf(spark, sf).collect().toSeq
       val graph1 = graphRows(Dedup.pairGraph(spark, sf))
+      val sq1 = Similarity.embeddingSq(spark, sf).collect().toSeq
+      val bq1 = Similarity.embeddingBq(spark, sf).collect().toSeq
       val coldBuilds = IndexStore.builds.get() - b0
-      assert(coldBuilds >= 4, // seeds, centroids, codebook, pair graph
+      assert(coldBuilds >= 6, // seeds, centroids, codebook, pair graph, sq stats, bq medians
         s"cold pass must build the artifacts (built $coldBuilds)")
 
       // Simulated fresh process: memos gone, written artifacts remain.
@@ -51,6 +53,8 @@ class IndexStoreSpec extends SparkSpec {
       val pq2 = Similarity.embeddingPq(spark, sf).collect().toSeq
       val ann2 = Similarity.similarityAnnIvf(spark, sf).collect().toSeq
       val graph2 = graphRows(Dedup.pairGraph(spark, sf))
+      val sq2 = Similarity.embeddingSq(spark, sf).collect().toSeq
+      val bq2 = Similarity.embeddingBq(spark, sf).collect().toSeq
       assert(IndexStore.builds.get() == b1,
         "a fresh process over an indexed snapshot must LOAD, never rebuild")
       assert(IndexStore.loads.get() > l1, "warm pass must read written artifacts")
@@ -58,6 +62,8 @@ class IndexStoreSpec extends SparkSpec {
       assert(pq2 == pq1, "loaded PQ codebook produced different codes")
       assert(ann2 == ann1, "loaded IVF index produced a different ANN result")
       assert(graph2 == graph1, "loaded pair graph drifted from built one")
+      assert(sq2 == sq1, "loaded SQ stats produced different codes")
+      assert(bq2 == bq1, "loaded BQ medians produced different bits")
     }
     // Leave no memos bound to the spec's temp root for later suites.
     freshProcess()

@@ -129,4 +129,20 @@ class SqSpec extends SparkSpec {
     val r = Similarity.similaritySqRecall(spark, sf).head()
     assert(r.getBoolean(0), s"SQ recall under floor ${r.getDouble(1)}")
   }
+
+  test("the O(N·Q) ADC scorer stays inside whole-stage codegen") {
+    // Execute first: under AQE the pre-execution plan string carries
+    // no WSCG markers (the MinHashFuseSpec discipline). Only the PAIR
+    // stage is pinned: the once-per-row encode projections carry the
+    // grid cast (`transform`, a higher-order function = codegen
+    // fallback) and legitimately sit outside WSCG — N-scale, not the
+    // hot path.
+    val df = Similarity.similaritySqTopk(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val scorer = plan.linesIterator.filter(_.contains("sq_adc_l2")).toSeq
+    assert(scorer.nonEmpty, "ADC scorer missing from plan")
+    assert(scorer.exists(_.contains("*(")),
+      s"ADC pair stage out of codegen:\n${scorer.mkString("\n")}")
+  }
 }
