@@ -723,6 +723,64 @@ object VectorOps {
       copy(left = l, right = r)
   }
 
+  /** The shared fixed-point grid cast in ONE fused expression:
+    * element-wise `cast(round(x · scale) as long)` with EXACTLY
+    * Spark's `round` arithmetic (`java.math.BigDecimal.valueOf` of
+    * the double product, `setScale(0, HALF_UP)` — ties away from
+    * zero — then the integral-value cast), so the output is
+    * bit-identical to the `transform(v, x -> round(x*scale).cast
+    * (long))` chain it replaces; a spec pins that row-for-row
+    * because every persisted index artifact (PQ codebook, SQ stats,
+    * BQ medians, IVFADC codes) derives from these grid values.
+    *
+    * Why: `transform` is a higher-order function — codegen FALLBACK —
+    * so every projection carrying the grid cast (the PQ/SQ/BQ encode
+    * passes, the IVF Lloyd input) fell out of whole-stage codegen and
+    * paid a boxed interpreted lambda per element. Null elements pass
+    * through as null, like the cast chain. */
+  case class VecGrid(child: Expression, scale: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(scale > 0, s"vec_grid: scale must be positive, got $scale")
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def prettyName: String = "vec_grid"
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i)) {
+          val rounded = java.math.BigDecimal.valueOf(x.getDouble(i) * scale)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+          out(i) = rounded.toLong
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // Delegate via reference object: the per-element BigDecimal walk
+      // is the cost either way; the win is the STAGE staying inside
+      // whole-stage codegen (no lambdafunction fallback) and zero
+      // boxed lambda dispatch.
+      val ref = ctx.addReferenceObj("vecGrid", this, classOf[VecGrid].getName)
+      nullSafeCodeGen(ctx, ev, a => {
+        val r = ctx.freshName("r")
+        s"""
+           |Object $r = $ref.nullSafeEval($a);
+           |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): VecGrid =
+      copy(child = c)
+  }
+
   /** Per-dimension scalar quantization (the FAISS `SQ8` lane): every
     * component of a grid-quantized vector (array<long>, the
     * `round(x·scale)` view the PQ family shares) maps to one of
@@ -995,6 +1053,9 @@ object VectorOps {
 
   def bitpack_gt(vq: Column, thresholds: Array[Long]): Column =
     ColumnBridge.column(BitPackGt(ColumnBridge.expression(vq), thresholds))
+
+  def vec_grid(v: Column, scale: Int): Column =
+    ColumnBridge.column(VecGrid(ColumnBridge.expression(v), scale))
 
   def sq_encode(vq: Column, mins: Array[Long], maxs: Array[Long], levels: Int): Column =
     ColumnBridge.column(SqEncode(ColumnBridge.expression(vq), mins, maxs, levels))

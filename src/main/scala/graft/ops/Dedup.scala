@@ -388,7 +388,12 @@ object Dedup {
     * scale (boxed per-element lambdas). */
   private def normed(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+        col("embedding")
+          // native array cast, not transform(cast): a higher-order
+          // function is codegen fallback and drops the whole widening
+          // projection out of WSCG; Cast on arrays is element-wise and
+          // fully codegen'd — identical values.
+          .cast(org.apache.spark.sql.types.ArrayType(DoubleType)).as("v"))
       .withColumn("nrm", graft.functions.VectorOps.vec_norm(col("v")))
 
   def dot(a: Column, b: Column): Column = graft.functions.VectorOps.vec_dot(a, b)

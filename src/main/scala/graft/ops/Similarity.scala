@@ -68,7 +68,12 @@ object Similarity {
     * use for vectors that are not (yet) part of a stored snapshot. */
   private[graft] def normedLOver(df: DataFrame): DataFrame =
     df.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("v"),
+        col("embedding")
+          // native array cast, not transform(cast): a higher-order
+          // function is codegen fallback and drops the whole widening
+          // projection out of WSCG; Cast on arrays is element-wise and
+          // fully codegen'd — identical values.
+          .cast(org.apache.spark.sql.types.ArrayType(DoubleType)).as("v"),
         col("label"))
       .withColumn("nrm", graft.functions.VectorOps.vec_norm(col("v")))
 
@@ -754,7 +759,12 @@ object Similarity {
     * via [[normed]]. */
   private[graft] def normedOver(df: DataFrame): DataFrame =
     df.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+        col("embedding")
+          // native array cast, not transform(cast): a higher-order
+          // function is codegen fallback and drops the whole widening
+          // projection out of WSCG; Cast on arrays is element-wise and
+          // fully codegen'd — identical values.
+          .cast(org.apache.spark.sql.types.ArrayType(DoubleType)).as("v"))
       .withColumn("nrm", graft.functions.VectorOps.vec_norm(col("v")))
 
   /** Seed centroids for a reference corpus, batch-computed (metadata
@@ -947,10 +957,14 @@ object Similarity {
   /** Quantized integer view of the corpus: round(x·[[PqScale]]) per
     * component, as array<long>. */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
+    // vec_grid, not transform(round(cast).cast): bit-identical values
+    // (spec-pinned — the persisted artifacts derive from them) with
+    // the projection kept inside whole-stage codegen (a higher-order
+    // function is codegen fallback).
     spark.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"),
-      transform(col("embedding"),
-        x => round(x.cast(DoubleType) * PqScale).cast(org.apache.spark.sql.types.LongType))
-        .as("vq"))
+      graft.functions.VectorOps.vec_grid(
+        col("embedding").cast(org.apache.spark.sql.types.ArrayType(DoubleType)),
+        PqScale).as("vq"))
 
   /** PQ seed codebook: the quantized vectors with the smallest vec_id
     * in each of [[PqCodewords]] residue classes (same RNG-free scheme
@@ -1820,8 +1834,8 @@ object Similarity {
     * projection (same cast, same grid) — computed inline so a corpus
     * index row (cell + codes) is ONE map pass over one scan, not an
     * id-equi-join of two derived frames. */
-  private def vqCol: Column = transform(col("v"),
-    x => round(x * PqScale).cast(org.apache.spark.sql.types.LongType))
+  private def vqCol: Column =
+    graft.functions.VectorOps.vec_grid(col("v"), PqScale)
 
   /** The IVFADC corpus index rows — (neighbor_id, cell, codes, label),
     * the inverted lists + code table of the index in one frame: one
