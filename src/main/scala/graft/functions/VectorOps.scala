@@ -755,6 +755,14 @@ object VectorOps {
         if (!x.isNullAt(i)) {
           val rounded = java.math.BigDecimal.valueOf(x.getDouble(i) * scale)
             .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+          // Long-range guard: the chain this replaces ended in an ANSI
+          // double→long cast, which THROWS on overflow — Scala's
+          // toLong would silently saturate instead, a semantic
+          // divergence on corrupt inputs (a sane embedding component
+          // cannot reach 2⁶³/scale).
+          if (rounded < -9.223372036854776e18 || rounded >= 9.223372036854776e18)
+            throw new ArithmeticException(
+              s"vec_grid: ${x.getDouble(i)} * $scale overflows the long grid")
           out(i) = rounded.toLong
         }
         i += 1

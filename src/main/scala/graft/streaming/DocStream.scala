@@ -87,8 +87,8 @@ object DocStream {
     *
     * Reuses the batch family's exact shapes ([[graft.ops.Dedup]]):
     * `minhashSigs` (the fused one-pass 64-minima expression), `bandSigs`, and the
-    * width-capped `bandedCandidates` self-join for batch-internal
-    * pairs. What crosses batches is the SIGNATURE frame only —
+    * width-capped `bandedCandidates` bucket-grouped pair generator
+    * for batch-internal pairs. What crosses batches is the SIGNATURE frame only —
     * (doc_id, 64 longs) ≈ 600 B/doc of metadata, never text — stored
     * as parquet partitioned by `batch_id`:
     *
@@ -183,8 +183,9 @@ object DocStream {
         .join(sigs, "doc_id").join(stored, "old_id")
         .where(Dedup.sigAgreement(col("sig"), col("old_sig")) >= threshold)
         .select(col("doc_id"))
-      // batch-internal: the capped self-join; smaller doc_id is the
-      // deterministic keeper (unlike dropDuplicates' arbitrary pick)
+      // batch-internal: the capped bucket-grouped pairs; smaller
+      // doc_id is the deterministic keeper (unlike dropDuplicates'
+      // arbitrary pick)
       val internal = Dedup.bandedCandidates(newBands, "doc_id")
         .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
         .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")

@@ -49,6 +49,18 @@ class VecGridSpec extends SparkSpec {
       s"edge-case drift: ${r.getSeq[Any](0)} vs ${r.getSeq[Any](1)}")
   }
 
+  test("overflow fails loudly, like the ANSI cast it replaces") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq(Tuple1(Seq(1.0e19))).toDF("v")
+        .select(VectorOps.vec_grid(col("v").cast(ArrayType(DoubleType)), 1000))
+        .collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("overflows the long grid"), msgs)
+  }
+
   test("the grid projection stays inside whole-stage codegen") {
     val df = Similarity.embeddingPq(spark, sf)
     df.collect()
