@@ -789,6 +789,86 @@ object VectorOps {
       copy(child = c)
   }
 
+  /** Residual grid quantization (the residual-IVFADC lane):
+    * `round((v[i] - c[cell][i]) · scale)` per component against a
+    * centroid selected BY THE ROW — the per-cell residual the textbook
+    * IVFADC codebook quantizes (Jégou, Douze, Schmid 2011 §IV-A: PQ
+    * codes encode `x − q1(x)`, not `x`). The centroid matrix rides as
+    * a reference object (the CentroidSims discipline — generated code
+    * constant-size in k); rounding is VecGrid's exact BigDecimal
+    * HALF_UP walk, so residual components land on the integer grid
+    * DuckDB's `round((v[i] - c[i]) * scale)` replays bit-for-bit:
+    * centroid components are exact 1/LloydGrid multiples both engines
+    * already agree on, the subtraction and the product are single
+    * correctly-rounded IEEE ops, and HALF_UP equals
+    * round-half-away-from-zero on their result. Null on a
+    * wrong-dimension vector or an out-of-range cell index (the
+    * DotProduct corruption convention); null elements pass through as
+    * null like VecGrid. */
+  case class VecResidualGrid(left: Expression, right: Expression,
+      centroids: Array[Array[Double]], scale: Int)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    require(centroids.nonEmpty, "vec_residual_grid: empty centroid matrix")
+    require(scale > 0, s"vec_residual_grid: scale must be positive, got $scale")
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), LongType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def prettyName: String = "vec_residual_grid"
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+
+    @transient private lazy val k = centroids.length
+    @transient private lazy val dim0 = centroids(0).length
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val cell = b.asInstanceOf[Long]
+      if (cell < 0 || cell >= k) return null
+      val x = a.asInstanceOf[ArrayData]
+      if (x.numElements() != dim0) return null
+      val c = centroids(cell.toInt)
+      val out = new Array[Any](dim0)
+      var i = 0
+      while (i < dim0) {
+        if (!x.isNullAt(i)) {
+          val rounded = java.math.BigDecimal.valueOf((x.getDouble(i) - c(i)) * scale)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+          // Same loud overflow guard as VecGrid: the ANSI-cast chain
+          // this fuses would THROW, and a silent toLong saturation is a
+          // semantic divergence on corrupt inputs.
+          if (rounded < -9.223372036854776e18 || rounded >= 9.223372036854776e18)
+            throw new ArithmeticException(
+              s"vec_residual_grid: residual ${x.getDouble(i) - c(i)} * $scale " +
+                "overflows the long grid")
+          out(i) = rounded.toLong
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // Delegate via reference object (the VecGrid pattern): the
+      // BigDecimal walk is the cost either way; the win is the stage
+      // staying inside whole-stage codegen. Unlike VecGrid the result
+      // can be null (bad cell / bad dim), so the delegate's null maps
+      // back onto ev.isNull.
+      val ref = ctx.addReferenceObj("vecResGrid", this, classOf[VecResidualGrid].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val r = ctx.freshName("r")
+        s"""
+           |Object $r = $ref.nullSafeEval($a, (Object) java.lang.Long.valueOf($b));
+           |if ($r == null) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r;
+           |}
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecResidualGrid =
+      copy(left = l, right = r)
+  }
+
   /** Per-dimension scalar quantization (the FAISS `SQ8` lane): every
     * component of a grid-quantized vector (array<long>, the
     * `round(x·scale)` view the PQ family shares) maps to one of
@@ -1064,6 +1144,11 @@ object VectorOps {
 
   def vec_grid(v: Column, scale: Int): Column =
     ColumnBridge.column(VecGrid(ColumnBridge.expression(v), scale))
+
+  def vec_residual_grid(v: Column, cell: Column, centroids: Array[Array[Double]],
+      scale: Int): Column =
+    ColumnBridge.column(VecResidualGrid(ColumnBridge.expression(v),
+      ColumnBridge.expression(cell), centroids, scale))
 
   def sq_encode(vq: Column, mins: Array[Long], maxs: Array[Long], levels: Int): Column =
     ColumnBridge.column(SqEncode(ColumnBridge.expression(vq), mins, maxs, levels))

@@ -550,6 +550,67 @@ object Dedup {
        |  AND d.doc_id NOT IN (SELECT doc_id FROM hits)
        |ORDER BY doc_id""".stripMargin
 
+  /** Dials for the [[corpusDecontamBloom]] prefilter: sized for ~1% FP
+    * at the fixture's eval-gram cardinality; a production run sizes
+    * them from its benchmark suite's measured gram count (both ride
+    * the aggregate as expressions). FP rate only affects COST (extra
+    * survivors into the exact verify), never the result. */
+  val DecontamBloomItems = 100000L
+  val DecontamBloomBits = 1L << 20
+
+  /** [[corpusDecontam]] with a Bloom prefilter — the regime where the
+    * eval side outgrows an exact broadcast. The exact operator
+    * broadcasts the eval n-gram SET (fine for thousands of prompts; a
+    * multi-benchmark suite with contamination windows can reach
+    * millions of grams × ~50 B — gigabytes on every executor). Here
+    * the eval grams aggregate into one Spark-native Bloom filter
+    * (`BloomFilterAggregate`, numBits/8 bytes regardless of
+    * cardinality — the same sketch Spark's own runtime-filter rewrite
+    * injects), the corpus side drops non-members MAP-SIDE via
+    * `might_contain` on the shared xxhash64, and only survivors —
+    * true hits plus the FP trickle — reach the exact verify join, now
+    * UNPINNED: survivor volume is bloom-bounded, so AQE broadcasts
+    * the eval set when it fits and shuffles the (tiny) survivor frame
+    * when it does not. False positives cost a verify row, never a
+    * result: registered against the SAME oracle as the exact operator
+    * (the staged≡inline discipline), and the spec forces a
+    * pathologically small filter to prove FP-independence. */
+  def corpusDecontamBloom(spark: SparkSession, dir: String): DataFrame =
+    corpusDecontamBloomWith(spark, dir, DecontamBloomItems, DecontamBloomBits)
+
+  private[graft] def corpusDecontamBloomWith(spark: SparkSession, dir: String,
+      estItems: Long, numBits: Long): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val isEval = col("doc_id") % EvalIdMod === 0
+    val sh = Docs.fanned(spark, dir)
+      .select(col("doc_id"), Docs.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Docs.shinglesN(col("toks"), DecontamNgram).as("sh"))
+    val evalGrams = sh.filter(isEval).select(explode(col("sh")).as("g")).distinct()
+    // One aggregate over the eval gram set → one binary blob, collected
+    // driver-side (numBits/8 bytes — metadata scale, the index-
+    // construction pattern). Null when the eval set is empty.
+    val blob = evalGrams.agg(ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col("g"))),
+          Literal(estItems), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightHit =
+      if (blob == null) lit(false) // empty eval set: nothing can hit
+      else ColumnBridge.column(BloomFilterMightContain(
+        Literal.create(blob, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(xxhash64(col("g")))))
+    val contaminated = sh.filter(!isEval)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .where(mightHit)
+      .join(evalGrams, "g")
+      .select("doc_id").distinct()
+    Docs.documents(spark, dir).filter(!isEval)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------- near-dup cluster assignment
 
   /** Connected components by iterative min-label propagation: every
@@ -1123,6 +1184,7 @@ object Dedup {
     "corpus_clean" -> (corpusClean _),
     "corpus_clean_clustered" -> (corpusCleanClustered _),
     "corpus_decontam" -> (corpusDecontam _),
+    "corpus_decontam_bloom" -> (corpusDecontamBloom _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_ngram" -> (dedupNgram _),
@@ -1141,6 +1203,9 @@ object Dedup {
     "corpus_clean" -> corpusCleanOracle,
     "corpus_clean_clustered" -> corpusCleanClusteredOracle,
     "corpus_decontam" -> corpusDecontamOracle,
+    // bloom variant: a PREFILTER, not an approximation — FPs die in
+    // the exact verify, so it runs against the exact operator's oracle
+    "corpus_decontam_bloom" -> corpusDecontamOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_minhash" -> dedupMinhashOracle,
     "dedup_ngram" -> dedupNgramOracle,

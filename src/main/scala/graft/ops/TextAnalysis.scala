@@ -347,14 +347,21 @@ object TextAnalysis {
     * cuts); only the measure changes. Same 100 TB shape as
     * [[corpusPack]]: tokenization is map-side (vocabulary as a codegen
     * reference object), one window shuffle on the group key. */
-  def corpusPackBpe(spark: SparkSession, dir: String): DataFrame = {
+  def corpusPackBpe(spark: SparkSession, dir: String): DataFrame =
+    corpusPackBpeWith(spark, dir, BpeMerges)
+
+  /** The packing manifest under ANY merge vocabulary — shared by the
+    * fixture-vocab lane and the corpus-trained lane
+    * ([[corpusPackBpeLearned]]). */
+  private[graft] def corpusPackBpeWith(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     Docs.fanned(spark, dir)
       .select(col("doc_id"), col("source"),
-        graft.functions.Bpe.bpe_token_count(col("text"), BpeMerges).as("n_tokens"))
+        graft.functions.Bpe.bpe_token_count(col("text"), merges).as("n_tokens"))
       .withColumn("tok_start",
         sum(col("n_tokens") + 1).over(w) - (col("n_tokens") + 1))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_start"),
@@ -395,6 +402,186 @@ object TextAnalysis {
        |       tok_start // $PackBudget AS seq_first,
        |       (tok_start + n_tokens - 1) // $PackBudget AS seq_last
        |FROM c ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- BPE vocabulary training
+
+  /** Merge ranks learned by `corpus_bpe_train`. Constant so the oracle
+    * (an unrolled CTE chain, one stage per rank) stays a fixed string;
+    * a production run dials this to its vocabulary size. */
+  val BpeTrainRanks = 12
+
+  private val bpeTrainCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, String, Long)]]()
+
+  /** Learn [[BpeTrainRanks]] BPE merges from the corpus — the TRAINING
+    * side of the tokenizer lane ([[corpusPackBpe]] applies a shipped
+    * vocabulary; this builds one). Classic Sennrich et al. 2016: train
+    * on the WORD-FREQUENCY dictionary, not the corpus — the corpus
+    * collapses to (word, count) once (one shuffle, the dictionary
+    * trick that makes iterative training tractable: at 100 TB the
+    * distinct-word table is millions of rows, bounded by vocabulary
+    * growth, not corpus size), then each rank counts adjacent token
+    * pairs weighted by word count, takes the argmax (count desc, then
+    * lexicographic — fully deterministic), and applies that ONE merge
+    * to the dictionary. Merges are within-word by construction (pairs
+    * never cross the word boundary), so the learned rules compose with
+    * the full-text [[graft.functions.Bpe.BpeTokenCount]] applier
+    * unchanged — a space-free pattern can only match inside a word.
+    *
+    * Per-rank work: one bounded-table pair count (explode + sum), one
+    * single-row collect (the argmax — metadata scale, the audited
+    * pattern), one map-side replace. The token-list transform uses
+    * higher-order functions deliberately: this is an index-BUILD pass
+    * over the bounded dictionary, not a per-query corpus scan, and the
+    * HOF forms are shared verbatim with the oracle's list_transform.
+    * Tokenization state is the SAME wrapped representation
+    * [[graft.functions.Bpe]] defines, so DuckDB's `replace`/`trim`
+    * replay every step exactly. */
+  private[graft] def bpeTrainedMerges(spark: SparkSession,
+      dir: String): Seq[(String, String, Long)] =
+    bpeTrainCache.computeIfAbsent(dir, _ => {
+      val open = graft.functions.Bpe.Open.toString
+      val close = graft.functions.Bpe.Close.toString
+      val words0 = Docs.fanned(spark, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        // $1: Java regex replacement group, the engine half of the
+        // oracle's '\1' — both wrap every code point.
+        .withColumn("s", regexp_replace(col("w"), "(?s)(.)", s"$open$$1$close"))
+      var cur = words0.persist()
+      cur.count()
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var r = 0
+      var exhausted = false
+      try {
+        while (r < BpeTrainRanks && !exhausted) {
+          val best = cur
+            .select(col("cnt"),
+              transform(split(col("s"), s"$close$open"),
+                x => trim(x, open + close)).as("tk"))
+            .where(size(col("tk")) >= 2)
+            .select(col("cnt"), explode(expr(
+              "transform(sequence(1, size(tk) - 1), i -> " +
+                "struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("cnt")).as("pc"))
+            .orderBy(col("pc").desc, col("a").asc, col("b").asc)
+            .limit(1).collect()
+          if (best.isEmpty) exhausted = true
+          else {
+            val (a, b, pc) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+            out += ((a, b, pc))
+            val next = cur.withColumn("s",
+              regexp_replace(col("s"),
+                lit(java.util.regex.Pattern.quote(open + a + close + open + b + close)),
+                lit(java.util.regex.Matcher.quoteReplacement(open + a + b + close))))
+              .persist()
+            next.count()
+            cur.unpersist()
+            cur = next
+            r += 1
+          }
+        }
+      } finally cur.unpersist()
+      out.toSeq
+    })
+
+  /** `corpus_bpe_train`: the learned merge table — (rank, lhs, rhs,
+    * cnt), cnt the winning pair's weighted count at the time it won.
+    * Value oracle: the whole training loop unrolled as one CTE stage
+    * per rank (pair count → argmax → dictionary rewrite), every step
+    * exact (integer counts, deterministic tie-break, literal
+    * replaces). */
+  def corpusBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeTrainedMerges(spark, dir).zipWithIndex
+      .map { case ((a, b, c), i) => (i, a, b, c) }
+      .toDF("rank", "lhs", "rhs", "cnt")
+      .orderBy("rank")
+  }
+
+  val corpusBpeTrainOracle: String = {
+    // Every dictionary stage is AS MATERIALIZED: w{r+1} reads w{r}
+    // through TWO paths (directly, and through the argmax b{r}), so
+    // plain CTE inlining re-expands the whole chain per path — 2^ranks
+    // plan blowup (measured: 418 s at sf0.001; materialized: ~1 s).
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT w, cnt, regexp_replace(w, '(?s)(.)', chr(2) || '\\1' || chr(3), 'g') AS s
+         |  FROM (SELECT x AS w, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)
+         |        WHERE len(x) > 0 GROUP BY x)),
+         |""".stripMargin)
+    for (r <- 0 until BpeTrainRanks) {
+      sb.append(
+        s"""t$r AS (
+           |  SELECT cnt, list_transform(string_split(s, chr(3) || chr(2)),
+           |           x -> trim(x, chr(2) || chr(3))) AS tk
+           |  FROM w$r),
+           |p$r AS (
+           |  SELECT tk[u.i] AS a, tk[u.i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+           |  FROM t$r, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+           |  GROUP BY 1, 2),
+           |b$r AS MATERIALIZED (SELECT a, b, pc FROM p$r ORDER BY pc DESC, a, b LIMIT 1),
+           |w${r + 1} AS MATERIALIZED (
+           |  SELECT w.w, w.cnt,
+           |         CASE WHEN b.a IS NOT NULL
+           |              THEN replace(w.s, chr(2) || b.a || chr(3) || chr(2) || b.b || chr(3),
+           |                           chr(2) || b.a || b.b || chr(3))
+           |              ELSE w.s END AS s
+           |  FROM w$r w LEFT JOIN b$r b ON TRUE),
+           |""".stripMargin)
+    }
+    // Drop the trailing CTE comma: the union tail is the main query.
+    sb.setLength(sb.lastIndexOf(","))
+    sb.append("\n")
+    sb.append((0 until BpeTrainRanks).map(r =>
+        s"SELECT $r AS rank, a AS lhs, b AS rhs, pc AS cnt FROM b$r")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rank"))
+    sb.toString
+  }
+
+  /** `corpus_pack_bpe_learned`: [[corpusPackBpe]]'s packing manifest
+    * under the CORPUS-TRAINED vocabulary — train ([[bpeTrainedMerges]],
+    * a metadata-scale collect of ≤ [[BpeTrainRanks]] rules) then
+    * tokenize and pack the corpus with the learned rules, the
+    * end-to-end shape of a real pretraining pipeline (tokenizer fit on
+    * the data it will budget). The oracle composes the training CTE
+    * chain with the recursive tokenize/pack replay, so a drift in
+    * EITHER half fails the value check. */
+  def corpusPackBpeLearned(spark: SparkSession, dir: String): DataFrame =
+    corpusPackBpeWith(spark, dir,
+      bpeTrainedMerges(spark, dir).map { case (a, b, _) => (a, b) })
+
+  val corpusPackBpeLearnedOracle: String = {
+    // Textual derivation from the two parents (the ivfsq/filtered
+    // splice discipline): the training chain replaces the fixture
+    // VALUES vocabulary, and the tokenize/pack tail is
+    // corpusPackBpeOracle's verbatim with the merge count read from
+    // the learned table.
+    val trainPrefix = {
+      val t = corpusBpeTrainOracle
+      val tail = t.indexOf("SELECT 0 AS rank")
+      require(tail > 0, "pack_bpe_learned oracle: train anchor drifted")
+      val union = t.substring(tail).replace("\nORDER BY rank", "")
+      require(t.startsWith("WITH "), "pack_bpe_learned oracle: WITH anchor drifted")
+      val pre0 = t.substring(0, tail).stripPrefix("WITH ").trim
+      (if (pre0.endsWith(",")) pre0 else pre0 + ",") + "\n" +
+        "m AS (\n  SELECT rank AS rk, chr(2) || lhs || chr(3) || chr(2) || rhs || chr(3) AS pat,\n" +
+        "         chr(2) || lhs || rhs || chr(3) AS rep\n  FROM (" +
+        union.replace("\n", "\n        ") + ")),\n"
+    }
+    val parent = corpusPackBpeOracle
+    val anchor = s"WITH RECURSIVE m(rk, pat, rep) AS (VALUES $bpeMergesValues),\n"
+    require(parent.startsWith(anchor), "pack_bpe_learned oracle: parent vocab anchor drifted")
+    val swapped = "WITH RECURSIVE " + trainPrefix + parent.substring(anchor.length)
+    val out = swapped.replace(s"WHERE i = ${BpeMerges.size}",
+      "WHERE i = (SELECT count(*) FROM m)")
+    require(out != swapped, "pack_bpe_learned oracle: merge-count anchor drifted")
+    out
+  }
 
   // --------------------------------------------------- stratified sampling
 
@@ -1108,6 +1295,8 @@ object TextAnalysis {
     "doc_embed" -> (docEmbed _),
     "corpus_pack" -> (corpusPack _),
     "corpus_pack_bpe" -> (corpusPackBpe _),
+    "corpus_bpe_train" -> (corpusBpeTrain _),
+    "corpus_pack_bpe_learned" -> (corpusPackBpeLearned _),
     "corpus_sample" -> (corpusSample _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_normalize" -> (textNormalize _),
@@ -1128,6 +1317,8 @@ object TextAnalysis {
     "doc_embed" -> docEmbedOracle,
     "corpus_pack" -> corpusPackOracle,
     "corpus_pack_bpe" -> corpusPackBpeOracle,
+    "corpus_bpe_train" -> corpusBpeTrainOracle,
+    "corpus_pack_bpe_learned" -> corpusPackBpeLearnedOracle,
     "corpus_sample" -> corpusSampleOracle,
     "text_pii_scrub" -> textPiiScrubOracle,
     "text_normalize" -> textNormalizeOracle,

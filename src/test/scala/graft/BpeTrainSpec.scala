@@ -1,0 +1,103 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE vocabulary training (`corpus_bpe_train`) coverage. The training
+  * loop is value-checked end-to-end by the unrolled-CTE DuckDB oracle;
+  * these specs pin the algorithm against an INDEPENDENT Scala
+  * reference trainer (token-level, no string representation shared
+  * with the engine), the determinism/ordering contract, and the
+  * learned-vocabulary packing lane's consistency with the applier.
+  */
+class BpeTrainSpec extends SparkSpec {
+
+  /** Reference trainer: classic Sennrich BPE over a word-frequency
+    * map, tokens as Vector[String] — no wrapped-string representation,
+    * so a representation bug in the engine (aliasing, wrapper leaks)
+    * cannot cancel out. */
+  private def referenceTrain(words: Map[String, Long],
+      ranks: Int): Seq[(String, String, Long)] = {
+    var dict: Map[Vector[String], Long] =
+      words.groupMapReduce(w => w._1.map(_.toString).toVector)(_._2)(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    for (_ <- 0 until ranks) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((toks, cnt) <- dict; i <- 0 until toks.length - 1)
+        counts((toks(i), toks(i + 1))) = counts.getOrElse((toks(i), toks(i + 1)), 0L) + cnt
+      if (counts.nonEmpty) {
+        val ((a, b), pc) = counts.minBy { case ((a, b), pc) => (-pc, a, b) }
+        out += ((a, b, pc))
+        dict = dict.groupMapReduce { case (toks, _) =>
+          // left-to-right non-overlapping merge of (a, b)
+          val r = Vector.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+              r += (a + b); i += 2
+            } else { r += toks(i); i += 1 }
+          }
+          r.result()
+        }(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  test("learned merges equal an independent token-level reference trainer") {
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = referenceTrain(words, TextAnalysis.BpeTrainRanks)
+    val got = TextAnalysis.bpeTrainedMerges(spark, sf)
+    assert(got == want)
+  }
+
+  test("corpus_bpe_train output contract: dense ranks, positive counts, descending-ish") {
+    val rows = TextAnalysis.corpusBpeTrain(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == rows.indices.toSeq, "ranks not dense from 0")
+    assert(rows.forall(_.getLong(3) > 0), "non-positive pair count")
+    // Counts need not be monotone (a merge can create a NEW frequent
+    // pair), but the first rank must be the global max pair count.
+    assert(rows.head.getLong(3) == rows.map(_.getLong(3)).max)
+    // And at least one learned rule must build on an earlier merge —
+    // the hierarchy that distinguishes BPE from a bigram count.
+    val singles = rows.map(r => (r.getString(1), r.getString(2)))
+    assert(singles.exists { case (a, b) => a.length > 1 || b.length > 1 },
+      "no hierarchical merge learned — trainer degenerated to bigram counting")
+  }
+
+  test("learned-vocab packing is consistent with the shipped-vocab applier") {
+    // corpus_pack_bpe_learned must equal corpusPackBpe run with the
+    // learned merges passed as a shipped vocabulary — the training
+    // lane feeds the SAME applier, no parallel tokenizer.
+    val learned = TextAnalysis.corpusPackBpeLearned(spark, sf).collect().toSeq
+    val merges = TextAnalysis.bpeTrainedMerges(spark, sf).map { case (a, b, _) => (a, b) }
+    val viaApplier = TextAnalysis.corpusPackBpeWith(spark, sf, merges).collect().toSeq
+    assert(learned == viaApplier)
+    // learned-vocab token counts differ from the fixture vocab's on at
+    // least one doc (different merges ⇒ different budget) — the lane
+    // is not silently reusing BpeMerges.
+    val fixture = TextAnalysis.corpusPackBpe(spark, sf)
+      .select("doc_id", "n_tokens").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lrn = TextAnalysis.corpusPackBpeLearned(spark, sf)
+      .select("doc_id", "n_tokens").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixture.exists { case (id, n) => lrn(id) != n },
+      "learned vocabulary produced identical token counts to the fixture vocabulary")
+  }
+
+  test("trainer stops early when pairs are exhausted (degenerate corpus)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-degenerate").toString
+    // every word single-character: no adjacent pair anywhere
+    Seq((0L, "a b c", "s0", 5L), (1L, "d e", "s0", 3L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val merges = TextAnalysis.bpeTrainedMerges(spark, dir)
+    assert(merges.isEmpty)
+    assert(TextAnalysis.corpusBpeTrain(spark, dir).count() == 0L)
+  }
+}

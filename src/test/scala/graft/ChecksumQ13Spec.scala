@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.Relational
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `q13_custdist` (outer-join count distribution) and `table_checksum`
+  * (order-independent snapshot fingerprint). Values are oracle-checked;
+  * these pin the semantics the oracle compare can't see: zero-order
+  * customers surviving the outer join, and the checksum's independence
+  * from partitioning and row order.
+  */
+class ChecksumQ13Spec extends SparkSpec {
+
+  test("q13: the distribution partitions ALL customers") {
+    val out = Relational.q13CustDist(spark, sf).collect()
+    val total = out.map(_.getLong(1)).sum
+    val customers = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(total == customers)
+  }
+
+  test("q13: zero-order customers survive into the c_count=0 bucket") {
+    // Every sf0.001 customer has ≥2 non-urgent orders, so the outer
+    // join's defining case needs a constructed fixture: one customer
+    // with no orders at all, one with ONLY urgent orders (the join
+    // predicate must drop the order without dropping the customer),
+    // one with a mix.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q13").toString
+    Seq((1L, "a", 0L, 1.0, "m"), (2L, "b", 0L, 1.0, "m"), (3L, "c", 0L, 1.0, "m"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((10L, 2L, "O", 5.0, "2024-01-01", "1-URGENT"),
+        (11L, 3L, "O", 5.0, "2024-01-01", "1-URGENT"),
+        (12L, 3L, "O", 5.0, "2024-01-01", "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = Relational.q13CustDist(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // customers 1 (no orders) and 2 (only urgent) → c_count 0;
+    // customer 3 → c_count 1
+    assert(out == Map(0L -> 2L, 1L -> 1L))
+  }
+
+  test("q13: per-customer count reuses the join's partitioning (no extra exchange)") {
+    val plan = Relational.q13CustDist(spark, sf).queryExecution.executedPlan.toString
+    // one exchange per join side + one for the final tiny distribution
+    // + the orderBy range exchange; a 5th would mean the first aggregate
+    // re-shuffled the joined rows on the key they already have
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 4, s"expected <= 4 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("table_checksum is invariant to partitioning and row order") {
+    val base = Relational.tableChecksum(spark, sf).head()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    // scrambled: different partition count AND different intra-partition
+    // order must produce the identical fingerprint
+    val scrambled = li.repartition(7, col("l_suppkey"))
+      .sortWithinPartitions(col("l_shipdate"), col("l_partkey"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cksum").toString
+    scrambled.write.parquet(s"$dir/lineitem.parquet")
+    val again = Relational.tableChecksum(spark, dir).head()
+    assert(again == base)
+  }
+
+  test("table_checksum detects a single-row mutation") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cksum-mut").toString
+    li.withColumn("l_quantity",
+        when(col("l_orderkey") === li.select(min("l_orderkey")).head().getLong(0),
+          col("l_quantity") + 1).otherwise(col("l_quantity")))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val base = Relational.tableChecksum(spark, sf).head()
+    val mutated = Relational.tableChecksum(spark, dir).head()
+    assert(mutated.getLong(0) == base.getLong(0), "row count must be unchanged")
+    assert(mutated.getLong(1) != base.getLong(1), "checksum missed a mutation")
+  }
+}
