@@ -222,13 +222,186 @@ object Layout {
        |WHERE CAST(ts AS DATE) BETWEEN DATE '$PruneFrom' AND DATE '$PruneTo'
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------ Z-order clustering
+
+  /** Bits per dimension of the Z-value. 16 covers both fixture dims
+    * with headroom (user_id ≤ 1499, epoch-day ≈ 19750 < 2¹⁵); values
+    * past 2¹⁶ would alias into the low bits — identically in engine
+    * and oracle (both apply the same formula), degrading CLUSTERING
+    * only, never correctness (pruning consults real column stats and
+    * the row predicate re-applies). */
+  val ZBits = 16
+
+  /** File count of the z-ordered layout — the skipping granularity.
+    * Production sizes this to target file/row-group size; the pruning
+    * property being pinned is count-independent. */
+  val ZFiles = 32
+
+  /** The `q_zorder_scan` predicate box: users 3-7 × epoch-days
+    * 19730-19736 (2024-01-08..14) — non-empty at every SF (sf0.001
+    * has users 0-14), ~0.1% selective at sf0.1. */
+  val ZUserLo = 3L; val ZUserHi = 7L
+  val ZDayLo = 19730; val ZDayHi = 19736
+
+  /** Days since epoch as an INT column — the timestamp dimension in a
+    * stats-friendly physical type (Spark writes timestamps as INT96 by
+    * default, whose parquet statistics are unusable; an int day index
+    * carries exact min/max in every footer). */
+  private def dayIdx: Column =
+    datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+
+  /** Morton/Z-value of two [[ZBits]]-bit dimensions: bit i of x lands
+    * at position 2i, bit i of y at 2i+1. Built from codegen'd
+    * built-ins (shifts/and/sum — the bit positions are disjoint, so
+    * `+` IS `|`), no custom expression needed; the oracle replays the
+    * identical formula term-for-term. */
+  private def zValue(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  private def zTermsSql(x: String, y: String): String =
+    (0 until ZBits).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
+  /** `layout_zorder`: every event's (day_idx, z) — the clustering key
+    * itself, value-checked so the engine and oracle agree bit-for-bit
+    * on the curve the layout sorts by. */
+  def layoutZorder(spark: SparkSession, dir: String): DataFrame =
+    Sessions.events(spark, dir)
+      .select(col("event_id"), col("user_id"), dayIdx.as("day_idx"))
+      .select(col("event_id"), col("user_id"), col("day_idx"),
+        zValue(col("user_id"), col("day_idx")).as("z"))
+      .orderBy("event_id")
+
+  val layoutZorderOracle: String =
+    s"""SELECT event_id, user_id,
+       |       CAST(ts AS DATE) - DATE '1970-01-01' AS day_idx,
+       |       ${zTermsSql("user_id", "(CAST(ts AS DATE) - DATE '1970-01-01')")} AS z
+       |FROM events ORDER BY event_id""".stripMargin
+
+  private val stagedZorder = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Write events Z-ORDERED on (user_id, day): range-partition on the
+    * z-value into [[ZFiles]] files, sort within each — every file then
+    * covers one contiguous z-range, i.e. a small RECTANGLE-ish region
+    * of the (user, day) plane, so its footer min/max on BOTH columns
+    * is tight. This is the multi-dimensional clustering every lakehouse
+    * format (Delta OPTIMIZE ZORDER BY, Iceberg sort orders) buys: a
+    * single sort key can make only ONE column's stats tight; the
+    * space-filling curve makes predicates on EITHER OR BOTH dimensions
+    * skip files. */
+  private[graft] def zorderedEvents(spark: SparkSession, dir: String): String =
+    stagedZorder.get(dir).getOrElse(stageZorder(spark, dir))
+
+  private def stageZorder(spark: SparkSession, dir: String): String =
+    stagedZorder.synchronized {
+      stagedZorder.get(dir).getOrElse {
+        val path = s"${stageRoot(dir)}/events_zorder"
+        Sessions.events(spark, dir)
+          .withColumn("day_idx", dayIdx)
+          .withColumn("z", zValue(col("user_id"), col("day_idx")))
+          .repartitionByRange(ZFiles, col("z"))
+          .sortWithinPartitions("z")
+          .write.mode("overwrite").parquet(path)
+        stagedZorder.put(dir, path)
+        path
+      }
+    }
+
+  /** File-level data skipping over the z-ordered layout: read each
+    * part-file's parquet FOOTER (driver-side, [[ZFiles]] footers —
+    * metadata scale; this is exactly the manifest scan a table format
+    * does, done against raw parquet), keep files whose per-column
+    * [min,max] box intersects the predicate box, and scan only those —
+    * with the row predicate re-applied, so a kept file's non-matching
+    * rows still drop and pruning can never change the result (the
+    * oracle checks that). Returns (frame, keptFiles, totalFiles); the
+    * spec asserts the skip actually happens on the z layout and
+    * CANNOT happen on a hash-shuffled copy of the same rows. */
+  private[graft] def zorderPrunedScan(spark: SparkSession, path: String,
+      uLo: Long, uHi: Long, dLo: Int, dHi: Int): (DataFrame, Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
+      .map(_.getAbsolutePath).sorted
+    def overlaps(file: String): Boolean = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = r.getFooter.getBlocks
+        // any row group overlapping the box keeps the file
+        (0 until blocks.size()).exists { b =>
+          val cols = blocks.get(b).getColumns
+          var uOk = true; var dOk = true
+          (0 until cols.size()).foreach { c =>
+            val cc = cols.get(c)
+            val name = cc.getPath.toDotString
+            val st = cc.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              if (name == "user_id") {
+                val mn = st.genericGetMin.asInstanceOf[Number].longValue
+                val mx = st.genericGetMax.asInstanceOf[Number].longValue
+                uOk = mx >= uLo && mn <= uHi
+              } else if (name == "day_idx") {
+                val mn = st.genericGetMin.asInstanceOf[Number].longValue
+                val mx = st.genericGetMax.asInstanceOf[Number].longValue
+                dOk = mx >= dLo && mn <= dHi
+              }
+            }
+          }
+          uOk && dOk
+        }
+      } finally r.close()
+    }
+    val kept = files.filter(overlaps)
+    val pred = col("user_id").between(uLo, uHi) &&
+      col("day_idx").between(dLo, dHi)
+    val df =
+      if (kept.isEmpty)
+        // no file can match: correct empty result, schema preserved
+        spark.read.parquet(files.head).where(lit(false))
+      else spark.read.parquet(kept.toIndexedSeq: _*).where(pred)
+    (df, kept.length, files.length)
+  }
+
+  /** `q_zorder_scan`: per-type counts and value sums inside the
+    * (user, day) predicate box, served from the z-ordered layout
+    * through footer-stats file skipping. The oracle computes the same
+    * aggregate from the raw table — a pruning bug (skipped file that
+    * held a matching row) is a value mismatch, not a silent speedup. */
+  def qZorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val (df, _, _) = zorderPrunedScan(spark, zorderedEvents(spark, dir),
+      ZUserLo, ZUserHi, ZDayLo, ZDayHi)
+    df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast(DecimalType(18, 2))
+          .cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val qZorderScanOracle: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+       |FROM events
+       |WHERE user_id BETWEEN $ZUserLo AND $ZUserHi
+       |  AND CAST(ts AS DATE) - DATE '1970-01-01' BETWEEN $ZDayLo AND $ZDayHi
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
+    "layout_zorder" -> (layoutZorder _),
+    "q_zorder_scan" -> (qZorderScan _),
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_bucketed_join" -> qBucketedJoinOracle,
     "q_partition_prune" -> qPartitionPruneOracle,
+    "layout_zorder" -> layoutZorderOracle,
+    "q_zorder_scan" -> qZorderScanOracle,
   )
 }

@@ -2413,9 +2413,11 @@ object Similarity {
     * map pass (shared two-level-safe assignment + residual grid +
     * fused code argmin), the only corpus-scale shuffle is the index
     * frame fan-out, the ADC join output is id-pair + one long. The
-    * query side broadcasts Q·nProbe LUT rows (~1 KB each) rather than
-    * Q — bounded by assumption, and the exact pool each arrives to
-    * prune is what it was for the raw lane. */
+    * query side carries Q·nProbe LUT rows (~1 KB each) rather than
+    * Q — bounded by assumption, and DISTRIBUTED rather than broadcast:
+    * see [[resProbeLuts]] for why (single-threaded broadcast-child
+    * evaluation, and the codegen-deferral trap the Generate barrier
+    * there closes). */
   def similarityAnnIvfPqRes(spark: SparkSession, dir: String): DataFrame =
     similarityAnnIvfPqRes(spark, dir, ivfProbes(ivfCells(spark, dir)),
       ivfPqShortlist(corpusCount(spark, dir)))
@@ -2426,35 +2428,60 @@ object Similarity {
     * ADC ordering errors are shortlisted away like the parent's). */
   private[graft] def similarityAnnIvfPqRes(spark: SparkSession, dir: String,
       nProbe: Int, shortlistN: Int): DataFrame = {
-    val pivots = ivfPivots(spark, dir)
-    val cb = pqResCodebook(spark, dir)
-    val dims = pqSubDims(spark, dir)
     val corpus = fanOut(spark, dir, "embeddings", ivfPqResIndexRows(spark, dir),
       col("cell"), col("neighbor_id"))
-    val q = normed(spark, dir)
-    val withCells = q.withColumn("cellSims", centroidSimsCol(pivots))
-    // One LUT per (query, probed cell): the query's residual w.r.t.
-    // THAT cell's centroid against the residual codebook. Computed
-    // map-side on the exploded probe pairs — dim + M·codewords·dims
-    // integer ops per pair, bounded by Q·nProbe.
-    val probeLuts = withCells.select(col("vec_id").as("query_id"), col("v"),
-        explode(slice(expr(
-          "transform(array_sort(zip_with(cellSims, sequence(0, size(cellSims)-1), (s, i) -> struct(-s AS negs, i AS idx))), p -> p.idx)"),
-          1, nProbe)).as("cell"))
-      .select(col("query_id"), col("cell"),
-        graft.functions.VectorOps.pq_query_lut(
-          graft.functions.VectorOps.vec_residual_grid(col("v"), col("cell"),
-            pivots.map(_._2), PqScale),
-          cb.map(_._1), cb.map(_._2), PqM, dims, PqCodewords).as("lut"))
-    // Build-side pin as every ANN path: the query side is bounded by
-    // assumption; joining on cell alone must not flip to broadcasting
-    // the slim corpus index.
-    val cands = broadcast(probeLuts).join(corpus, "cell")
+    val cands = resProbeLuts(spark, dir, nProbe).join(corpus, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (-graft.functions.VectorOps.pq_adc(col("codes"), col("lut")))
           .cast(DoubleType).as("negd"))
     rerankShortlist(spark, dir, cands, shortlistN)
+  }
+
+  /** One LUT per (query, probed cell): the query's residual w.r.t.
+    * THAT cell's centroid against the residual codebook — Q·nProbe
+    * tables, dim + M·codewords·dims integer ops each. NOT broadcast,
+    * unlike the raw lane's Q-sized LUT frame: at nProbe ≈ 0.75·k the
+    * table frame is ~nProbe× the raw lane's (≈100 MB at sf0.1), and
+    * a broadcast would also evaluate every table inside the exchange
+    * child — on the query scan's ONE split, single-threaded, then
+    * collect the lot through the driver (measured: the whole lane at
+    * 5.4 s vs the raw lane's 1.4 s). Instead the exploded probe
+    * pairs repartition on cell FIRST — a slim (query_id, cell, v)
+    * shuffle — so the residual + table projection runs across the
+    * cluster, already co-partitioned with the fanned index frame for
+    * the candidate equi-join; at fixture scale AQE may still
+    * broadcast the slimmed corpus side, which keeps full parallelism
+    * because the STREAMED side is this multi-split frame (the
+    * single-core collapse the ANN broadcast pins exist to prevent
+    * cannot re-form: the one-split scan is behind the exchange). */
+  private[graft] def resProbeLuts(spark: SparkSession, dir: String,
+      nProbe: Int): DataFrame = {
+    val pivots = ivfPivots(spark, dir)
+    val cb = pqResCodebook(spark, dir)
+    val dims = pqSubDims(spark, dir)
+    normed(spark, dir).withColumn("cellSims", centroidSimsCol(pivots))
+      .select(col("vec_id").as("query_id"), col("v"),
+        explode(slice(expr(
+          "transform(array_sort(zip_with(cellSims, sequence(0, size(cellSims)-1), (s, i) -> struct(-s AS negs, i AS idx))), p -> p.idx)"),
+          1, nProbe)).as("cell"))
+      .repartition(spark.sparkContext.defaultParallelism, col("cell"))
+      .select(col("query_id"), col("cell"),
+        graft.functions.VectorOps.pq_query_lut(
+          graft.functions.VectorOps.vec_residual_grid(col("v"), col("cell"),
+            pivots.map(_._2), PqScale),
+          cb.map(_._1), cb.map(_._2), PqM, dims, PqCodewords).as("lut"))
+      // Materialization barrier (the keepWhereNotNull/Generate
+      // discipline, §8j's trap one level deeper): without it the lut
+      // projection FUSES into the candidate join's whole-stage-codegen
+      // stage, and the generated join loop defers the streamed-side
+      // expression to its use site — INSIDE the per-match loop — so
+      // the full residual+table computation re-ran once per PAIR
+      // (measured: 75 CPU-s in the pair stage, 3M pairs × ~25 µs;
+      // with the barrier the table is computed once per probe row and
+      // the pair loop just reads it).
+      .transform(df => keepWhereNotNull(df, col("lut"),
+        col("query_id"), col("cell"), col("lut")))
   }
 
   /** Recall floor for the residual composite: same probe ceiling as

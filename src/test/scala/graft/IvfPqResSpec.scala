@@ -101,6 +101,24 @@ class IvfPqResSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "nested loop in residual-IVFADC plan")
   }
 
+  test("probe-side LUT sits behind a Generate barrier (no per-pair recompute)") {
+    // Without the barrier, whole-stage codegen fuses the LUT projection
+    // into the candidate join's stage and defers the expression into
+    // the per-match loop — the full residual+table computation re-ran
+    // once per PAIR (measured 75 CPU-s vs 8.6 at sf0.1; ProbeRes18).
+    // The barrier's signature in the plan: the lut-carrying struct
+    // exploded between the probe exchange and the join.
+    val plan = Similarity.resProbeLuts(spark, sf,
+      Similarity.ivfProbes(Similarity.ivfCells(spark, sf)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("explode(filter(array(struct(query_id"),
+      "lut materialization barrier missing — codegen may defer the " +
+        s"table computation into the pair loop:\n$plan")
+    // and the expensive expression appears exactly once in the plan
+    assert("pq_query_lut".r.findAllIn(plan).length == 1,
+      "pq_query_lut duplicated in the physical plan")
+  }
+
   test("residual recall gate holds on the fixture (and the row says so)") {
     val row = Similarity.similarityAnnIvfPqResRecall(spark, sf).head()
     assert(row.getBoolean(0), "recall_ok")
