@@ -351,10 +351,12 @@ object Relational {
       col("l_returnflag"), col("l_linestatus"),
       col("l_shipdate").cast("date").cast("string"))
     val h = md5(canon)
-    // positional hex→int: Σ digit(i)·16^(15-i), 15 digits < 2^60
-    val v = (1 to 15).map(i =>
-      (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1).cast("long") *
-        lit(1L << (4 * (15 - i)))).reduce(_ + _)
+    // hex→int via one codegen'd conv (the 15-term positional-sum
+    // formulation allocated 15 substring UTF8Strings per row — 2.5 s
+    // for 600k rows; conv is one pass). 15 hex digits < 2^60, so the
+    // unsigned conv result fits a signed long exactly — identical to
+    // the oracle's positional arithmetic.
+    val v = conv(substring(h, 1, 15), 16, 10).cast("long")
     t(spark, dir, "lineitem")
       .select(v.as("v"))
       .agg(count(lit(1)).as("n_rows"), bit_xor(col("v")).as("checksum"))
@@ -372,6 +374,86 @@ object Relational {
        |      FROM lineitem)""".stripMargin
   }
 
+  /** `table_checksum_groups`: [[tableChecksum]] sliced per ship-month —
+    * the drill-down that makes the one-row fingerprint actionable at
+    * 100 TB: when two snapshots' totals diverge, the per-group table
+    * (bounded: one row per month) localizes WHICH slice diverged
+    * without re-shipping either side. Same hash, same XOR algebra —
+    * the groups' checksums XOR together with the counts to the global
+    * row, so the two operators cross-check. */
+  def tableChecksumGroups(spark: SparkSession, dir: String): DataFrame = {
+    val canon = concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("bigint"),
+      col("l_returnflag"), col("l_linestatus"),
+      col("l_shipdate").cast("date").cast("string"))
+    val v = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    t(spark, dir, "lineitem")
+      .select(trunc(col("l_shipdate").cast("date"), "mm").as("ship_month"), v.as("v"))
+      .groupBy("ship_month")
+      .agg(count(lit(1)).as("n_rows"), bit_xor(col("v")).as("checksum"))
+      .orderBy("ship_month")
+  }
+
+  val tableChecksumGroupsOracle: String = {
+    val terms = (1 to 15).map(i =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
+      .mkString(" + ")
+    s"""SELECT ship_month, CAST(count(*) AS BIGINT) AS n_rows,
+       |       bit_xor($terms) AS checksum
+       |FROM (SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS ship_month,
+       |             md5(concat_ws('|', l_orderkey, l_linenumber,
+       |               CAST(l_quantity AS BIGINT), l_returnflag, l_linestatus,
+       |               CAST(CAST(l_shipdate AS DATE) AS VARCHAR))) AS h
+       |      FROM lineitem)
+       |GROUP BY ship_month ORDER BY ship_month""".stripMargin
+  }
+
+  // ------------------------- Q22: anti-join + global scalar threshold
+
+  /** TPC-H Q22 shape (idle high-balance customers): customers whose
+    * balance exceeds the positive-balance average AND who have no
+    * high-value order, counted per nation — a global scalar-subquery
+    * threshold plus a conditioned NOT EXISTS (plans as a broadcast/
+    * shuffled ANTI join with the order-value predicate pushed below
+    * it, never a per-row re-scan).
+    *
+    * Cross-engine exactness: the published form compares against
+    * `avg(...)` — a double division whose last ulp is partition-order
+    * dependent. Rewritten as `balance · count > sum` in DECIMAL: every
+    * quantity exact, the comparison can never flicker (the q17
+    * integer-average argument, done in decimal because balances are
+    * not integers). */
+  def q22IdleBalance(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("graft_q22_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("graft_q22_orders")
+    spark.sql(
+      """SELECT c_nationkey, count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM graft_q22_customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2))
+        |        * (SELECT count(*) FROM graft_q22_customer WHERE c_acctbal > 0.0)
+        |      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+        |         FROM graft_q22_customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_q22_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 480000.0)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  val q22Oracle: String =
+    """SELECT c_nationkey, count(*) AS numcust,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2))
+      |        * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+      |      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+      |         FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 480000.0)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q3_top_orders" -> (q3TopOrders _),
@@ -383,6 +465,8 @@ object Relational {
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q13_custdist" -> (q13CustDist _),
     "table_checksum" -> (tableChecksum _),
+    "table_checksum_groups" -> (tableChecksumGroups _),
+    "q22_idle_balance" -> (q22IdleBalance _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -396,5 +480,7 @@ object Relational {
     "q17_small_qty_revenue" -> q17Oracle,
     "q13_custdist" -> q13Oracle,
     "table_checksum" -> tableChecksumOracle,
+    "table_checksum_groups" -> tableChecksumGroupsOracle,
+    "q22_idle_balance" -> q22Oracle,
   )
 }

@@ -65,6 +65,26 @@ class ChecksumQ13Spec extends SparkSpec {
     assert(again == base)
   }
 
+  test("group checksums XOR together to the global fingerprint") {
+    // the cross-check that makes the drill-down trustworthy: the
+    // per-month rows carry exactly the information of the global row
+    val global = Relational.tableChecksum(spark, sf).head()
+    val groups = Relational.tableChecksumGroups(spark, sf).collect()
+    assert(groups.map(_.getLong(1)).sum == global.getLong(0))
+    assert(groups.map(_.getLong(2)).reduce(_ ^ _) == global.getLong(1))
+  }
+
+  test("q22 plans an anti join, never a nested loop") {
+    val df = Relational.q22IdleBalance(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in q22:\n$plan")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS did not plan as an anti join")
+    // threshold non-trivial on the fixture: some but not all customers survive
+    val survivors = df.collect().map(_.getLong(1)).sum
+    val total = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(survivors > 0 && survivors < total)
+  }
+
   test("table_checksum detects a single-row mutation") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-cksum-mut").toString
