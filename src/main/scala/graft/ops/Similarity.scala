@@ -2427,8 +2427,14 @@ object Similarity {
     * the exact baseline (the per-cell LUTs then cover every cell, and
     * ADC ordering errors are shortlisted away like the parent's). */
   private[graft] def similarityAnnIvfPqRes(spark: SparkSession, dir: String,
-      nProbe: Int, shortlistN: Int): DataFrame = {
-    val corpus = fanOut(spark, dir, "embeddings", ivfPqResIndexRows(spark, dir),
+      nProbe: Int, shortlistN: Int): DataFrame =
+    ivfPqResQuery(spark, dir, ivfPqResIndexRows(spark, dir), nProbe, shortlistN)
+
+  /** The residual retrieval over any (neighbor_id, cell, codes) index
+    * frame — inline-built or artifact-loaded. */
+  private def ivfPqResQuery(spark: SparkSession, dir: String,
+      indexRows: DataFrame, nProbe: Int, shortlistN: Int): DataFrame = {
+    val corpus = fanOut(spark, dir, "embeddings", indexRows,
       col("cell"), col("neighbor_id"))
     val cands = resProbeLuts(spark, dir, nProbe).join(corpus, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -2437,6 +2443,30 @@ object Similarity {
           .cast(DoubleType).as("negd"))
     rerankShortlist(spark, dir, cands, shortlistN)
   }
+
+  /** The residual corpus index as a WRITTEN artifact — the
+    * [[ivfPqIndexStored]] discipline for the residual lane: corpus-
+    * scale but ~16 B/row (id + cell + packed residual codes), name
+    * carrying every construction dial INCLUDING the centroid geometry
+    * the residual coupling adds. */
+  private[graft] def ivfPqResIndexStored(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ivfCells(spark, dir)
+    IndexStore.loadOrBuild(spark, dir, "embeddings",
+      s"ivfpqres_index_k${cells}_g${LloydGrid}_m${PqM}_c${PqCodewords}_s$PqScale") {
+      ivfPqResIndexRows(spark, dir)
+    }
+  }
+
+  /** `similarity_ann_ivfpq_res_staged`: residual retrieval over the
+    * persisted index artifact, registered against the SAME oracle as
+    * the inline form so the driver's sweep checks staged ≡ inline
+    * value-for-value (the `pairGraph`/[[similarityAnnIvfPqStaged]]
+    * discipline) — index construction ran once, queries touch only
+    * the artifact scan, the probe tables, and the true-vector
+    * rerank. */
+  def similarityAnnIvfPqResStaged(spark: SparkSession, dir: String): DataFrame =
+    ivfPqResQuery(spark, dir, ivfPqResIndexStored(spark, dir),
+      ivfProbes(ivfCells(spark, dir)), ivfPqShortlist(corpusCount(spark, dir)))
 
   /** One LUT per (query, probed cell): the query's residual w.r.t.
     * THAT cell's centroid against the residual codebook — Q·nProbe
@@ -2733,6 +2763,7 @@ object Similarity {
     "similarity_ann_ivfpq_staged" -> (similarityAnnIvfPqStaged _),
     "similarity_ann_ivfpq_recall" -> (similarityAnnIvfPqRecall _),
     "similarity_ann_ivfpq_res" -> ((s: SparkSession, d: String) => similarityAnnIvfPqRes(s, d)),
+    "similarity_ann_ivfpq_res_staged" -> (similarityAnnIvfPqResStaged _),
     "similarity_ann_ivfpq_res_recall" -> (similarityAnnIvfPqResRecall _),
     "similarity_filtered_topk" -> (similarityFilteredTopk _),
     "similarity_ann_ivfpq_filtered" -> (similarityAnnIvfPqFiltered _),
@@ -2771,6 +2802,8 @@ object Similarity {
     "similarity_ann_ivfpq_staged" -> similarityAnnIvfPqOracle,
     "similarity_ann_ivfpq_recall" -> ivfPqRecallOracle,
     "similarity_ann_ivfpq_res" -> similarityAnnIvfPqResOracle,
+    // staged ≡ inline checked by the driver via the shared oracle
+    "similarity_ann_ivfpq_res_staged" -> similarityAnnIvfPqResOracle,
     "similarity_ann_ivfpq_res_recall" -> ivfPqResRecallOracle,
     "similarity_filtered_topk" -> similarityFilteredTopkOracle,
     "similarity_ann_ivfpq_filtered" -> similarityAnnIvfPqFilteredOracle,

@@ -119,6 +119,18 @@ class IvfPqResSpec extends SparkSpec {
       "pq_query_lut duplicated in the physical plan")
   }
 
+  test("staged retrieval over the persisted residual index equals the inline form") {
+    val inline0 = Similarity.similarityAnnIvfPqRes(spark, sf).collect().toSeq
+    val staged = Similarity.similarityAnnIvfPqResStaged(spark, sf).collect().toSeq
+    assert(staged == inline0)
+    val b0 = graft.ops.IndexStore.builds.get()
+    val l0 = graft.ops.IndexStore.loads.get()
+    val again = Similarity.similarityAnnIvfPqResStaged(spark, sf).collect().toSeq
+    assert(again == inline0)
+    assert(graft.ops.IndexStore.builds.get() == b0, "staged re-run rebuilt the index")
+    assert(graft.ops.IndexStore.loads.get() > l0, "staged re-run did not load the artifact")
+  }
+
   test("residual recall gate holds on the fixture (and the row says so)") {
     val row = Similarity.similarityAnnIvfPqResRecall(spark, sf).head()
     assert(row.getBoolean(0), "recall_ok")
