@@ -674,7 +674,53 @@ object Sessions {
     """SELECT event_type, count(DISTINCT user_id) AS distinct_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Attribution window of [[eventsAttribution]] in hours — clicks
+    * credit a view up to this far back. 6 h keeps the pair set
+    * non-trivial at every fixture SF (25 / 246 / 2171 pairs). */
+  val AttribWindowHours = 6
+
+  /** `events_attribution`: view→click attribution — every (view,
+    * click) pair of the same user where the click lands within
+    * [[AttribWindowHours]] after the view, the canonical two-stream
+    * interval join of ad/event pipelines (and the batch dual of
+    * [[graft.streaming.EventStream.attributionStream]]'s watermarked
+    * stream-stream join).
+    *
+    * 100 TB shape: an EQUI join on user_id with the time range as a
+    * residual predicate — both sides shuffle once on the key, per-key
+    * work is views×clicks of that user inside the window (bounded by
+    * user activity, AQE skew-split applicable), and no nested-loop
+    * plan can form because the equality key exists. The streaming twin
+    * runs the identical condition with watermarks bounding both
+    * sides' state to the window + lateness horizon — the property
+    * that makes the join runnable forever. */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    v.join(c, Seq("user_id"))
+      .where(col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $AttribWindowHours HOURS"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+      .orderBy("view_id", "click_id")
+  }
+
+  val eventsAttributionOracle: String =
+    s"""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       |       v.ts AS view_ts, c.ts AS click_ts
+       |FROM events v JOIN events c
+       |  ON v.user_id = c.user_id
+       | AND v.event_type = 'view' AND c.event_type = 'click'
+       | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL $AttribWindowHours HOUR
+       |ORDER BY view_id, click_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution" -> (eventsAttribution _),
     "events_distinct_salted" -> (eventsDistinctSalted _),
     "events_sessionize" -> (sessionize _),
     "events_sessionize_native" -> (sessionizeNative _),
@@ -692,6 +738,7 @@ object Sessions {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "events_attribution" -> eventsAttributionOracle,
     "events_distinct_salted" -> eventsDistinctSaltedOracle,
     "events_sessionize" -> sessionizeOracle,
     "events_sessionize_native" -> sessionizeNativeOracle,

@@ -56,6 +56,44 @@ object EventStream {
       .select(col("window.start").cast(TimestampNTZType).as("window_start"),
         col("event_type"), col("n_events"))
 
+  /** Watermarked STREAM-STREAM interval join: clicks credited to views
+    * of the same user within [[graft.ops.Sessions.AttribWindowHours]]
+    * — the streaming dual of `events_attribution`, and the one
+    * Structured-Streaming join class the other streaming operators
+    * don't exercise (stream×static joins are stateless; this one
+    * holds BOTH sides in state). The equality key (user_id) plus the
+    * two-sided time-range condition plus watermarks on both inputs is
+    * exactly the published recipe that lets Spark bound the state: a
+    * view can only ever match clicks up to window+lateness later, so
+    * view state evicts once the click watermark passes that horizon,
+    * and click state symmetrically — the join runs forever on bounded
+    * memory. Inner join: pairs emit as soon as both sides arrive
+    * (the watermark gates eviction, not emission), so end-to-end
+    * output equals the batch operator row-for-row when no data is
+    * later than the watermark.
+    *
+    * Takes the two sides as separate frames (production: two topics);
+    * the spec derives both from one event stream by type filter. */
+  def attributionStream(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views
+      .withColumn("view_ts", col("ts").cast(TimestampType)) // watermarks need an instant
+      .withWatermark("view_ts", "2 hours")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("view_ts"))
+    val c = clicks
+      .withColumn("click_ts", col("ts").cast(TimestampType))
+      .withWatermark("click_ts", "2 hours")
+      .select(col("event_id").as("click_id"), col("user_id"), col("click_ts"))
+    v.join(c,
+      col("v_user_id") === col("user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") +
+          expr(s"INTERVAL ${graft.ops.Sessions.AttribWindowHours} HOURS"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts").cast(TimestampNTZType).as("view_ts"),
+        col("click_ts").cast(TimestampNTZType).as("click_ts"))
+  }
+
   /** Watermarked per-day DISTINCT actives on the live stream via the
     * mergeable HLL sketch — the streaming half of the
     * `events_sketch_actives` architecture: the stream maintains one

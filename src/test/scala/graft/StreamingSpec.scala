@@ -257,6 +257,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() >= batchClosed.count())
   }
 
+  test("stream-stream attribution join ≡ batch events_attribution") {
+    val out = tmp("out-attr"); val ck = tmp("ck-attr")
+    // two sides from one landed stream by type filter (production:
+    // two topics) — both watermarked inside attributionStream
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val joined = EventStream.attributionStream(
+      stream.filter(col("event_type") === "view"),
+      stream.filter(col("event_type") === "click"))
+    assert(joined.isStreaming)
+    EventStream.runAppendToParquet(joined, out, ck)
+    val streamed = joined.sparkSession.read.parquet(out)
+      .select("user_id", "view_id", "click_id", "view_ts", "click_ts")
+    val batch = Sessions.eventsAttribution(spark, sf)
+      .select("user_id", "view_id", "click_id", "view_ts", "click_ts")
+    // inner stream-stream join emits on match (the watermark gates
+    // state EVICTION, not emission), so replaying the whole fixture
+    // must reproduce the batch pair set exactly
+    assert(streamed.exceptAll(batch).isEmpty, "stream emitted a pair batch doesn't have")
+    assert(batch.exceptAll(streamed).isEmpty, "stream missed a pair")
+    assert(streamed.count() == batch.count())
+  }
+
   test("native session_window sessionize ≡ lag-gap formulation") {
     val lagGap = graft.ops.Sessions.sessionize(spark, sf)
       .select("user_id", "session_start", "session_end", "n_events", "sum_value")
