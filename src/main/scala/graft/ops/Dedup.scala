@@ -1012,6 +1012,115 @@ object Dedup {
        |FROM g JOIN f USING (h) JOIN documents d ON d.doc_id = f.first_doc
        |ORDER BY g.h""".stripMargin
 
+  // ------------------------------------------------- containment dedup
+
+  /** Containment threshold for [[dedupContainment]]: the fraction of
+    * the SMALLER document's shingles that appear in the larger one.
+    * 0.8 is far above the corpus's background overlap and below the
+    * planted near-dups' (which sit near 1.0). */
+  val ContainmentThreshold = 0.8
+
+  /** Candidate span-frequency cap: a sampled span shared by more than
+    * this many documents is ubiquitous boilerplate — pairing through
+    * it is quadratic in its frequency and tells you nothing about
+    * containment (the [[MaxBucketWidth]] discipline at the span
+    * granularity). */
+  val SpanDfCap = 64
+
+  /** `dedup_containment`: ASYMMETRIC near-duplication — document A
+    * contained in document B when ≥ [[ContainmentThreshold]] of A's
+    * word-trigram shingles appear in B (Broder's containment
+    * coefficient, `|S(A)∩S(B)| / min(|S(A)|,|S(B)|)`). The resemblance
+    * family misses exactly this case: a quote or article embedded in a
+    * longer page has LOW symmetric Jaccard (the union is dominated by
+    * the container) but containment ≈ 1 — the spec pins that case on
+    * a constructed quote-in-article fixture that `dedup_minhash`'s
+    * threshold provably rejects.
+    *
+    * Candidates come from the [[corpusSharedSpans]] machinery rather
+    * than MinHash bands (banding estimates RESEMBLANCE — for a small
+    * doc inside a big one the band-collision probability collapses
+    * with the Jaccard, the very signal this operator must not depend
+    * on): two docs are candidates when they share ≥ 1 content-sampled
+    * [[SpanWidth]]-char span with document frequency ≤ [[SpanDfCap]].
+    * A contained copy of length L misses all its sampled windows with
+    * probability (15/16)^(L−23) — the shared-spans recall argument —
+    * and the oracle replays the candidate rule EXACTLY, so the
+    * operator's contract is deterministic, not probabilistic.
+    *
+    * 100 TB shape: spans are one codegen'd pass + a 1/16-of-chars
+    * explode; candidate emission is the bucket-group-then-explode
+    * shape (§ the r18 LSH rework) bounded by the df cap; the exact
+    * verify joins shingle sets onto id-pairs only. Nothing
+    * corpus×corpus ever forms. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Docs.fanned(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.Winnow.winnow_sampled_spans(col("text"), SpanWidth)).as("s"))
+      .select(col("doc_id"), col("s.h").as("h"))
+      .dropDuplicates("doc_id", "h")
+    val cands = spans.groupBy("h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= SpanDfCap)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"), explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sh = Docs.shingled(Docs.fanned(spark, dir))
+    val inter = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType)
+    val na = size(col("sa.sh"))
+    val nb = size(col("sb.sh"))
+    val cont = inter / least(na, nb).cast(DoubleType)
+    val containedId = when(na < nb, col("doc_a")).when(nb < na, col("doc_b"))
+      .otherwise(least(col("doc_a"), col("doc_b")))
+    val containerId = when(na < nb, col("doc_b")).when(nb < na, col("doc_a"))
+      .otherwise(greatest(col("doc_a"), col("doc_b")))
+    cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      // threshold via a GENERATOR (the verifyJaccard discipline): a
+      // filter on the containment alias would be pushdown-substituted
+      // and run the set intersect twice per pair
+      .select(explode(filter(array(struct(
+          containedId.as("contained_id"), containerId.as("container_id"),
+          cont.as("containment"))),
+        r => r.getField("containment") >= ContainmentThreshold)).as("r"))
+      .select(col("r.*"))
+      .orderBy("contained_id", "container_id")
+  }
+
+  val dedupContainmentOracle: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, text,
+       |         CAST(unnest(range(1, length(text) - ${SpanWidth - 2})) AS INTEGER) AS pos
+       |  FROM documents WHERE length(text) >= $SpanWidth),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, md5(substr(text, pos, $SpanWidth)) AS h FROM u
+       |  WHERE md5(substr(text, pos, $SpanWidth)) LIKE '0%'),
+       |hok AS (
+       |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sel GROUP BY h)
+       |  WHERE nd BETWEEN 2 AND $SpanDfCap),
+       |cd AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  WHERE a.h IN (SELECT h FROM hok)),
+       |${Docs.shinglesSql},
+       |c AS (
+       |  SELECT cd.doc_a, cd.doc_b, sa.sh AS sha, sb.sh AS shb
+       |  FROM cd JOIN s sa ON sa.doc_id = cd.doc_a
+       |          JOIN s sb ON sb.doc_id = cd.doc_b)
+       |SELECT CASE WHEN len(sha) < len(shb) THEN doc_a
+       |            WHEN len(shb) < len(sha) THEN doc_b
+       |            ELSE LEAST(doc_a, doc_b) END AS contained_id,
+       |       CASE WHEN len(sha) < len(shb) THEN doc_b
+       |            WHEN len(shb) < len(sha) THEN doc_a
+       |            ELSE GREATEST(doc_a, doc_b) END AS container_id,
+       |       CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |         / LEAST(len(sha), len(shb)) AS containment
+       |FROM c
+       |WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |        / LEAST(len(sha), len(shb)) >= $ContainmentThreshold
+       |ORDER BY contained_id, container_id""".stripMargin
+
   // ----------------------------------------- staged pair-graph reuse
 
   /** Most corpora a session cleans at once; past the bound the
@@ -1192,6 +1301,7 @@ object Dedup {
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_clusters" -> (dedupClusters _),
     "corpus_shared_spans" -> (corpusSharedSpans _),
+    "dedup_containment" -> (dedupContainment _),
     // staged pair-graph consumers: same policies, same oracles — the
     // driver sweep checks staged ≡ inline, the bench shows the reuse
     "corpus_clean_staged" -> (corpusCleanStaged _),
@@ -1213,6 +1323,7 @@ object Dedup {
     "dedup_embedding" -> dedupEmbeddingOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "corpus_shared_spans" -> corpusSharedSpansOracle,
+    "dedup_containment" -> dedupContainmentOracle,
     "corpus_clean_staged" -> corpusCleanOracle,
     "dedup_clusters_staged" -> dedupClustersOracle,
     "corpus_clean_clustered_staged" -> corpusCleanClusteredOracle,

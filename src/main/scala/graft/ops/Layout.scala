@@ -324,9 +324,17 @@ object Layout {
   private[graft] def zorderPrunedScan(spark: SparkSession, path: String,
       uLo: Long, uHi: Long, dLo: Int, dHi: Int): (DataFrame, Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val files = new java.io.File(path).listFiles()
-      .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
-      .map(_.getAbsolutePath).sorted
+    // Hadoop FS listing, not java.io.File: the staged fixture lives on
+    // the local fs, but the manifest scan must work against whatever
+    // store the layout was written to (the 100 TB layout is on object
+    // storage, where footer range-reads are exactly how table formats
+    // do this).
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        st.getLen > 0)
+      .map(_.getPath.toString).sorted
     def overlaps(file: String): Boolean = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file), conf)
