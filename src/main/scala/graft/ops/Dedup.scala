@@ -37,6 +37,24 @@ object Dedup {
     * a pathological-fixture spec pins the bound. */
   val MaxBucketWidth = 1024
 
+  /** Conf override for [[MaxBucketWidth]] (`spark.graft.lsh.maxBucketWidth`).
+    * The cap is the most consequential dedup dial — it silently changes
+    * which candidate pairs EXIST — so a real pipeline must be able to
+    * tune it per-corpus without a rebuild. Default unchanged (1024:
+    * comfortably above any bucket the oracle corpus produces, low
+    * enough that one bucket's n²/2 pairs stay sub-second). Derivation
+    * note: set it from the corpus's bucket-width distribution — the
+    * "lsh_buckets" observation's `widest_bucket` on a trial run, or
+    * p99.9 bucket width × safety factor — never below the widest
+    * NON-pathological bucket or recall silently drops. */
+  val BucketCapConf = "spark.graft.lsh.maxBucketWidth"
+
+  private[graft] def bucketCap(spark: SparkSession): Int = {
+    val v = spark.conf.get(BucketCapConf, MaxBucketWidth.toString).toInt
+    require(v > 1, s"$BucketCapConf must be > 1, got $v")
+    v
+  }
+
   /** When true (`spark.conf.set(StrictCapConf, "true")`), a bucket wider
     * than [[MaxBucketWidth]] FAILS the query instead of being silently
     * skipped. Off by default: the skip is the right degraded mode for
@@ -70,23 +88,33 @@ object Dedup {
     * aggregate, which is also where the strict-mode raise_error fires.
     * (Null (band, sig) keys cannot occur — every band constructor here
     * emits non-null band ids and concat_ws/element_at signatures over
-    * non-null signature arrays.) */
+    * non-null signature arrays.)
+    *
+    * r19: the aggregate is [[graft.functions.CappedCollect]]'s
+    * `capped_sorted_ids`, not `collect_list` — a hot bucket's id list
+    * is never materialized in aggregation state (the buffer carries at
+    * most cap ids; past the cap only the count travels, which is all
+    * the drop decision, the observation, and the strict error need).
+    * A plain collect_list held the FULL list per bucket before the
+    * filter ran — one ubiquitous boilerplate signature at corpus scale
+    * would OOM its reducer. */
   private[graft] def bandedCandidates(banded: DataFrame, idCol: String): DataFrame = {
     val strict = banded.sparkSession.conf.get(StrictCapConf, "false").toBoolean
+    val cap = bucketCap(banded.sparkSession)
     val buckets = banded.groupBy("band", "sig")
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .agg(graft.functions.CappedCollect.capped_sorted_ids(col(idCol), cap).as("bkt"))
       .observe("lsh_buckets",
-        sum(when(size(col("ids")) > MaxBucketWidth,
-          size(col("ids")).cast(LongType)).otherwise(0L)).as("dropped_rows"),
-        max(size(col("ids")).cast(LongType)).as("widest_bucket"))
+        sum(when(col("bkt.width") > cap, col("bkt.width")).otherwise(0L)).as("dropped_rows"),
+        max(col("bkt.width")).as("widest_bucket"))
     val kept =
-      if (strict) buckets.filter(when(size(col("ids")) > MaxBucketWidth,
-          raise_error(concat(lit(s"LSH bucket wider than cap $MaxBucketWidth: "),
-            size(col("ids")).cast("string"), lit(" rows in band="),
+      if (strict) buckets.filter(when(col("bkt.width") > cap,
+          raise_error(concat(lit(s"LSH bucket wider than cap $cap: "),
+            col("bkt.width").cast("string"), lit(" rows in band="),
             col("band").cast("string"), lit(" sig="), col("sig").cast("string"))))
         .otherwise(lit(true)))
-      else buckets.filter(size(col("ids")) <= MaxBucketWidth)
+      else buckets.filter(col("bkt.width") <= cap)
     kept
+      .select(col("bkt.ids").as("ids"))
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
       .select(col("a"), explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("b"))
       .dropDuplicates("a", "b")
@@ -1059,9 +1087,14 @@ object Dedup {
         explode(graft.functions.Winnow.winnow_sampled_spans(col("text"), SpanWidth)).as("s"))
       .select(col("doc_id"), col("s.h").as("h"))
       .dropDuplicates("doc_id", "h")
+    // capped_sorted_ids, not collect_list: a boilerplate span shared by
+    // the whole corpus must never materialize its doc list in one
+    // aggregation buffer — past SpanDfCap only the count travels (the
+    // same state bound as bandedCandidates).
     val cands = spans.groupBy("h")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= SpanDfCap)
+      .agg(graft.functions.CappedCollect.capped_sorted_ids(col("doc_id"), SpanDfCap).as("bkt"))
+      .filter(col("bkt.width") >= 2 && col("bkt.width") <= SpanDfCap)
+      .select(col("bkt.ids").as("ids"))
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
       .select(col("doc_a"), explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")

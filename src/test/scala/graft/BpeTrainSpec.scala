@@ -89,6 +89,57 @@ class BpeTrainSpec extends SparkSpec {
       "learned vocabulary produced identical token counts to the fixture vocabulary")
   }
 
+  test("single-pass collected trainer ≡ per-rank distributed trainer at fixture ranks") {
+    val dist = TextAnalysis.bpeTrainedMergesDistributed(spark, sf, TextAnalysis.BpeTrainRanks)
+    val local = TextAnalysis.bpeTrainedMergesLocal(spark, sf, TextAnalysis.BpeTrainRanks)
+    assert(local == dist)
+  }
+
+  test("≥256-rank training: constant job count, reference-identical, prefix-stable") {
+    import spark.implicits._
+    // The fixture vocabulary (31 words) exhausts at ~107 merges, so a
+    // genuine 256-rank run needs a larger synthetic vocabulary: 2000
+    // deterministic pseudo-words, counts varied so ties are rare.
+    val rnd = new scala.util.Random(1234)
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val vocab = (0 until 2000).map { i =>
+      val len = 6 + rnd.nextInt(10)
+      (0 until len).map(_ => letters(rnd.nextInt(letters.length))).mkString
+    }.distinct
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-bigvocab").toString
+    vocab.zipWithIndex.map { case (w, i) =>
+      (i.toLong, (w + " ") * (i % 7 + 1), "syn", w.length.toLong)
+    }.toDF("doc_id", "text", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    def trainCountingJobs(tag: String, ranks: Int): (Seq[(String, String, Long)], Int) = {
+      spark.sparkContext.setJobGroup(tag, tag, interruptOnCancel = false)
+      try {
+        val m = TextAnalysis.bpeTrainedMergesLocal(spark, dir, ranks)
+        (m, spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length)
+      } finally spark.sparkContext.clearJobGroup()
+    }
+    val (m256, j256) = trainCountingJobs("bpe-train-256", 256)
+    val (m320, j320) = trainCountingJobs("bpe-train-320", 320)
+    assert(m256.length == 256 && m320.length == 320,
+      s"vocabulary exhausted early: ${m256.length}/${m320.length} merges")
+    // Job count must be independent of the rank count — the whole
+    // point of the collected path (the distributed loop costs 2+ jobs
+    // per rank; 320 ranks would be 600+).
+    assert(j256 == j320, s"job count grew with rank count: $j256 vs $j320")
+    assert(j256 <= 4, s"collected trainer ran $j256 jobs — expected dictionary-collect only")
+    // Greedy training is deterministic, so the longer run's prefix is
+    // exactly the shorter run.
+    assert(m320.take(256) == m256)
+    // And the result matches the independent token-level reference.
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m256 == referenceTrain(words, 256))
+  }
+
   test("trainer stops early when pairs are exhausted (degenerate corpus)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe-degenerate").toString
