@@ -306,29 +306,155 @@ object Layout {
           .repartitionByRange(ZFiles, col("z"))
           .sortWithinPartitions("z")
           .write.mode("overwrite").parquet(path)
+        // The stats manifest is written WITH the layout — the min/max
+        // are known the moment the files land, and a layout that moves
+        // carries its manifest with it (the lakehouse-format shape).
+        writeManifest(spark, path)
         stagedZorder.put(dir, path)
         path
       }
     }
 
-  /** File-level data skipping over the z-ordered layout: read each
-    * part-file's parquet FOOTER (driver-side, [[ZFiles]] footers —
-    * metadata scale; this is exactly the manifest scan a table format
-    * does, done against raw parquet), keep files whose per-column
-    * [min,max] box intersects the predicate box, and scan only those —
-    * with the row predicate re-applied, so a kept file's non-matching
-    * rows still drop and pruning can never change the result (the
-    * oracle checks that). Returns (frame, keptFiles, totalFiles); the
-    * spec asserts the skip actually happens on the z layout and
-    * CANNOT happen on a hash-shuffled copy of the same rows. */
+  // -------------------------------------------- Z-order stats manifest
+
+  /** Manifest directory name inside the layout. Underscore-prefixed so
+    * every parquet reader (Spark's FileIndex, DuckDB's glob) treats it
+    * as metadata and skips it when scanning the layout itself. */
+  val ManifestDir = "_graft_manifest"
+
+  /** Driver-side footer reads by the LEGACY pruning path — the spec's
+    * hook for asserting the manifest path performs ZERO of them. */
+  private[graft] val driverFooterReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** Per-file (user_id, day_idx) min/max from parquet footers, as a
+    * DISTRIBUTED job over the file list: the driver lists once; the
+    * footer range-reads — the expensive half against object storage —
+    * run executor-side, one task per slice of files. At a 10⁵–10⁶-file
+    * production layout this is seconds of cluster metadata I/O where a
+    * driver-sequential loop was the bottleneck. (mapPartitions is
+    * justified: per-file imperative footer I/O has no declarative
+    * form; the job is metadata-scale — rows = files.)
+    *
+    * Missing stats (a writer that recorded none) surface as nulls and
+    * prune as always-overlap — pruning may only ever SKIP a file it
+    * can prove empty of matches. */
+  private[graft] def footerManifest(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val files = fs.listStatus(root)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        st.getLen > 0)
+      .map(_.getPath.toString).sorted.toIndexedSeq
+    val ser = new org.apache.spark.util.SerializableConfiguration(hconf)
+    val slices = math.max(1, math.min(files.length,
+      spark.sparkContext.defaultParallelism))
+    // One manifest row PER ROW GROUP, not per file: per-row-group
+    // bounds prune strictly tighter (a file whose groups cover
+    // disjoint ranges straddling the box is skipped where a file-level
+    // box would keep it) and match parquet's native stats granularity.
+    spark.createDataset(files).repartition(slices)
+      .mapPartitions { it =>
+        it.flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), ser.value)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = r.getFooter.getBlocks
+            (0 until blocks.size()).map { b =>
+              val cols = blocks.get(b).getColumns
+              var uMin: Option[Long] = None; var uMax: Option[Long] = None
+              var dMin: Option[Long] = None; var dMax: Option[Long] = None
+              (0 until cols.size()).foreach { c =>
+                val cc = cols.get(c)
+                val st = cc.getStatistics
+                if (st != null && st.hasNonNullValue) {
+                  cc.getPath.toDotString match {
+                    case "user_id" =>
+                      uMin = Some(st.genericGetMin.asInstanceOf[Number].longValue)
+                      uMax = Some(st.genericGetMax.asInstanceOf[Number].longValue)
+                    case "day_idx" =>
+                      dMin = Some(st.genericGetMin.asInstanceOf[Number].longValue)
+                      dMax = Some(st.genericGetMax.asInstanceOf[Number].longValue)
+                    case _ =>
+                  }
+                }
+              }
+              (f, b, uMin, uMax, dMin, dMax)
+            }.toVector
+          } finally r.close()
+        }
+      }
+      .toDF("file", "rg", "u_min", "u_max", "d_min", "d_max")
+  }
+
+  /** Build + commit the manifest beside the layout (overwrite mode —
+    * the parquet committer's _SUCCESS is the commit marker, same
+    * protocol as the layout write itself). */
+  private[graft] def writeManifest(spark: SparkSession, path: String): Unit =
+    footerManifest(spark, path)
+      .coalesce(1) // rows = files: metadata scale by construction
+      .write.mode("overwrite").parquet(s"$path/$ManifestDir")
+
+  /** The committed manifest, or a freshly-built one for a layout that
+    * predates manifests (backfill — still the distributed job, never
+    * the driver loop). */
+  private[graft] def loadManifest(spark: SparkSession, path: String): DataFrame = {
+    val mf = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
+    val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(mf, "_SUCCESS")))
+      spark.read.parquet(mf.toString)
+    else footerManifest(spark, path)
+  }
+
+  /** File-level data skipping over the z-ordered layout, FROM THE
+    * MANIFEST (r19): filter the per-file min/max manifest with the
+    * predicate box — keeping any file whose stats are absent — and
+    * scan only the kept files, with the row predicate re-applied so a
+    * kept file's non-matching rows still drop and pruning can never
+    * change the result (the oracle checks that, computed from the RAW
+    * table). ZERO footer reads and ZERO directory listing on the query
+    * path: the file inventory and stats both come from the manifest
+    * written with the layout — the metadata architecture every
+    * lakehouse format (Delta log, Iceberg manifests) exists to
+    * provide, because at a 10⁵–10⁶-file layout per-query listing +
+    * sequential footer reads on the driver IS the bottleneck.
+    * Returns (frame, keptFileNames, totalFiles); the spec asserts the
+    * kept set is IDENTICAL to the legacy footer-read path's and that
+    * the skip cannot happen on a hash-shuffled copy of the same rows. */
   private[graft] def zorderPrunedScan(spark: SparkSession, path: String,
-      uLo: Long, uHi: Long, dLo: Int, dHi: Int): (DataFrame, Int, Int) = {
+      uLo: Long, uHi: Long, dLo: Int, dHi: Int): (DataFrame, Seq[String], Int) = {
+    val manifest = loadManifest(spark, path).select(
+      col("file"), col("u_min"), col("u_max"), col("d_min"), col("d_max"))
+      .collect() // rows = row groups: the same metadata scale a table
+                 // format's planner holds; kept NAMES must reach the
+                 // driver regardless to construct the read
+    // a file is kept when ANY of its row groups overlaps the box
+    // (absent stats = always-overlap: pruning may only skip provably
+    // empty files)
+    val kept = manifest.filter { r =>
+      def lo(i: Int): Long = if (r.isNullAt(i)) Long.MinValue else r.getLong(i)
+      def hi(i: Int): Long = if (r.isNullAt(i)) Long.MaxValue else r.getLong(i)
+      hi(2) >= uLo && lo(1) <= uHi && hi(4) >= dLo && lo(3) <= dHi
+    }.map(_.getString(0)).distinct.sorted
+    val total = manifest.map(_.getString(0)).distinct.length
+    val pred = col("user_id").between(uLo, uHi) &&
+      col("day_idx").between(dLo, dHi)
+    val df =
+      if (kept.isEmpty)
+        spark.read.parquet(manifest.head.getString(0)).where(lit(false))
+      else spark.read.parquet(kept.toIndexedSeq: _*).where(pred)
+    (df, kept.toIndexedSeq, total)
+  }
+
+  /** LEGACY pruning path: driver-sequential listing + footer reads.
+    * Kept as the spec's independent A/B reference for the manifest
+    * path (kept-file sets must be identical) — not reachable from any
+    * query. Each footer open increments [[driverFooterReads]]. */
+  private[graft] def zorderPrunedScanFooters(spark: SparkSession, path: String,
+      uLo: Long, uHi: Long, dLo: Int, dHi: Int): (DataFrame, Seq[String], Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
-    // Hadoop FS listing, not java.io.File: the staged fixture lives on
-    // the local fs, but the manifest scan must work against whatever
-    // store the layout was written to (the 100 TB layout is on object
-    // storage, where footer range-reads are exactly how table formats
-    // do this).
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     val files = fs.listStatus(root)
@@ -336,6 +462,7 @@ object Layout {
         st.getLen > 0)
       .map(_.getPath.toString).sorted
     def overlaps(file: String): Boolean = {
+      driverFooterReads.incrementAndGet()
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -373,7 +500,7 @@ object Layout {
         // no file can match: correct empty result, schema preserved
         spark.read.parquet(files.head).where(lit(false))
       else spark.read.parquet(kept.toIndexedSeq: _*).where(pred)
-    (df, kept.length, files.length)
+    (df, kept.toIndexedSeq, files.length)
   }
 
   /** `q_zorder_scan`: per-type counts and value sums inside the

@@ -719,8 +719,59 @@ object Sessions {
        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL $AttribWindowHours HOUR
        |ORDER BY view_id, click_id""".stripMargin
 
+  /** `events_attribution_last_touch`: each click credits ONLY the
+    * latest view at or before it within [[AttribWindowHours]] — the
+    * production attribution shape. Where [[eventsAttribution]] is
+    * contract-quadratic per user (ALL qualifying pairs: one bot user
+    * with 10⁴ views × 10⁴ clicks in-window emits 10⁸ rows from one
+    * key), last-touch is linear by construction: exactly one output
+    * row per click, attributed or not.
+    *
+    * Built on [[AsOf.asofJoin]] — the single-shuffle union-window
+    * log-merge, so the 100 TB plan has ONE exchange on user_id and
+    * per-key state of one carried row; no pair set ever materializes,
+    * no inequality join exists in the plan. The window bound applies
+    * AFTER the as-of attach: the latest view ≤ click is the latest
+    * in-window view whenever it is in-window, and no view qualifies
+    * otherwise — so (view_id, view_ts) null out atomically past the
+    * horizon. Views are deduped to one row per (user, instant) with
+    * the max view_id (ties at an instant are unspecified in both
+    * engines' as-of, so the rule is made explicit and replayed by the
+    * oracle verbatim). */
+  def eventsAttributionLastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("view_ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val inWin = col("view_ts").isNotNull &&
+      col("view_ts") >= col("click_ts") - expr(s"INTERVAL $AttribWindowHours HOURS")
+    AsOf.asofJoin(c, v, Seq("user_id"), "click_ts", "view_ts")
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        when(inWin, col("view_id")).as("view_id"),
+        when(inWin, col("view_ts")).as("view_ts"))
+      .orderBy("click_id")
+  }
+
+  val eventsAttributionLastTouchOracle: String =
+    s"""WITH v AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_id
+       |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+       |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+       |      FROM events WHERE event_type = 'click')
+       |SELECT c.user_id, c.click_id, c.click_ts,
+       |  CASE WHEN v.view_ts >= c.click_ts - INTERVAL $AttribWindowHours HOUR
+       |       THEN v.view_id END AS view_id,
+       |  CASE WHEN v.view_ts >= c.click_ts - INTERVAL $AttribWindowHours HOUR
+       |       THEN v.view_ts END AS view_ts
+       |FROM c ASOF LEFT JOIN v
+       |  ON c.user_id = v.user_id AND c.click_ts >= v.view_ts
+       |ORDER BY click_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_attribution" -> (eventsAttribution _),
+    "events_attribution_last_touch" -> (eventsAttributionLastTouch _),
     "events_distinct_salted" -> (eventsDistinctSalted _),
     "events_sessionize" -> (sessionize _),
     "events_sessionize_native" -> (sessionizeNative _),
@@ -739,6 +790,7 @@ object Sessions {
 
   def oracleSql: Map[String, String] = Map(
     "events_attribution" -> eventsAttributionOracle,
+    "events_attribution_last_touch" -> eventsAttributionLastTouchOracle,
     "events_distinct_salted" -> eventsDistinctSaltedOracle,
     "events_sessionize" -> sessionizeOracle,
     "events_sessionize_native" -> sessionizeNativeOracle,

@@ -33,10 +33,11 @@ class ZorderSpec extends SparkSpec {
     val zDir = stage(eventsZ.withColumn("z", zv)
       .repartitionByRange(Layout.ZFiles, col("z")).sortWithinPartitions("z"), "zord")
     val shufDir = stage(eventsZ.repartition(Layout.ZFiles, col("event_id")), "shuf")
-    val (zDf, zKept, zTotal) = Layout.zorderPrunedScan(spark, zDir,
+    val (zDf, zKeptF, zTotal) = Layout.zorderPrunedScan(spark, zDir,
       Layout.ZUserLo, Layout.ZUserHi, Layout.ZDayLo, Layout.ZDayHi)
-    val (sDf, sKept, sTotal) = Layout.zorderPrunedScan(spark, shufDir,
+    val (sDf, sKeptF, sTotal) = Layout.zorderPrunedScan(spark, shufDir,
       Layout.ZUserLo, Layout.ZUserHi, Layout.ZDayLo, Layout.ZDayHi)
+    val (zKept, sKept) = (zKeptF.length, sKeptF.length)
     // every shuffled file spans the full (user, day) range → zero skip
     assert(sKept == sTotal, s"hash layout unexpectedly pruned: $sKept/$sTotal")
     assert(zKept < zTotal, s"z layout pruned nothing: $zKept/$zTotal")
@@ -64,8 +65,57 @@ class ZorderSpec extends SparkSpec {
     val zDir = stage(eventsZ.withColumn("z", lit(0L)).repartition(2), "empty")
     val (df, kept, total) = Layout.zorderPrunedScan(spark, zDir,
       1000000L, 2000000L, 1, 2)
-    assert(kept == 0, s"stats should exclude every file, kept $kept/$total")
+    assert(kept.isEmpty, s"stats should exclude every file, kept ${kept.length}/$total")
     assert(df.count() == 0L)
+  }
+
+  test("manifest round-trip: written with the layout, equal to a fresh footer scan") {
+    val zDir = stage(eventsZ.repartitionByRange(8, col("day_idx"))
+      .sortWithinPartitions("day_idx"), "mf")
+    Layout.writeManifest(spark, zDir)
+    val fs = new org.apache.hadoop.fs.Path(zDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$zDir/${Layout.ManifestDir}/_SUCCESS")), "manifest not committed")
+    val loaded = Layout.loadManifest(spark, zDir).collect().map(_.toSeq).toSet
+    val fresh = Layout.footerManifest(spark, zDir).collect().map(_.toSeq).toSet
+    assert(loaded == fresh)
+    // the manifest dir is metadata: scanning the layout must not read it
+    assert(spark.read.parquet(zDir).columns.contains("event_id"))
+  }
+
+  test("manifest pruning keeps the exact file set the footer-read path keeps") {
+    val zv = (0 until Layout.ZBits).map { i =>
+      shiftleft(shiftright(col("user_id"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("day_idx"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    val zDir = stage(eventsZ.withColumn("z", zv)
+      .repartitionByRange(Layout.ZFiles, col("z")).sortWithinPartitions("z"), "mfid")
+    Layout.writeManifest(spark, zDir)
+    val boxes = Seq(
+      (Layout.ZUserLo, Layout.ZUserHi, Layout.ZDayLo, Layout.ZDayHi),
+      (0L, 2L, 19725, 19755),
+      (9L, 14L, 19740, 19742))
+    for ((uLo, uHi, dLo, dHi) <- boxes) {
+      val (_, viaManifest, tM) = Layout.zorderPrunedScan(spark, zDir, uLo, uHi, dLo, dHi)
+      val (_, viaFooters, tF) = Layout.zorderPrunedScanFooters(spark, zDir, uLo, uHi, dLo, dHi)
+      assert(viaManifest == viaFooters,
+        s"kept sets differ for box ($uLo,$uHi,$dLo,$dHi)")
+      assert(tM == tF)
+    }
+  }
+
+  test("pruned scan performs zero driver footer reads on a manifested layout") {
+    val zDir = stage(eventsZ.repartitionByRange(4, col("user_id"))
+      .sortWithinPartitions("user_id"), "mf0")
+    Layout.writeManifest(spark, zDir)
+    val before = Layout.driverFooterReads.get()
+    val (df, kept, total) = Layout.zorderPrunedScan(spark, zDir,
+      Layout.ZUserLo, Layout.ZUserHi, Layout.ZDayLo, Layout.ZDayHi)
+    df.count()
+    assert(kept.length < total, "user-sorted layout should prune on the user box")
+    assert(Layout.driverFooterReads.get() == before,
+      "manifest-pruned scan opened parquet footers on the driver")
   }
 
   test("z-value interleave: known bit patterns") {
