@@ -766,7 +766,7 @@ object Bench {
         counted = runsBuf.drop(1).toVector
         extra += 1
       }
-      (name, median(counted), counted.min, runsBuf.toSeq, qEnv)
+      (name, median(counted), counted.min, runsBuf.toSeq, qEnv, extra)
     }
 
     // Terse 2-dp values (trailing zeros stripped): at 76 queries the
@@ -774,14 +774,22 @@ object Bench {
     // delays the families-rollup fallback.
     def fmtTerse(d: Double): String =
       fmt2(d).stripSuffix("0").stripSuffix("0").stripSuffix(".")
-    val qs = results.map { case (k, m, _, _, _) => "\"" + k + "\":" + fmtTerse(m) }
+    val qs = results.map { case (k, m, _, _, _, _) => "\"" + k + "\":" + fmtTerse(m) }
       .mkString("{", ",", "}")
-    val qmins = results.map { case (k, _, mn, _, _) => "\"" + k + "\":" + fmt(mn) }
+    val qmins = results.map { case (k, _, mn, _, _, _) => "\"" + k + "\":" + fmt(mn) }
       .mkString("{", ",", "}")
-    val qruns = results.map { case (k, _, _, r, _) => "\"" + k + "\":" + arr(r) }
+    val qruns = results.map { case (k, _, _, r, _, _) => "\"" + k + "\":" + arr(r) }
       .mkString("{", ",", "}")
-    val qenvs = results.map { case (k, _, _, _, e) => "\"" + k + "\":" + e }
+    val qenvs = results.map { case (k, _, _, _, e, _) => "\"" + k + "\":" + e }
       .mkString("{", ",", "}")
+    // Explicit extended-window flag (r19, per ADVICE): a query whose
+    // counted window was adaptively extended is NOT median-comparable
+    // to a fixed-3-run record (the one-sided trigger re-examines only
+    // slow-looking medians), so cross-round comparisons need to see
+    // which queries those were without decoding run-array lengths.
+    // Sparse: only extended queries appear; value = extra counted runs.
+    val qextended = results.collect { case (k, _, _, _, _, ex) if ex > 0 =>
+      "\"" + k + "\":" + ex }.mkString("{", ",", "}")
     // Per-FAMILY rollup (r16, VERDICT #7): at 68 queries a cross-round
     // regression hides in per-query noise; the family sums read at a
     // glance. Classification is by operator domain, not string prefix
@@ -798,7 +806,7 @@ object Bench {
       case n if n.startsWith("multimodal") => "multimodal"
       case _ => "text" // text_*, corpus_* (rest), doc_*
     }
-    val families = results.groupBy { case (k, _, _, _, _) => familyOf(k) }
+    val families = results.groupBy { case (k, _, _, _, _, _) => familyOf(k) }
       .toSeq.sortBy(_._1).map { case (fam, rs) =>
         val names = rs.map(_._1).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
         "\"" + fam + "\":{\"n\":" + rs.size +
@@ -807,10 +815,10 @@ object Bench {
           ",\"queries\":" + names + "}"
       }.mkString("{", ",", "}")
     val flagged = results
-      .filter { case (_, m, mn, _, _) => m > mn * 1.5 && m - mn > 0.3 }
-      .sortBy { case (_, m, mn, _, _) => -(m / mn) }
-    def outlierMap(xs: Seq[(String, Double, Double, Seq[Double], String)]): String =
-      xs.map { case (k, m, mn, _, _) => "\"" + k + "\":[" + fmt(mn) + "," + fmt(m) + "]" }
+      .filter { case (_, m, mn, _, _, _) => m > mn * 1.5 && m - mn > 0.3 }
+      .sortBy { case (_, m, mn, _, _, _) => -(m / mn) }
+    def outlierMap(xs: Seq[(String, Double, Double, Seq[Double], String, Int)]): String =
+      xs.map { case (k, m, mn, _, _, _) => "\"" + k + "\":[" + fmt(mn) + "," + fmt(m) + "]" }
         .mkString("{", ",", "}")
     // Outliers live in the detail artifacts only (r16: the headline is
     // the driver-contract minimum).
@@ -891,6 +899,7 @@ object Bench {
       s""""queries_min":$qmins,"total_min":${fmt(totalMin)},"outliers":$outliersFull,""" +
       s""""families":$families,""" +
       s""""queries_runs":$qruns,"queries_env":$qenvs,""" +
+      s""""queries_extended":$qextended,""" +
       s""""errors":$errs,"warmup_errors":$warmupErrs,""" +
       s""""parsed":$detailJson,""" +
       s""""parsed_weblog":$detailWeblogJson,""" +

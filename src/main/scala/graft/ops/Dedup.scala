@@ -402,6 +402,26 @@ object Dedup {
   val HyperRows = 8
   val EmbeddingDim = 64
 
+  /** Conf override for [[CosineThreshold]]
+    * (`spark.graft.dedup.cosineThreshold`): the similarity bar of the
+    * embedding near-dup family (dedup_embedding verification,
+    * dedup_semantic's within-cluster sweep). Default unchanged — the
+    * oracles replay 0.45, so a changed dial is a deliberate per-corpus
+    * tuning, not a silent contract shift. Derivation note: set it from
+    * the corpus's duplicate-pair similarity histogram — the valley
+    * between the near-dup mode (≥ 0.8 for real paraphrase/dup pairs)
+    * and the background cosine mass; raising it past the SimHash
+    * banding's design point (see the miss-probability math above)
+    * narrows recall faster than precision gains. */
+  val CosineThresholdConf = "spark.graft.dedup.cosineThreshold"
+
+  private[graft] def cosineThreshold(spark: SparkSession): Double = {
+    val v = spark.conf.get(CosineThresholdConf, CosineThreshold.toString).toDouble
+    // values > 1 are allowed: an intentional "match nothing" probe
+    require(v > 0.0, s"$CosineThresholdConf must be positive, got $v")
+    v
+  }
+
   private[graft] lazy val hyperplanes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
     Array.fill(HyperBands * HyperRows)(Array.fill(EmbeddingDim)(rnd.nextGaussian()))
@@ -460,7 +480,7 @@ object Dedup {
         // substituted and evaluates the dim-wide dot twice per pair.
         explode(filter(array(dot(col("a.v"), col("b.v")) /
             nullif(col("a.nrm") * col("b.nrm"), lit(0.0))),
-          c => c >= CosineThreshold)).as("cosine"))
+          c => c >= cosineThreshold(spark))).as("cosine"))
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }

@@ -18,13 +18,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * next one.
   *
   * Layout: `<root>/<fingerprint>/<artifact>.parquet`, where the
-  * fingerprint is a SHA-1 over the source table's file inventory
-  * (name, length, modification time per part file). Content-keying —
-  * not path-keying — is what makes cross-process reuse SAFE: a
-  * regenerated snapshot at the same path gets a new fingerprint and a
-  * fresh build, while two paths holding byte-identical data share one
-  * artifact (every construction here is deterministic in the data, so
-  * sharing is sound). A real deployment points `spark.graft.index.root`
+  * fingerprint is a SHA-1 over the source table's file INVENTORY
+  * (name, length, modification time per part file) — an inventory
+  * fingerprint, NOT a content hash. Inventory-keying — not
+  * path-keying — is what makes cross-process reuse safe in the normal
+  * lifecycle: a regenerated snapshot at the same path changes lengths
+  * or mtimes, gets a new fingerprint, and triggers a fresh build.
+  * The precondition to know: a snapshot regenerated while PRESERVING
+  * names, lengths, AND mtimes (a `cp -p`-style restore of different
+  * bytes — no normal writer does this) would silently serve the stale
+  * artifact; conversely two paths holding byte-identical data do NOT
+  * share one artifact (their part names/mtimes differ), they each
+  * build once. Where the store backend exposes content checksums
+  * (S3 ETags, HDFS file checksums), mixing them into the digest
+  * closes the stale-serve hole — the local-FS default has no cheap
+  * equivalent. A real deployment points `spark.graft.index.root`
   * at durable storage beside the corpus snapshots; the default keeps
   * artifacts under the build tree so local runs get cross-process
   * reuse without touching anything outside the repo.
@@ -119,14 +127,40 @@ object IndexStore {
     val tmp = new Path(s"$r/${fingerprint(spark, dir, table)}/" +
       s".${name}_tmp_${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(tmp.toString)
+    var committed = false
     if (fs.exists(dest) && fs.exists(new Path(dest, "_SUCCESS"))) {
       fs.delete(tmp, true) // lost the race to a committed writer
+      sweepNestedTmp(fs, dest) // self-heal debris a past loser leaked
     } else {
       if (fs.exists(dest)) fs.delete(dest, true) // crash debris, never committed
-      if (!fs.rename(tmp, dest)) fs.delete(tmp, true) // raced: winner committed
+      if (fs.rename(tmp, dest)) {
+        // TOCTOU post-check (r19): a racer can commit dest between the
+        // exists probe and the rename, and local-FS rename into an
+        // existing directory "succeeds" by NESTING tmp inside it as a
+        // hidden child. Readers ignore dot-prefixed paths so values
+        // were never wrong — but the loser's full copy would leak
+        // inside the committed artifact (invisible to prune) and be
+        // miscounted as a build. Genuinely committed = no nested tmp
+        // and a _SUCCESS directly under dest.
+        val nested = new Path(dest, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true) // lost; drop the leaked copy
+        else committed = fs.exists(new Path(dest, "_SUCCESS"))
+        sweepNestedTmp(fs, dest)
+      } else fs.delete(tmp, true) // raced: winner committed
     }
-    builds.incrementAndGet()
+    if (committed) builds.incrementAndGet()
   }
+
+  /** Delete dot-prefixed `*_tmp_*` children nested under a committed
+    * artifact — the footprint a rename-race loser leaves (see the
+    * TOCTOU note in [[write]]). Readers never see them (hidden paths),
+    * prune never descends into live fingerprints, so writes are the
+    * natural sweep point. */
+  private def sweepNestedTmp(fs: org.apache.hadoop.fs.FileSystem, dest: Path): Unit =
+    if (fs.exists(dest)) fs.listStatus(dest).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".") && n.contains("_tmp_")) fs.delete(st.getPath, true)
+    }
 
   /** Load the named artifact for (dir, table)'s current content, or
     * build it via `build`, write it, and return a reader over the

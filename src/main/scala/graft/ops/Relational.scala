@@ -343,7 +343,18 @@ object Relational {
     * and both engines compute the identical value, which is the whole
     * point: the oracle here IS a second engine validating the
     * snapshot. (Count rides along because XOR alone cannot see
-    * duplicate-pair insertions.) */
+    * duplicate-pair insertions.)
+    *
+    * A second order-independent aggregate rides along (r19):
+    * `checksum_sum` = Σv mod 2⁶⁰, decimal-exact (Σ over 10¹⁰ rows of
+    * < 2⁶⁰ values stays < 10²⁸ ≪ 10³⁸, so the decimal sum never
+    * overflows; the mod is taken once at the end) and replayed
+    * term-for-term by DuckDB. It closes XOR+count's EVEN-MULTIPLICITY
+    * blind spot: replacing two copies of row X with two copies of row
+    * Y leaves n_rows and the XOR unchanged, but moves the sum by
+    * 2·(vY−vX) mod 2⁶⁰. A difference must now hold row count, XOR,
+    * AND wrapping sum simultaneously — a vastly smaller collision
+    * class than either invariant alone. */
   def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
     val canon = concat_ws("|",
       col("l_orderkey"), col("l_linenumber"),
@@ -359,7 +370,9 @@ object Relational {
     val v = conv(substring(h, 1, 15), 16, 10).cast("long")
     t(spark, dir, "lineitem")
       .select(v.as("v"))
-      .agg(count(lit(1)).as("n_rows"), bit_xor(col("v")).as("checksum"))
+      .agg(count(lit(1)).as("n_rows"), bit_xor(col("v")).as("checksum"),
+        pmod(sum(col("v").cast(DecimalType(38, 0))), lit(1L << 60))
+          .cast("long").as("checksum_sum"))
   }
 
   val tableChecksumOracle: String = {
@@ -367,7 +380,9 @@ object Relational {
       s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
       .mkString(" + ")
     s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
-       |       bit_xor($terms) AS checksum
+       |       bit_xor($terms) AS checksum,
+       |       CAST(sum(CAST(($terms) AS DECIMAL(38,0))) % ${1L << 60} AS BIGINT)
+       |         AS checksum_sum
        |FROM (SELECT md5(concat_ws('|', l_orderkey, l_linenumber,
        |               CAST(l_quantity AS BIGINT), l_returnflag, l_linestatus,
        |               CAST(CAST(l_shipdate AS DATE) AS VARCHAR))) AS h
@@ -391,7 +406,9 @@ object Relational {
     t(spark, dir, "lineitem")
       .select(trunc(col("l_shipdate").cast("date"), "mm").as("ship_month"), v.as("v"))
       .groupBy("ship_month")
-      .agg(count(lit(1)).as("n_rows"), bit_xor(col("v")).as("checksum"))
+      .agg(count(lit(1)).as("n_rows"), bit_xor(col("v")).as("checksum"),
+        pmod(sum(col("v").cast(DecimalType(38, 0))), lit(1L << 60))
+          .cast("long").as("checksum_sum"))
       .orderBy("ship_month")
   }
 
@@ -400,7 +417,9 @@ object Relational {
       s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
       .mkString(" + ")
     s"""SELECT ship_month, CAST(count(*) AS BIGINT) AS n_rows,
-       |       bit_xor($terms) AS checksum
+       |       bit_xor($terms) AS checksum,
+       |       CAST(sum(CAST(($terms) AS DECIMAL(38,0))) % ${1L << 60} AS BIGINT)
+       |         AS checksum_sum
        |FROM (SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS ship_month,
        |             md5(concat_ws('|', l_orderkey, l_linenumber,
        |               CAST(l_quantity AS BIGINT), l_returnflag, l_linestatus,

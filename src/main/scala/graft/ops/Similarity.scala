@@ -800,6 +800,49 @@ object Similarity {
     * cluster pre-partition is the only difference. */
   val SemDedupThreshold: Double = Dedup.CosineThreshold
 
+  /** Cell-size bound past which a cluster is SUB-SPLIT before the
+    * within-cluster pair sweep (r19, closes the clamp-regime watch
+    * item). Past the [[MaxCells]] clamp E[cluster size] grows linearly
+    * with N, so the sweep's per-cluster n² re-grows — and even below
+    * the clamp one hot cell (boilerplate embeddings, a degenerate
+    * all-identical cluster) is a quadratic straggler. Cells wider than
+    * this bound are split into ceil(n / [[TargetClusterSize]]) residue
+    * sub-cells (`sub_id = vec_id % subK`) and pairs form only within
+    * (cluster, sub): per-cell pair work returns to ~n·Target at ANY
+    * cell size.
+    *
+    * Residue — not a similarity re-seed — deliberately: it is ONE
+    * map-side expression after a broadcast of the (few, or at the
+    * clamp ALL) oversized cells' counts, needs no per-cell centroid
+    * matrix (a per-cell literal matrix cannot scale to 2¹⁷ oversized
+    * cells in the uniform-overload regime), splits even the degenerate
+    * identical-vector cell similarity re-seeding provably cannot
+    * (cosine ties all resolve to one sub-cell), and is exactly
+    * SQL-replayable, so the value oracle carries the SAME rule. The
+    * trade is the standard SemDeDup boundary loss one level down:
+    * qualifying pairs straddling a sub-cell boundary are not compared
+    * — accepted exactly as cluster-boundary pairs already are, and
+    * the bound is 8× the target so the split only ever fires on cells
+    * the geometry says should not exist (fixture max observed: 42). */
+  val SemSplitBound: Int = 8 * TargetClusterSize
+
+  /** The assignment frame extended with the oversized-cell residue
+    * sub-split: (vec_id, cluster_id, sub_id, v, nrm). One extra
+    * id+cluster-only count shuffle (map-side partial agg to ≤ k rows
+    * per task) and a broadcast join of the over-bound cells — the
+    * sub_id expression itself is map-side. Exposed for
+    * [[graft.ClusterGeometrySpec]]'s bounded-size law. */
+  private[graft] def semanticCells(asg: DataFrame): DataFrame = {
+    val subK = asg.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > SemSplitBound)
+      .select(col("cluster_id"),
+        ceil(col("n") / lit(TargetClusterSize)).cast("long").as("sk"))
+    asg.join(broadcast(subK), Seq("cluster_id"), "left_outer")
+      .withColumn("sub_id", coalesce(pmod(col("vec_id"), col("sk")), lit(0L)))
+      .drop("sk")
+  }
+
   /** `dedup_semantic`: SemDeDup-style cluster-then-prune (Abbas et al.
     * 2023) — assign every vector to its nearest seed centroid (the
     * [[embeddingCluster]] machinery, SQL-replayable), then compare
@@ -836,15 +879,21 @@ object Similarity {
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     val n = normed(spark, dir)
     val seeds = seedPivotsCached(spark, dir)
-    val asg = fanOut(spark, dir, "embeddings",
+    val asg = semanticCells(fanOut(spark, dir, "embeddings",
       assignedCells(n, seeds)
         .select(col("vec_id"), col("cluster_id"), col("v"), col("nrm")),
-      col("cluster_id"), col("vec_id"))
+      col("cluster_id"), col("vec_id")))
+    // pairs form within (cluster, sub): the fanOut partitioning on
+    // cluster_id still co-locates the join (a subset of the join keys
+    // satisfies ClusteredDistribution), while the sub key bounds the
+    // per-cell pair count — see [[SemSplitBound]].
     val dups = asg.as("a").join(asg.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.sub_id") === col("b.sub_id") &&
           col("b.vec_id") < col("a.vec_id"))
       .filter(Dedup.dot(col("a.v"), col("b.v")) /
-        nullif(col("a.nrm") * col("b.nrm"), lit(0.0)) >= SemDedupThreshold)
+        nullif(col("a.nrm") * col("b.nrm"), lit(0.0)) >=
+          Dedup.cosineThreshold(spark)) // conf-dialed; default = the oracle's 0.45
       .groupBy(col("a.vec_id").as("vec_id"))
       .agg(min(col("b.vec_id")).as("dup_of"))
     asg.select(col("vec_id"), col("cluster_id"))
@@ -871,10 +920,18 @@ object Similarity {
        |           row_number() OVER (PARTITION BY vec_id
        |                              ORDER BY sim DESC, cls) AS rk
        |    FROM sims) WHERE rk = 1),
+       |subk AS (
+       |  SELECT cluster_id, CAST(ceil(n / $TargetClusterSize.0) AS BIGINT) AS sk
+       |  FROM (SELECT cluster_id, count(*) AS n FROM asg GROUP BY 1)
+       |  WHERE n > $SemSplitBound),
+       |asg2 AS (
+       |  SELECT a.vec_id, a.cluster_id, COALESCE(a.vec_id % s.sk, 0) AS sub_id
+       |  FROM asg a LEFT JOIN subk s USING (cluster_id)),
        |dups AS (
        |  SELECT aa.vec_id, min(bb.vec_id) AS dup_of
-       |  FROM asg aa JOIN asg bb
-       |    ON aa.cluster_id = bb.cluster_id AND bb.vec_id < aa.vec_id
+       |  FROM asg2 aa JOIN asg2 bb
+       |    ON aa.cluster_id = bb.cluster_id AND aa.sub_id = bb.sub_id
+       |   AND bb.vec_id < aa.vec_id
        |  JOIN v va ON va.vec_id = aa.vec_id
        |  JOIN v vb ON vb.vec_id = bb.vec_id
        |  WHERE list_cosine_similarity(va.v, vb.v) >= $SemDedupThreshold
@@ -953,6 +1010,38 @@ object Similarity {
     * reranking a quarter of the corpus — which at that size is no
     * longer "approximate" retrieval at all. */
   val PqShortlistMax = 1000000
+
+  /** Conf overrides for the shortlist budget
+    * (`spark.graft.ann.shortlistFrac` / `spark.graft.ann.shortlistCap`):
+    * the recall/cost dial of every code-shortlist retrieval (flat PQ,
+    * SQ, residual IVFADC). Defaults unchanged — the oracles and recall
+    * gates replay 0.25 / 1M. Derivation note: pick the smallest frac
+    * whose measured recall@k clears the product's floor on a held-out
+    * query set (structured embeddings typically reach PQ recall ≥ 0.9
+    * at 1-5% where this fixture's near-random vectors need 25%); the
+    * cap is an executor-memory bound (16 bytes × cap per query buffer
+    * in the TopK aggregate), not a quality dial — size it to the
+    * memory you can give one aggregation buffer. */
+  val ShortlistFracConf = "spark.graft.ann.shortlistFrac"
+  val ShortlistCapConf = "spark.graft.ann.shortlistCap"
+
+  private[graft] def shortlistFrac(spark: SparkSession): Double = {
+    val v = spark.conf.get(ShortlistFracConf, PqShortlistFrac.toString).toDouble
+    require(v > 0.0 && v <= 1.0, s"$ShortlistFracConf must be in (0,1], got $v")
+    v
+  }
+
+  private[graft] def shortlistCap(spark: SparkSession): Int = {
+    val v = spark.conf.get(ShortlistCapConf, PqShortlistMax.toString).toInt
+    require(v > 0, s"$ShortlistCapConf must be positive, got $v")
+    v
+  }
+
+  /** The shortlist budget for an n-vector corpus under the session's
+    * dials: least(ceil(frac·n), cap). */
+  private[graft] def shortlistFor(spark: SparkSession, n: Long): Int =
+    math.min(math.ceil(n * shortlistFrac(spark)),
+      shortlistCap(spark).toDouble).toInt
 
   /** Quantized integer view of the corpus: round(x·[[PqScale]]) per
     * component, as array<long>. */
@@ -1174,7 +1263,7 @@ object Similarity {
     // Corpus count for the shortlist budget: one metadata-scale count
     // job per corpus snapshot, memoized like the codebook.
     val n = corpusCount(spark, dir)
-    val shortlist = math.min(math.ceil(n * PqShortlistFrac), PqShortlistMax.toDouble).toInt
+    val shortlist = shortlistFor(spark, n)
     rerankShortlist(spark, dir, pqAdcStage(spark, dir, lutScoring), shortlist)
   }
 
@@ -1495,7 +1584,7 @@ object Similarity {
   def similaritySqTopk(spark: SparkSession, dir: String): DataFrame = {
     val n = corpusCount(spark, dir)
     similaritySqTopk(spark, dir,
-      math.min(math.ceil(n * PqShortlistFrac), PqShortlistMax.toDouble).toInt)
+      shortlistFor(spark, n))
   }
 
   /** Parameterized form: `SqSpec` pins the exhaustive identity — a
@@ -1688,7 +1777,7 @@ object Similarity {
   def similarityBqTopk(spark: SparkSession, dir: String): DataFrame = {
     val n = corpusCount(spark, dir)
     similarityBqTopk(spark, dir,
-      math.min(math.ceil(n * PqShortlistFrac), PqShortlistMax.toDouble).toInt)
+      shortlistFor(spark, n))
   }
 
   /** Parameterized form: the spec pins the exhaustive identity —
@@ -1800,6 +1889,14 @@ object Similarity {
     math.max(K, math.min(math.ceil(n * ProbeFrac * PqShortlistFrac),
       PqShortlistMax.toDouble).toInt)
 
+  /** Session-dialed form: same arithmetic under the
+    * [[ShortlistFracConf]]/[[ShortlistCapConf]] overrides (defaults
+    * reproduce [[ivfPqShortlist]] exactly, which is what the oracles
+    * replay). */
+  private[graft] def ivfPqShortlist(spark: SparkSession, n: Long): Int =
+    math.max(K, math.min(math.ceil(n * ProbeFrac * shortlistFrac(spark)),
+      shortlistCap(spark).toDouble).toInt)
+
   /** `similarity_ann_ivfpq`: the textbook IVFADC composite (Jégou,
     * Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
     * Search" §IV) — the production ANN shape at 100 TB, assembled
@@ -1830,7 +1927,7 @@ object Similarity {
     * ids against the vector table. */
   def similarityAnnIvfPq(spark: SparkSession, dir: String): DataFrame =
     similarityAnnIvfPq(spark, dir, ivfProbes(ivfCells(spark, dir)),
-      ivfPqShortlist(corpusCount(spark, dir)))
+      ivfPqShortlist(spark, corpusCount(spark, dir)))
 
   /** Parameterized form: `IvfPqSpec` pins the exhaustive identity —
     * nProbe = k and shortlist ≥ N reduce the composite to exact
@@ -1953,7 +2050,7 @@ object Similarity {
     ivfPqQueryOverDirs(spark, baseDir, newDir, normedOver(queryVecs),
       ivfPqIndexExtendStored(spark, baseDir, newDir),
       ivfProbes(ivfCells(spark, baseDir)),
-      ivfPqShortlist(corpusCount(spark, newDir)))
+      ivfPqShortlist(spark, corpusCount(spark, newDir)))
 
   /** `similarity_ann_ivfpq_staged`: the same retrieval over the
     * persisted index artifact — registered against the SAME oracle as
@@ -1963,7 +2060,7 @@ object Similarity {
     * queries touch only the artifact scan + the true-vector rerank. */
   def similarityAnnIvfPqStaged(spark: SparkSession, dir: String): DataFrame =
     ivfPqQuery(spark, dir, ivfPqIndexStored(spark, dir),
-      ivfProbes(ivfCells(spark, dir)), ivfPqShortlist(corpusCount(spark, dir)))
+      ivfProbes(ivfCells(spark, dir)), ivfPqShortlist(spark, corpusCount(spark, dir)))
 
   /** The retrieval machinery over any (neighbor_id, cell, codes)
     * index frame — inline-built or artifact-loaded — with the corpus
@@ -1984,7 +2081,7 @@ object Similarity {
     * semantics. */
   def annServe(spark: SparkSession, dir: String, queryVecs: DataFrame): DataFrame =
     ivfPqQueryOver(spark, dir, normedOver(queryVecs), ivfPqIndexStored(spark, dir),
-      ivfProbes(ivfCells(spark, dir)), ivfPqShortlist(corpusCount(spark, dir)))
+      ivfProbes(ivfCells(spark, dir)), ivfPqShortlist(spark, corpusCount(spark, dir)))
 
   /** The retrieval machinery over any query frame (vec_id, v, nrm
     * [, label]) and any (neighbor_id, cell, codes[, label]) index
@@ -2227,7 +2324,7 @@ object Similarity {
     * the ADC join output is id-pair + one long. */
   def similarityAnnIvfSq(spark: SparkSession, dir: String): DataFrame =
     similarityAnnIvfSq(spark, dir, ivfProbes(ivfCells(spark, dir)),
-      ivfPqShortlist(corpusCount(spark, dir)))
+      ivfPqShortlist(spark, corpusCount(spark, dir)))
 
   /** Parameterized form: `IvfSqSpec` pins the exhaustive identity —
     * nProbe = k plus a corpus-sized shortlist reduces the composite
@@ -2420,7 +2517,7 @@ object Similarity {
     * there closes). */
   def similarityAnnIvfPqRes(spark: SparkSession, dir: String): DataFrame =
     similarityAnnIvfPqRes(spark, dir, ivfProbes(ivfCells(spark, dir)),
-      ivfPqShortlist(corpusCount(spark, dir)))
+      ivfPqShortlist(spark, corpusCount(spark, dir)))
 
   /** Parameterized form: `IvfPqResSpec` pins the exhaustive identity —
     * nProbe = k plus a corpus-sized shortlist reduces the composite to
@@ -2466,7 +2563,7 @@ object Similarity {
     * rerank. */
   def similarityAnnIvfPqResStaged(spark: SparkSession, dir: String): DataFrame =
     ivfPqResQuery(spark, dir, ivfPqResIndexStored(spark, dir),
-      ivfProbes(ivfCells(spark, dir)), ivfPqShortlist(corpusCount(spark, dir)))
+      ivfProbes(ivfCells(spark, dir)), ivfPqShortlist(spark, corpusCount(spark, dir)))
 
   /** One LUT per (query, probed cell): the query's residual w.r.t.
     * THAT cell's centroid against the residual codebook — Q·nProbe
@@ -2649,7 +2746,7 @@ object Similarity {
     * label-pruned pool — measured recall is correspondingly higher). */
   def similarityAnnIvfPqFiltered(spark: SparkSession, dir: String): DataFrame =
     similarityAnnIvfPqFiltered(spark, dir, ivfProbes(ivfCells(spark, dir)),
-      ivfPqShortlist(corpusCount(spark, dir)))
+      ivfPqShortlist(spark, corpusCount(spark, dir)))
 
   /** Parameterized form — `IvfPqSpec` pins the filtered exhaustive
     * identity: nProbe = k and shortlist ≥ N reduce this to exact

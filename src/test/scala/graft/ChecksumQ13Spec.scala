@@ -74,6 +74,33 @@ class ChecksumQ13Spec extends SparkSpec {
     assert(groups.map(_.getLong(2)).reduce(_ ^ _) == global.getLong(1))
   }
 
+  test("group wrapping sums combine to the global checksum_sum (mod 2^60)") {
+    val global = Relational.tableChecksum(spark, sf).head()
+    val groups = Relational.tableChecksumGroups(spark, sf).collect()
+    val mod = BigInt(1) << 60
+    val combined = groups.map(r => BigInt(r.getLong(3))).sum.mod(mod)
+    assert(combined == BigInt(global.getLong(2)))
+  }
+
+  test("checksum_sum catches the even-multiplicity swap XOR is blind to") {
+    // Replace two copies of row X with two copies of row Y: n_rows and
+    // the XOR are both unchanged (the pair cancels either way) — the
+    // r19 wrapping sum must move by 2·(vY−vX) mod 2^60.
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val x = li.orderBy("l_orderkey", "l_linenumber").limit(1)
+    val y = x.withColumn("l_quantity", col("l_quantity") + 5)
+    val dirA = java.nio.file.Files.createTempDirectory("graft-cksum-evA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-cksum-evB").toString
+    li.union(x).union(x).write.parquet(s"$dirA/lineitem.parquet")
+    li.union(y).union(y).write.parquet(s"$dirB/lineitem.parquet")
+    val a = Relational.tableChecksum(spark, dirA).head()
+    val b = Relational.tableChecksum(spark, dirB).head()
+    assert(a.getLong(0) == b.getLong(0), "row counts must agree")
+    assert(a.getLong(1) == b.getLong(1), "XOR is expected to be blind here")
+    assert(a.getLong(2) != b.getLong(2),
+      "checksum_sum missed the even-multiplicity difference")
+  }
+
   test("q22 plans an anti join, never a nested loop") {
     val df = Relational.q22IdleBalance(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

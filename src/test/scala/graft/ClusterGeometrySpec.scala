@@ -220,6 +220,68 @@ class ClusterGeometrySpec extends SparkSpec {
       s"clamp-scale ratio ${scannedMax.toDouble / Similarity.MaxCells}")
   }
 
+  test("oversized cells split: sweep-group sizes bounded on a degenerate hot cluster") {
+    import spark.implicits._
+    // Synthetic oversized fixture: 19 orthogonal seed directions (one
+    // per residue class of the derived k = ceil(608/32) = 19), then
+    // 589 IDENTICAL copies of seed 0's direction — every copy assigns
+    // to cell 0, a 590-member degenerate cluster (> SemSplitBound=256)
+    // that a similarity re-seed provably cannot split (all cosines
+    // tie). The residue sub-split must bound the sweep groups anyway.
+    val dim = 21
+    def unit(axis: Int): Seq[Float] =
+      (0 until dim).map(i => if (i == axis) 1.0f else 0.0f)
+    val n = 608
+    val rows = (0L until n.toLong).map { id =>
+      if (id < 19L) (id, unit((id % 19L).toInt + 2))
+      else (id, unit(0))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotcell").toString
+    rows.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+
+    val out = Similarity.dedupSemantic(spark, dir).collect()
+    assert(out.length == n)
+
+    // Replay the contract on the driver: residue sub-split of the one
+    // oversized cell, min-id linking within (cluster, sub).
+    val byCluster = out.groupBy(_.getLong(1))
+    val hot = byCluster.maxBy(_._2.length)
+    assert(hot._2.length == 590, s"expected the 590-member hot cell, got ${hot._2.length}")
+    val sk = math.ceil(590.0 / Similarity.TargetClusterSize).toLong // 19
+    // sweep groups: (cluster, vec_id % sk) — all bounded near Target
+    val groups = hot._2.groupBy(r => r.getLong(0) % sk)
+    assert(groups.values.map(_.length).max <= Similarity.TargetClusterSize + 2,
+      s"sub-split left an oversized sweep group: ${groups.values.map(_.length).max}")
+    // contract replay with the true geometry: cosines here are exactly
+    // 1 (same axis) or 0 (different axis), so dup_of(id) = the minimum
+    // EARLIER same-axis member of id's sub-group (id 0 rides in the
+    // hot cell but points along a different axis than the 589 copies).
+    def axis(id: Long): Int = if (id < 19L) (id % 19L).toInt + 2 else 0
+    for ((_, members) <- groups) {
+      val ids = members.map(_.getLong(0)).sorted
+      for (r <- members) {
+        val (id, dupOf, kept) = (r.getLong(0),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3))
+        val want = ids.filter(j => j < id && axis(j) == axis(id)).headOption
+        assert(dupOf == want && kept == want.isEmpty,
+          s"$id: expected dup_of=$want, got $dupOf (kept=$kept)")
+      }
+    }
+    // the 18 orthogonal singletons are kept, untouched by the split
+    val singles = out.filter(r => r.getLong(0) >= 1L && r.getLong(0) <= 18L)
+    assert(singles.length == 18 && singles.forall(_.getBoolean(3)))
+  }
+
+  test("sub-split is the identity below the bound (fixture corpora untouched)") {
+    val asg = Similarity.dedupSemantic(spark, sf).collect()
+    // oracle-checked values aside, pin the structural claim: no
+    // fixture cell exceeds the bound, so sub_id was 0 everywhere and
+    // the pre-r19 pair rule is what ran (max observed width 42).
+    val widths = asg.groupBy(_.getLong(1)).map(_._2.length)
+    assert(widths.max <= Similarity.SemSplitBound,
+      s"fixture grew an oversized cell (${widths.max}) — revisit the no-op claim")
+  }
+
   test("measured cluster sizes on the fixtures track the law's expectation") {
     for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
       val asg = Similarity.embeddingCluster(spark, dir)

@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+
+/** The conf-exposed dedup/ANN dials (r19): defaults must reproduce the
+  * constants the oracles replay bit-for-bit, and a changed conf must
+  * actually reach the stage it claims to tune. */
+class DialsSpec extends SparkSpec {
+
+  test("cosine-threshold conf reaches dedup_embedding's verification stage") {
+    val defaults = Dedup.dedupEmbedding(spark, sf).count()
+    assert(defaults > 0, "fixture should contain embedding near-dups under the default bar")
+    spark.conf.set(Dedup.CosineThresholdConf, "1.01")
+    try {
+      assert(Dedup.dedupEmbedding(spark, sf).count() == 0,
+        "an unreachable threshold must drop every candidate pair")
+    } finally spark.conf.unset(Dedup.CosineThresholdConf)
+  }
+
+  test("cosine-threshold conf reaches dedup_semantic's within-cluster sweep") {
+    val defaults = Similarity.dedupSemantic(spark, sf).collect()
+    assert(defaults.exists(!_.getBoolean(3)), "fixture should mark some semantic dups")
+    spark.conf.set(Dedup.CosineThresholdConf, "1.01")
+    try {
+      val all = Similarity.dedupSemantic(spark, sf).collect()
+      assert(all.forall(_.getBoolean(3)),
+        "an unreachable threshold must keep every vector")
+    } finally spark.conf.unset(Dedup.CosineThresholdConf)
+  }
+
+  test("shortlist frac/cap confs reach the budget arithmetic; defaults reproduce the constants") {
+    // defaults = the constants the oracles replay
+    assert(Similarity.shortlistFor(spark, 1000L) ==
+      math.min(math.ceil(1000 * Similarity.PqShortlistFrac),
+        Similarity.PqShortlistMax.toDouble).toInt)
+    assert(Similarity.ivfPqShortlist(spark, 1000L) == Similarity.ivfPqShortlist(1000L))
+    spark.conf.set(Similarity.ShortlistFracConf, "0.5")
+    spark.conf.set(Similarity.ShortlistCapConf, "10")
+    try {
+      assert(Similarity.shortlistFor(spark, 6L) == 3)   // ceil(0.5·6), under cap
+      assert(Similarity.shortlistFor(spark, 1000L) == 10) // cap binds
+      assert(Similarity.ivfPqShortlist(spark, 1000000L) ==
+        math.max(Similarity.K, 10)) // cap binds the composite budget too
+    } finally {
+      spark.conf.unset(Similarity.ShortlistFracConf)
+      spark.conf.unset(Similarity.ShortlistCapConf)
+    }
+  }
+
+  test("dial misconfiguration fails loudly, not silently") {
+    spark.conf.set(Similarity.ShortlistFracConf, "1.5")
+    try intercept[IllegalArgumentException](Similarity.shortlistFor(spark, 10L))
+    finally spark.conf.unset(Similarity.ShortlistFracConf)
+    spark.conf.set(Dedup.BucketCapConf, "1")
+    try intercept[IllegalArgumentException](Dedup.bucketCap(spark))
+    finally spark.conf.unset(Dedup.BucketCapConf)
+    spark.conf.set(Dedup.CosineThresholdConf, "0")
+    try intercept[IllegalArgumentException](Dedup.cosineThreshold(spark))
+    finally spark.conf.unset(Dedup.CosineThresholdConf)
+  }
+}

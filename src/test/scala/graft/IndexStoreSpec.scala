@@ -105,6 +105,38 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("rename-race debris nested under a committed artifact is swept, not counted") {
+    // Simulates the TOCTOU loser's footprint: a racer committed dest,
+    // then OUR rename of tmp into the existing dest nested the copy as
+    // a hidden child. The next write must sweep it, and a nested (or
+    // raced) write must never increment the builds counter.
+    val root = Files.createTempDirectory("graft-index-race").toString
+    withRoot(root) {
+      import org.apache.spark.sql.functions.lit
+      def build = spark.range(3).withColumn("v", lit("ok"))
+      IndexStore.loadOrBuild(spark, sf, "embeddings", "race_test")(build)
+      val fp = IndexStore.fingerprint(spark, sf, "embeddings")
+      val dest = Paths.get(root, fp, "race_test.parquet")
+      assert(Files.exists(dest.resolve("_SUCCESS")))
+      // plant the loser's leaked copy
+      val nested = dest.resolve(".race_test_tmp_deadbeef")
+      Files.createDirectories(nested)
+      Files.writeString(nested.resolve("part-00000.parquet"), "leaked")
+      Files.writeString(nested.resolve("_SUCCESS"), "")
+      val b0 = IndexStore.builds.get()
+      // a subsequent write takes the already-committed path: tmp is
+      // dropped, the leaked debris is swept, builds does NOT move
+      IndexStore.write(spark, sf, "embeddings", "race_test", build)
+      assert(IndexStore.builds.get() == b0,
+        "a write that lost to a committed artifact must not count as a build")
+      assert(!Files.exists(nested), "nested race debris must be swept")
+      assert(Files.exists(dest.resolve("_SUCCESS")), "committed artifact untouched")
+      val back = IndexStore.tryLoad(spark, sf, "embeddings", "race_test")
+      assert(back.isDefined && back.get.count() == 3)
+    }
+    freshProcess()
+  }
+
   test("fingerprint is content-keyed: a regenerated snapshot invalidates") {
     val tmp = Files.createTempDirectory("graft-fp-spec")
     val src = Paths.get(s"$sf/embeddings.parquet")
