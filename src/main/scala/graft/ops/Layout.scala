@@ -425,20 +425,25 @@ object Layout {
     * the skip cannot happen on a hash-shuffled copy of the same rows. */
   private[graft] def zorderPrunedScan(spark: SparkSession, path: String,
       uLo: Long, uHi: Long, dLo: Int, dHi: Int): (DataFrame, Seq[String], Int) = {
-    val manifest = loadManifest(spark, path).select(
-      col("file"), col("u_min"), col("u_max"), col("d_min"), col("d_max"))
-      .collect() // rows = row groups: the same metadata scale a table
-                 // format's planner holds; kept NAMES must reach the
-                 // driver regardless to construct the read
-    // a file is kept when ANY of its row groups overlaps the box
-    // (absent stats = always-overlap: pruning may only skip provably
-    // empty files)
-    val kept = manifest.filter { r =>
-      def lo(i: Int): Long = if (r.isNullAt(i)) Long.MinValue else r.getLong(i)
-      def hi(i: Int): Long = if (r.isNullAt(i)) Long.MaxValue else r.getLong(i)
-      hi(2) >= uLo && lo(1) <= uHi && hi(4) >= dLo && lo(3) <= dHi
-    }.map(_.getString(0)).distinct.sorted
-    val total = manifest.map(_.getString(0)).distinct.length
+    // a row group overlaps when every dimension's [min,max] intersects
+    // the box; ABSENT stats coalesce to always-overlap (pruning may
+    // only skip provably empty files). The filter runs DISTRIBUTED
+    // over the manifest — at a 10⁶-file layout only one (file, kept)
+    // row per FILE reaches the driver, which must hold the kept names
+    // regardless to construct the read (what a table format's planner
+    // holds too).
+    val overlaps =
+      coalesce(col("u_max"), lit(Long.MaxValue)) >= uLo &&
+      coalesce(col("u_min"), lit(Long.MinValue)) <= uHi &&
+      coalesce(col("d_max"), lit(Long.MaxValue)) >= dLo &&
+      coalesce(col("d_min"), lit(Long.MinValue)) <= dHi
+    val perFile = loadManifest(spark, path)
+      .groupBy(col("file"))
+      .agg(max(when(overlaps, 1).otherwise(0)).as("k")) // any row group overlaps
+      .collect()
+    val kept = perFile.filter(_.getInt(1) == 1).map(_.getString(0)).sorted
+    val total = perFile.length
+    val manifest = perFile // kept-empty fallback needs any file name
     val pred = col("user_id").between(uLo, uHi) &&
       col("day_idx").between(dLo, dHi)
     val df =

@@ -431,6 +431,11 @@ object TextAnalysis {
   private val bpeTrainCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(String, String, Long)]]()
 
+  /** Test hook: drop the in-memory memo so a spec can simulate a fresh
+    * process against a persisted artifact (the IndexStoreSpec
+    * discipline). */
+  private[graft] def clearBpeTrainCache(): Unit = bpeTrainCache.clear()
+
   /** Learn [[BpeTrainRanks]] BPE merges from the corpus — the TRAINING
     * side of the tokenizer lane ([[corpusPackBpe]] applies a shipped
     * vocabulary; this builds one). Classic Sennrich et al. 2016: train
@@ -455,10 +460,25 @@ object TextAnalysis {
     * Tokenization state is the SAME wrapped representation
     * [[graft.functions.Bpe]] defines, so DuckDB's `replace`/`trim`
     * replay every step exactly. */
+  /** Fixture-rank merges, memoized AND IndexStore-persisted (r19):
+    * BPE training is index CONSTRUCTION — the dictionary shuffle is a
+    * full corpus pass, the result is ranks×3 values — so it follows
+    * the same durable-artifact doctrine as the IVF centroids and PQ
+    * codebooks: a fresh process over an already-trained snapshot loads
+    * the merge table instead of re-paying the corpus pass. */
   private[graft] def bpeTrainedMerges(spark: SparkSession,
       dir: String): Seq[(String, String, Long)] =
-    bpeTrainCache.computeIfAbsent(dir, _ =>
-      bpeTrainedMergesN(spark, dir, BpeTrainRanks))
+    bpeTrainCache.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      val artifact = IndexStore.loadOrBuild(spark, dir, "documents",
+          s"bpe_merges_r$BpeTrainRanks") {
+        bpeTrainedMergesN(spark, dir, BpeTrainRanks).zipWithIndex
+          .map { case ((a, b, c), i) => (i, a, b, c) }
+          .toDF("rank", "lhs", "rhs", "cnt")
+      }
+      artifact.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    })
 
   /** Rank-parameterized trainer: distributed per-rank loop at or below
     * [[BpeLocalRankThreshold]], collected single-pass past it. The two

@@ -307,6 +307,105 @@ object EventStream {
         ref.columns.filterNot(_ == key).map(c => col(s"r.$c")): _*)
   }
 
+  // ------------------------------------------- last-touch attribution
+
+  case class AttrEv(user_id: Long, tsMicros: Long, event_id: Long,
+                    event_type: String, ts: java.sql.Timestamp)
+  case class AttrBufEv(tsMicros: Long, eventId: Long, isView: Boolean)
+  case class LastTouchState(nSeen: Long, viewUs: Long, viewId: Long,
+                            buf: Seq[AttrBufEv])
+  case class ClickAttribution(user_id: Long, click_id: Long, click_us: Long,
+                              view_id: Option[Long], view_us: Option[Long],
+                              n_seen: Long, finalized: Boolean)
+
+  /** Event-time-ordered fold of the last-touch rule over a batch of
+    * admitted events: views advance the carried (latest view) pair —
+    * ties at an instant resolve to the max view_id, the batch
+    * operator's explicit rule — and each click emits its attribution
+    * against the carry, with the window bound applied at emission
+    * (the latest view ≤ click IS the latest in-window view whenever
+    * one exists). Views sort before clicks at an equal timestamp:
+    * the inclusive `view_ts <= click_ts` bound. */
+  private def foldLastTouch(user: Long, vUs0: Long, vId0: Long,
+      evs: Seq[AttrBufEv], nSeen: Long, fin: Boolean)
+      : (Long, Long, Seq[ClickAttribution]) = {
+    var vUs = vUs0; var vId = vId0
+    val winUs = graft.ops.Sessions.AttribWindowHours.toLong * 3600L * 1000000L
+    val out = Seq.newBuilder[ClickAttribution]
+    evs.sortBy(e => (e.tsMicros, if (e.isView) 0 else 1, e.eventId)).foreach { e =>
+      if (e.isView) {
+        if (e.tsMicros > vUs || (e.tsMicros == vUs && e.eventId > vId)) {
+          vUs = e.tsMicros; vId = e.eventId
+        }
+      } else {
+        val ok = vUs != Long.MinValue && vUs >= e.tsMicros - winUs
+        out += ClickAttribution(user, e.eventId, e.tsMicros,
+          if (ok) Some(vId) else None, if (ok) Some(vUs) else None, nSeen, fin)
+      }
+    }
+    (vUs, vId, out.result())
+  }
+
+  /** Streaming last-touch attribution — the bounded-state dual of
+    * `events_attribution_last_touch`, and the production sibling of
+    * [[attributionStream]]'s stream-stream join: where the all-pairs
+    * join holds BOTH sides' windows in the state store and emits
+    * views×clicks per key, this holds ONE carried (latest view) pair
+    * per user plus a lateness-horizon event buffer, and emits exactly
+    * one row per click.
+    *
+    * Out-of-order handling is the [[sessionCounts]] discipline:
+    * arrivals buffer in `GroupState` until the watermark passes them;
+    * only below-watermark events fold into the DURABLE carry, in
+    * event-time order, so a click finalizes exactly when no straggler
+    * view that could precede it can still be admitted (any future
+    * arrival has ts ≥ watermark > click_ts). Each update also emits
+    * PROVISIONAL attributions for still-buffered clicks (folding the
+    * buffer on top of the durable carry), re-emitted as stragglers
+    * refine them — Update-mode consumers key on click_id and keep the
+    * latest emission (prefer finalized, then max n_seen; n_seen is
+    * monotone per user, and equal-n_seen emissions are computed from
+    * the same admitted set, so the rule is value-safe). The final
+    * rows match the batch operator exactly for any arrival order
+    * whose lateness stays inside [[LatenessHorizon]].
+    *
+    * NoTimeout (the [[sessionCounts]] convention): a group re-runs
+    * only when it has data, so the `finalized` flip rides the user's
+    * NEXT activity — until then the provisional emission already
+    * reflects every admitted event, so a consumer that keeps the
+    * latest emission per click is correct either way. A deployment
+    * that needs the flag without further traffic would switch to
+    * EventTimeTimeout with a per-group timeout at the click horizon —
+    * same fold, one more state field. */
+  def lastTouchStream(events: DataFrame)(implicit spark: SparkSession)
+      : Dataset[ClickAttribution] = {
+    import spark.implicits._
+    val evs = events
+      .where(col("event_type").isin("view", "click"))
+      .withColumn("ts", col("ts").cast(TimestampType)) // watermarks need an instant
+      .withWatermark("ts", LatenessHorizon)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_id"), col("event_type"), col("ts"))
+      .as[AttrEv]
+    evs.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+      (user: Long, batch: Iterator[AttrEv], state: GroupState[LastTouchState]) => {
+        val wm = state.getCurrentWatermarkMs() * 1000L
+        val st = state.getOption.getOrElse(
+          LastTouchState(0L, Long.MinValue, Long.MinValue, Nil))
+        val arrived = batch
+          .map(e => AttrBufEv(e.tsMicros, e.event_id, e.event_type == "view"))
+          .filter(_.tsMicros >= wm).toSeq
+        val nSeen = st.nSeen + arrived.size
+        val (safe, held) = (st.buf ++ arrived).partition(_.tsMicros < wm)
+        val (vUs, vId, finals) =
+          foldLastTouch(user, st.viewUs, st.viewId, safe, nSeen, fin = true)
+        state.update(LastTouchState(nSeen, vUs, vId, held))
+        val (_, _, prov) = foldLastTouch(user, vUs, vId, held, nSeen, fin = false)
+        (finals ++ prov).iterator
+      })
+  }
+
   /** Streaming anomaly gate: score each arriving event against a
     * PRECOMPUTED per-type baseline (n, Σv, Σv² from
     * [[graft.ops.Sessions.anomalyStats]] over a reference corpus) and

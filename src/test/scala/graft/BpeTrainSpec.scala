@@ -140,6 +140,27 @@ class BpeTrainSpec extends SparkSpec {
     assert(m256 == referenceTrain(words, 256))
   }
 
+  test("trained merges persist as an IndexStore artifact: fresh process loads, not rebuilds") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bpe-store").toString
+    spark.conf.set(graft.ops.IndexStore.RootConf, root)
+    try {
+      TextAnalysis.clearBpeTrainCache()
+      val b0 = graft.ops.IndexStore.builds.get()
+      val m1 = TextAnalysis.bpeTrainedMerges(spark, sf)
+      assert(graft.ops.IndexStore.builds.get() == b0 + 1,
+        "cold training must write exactly one artifact")
+      TextAnalysis.clearBpeTrainCache() // simulate a fresh process
+      val l0 = graft.ops.IndexStore.loads.get()
+      val m2 = TextAnalysis.bpeTrainedMerges(spark, sf)
+      assert(graft.ops.IndexStore.loads.get() > l0, "warm pass must load the artifact")
+      assert(graft.ops.IndexStore.builds.get() == b0 + 1, "warm pass must not rebuild")
+      assert(m2 == m1, "loaded merges drifted from trained ones")
+    } finally {
+      spark.conf.unset(graft.ops.IndexStore.RootConf)
+      TextAnalysis.clearBpeTrainCache()
+    }
+  }
+
   test("trainer stops early when pairs are exhausted (degenerate corpus)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe-degenerate").toString

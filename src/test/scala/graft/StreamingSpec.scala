@@ -359,6 +359,84 @@ class StreamingSpec extends SparkSpec {
       s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming last-touch attribution ≡ batch on the replayed fixture") {
+    implicit val s = spark
+    import s.implicits._
+    val stream = EventStream.readEvents(spark, eventsDir)
+    EventStream.runToMemory(
+      EventStream.lastTouchStream(stream).toDF(), "lasttouch_mem")
+    // one row per click: prefer finalized emissions, then max n_seen
+    // (monotone per user; equal-n_seen emissions fold the same set)
+    val streamed = spark.table("lasttouch_mem").collect()
+      .groupBy(_.getLong(1)).map { case (_, rows) =>
+        val r = rows.maxBy(x => (x.getBoolean(6), x.getLong(5)))
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))
+      }.toSet
+    val batch = Sessions.eventsAttributionLastTouch(spark, sf)
+      .select(col("user_id"), col("click_id"),
+        unix_micros(col("click_ts").cast("timestamp")).as("c_us"),
+        col("view_id"),
+        unix_micros(col("view_ts").cast("timestamp")).as("v_us"))
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))
+      }.toSet
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
+
+  test("last-touch finalizes against a late in-horizon view; straggler refines it") {
+    implicit val s = spark
+    import s.implicits._
+    val in = tmp("lt-ooo-in")
+    def ts(min: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-02-01 08:00:00").getTime + min * 60000L)
+    // b1: a view then a click (provisionally attributed to view 1);
+    // b2: an in-horizon straggler view at +10 — the TRUE last touch;
+    // b3/b4: far-future events march the watermark (2 h) past the
+    // click so it finalizes against the refined carry.
+    // b4 lands on user 7: with NoTimeout a group only re-runs when it
+    // has data, so finalization rides the user's next activity (until
+    // then the provisional emission already reflects every admitted
+    // event). The +400 view is AFTER the click — it cannot steal the
+    // attribution, only trigger the fold.
+    val b1 = Seq((1L, ts(0), 7L, "view", 1.0, "{}"),
+                 (2L, ts(20), 7L, "click", 1.0, "{}"))
+    val b2 = Seq((3L, ts(10), 7L, "view", 1.0, "{}"))
+    val b3 = Seq((4L, ts(200), 9L, "view", 1.0, "{}"))
+    val b4 = Seq((5L, ts(400), 7L, "view", 1.0, "{}"))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    Seq(b1, b2, b3, b4).zipWithIndex.foreach { case (b, i) =>
+      val stage = tmp(s"lt-ooo-stage$i")
+      b.toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(in, f"batch$i%03d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val tsType = spark.read.parquet(in).schema("ts").dataType
+    val stream = graft.ops.Sessions.normalizeTs(
+      spark.readStream.schema(EventStream.eventsSchema(tsType))
+        .option("maxFilesPerTrigger", 1).parquet(in))
+    EventStream.runToMemory(EventStream.lastTouchStream(stream).toDF(), "lt_ooo_mem")
+    val rows = spark.table("lt_ooo_mem").collect().filter(_.getLong(1) == 2L)
+    assert(rows.nonEmpty, "click 2 never emitted")
+    // the click's provisional emission before the straggler pointed at
+    // view 1 — proof the refinement is observable, not vacuous
+    assert(rows.exists(r => !r.getBoolean(6) && !r.isNullAt(3) && r.getLong(3) == 1L),
+      "no provisional attribution to view 1 observed")
+    // final (finalized or best-n_seen) emission: the straggler view 3 won
+    val fin = rows.maxBy(x => (x.getBoolean(6), x.getLong(5)))
+    assert(fin.getBoolean(6), "click never finalized despite the watermark marching past")
+    assert(fin.getLong(3) == 3L,
+      s"final attribution should be the straggler view 3, got ${fin.get(3)}")
+  }
+
   test("stateful duals fold late and equal-ts-reversed arrivals across micro-batches") {
     implicit val s = spark
     import s.implicits._
