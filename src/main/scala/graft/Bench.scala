@@ -396,7 +396,7 @@ object Bench {
   /** 1-minute load average — machine-wide runnable pressure, captured
     * before each leg group (includes sibling JVMs and anything else on
     * the box; -1 when /proc is unreadable). */
-  private def loadavg(): Double =
+  private[graft] def loadavg(): Double =
     try new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
     catch { case _: Exception => -1.0 }
