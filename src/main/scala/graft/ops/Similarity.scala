@@ -826,22 +826,40 @@ object Similarity {
     * the geometry says should not exist (fixture max observed: 42). */
   val SemSplitBound: Int = 8 * TargetClusterSize
 
+  /** Over-bound cells and their sub-cell counts, as a driver map —
+    * INDEX CONSTRUCTION under the [[corpusCount]] doctrine: one
+    * id+cluster-only count pass (map-side partial agg to ≤ k rows per
+    * task), collected at metadata scale (one row per OVER-BOUND cell —
+    * the skew tail, or at the clamp at most [[MaxCells]] entries),
+    * memoized per snapshot. A DataFrame-join formulation was measured
+    * to defeat ReuseExchange across the pair join's two sides — the
+    * whole assignment pipeline and the count aggregation re-ran per
+    * side; the literal map keeps the r18 plan shape and adds one
+    * map-side expression. */
+  private val subKCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Long, Long]]()
+
+  private[graft] def semanticSubK(spark: SparkSession, dir: String): Map[Long, Long] =
+    subKCache.computeIfAbsent(dir, _ =>
+      assignedCells(normed(spark, dir), seedPivotsCached(spark, dir))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") > SemSplitBound)
+        .select(col("cluster_id"),
+          ceil(col("n") / lit(TargetClusterSize)).cast("long").as("sk"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+
   /** The assignment frame extended with the oversized-cell residue
-    * sub-split: (vec_id, cluster_id, sub_id, v, nrm). One extra
-    * id+cluster-only count shuffle (map-side partial agg to ≤ k rows
-    * per task) and a broadcast join of the over-bound cells — the
-    * sub_id expression itself is map-side. Exposed for
+    * sub-split: (input columns…, sub_id). The sub_id expression is
+    * pure map-side — a literal-map lookup (null / absent cell → subK 1
+    * → sub_id 0, i.e. no split). Exposed for
     * [[graft.ClusterGeometrySpec]]'s bounded-size law. */
-  private[graft] def semanticCells(asg: DataFrame): DataFrame = {
-    val subK = asg.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n"))
-      .where(col("n") > SemSplitBound)
-      .select(col("cluster_id"),
-        ceil(col("n") / lit(TargetClusterSize)).cast("long").as("sk"))
-    asg.join(broadcast(subK), Seq("cluster_id"), "left_outer")
-      .withColumn("sub_id", coalesce(pmod(col("vec_id"), col("sk")), lit(0L)))
-      .drop("sk")
-  }
+  private[graft] def semanticCells(asg: DataFrame, subK: Map[Long, Long]): DataFrame =
+    if (subK.isEmpty) asg.withColumn("sub_id", lit(0L))
+    else asg.withColumn("sub_id",
+      pmod(col("vec_id"),
+        coalesce(element_at(typedLit(subK), col("cluster_id")), lit(1L))))
 
   /** `dedup_semantic`: SemDeDup-style cluster-then-prune (Abbas et al.
     * 2023) — assign every vector to its nearest seed centroid (the
@@ -882,7 +900,7 @@ object Similarity {
     val asg = semanticCells(fanOut(spark, dir, "embeddings",
       assignedCells(n, seeds)
         .select(col("vec_id"), col("cluster_id"), col("v"), col("nrm")),
-      col("cluster_id"), col("vec_id")))
+      col("cluster_id"), col("vec_id")), semanticSubK(spark, dir))
     // pairs form within (cluster, sub): the fanOut partitioning on
     // cluster_id still co-locates the join (a subset of the join keys
     // satisfies ClusteredDistribution), while the sub key bounds the
