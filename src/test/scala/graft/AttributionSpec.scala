@@ -71,6 +71,20 @@ class AttributionSpec extends SparkSpec {
       (10L, None, None)))
   }
 
+  test("last-touch plans as the log-merge: no join operator, bounded exchanges") {
+    val plan = Sessions.eventsAttributionLastTouch(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the as-of union-window formulation: the pair set never exists,
+    // so no join of ANY kind may appear in the plan
+    assert(!plan.contains("Join"), s"as-of log-merge planned a join:\n$plan")
+    assert(plan.contains("Window"), "the last(ignoreNulls) carry window is missing")
+    // one exchange for the view-instant dedup aggregate, one on
+    // user_id for the log-merge window, one range exchange for the
+    // output order; a 4th would mean the union re-shuffled
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"expected <= 3 exchanges, got $exchanges:\n$plan")
+  }
+
   test("every click appears exactly once, attributed or not") {
     val out = Sessions.eventsAttributionLastTouch(spark, sf)
     val clicks = Sessions.events(spark, sf).filter(col("event_type") === "click")

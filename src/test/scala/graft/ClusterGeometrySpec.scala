@@ -270,6 +270,17 @@ class ClusterGeometrySpec extends SparkSpec {
     // the 18 orthogonal singletons are kept, untouched by the split
     val singles = out.filter(r => r.getLong(0) >= 1L && r.getLong(0) <= 18L)
     assert(singles.length == 18 && singles.forall(_.getBoolean(3)))
+
+    // plan pin ON THE HOT FIXTURE: with an over-bound cell present the
+    // pair join must key on (cluster_id, sub_id) — the sub key IS the
+    // pair-work bound. (On the fixture corpora subK is empty and the
+    // optimizer folds lit(0)=lit(0) away entirely — the no-op split
+    // costs zero, which the below-bound identity test pins.)
+    val plan = Similarity.dedupSemantic(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"nested loop in dedup_semantic:\n$plan")
+    val joinLine = plan.linesIterator.find(l =>
+      l.contains("HashJoin") && l.contains("cluster_id")).getOrElse("")
+    assert(joinLine.contains("sub_id"), s"pair join does not key on sub_id:\n$plan")
   }
 
   test("sub-split is the identity below the bound (fixture corpora untouched)") {
