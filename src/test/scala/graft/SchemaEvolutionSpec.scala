@@ -88,6 +88,27 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(streamed == expect)
   }
 
+  test("writer int promotes into a long reader field (Avro numeric promotion)") {
+    import spark.implicits._
+    val narrow = FixedSchema.fromJson("""{"type":"record","name":"pv","fields":[
+      |{"name":"id","type":{"type":"long","name":"id","len":8}},
+      |{"name":"n","type":{"type":"int","name":"n","len":4}}
+      |]}""".stripMargin)
+    val wide = FixedSchema.fromJson("""{"type":"record","name":"pv","fields":[
+      |{"name":"id","type":{"type":"long","name":"id","len":8}},
+      |{"name":"n","type":{"type":"long","name":"n","len":8}}
+      |]}""".stripMargin)
+    val registry = new graft.registry.InMemorySchemaRegistry
+    val nId = registry.register("pv-value", narrow.avroJson)
+    val frames = graft.sinks.KafkaStage.stage(
+      Seq((1L, 41), (2L, -7)).toDF("id", "n"),
+      narrow, schemaId = nId, topic = "pv", keySchemaId = nId)
+    val back = graft.sources.KafkaConsume.decode(
+        frames, registry, wide, knownIds = Seq(nId), nullable = true)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(back == Seq((1L, 41L), (2L, -7L)))
+  }
+
   test("the old generation decoded under its OWN reader is unchanged by the migration") {
     // Sanity anchor: evolution must be a pure reader-side view — the
     // old frames still decode byte-for-byte under the old reader.
