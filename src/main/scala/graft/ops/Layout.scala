@@ -326,6 +326,57 @@ object Layout {
     * hook for asserting the manifest path performs ZERO of them. */
   private[graft] val driverFooterReads = new java.util.concurrent.atomic.AtomicLong
 
+  /** Incremental layout maintenance (r19): append a DELTA of events to
+    * an existing z-ordered layout without rewriting it — the
+    * FAISS-add / OPTIMIZE-append discipline the index family already
+    * follows. The delta is z-sorted into its own file set under the
+    * frozen curve dials ([[ZBits]] has no corpus-dependent state, so
+    * extension is trivially curve-compatible), appended to the layout,
+    * and the manifest is REWRITTEN as existing rows ∪ a distributed
+    * footer scan of ONLY the added files — manifest maintenance cost
+    * is O(delta files), never a full-layout footer sweep.
+    *
+    * Single-writer maintenance op (the table-format OPTIMIZE
+    * contract). The manifest rewrite is not atomic against concurrent
+    * readers: a reader that catches the window sees no _SUCCESS and
+    * [[loadManifest]] falls back to the distributed footer scan —
+    * degraded cost, never a wrong result. Returns the added file
+    * names (observability + the spec's delta-pruning assertion).
+    *
+    * `deltaFiles` sizes the delta's file count — production sizes to
+    * the same target bytes/file as the base; the pruning property is
+    * count-independent. */
+  private[graft] def zorderExtendRows(spark: SparkSession, path: String,
+      newEvents: DataFrame, deltaFiles: Int = math.max(1, ZFiles / 4)): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    def listing(): Set[String] = fs.listStatus(root)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+      .map(_.getPath.toString).toSet
+    val before = listing()
+    newEvents
+      .withColumn("day_idx", dayIdx)
+      .withColumn("z", zValue(col("user_id"), col("day_idx")))
+      .repartitionByRange(deltaFiles, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("append").parquet(path)
+    val added = (listing() -- before).toSeq.sorted
+    // merge BEFORE touching the manifest dir: the loadManifest read
+    // must see the committed old manifest, and the overwrite below
+    // must not read its own output
+    val merged = loadManifest(spark, path)
+      .unionByName(footerManifestFor(spark, added)).collect()
+    val mf = s"$path/$ManifestDir"
+    import spark.implicits._
+    merged.map(r => (r.getString(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), Option(r.get(5)).map(_.asInstanceOf[Long])))
+      .toSeq.toDF("file", "rg", "u_min", "u_max", "d_min", "d_max")
+      .coalesce(1).write.mode("overwrite").parquet(mf)
+    added
+  }
+
   /** Per-file (user_id, day_idx) min/max from parquet footers, as a
     * DISTRIBUTED job over the file list: the driver lists once; the
     * footer range-reads — the expensive half against object storage —
@@ -339,7 +390,6 @@ object Layout {
     * prune as always-overlap — pruning may only ever SKIP a file it
     * can prove empty of matches. */
   private[graft] def footerManifest(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
@@ -347,6 +397,16 @@ object Layout {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
         st.getLen > 0)
       .map(_.getPath.toString).sorted.toIndexedSeq
+    footerManifestFor(spark, files)
+  }
+
+  /** The distributed footer-stat job over an EXPLICIT file list — the
+    * shared core of the full-layout build and the O(delta) incremental
+    * extension. */
+  private[graft] def footerManifestFor(spark: SparkSession,
+      files: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
     val ser = new org.apache.spark.util.SerializableConfiguration(hconf)
     val slices = math.max(1, math.min(files.length,
       spark.sparkContext.defaultParallelism))

@@ -262,8 +262,28 @@ object Similarity {
     * measured recall band — roughly constant. */
   val ProbeFrac = 0.75
 
+  /** Conf override for [[ProbeFrac]] (`spark.graft.ann.probeFrac`):
+    * the IVF recall/cost dial, shared by every IVF-probed lane (flat
+    * IVF, IVFADC, IVFSQ, filtered/staged/residual variants). Default
+    * unchanged — the oracles and recall gates replay 0.75. Derivation
+    * note: the scanned corpus fraction ≈ probeFrac, so pick the
+    * smallest fraction whose recall@k clears the product floor on a
+    * held-out set; structured embeddings typically sit at 0.02–0.1
+    * where this fixture's near-random vectors need 0.75. */
+  val ProbeFracConf = "spark.graft.ann.probeFrac"
+
+  private[graft] def probeFrac(spark: SparkSession): Double = {
+    val v = spark.conf.get(ProbeFracConf, ProbeFrac.toString).toDouble
+    require(v > 0.0 && v <= 1.0, s"$ProbeFracConf must be in (0,1], got $v")
+    v
+  }
+
   private[graft] def ivfProbes(cells: Int): Int =
     math.max(1, math.ceil(cells * ProbeFrac).toInt)
+
+  /** Session-dialed form (defaults reproduce [[ivfProbes]] exactly). */
+  private[graft] def ivfProbes(spark: SparkSession, cells: Int): Int =
+    math.max(1, math.ceil(cells * probeFrac(spark)).toInt)
 
   /** Seed pivots: the vector with the smallest vec_id in each of the
     * k residue classes — no RNG, stable across runs; driver-collected
@@ -472,7 +492,7 @@ object Similarity {
     * one-iteration-refined centroids. Returns the same schema as
     * similarityTopk. */
   def similarityAnnIvf(spark: SparkSession, dir: String): DataFrame =
-    similarityAnnIvf(spark, dir, ivfProbes(ivfCells(spark, dir)))
+    similarityAnnIvf(spark, dir, ivfProbes(spark, ivfCells(spark, dir)))
 
   private[graft] def similarityAnnIvf(spark: SparkSession, dir: String,
       nProbe: Int): DataFrame = {
@@ -1944,7 +1964,7 @@ object Similarity {
     * fanOut exchange itself, and the rerank joins move shortlist·Q
     * ids against the vector table. */
   def similarityAnnIvfPq(spark: SparkSession, dir: String): DataFrame =
-    similarityAnnIvfPq(spark, dir, ivfProbes(ivfCells(spark, dir)),
+    similarityAnnIvfPq(spark, dir, ivfProbes(spark, ivfCells(spark, dir)),
       ivfPqShortlist(spark, corpusCount(spark, dir)))
 
   /** Parameterized form: `IvfPqSpec` pins the exhaustive identity —
@@ -2067,7 +2087,7 @@ object Similarity {
       newDir: String, queryVecs: DataFrame): DataFrame =
     ivfPqQueryOverDirs(spark, baseDir, newDir, normedOver(queryVecs),
       ivfPqIndexExtendStored(spark, baseDir, newDir),
-      ivfProbes(ivfCells(spark, baseDir)),
+      ivfProbes(spark, ivfCells(spark, baseDir)),
       ivfPqShortlist(spark, corpusCount(spark, newDir)))
 
   /** `similarity_ann_ivfpq_staged`: the same retrieval over the
@@ -2078,7 +2098,7 @@ object Similarity {
     * queries touch only the artifact scan + the true-vector rerank. */
   def similarityAnnIvfPqStaged(spark: SparkSession, dir: String): DataFrame =
     ivfPqQuery(spark, dir, ivfPqIndexStored(spark, dir),
-      ivfProbes(ivfCells(spark, dir)), ivfPqShortlist(spark, corpusCount(spark, dir)))
+      ivfProbes(spark, ivfCells(spark, dir)), ivfPqShortlist(spark, corpusCount(spark, dir)))
 
   /** The retrieval machinery over any (neighbor_id, cell, codes)
     * index frame — inline-built or artifact-loaded — with the corpus
@@ -2099,7 +2119,7 @@ object Similarity {
     * semantics. */
   def annServe(spark: SparkSession, dir: String, queryVecs: DataFrame): DataFrame =
     ivfPqQueryOver(spark, dir, normedOver(queryVecs), ivfPqIndexStored(spark, dir),
-      ivfProbes(ivfCells(spark, dir)), ivfPqShortlist(spark, corpusCount(spark, dir)))
+      ivfProbes(spark, ivfCells(spark, dir)), ivfPqShortlist(spark, corpusCount(spark, dir)))
 
   /** The retrieval machinery over any query frame (vec_id, v, nrm
     * [, label]) and any (neighbor_id, cell, codes[, label]) index
@@ -2341,7 +2361,7 @@ object Similarity {
     * side broadcasts (query, cell) probe pairs + grid vectors, and
     * the ADC join output is id-pair + one long. */
   def similarityAnnIvfSq(spark: SparkSession, dir: String): DataFrame =
-    similarityAnnIvfSq(spark, dir, ivfProbes(ivfCells(spark, dir)),
+    similarityAnnIvfSq(spark, dir, ivfProbes(spark, ivfCells(spark, dir)),
       ivfPqShortlist(spark, corpusCount(spark, dir)))
 
   /** Parameterized form: `IvfSqSpec` pins the exhaustive identity —
@@ -2534,7 +2554,7 @@ object Similarity {
     * evaluation, and the codegen-deferral trap the Generate barrier
     * there closes). */
   def similarityAnnIvfPqRes(spark: SparkSession, dir: String): DataFrame =
-    similarityAnnIvfPqRes(spark, dir, ivfProbes(ivfCells(spark, dir)),
+    similarityAnnIvfPqRes(spark, dir, ivfProbes(spark, ivfCells(spark, dir)),
       ivfPqShortlist(spark, corpusCount(spark, dir)))
 
   /** Parameterized form: `IvfPqResSpec` pins the exhaustive identity —
@@ -2581,7 +2601,7 @@ object Similarity {
     * rerank. */
   def similarityAnnIvfPqResStaged(spark: SparkSession, dir: String): DataFrame =
     ivfPqResQuery(spark, dir, ivfPqResIndexStored(spark, dir),
-      ivfProbes(ivfCells(spark, dir)), ivfPqShortlist(spark, corpusCount(spark, dir)))
+      ivfProbes(spark, ivfCells(spark, dir)), ivfPqShortlist(spark, corpusCount(spark, dir)))
 
   /** One LUT per (query, probed cell): the query's residual w.r.t.
     * THAT cell's centroid against the residual codebook — Q·nProbe
@@ -2763,7 +2783,7 @@ object Similarity {
     * the shortlist budget is unchanged (now generous relative to the
     * label-pruned pool — measured recall is correspondingly higher). */
   def similarityAnnIvfPqFiltered(spark: SparkSession, dir: String): DataFrame =
-    similarityAnnIvfPqFiltered(spark, dir, ivfProbes(ivfCells(spark, dir)),
+    similarityAnnIvfPqFiltered(spark, dir, ivfProbes(spark, ivfCells(spark, dir)),
       ivfPqShortlist(spark, corpusCount(spark, dir)))
 
   /** Parameterized form — `IvfPqSpec` pins the filtered exhaustive

@@ -47,6 +47,15 @@ class DialsSpec extends SparkSpec {
     }
   }
 
+  test("probe-fraction conf reaches the IVF probe budget; default reproduces the constant") {
+    assert(Similarity.ivfProbes(spark, 16) == Similarity.ivfProbes(16))
+    spark.conf.set(Similarity.ProbeFracConf, "0.25")
+    try {
+      assert(Similarity.ivfProbes(spark, 16) == 4)   // ceil(0.25·16)
+      assert(Similarity.ivfProbes(spark, 1) == 1)    // floor of one probe
+    } finally spark.conf.unset(Similarity.ProbeFracConf)
+  }
+
   test("dial misconfiguration fails loudly, not silently") {
     spark.conf.set(Similarity.ShortlistFracConf, "1.5")
     try intercept[IllegalArgumentException](Similarity.shortlistFor(spark, 10L))

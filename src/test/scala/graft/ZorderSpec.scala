@@ -105,6 +105,51 @@ class ZorderSpec extends SparkSpec {
     }
   }
 
+  test("incremental extension: appended delta prunes tight, manifest stays exact") {
+    import graft.ops.Sessions
+    // base layout: the first 20 days; delta: the rest
+    val cut = 19745
+    val all = eventsZ
+    val base = all.where(col("day_idx") < cut).drop("day_idx")
+    val delta = all.where(col("day_idx") >= cut).drop("day_idx")
+    assert(delta.count() > 0, "fixture needs rows past the cut")
+    val zv = (0 until Layout.ZBits).map { i =>
+      shiftleft(shiftright(col("user_id"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("day_idx"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    val dir = stage(base
+      .withColumn("day_idx",
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")))
+      .withColumn("z", zv)
+      .repartitionByRange(8, col("z")).sortWithinPartitions("z"), "ext")
+    Layout.writeManifest(spark, dir)
+
+    val added = Layout.zorderExtendRows(spark, dir, delta, deltaFiles = 4)
+    assert(added.nonEmpty, "extension added no files")
+
+    // manifest after extension ≡ a fresh full footer scan, row for row
+    val loaded = Layout.loadManifest(spark, dir).collect().map(_.toSeq).toSet
+    val fresh = Layout.footerManifest(spark, dir).collect().map(_.toSeq).toSet
+    assert(loaded == fresh, "extended manifest drifted from the footer truth")
+
+    // pruned scan over the EXTENDED layout equals the raw filter
+    val (df, keptAll, total) = Layout.zorderPrunedScan(spark, dir,
+      Layout.ZUserLo, Layout.ZUserHi, Layout.ZDayLo, Layout.ZDayHi)
+    val want = eventsZ
+      .where(col("user_id").between(Layout.ZUserLo, Layout.ZUserHi) &&
+        col("day_idx").between(Layout.ZDayLo, Layout.ZDayHi))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(df.select("event_id").collect().map(_.getLong(0)).sorted.toSeq == want)
+    assert(keptAll.length < total, "extended layout should still prune")
+
+    // a box entirely PAST the cut keeps no base file: the delta's own
+    // stats are tight, not inherited from the base layout's
+    val (_, keptDelta, _) = Layout.zorderPrunedScan(spark, dir,
+      0L, Long.MaxValue >> 1, cut, cut + 30)
+    assert(keptDelta.nonEmpty && keptDelta.forall(added.contains),
+      s"delta-only box kept base files: ${keptDelta.filterNot(added.contains)}")
+  }
+
   test("pruned scan performs zero driver footer reads on a manifested layout") {
     val zDir = stage(eventsZ.repartitionByRange(4, col("user_id"))
       .sortWithinPartitions("user_id"), "mf0")
