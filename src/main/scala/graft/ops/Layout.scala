@@ -377,6 +377,63 @@ object Layout {
     added
   }
 
+  /** IDEMPOTENT batch ingest into a z-ordered layout — the unit the
+    * streaming dual replays. The batch's files carry DETERMINISTIC
+    * names (`ingest-b<batchId>-<k>.parquet`, staged to a dot-temp dir
+    * and renamed in), so a replayed micro-batch (foreachBatch is
+    * at-least-once after a crash) first deletes its own prior
+    * generation and rewrites it — duplicate rows cannot survive a
+    * replay. The manifest rewrite excludes the batch's rows and adds a
+    * fresh O(delta) footer scan of the renamed files.
+    *
+    * Snapshot semantics fall out of manifest-only pruning: a reader
+    * sees exactly the manifest-listed files, so files renamed in but
+    * not yet manifested are INVISIBLE (bounded staleness, never a
+    * torn read) — the table-format commit discipline with the
+    * manifest as the log head. */
+  private[graft] def zorderIngestBatch(spark: SparkSession, path: String,
+      batchId: Long, newEvents: DataFrame,
+      deltaFiles: Int = math.max(1, ZFiles / 8)): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val prefix = s"ingest-b$batchId-"
+    // replay: drop this batch's prior generation (files + manifest rows)
+    fs.listStatus(root)
+      .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
+      .foreach(st => fs.delete(st.getPath, false))
+    val tmp = new org.apache.hadoop.fs.Path(root, s".ingest_tmp_b$batchId")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    newEvents
+      .withColumn("day_idx", dayIdx)
+      .withColumn("z", zValue(col("user_id"), col("day_idx")))
+      .repartitionByRange(deltaFiles, col("z"))
+      .sortWithinPartitions("z")
+      .write.parquet(tmp.toString)
+    val staged = fs.listStatus(tmp)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        st.getLen > 0)
+      .map(_.getPath).sortBy(_.getName)
+    val added = staged.zipWithIndex.map { case (p, k) =>
+      val dest = new org.apache.hadoop.fs.Path(root, s"$prefix$k.parquet")
+      require(fs.rename(p, dest), s"ingest rename failed: $p -> $dest")
+      // qualified (scheme-carrying) names, matching what listStatus
+      // yields — manifest rows must compare equal across both builders
+      fs.makeQualified(dest).toString
+    }.toSeq
+    fs.delete(tmp, true)
+    val kept = loadManifest(spark, path)
+      .where(!col("file").contains(s"/$prefix"))
+    val merged = kept.unionByName(footerManifestFor(spark, added)).collect()
+    import spark.implicits._
+    merged.map(r => (r.getString(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), Option(r.get(5)).map(_.asInstanceOf[Long])))
+      .toSeq.toDF("file", "rg", "u_min", "u_max", "d_min", "d_max")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/$ManifestDir")
+    added
+  }
+
   /** Per-file (user_id, day_idx) min/max from parquet footers, as a
     * DISTRIBUTED job over the file list: the driver lists once; the
     * footer range-reads — the expensive half against object storage —

@@ -307,6 +307,32 @@ object EventStream {
         ref.columns.filterNot(_ == key).map(c => col(s"r.$c")): _*)
   }
 
+  // ---------------------------------------------- layout ingest dual
+
+  /** Streaming ingest into a z-ordered layout: each micro-batch lands
+    * via [[graft.ops.Layout.zorderIngestBatch]] — z-sorted delta files
+    * with batch-keyed deterministic names plus an O(delta) manifest
+    * rewrite. foreachBatch replay after a crash is IDEMPOTENT (the
+    * batch deletes and rewrites its own generation), and manifest-only
+    * pruning gives readers snapshot semantics — files not yet
+    * manifested are invisible, never torn. The online dual of the
+    * batch layout write, mirroring [[EmbedStream]]'s index-ingest
+    * dual: the layout stays query-optimal as data arrives, no
+    * full-relayout job. */
+  def layoutIngestStream(events: DataFrame, layoutPath: String,
+      checkpointDir: String): StreamingQuery = {
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Layout.zorderIngestBatch(batch.sparkSession, layoutPath, id, batch)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   // ------------------------------------------- last-touch attribution
 
   case class AttrEv(user_id: Long, tsMicros: Long, event_id: Long,

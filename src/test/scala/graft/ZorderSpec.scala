@@ -150,6 +150,60 @@ class ZorderSpec extends SparkSpec {
       s"delta-only box kept base files: ${keptDelta.filterNot(added.contains)}")
   }
 
+  test("batch ingest is idempotent: a replayed batch cannot duplicate rows") {
+    val cut = 19745
+    val base = eventsZ.where(col("day_idx") < cut).withColumn("z", lit(0L))
+    val delta = eventsZ.where(col("day_idx") >= cut).drop("day_idx")
+    val dir = stage(base, "ing")
+    Layout.writeManifest(spark, dir)
+    val want = eventsZ.count()
+    val added1 = Layout.zorderIngestBatch(spark, dir, 5L, delta)
+    assert(spark.read.parquet(dir).count() == want)
+    // replay the SAME batch id (the foreachBatch crash-replay case)
+    val added2 = Layout.zorderIngestBatch(spark, dir, 5L, delta)
+    assert(added1.size == added2.size)
+    assert(spark.read.parquet(dir).count() == want,
+      "replayed batch duplicated rows")
+    // manifest exact after the replay
+    val loaded = Layout.loadManifest(spark, dir).collect().map(_.toSeq).toSet
+    val fresh = Layout.footerManifest(spark, dir).collect().map(_.toSeq).toSet
+    assert(loaded == fresh)
+    // a distinct batch id appends (no cross-batch clobbering):
+    // ingest-b5-* untouched by batch 51 (prefix match is exact)
+    Layout.zorderIngestBatch(spark, dir, 51L, delta.limit(10))
+    assert(spark.read.parquet(dir).count() == want + 10)
+  }
+
+  test("streaming layout ingest ≡ batch: rows land z-sorted, manifest exact, pruning live") {
+    import graft.streaming.EventStream
+    val cut = 19745
+    val base = eventsZ.where(col("day_idx") < cut).withColumn("z", lit(0L))
+    val delta = eventsZ.where(col("day_idx") >= cut).drop("day_idx")
+    val dir = stage(base, "sing")
+    Layout.writeManifest(spark, dir)
+    // feed the delta as two micro-batches through a file stream
+    val in = java.nio.file.Files.createTempDirectory("graft-z-sing-in").toString
+    delta.repartition(2).write.mode("overwrite").parquet(in)
+    val tsType = spark.read.parquet(in).schema("ts").dataType
+    val stream = spark.readStream
+      .schema(EventStream.eventsSchema(tsType))
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val ck = java.nio.file.Files.createTempDirectory("graft-z-sing-ck").toString
+    EventStream.layoutIngestStream(stream, dir, ck)
+    assert(spark.read.parquet(dir).count() == eventsZ.count())
+    val loaded = Layout.loadManifest(spark, dir).collect().map(_.toSeq).toSet
+    val fresh = Layout.footerManifest(spark, dir).collect().map(_.toSeq).toSet
+    assert(loaded == fresh, "streamed manifest drifted from the footer truth")
+    val (df, kept, total) = Layout.zorderPrunedScan(spark, dir,
+      Layout.ZUserLo, Layout.ZUserHi, Layout.ZDayLo, Layout.ZDayHi)
+    val want = eventsZ
+      .where(col("user_id").between(Layout.ZUserLo, Layout.ZUserHi) &&
+        col("day_idx").between(Layout.ZDayLo, Layout.ZDayHi))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(df.select("event_id").collect().map(_.getLong(0)).sorted.toSeq == want)
+    assert(kept.length < total)
+  }
+
   test("pruned scan performs zero driver footer reads on a manifested layout") {
     val zDir = stage(eventsZ.repartitionByRange(4, col("user_id"))
       .sortWithinPartitions("user_id"), "mf0")
