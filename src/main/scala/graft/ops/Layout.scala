@@ -355,6 +355,10 @@ object Layout {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
       .map(_.getPath.toString).toSet
     val before = listing()
+    // capture the BASE manifest before the append: the unmanifested
+    // fallback lists the directory eagerly, and listing after the
+    // append would double-count the added files in the union below
+    val baseManifest = loadManifest(spark, path)
     newEvents
       .withColumn("day_idx", dayIdx)
       .withColumn("z", zValue(col("user_id"), col("day_idx")))
@@ -362,19 +366,28 @@ object Layout {
       .sortWithinPartitions("z")
       .write.mode("append").parquet(path)
     val added = (listing() -- before).toSeq.sorted
-    // merge BEFORE touching the manifest dir: the loadManifest read
-    // must see the committed old manifest, and the overwrite below
-    // must not read its own output
-    val merged = loadManifest(spark, path)
-      .unionByName(footerManifestFor(spark, added)).collect()
-    val mf = s"$path/$ManifestDir"
-    import spark.implicits._
-    merged.map(r => (r.getString(0), r.getInt(1),
-        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.get(3)).map(_.asInstanceOf[Long]),
-        Option(r.get(4)).map(_.asInstanceOf[Long]), Option(r.get(5)).map(_.asInstanceOf[Long])))
-      .toSeq.toDF("file", "rg", "u_min", "u_max", "d_min", "d_max")
-      .coalesce(1).write.mode("overwrite").parquet(mf)
+    swapManifest(spark, path,
+      baseManifest.unionByName(footerManifestFor(spark, added)))
     added
+  }
+
+  /** Replace the manifest with `merged` WITHOUT routing its rows
+    * through the driver: the merged plan (which reads the OLD manifest
+    * parquet) writes to a dot-temp dir first — Spark cannot read and
+    * overwrite one path in a single job — then the old dir drops and
+    * the temp renames in. A reader catching the swap window sees no
+    * _SUCCESS and [[loadManifest]] falls back to the distributed
+    * footer scan: degraded cost, never a torn read. */
+  private def swapManifest(spark: SparkSession, path: String,
+      merged: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/.${ManifestDir}_tmp_${java.util.UUID.randomUUID()}")
+    merged.coalesce(1).write.parquet(tmp.toString)
+    fs.delete(mf, true)
+    require(fs.rename(tmp, mf), s"manifest swap failed: $tmp -> $mf")
   }
 
   /** IDEMPOTENT batch ingest into a z-ordered layout — the unit the
@@ -422,15 +435,9 @@ object Layout {
       fs.makeQualified(dest).toString
     }.toSeq
     fs.delete(tmp, true)
-    val kept = loadManifest(spark, path)
-      .where(!col("file").contains(s"/$prefix"))
-    val merged = kept.unionByName(footerManifestFor(spark, added)).collect()
-    import spark.implicits._
-    merged.map(r => (r.getString(0), r.getInt(1),
-        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.get(3)).map(_.asInstanceOf[Long]),
-        Option(r.get(4)).map(_.asInstanceOf[Long]), Option(r.get(5)).map(_.asInstanceOf[Long])))
-      .toSeq.toDF("file", "rg", "u_min", "u_max", "d_min", "d_max")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/$ManifestDir")
+    swapManifest(spark, path,
+      loadManifest(spark, path).where(!col("file").contains(s"/$prefix"))
+        .unionByName(footerManifestFor(spark, added)))
     added
   }
 

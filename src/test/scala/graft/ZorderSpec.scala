@@ -150,6 +150,19 @@ class ZorderSpec extends SparkSpec {
       s"delta-only box kept base files: ${keptDelta.filterNot(added.contains)}")
   }
 
+  test("extending an UNMANIFESTED layout backfills without double-counting the delta") {
+    val cut = 19745
+    val base = eventsZ.where(col("day_idx") < cut).withColumn("z", lit(0L))
+    val delta = eventsZ.where(col("day_idx") >= cut).drop("day_idx")
+    val dir = stage(base, "extnm") // note: NO writeManifest — the backfill path
+    Layout.zorderExtendRows(spark, dir, delta, deltaFiles = 2)
+    val loaded = Layout.loadManifest(spark, dir).collect().map(_.toSeq)
+    val fresh = Layout.footerManifest(spark, dir).collect().map(_.toSeq)
+    assert(loaded.toSet == fresh.toSet)
+    assert(loaded.length == fresh.length, "delta rows double-counted in the manifest")
+    assert(spark.read.parquet(dir).count() == eventsZ.count())
+  }
+
   test("batch ingest is idempotent: a replayed batch cannot duplicate rows") {
     val cut = 19745
     val base = eventsZ.where(col("day_idx") < cut).withColumn("z", lit(0L))
