@@ -403,7 +403,18 @@ object Layout {
     * sees exactly the manifest-listed files, so files renamed in but
     * not yet manifested are INVISIBLE (bounded staleness, never a
     * torn read) — the table-format commit discipline with the
-    * manifest as the log head. */
+    * manifest as the log head.
+    *
+    * Manifest maintenance is O(delta), not O(layout): the manifest
+    * DIRECTORY is a set of parquet SEGMENTS ([[loadManifest]] reads
+    * them all — one base segment from [[writeManifest]] plus one
+    * batch-keyed segment per ingested batch), so a micro-batch writes
+    * only its own `ingest-b<id>.parquet` segment instead of rewriting
+    * the whole manifest per batch — the log-segment discipline; the
+    * batch-keyed name is also what makes the replay idempotent at the
+    * manifest level (the replay replaces its own segment). Segment
+    * count grows with batches; [[zorderExtendRows]]' full swap is the
+    * compaction. */
   private[graft] def zorderIngestBatch(spark: SparkSession, path: String,
       batchId: Long, newEvents: DataFrame,
       deltaFiles: Int = math.max(1, ZFiles / 8)): Seq[String] = {
@@ -411,7 +422,11 @@ object Layout {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
     val prefix = s"ingest-b$batchId-"
-    // replay: drop this batch's prior generation (files + manifest rows)
+    val segment = new org.apache.hadoop.fs.Path(
+      s"$path/$ManifestDir/ingest-b$batchId.parquet")
+    // replay: this batch's manifest segment drops FIRST (its data
+    // files become invisible to readers), then its prior data files
+    if (fs.exists(segment)) fs.delete(segment, false)
     fs.listStatus(root)
       .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
       .foreach(st => fs.delete(st.getPath, false))
@@ -435,9 +450,20 @@ object Layout {
       fs.makeQualified(dest).toString
     }.toSeq
     fs.delete(tmp, true)
-    swapManifest(spark, path,
-      loadManifest(spark, path).where(!col("file").contains(s"/$prefix"))
-        .unionByName(footerManifestFor(spark, added)))
+    // O(delta) segment: stats of the added files only, staged and
+    // renamed to the batch-keyed single-file segment
+    val segTmp = new org.apache.hadoop.fs.Path(root, s".ingest_seg_tmp_b$batchId")
+    if (fs.exists(segTmp)) fs.delete(segTmp, true)
+    footerManifestFor(spark, added).coalesce(1).write.parquet(segTmp.toString)
+    val segPart = fs.listStatus(segTmp)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+    require(segPart.length == 1, s"expected one segment part, got ${segPart.length}")
+    fs.mkdirs(segment.getParent) // unmanifested layout: readers stay on
+                                 // the footer-scan fallback (no _SUCCESS)
+                                 // until writeManifest/extend compacts
+    require(fs.rename(segPart.head.getPath, segment),
+      s"segment rename failed -> $segment")
+    fs.delete(segTmp, true)
     added
   }
 

@@ -467,11 +467,16 @@ object TextAnalysis {
     * codebooks: a fresh process over an already-trained snapshot loads
     * the merge table instead of re-paying the corpus pass. */
   private[graft] def bpeTrainedMerges(spark: SparkSession,
-      dir: String): Seq[(String, String, Long)] =
-    bpeTrainCache.computeIfAbsent(dir, _ => {
+      dir: String): Seq[(String, String, Long)] = {
+    // the dictionary dial changes what was trained — it must key both
+    // the memo and the artifact, or a dialed session would serve
+    // default-trained merges (and vice versa)
+    val mc = bpeMinWordCount(spark)
+    val dial = if (mc <= 1L) "" else s"_mc$mc"
+    bpeTrainCache.computeIfAbsent(s"$dir#$dial", _ => {
       import spark.implicits._
       val artifact = IndexStore.loadOrBuild(spark, dir, "documents",
-          s"bpe_merges_r$BpeTrainRanks") {
+          s"bpe_merges_r$BpeTrainRanks$dial") {
         bpeTrainedMergesN(spark, dir, BpeTrainRanks).zipWithIndex
           .map { case ((a, b, c), i) => (i, a, b, c) }
           .toDF("rank", "lhs", "rhs", "cnt")
@@ -479,6 +484,7 @@ object TextAnalysis {
       artifact.orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
     })
+  }
 
   /** Rank-parameterized trainer: distributed per-rank loop at or below
     * [[BpeLocalRankThreshold]], collected single-pass past it. The two
@@ -490,14 +496,36 @@ object TextAnalysis {
     if (ranks <= BpeLocalRankThreshold) bpeTrainedMergesDistributed(spark, dir, ranks)
     else bpeTrainedMergesLocal(spark, dir, ranks)
 
+  /** Conf dial pruning the training dictionary to words seen at least
+    * this often (`spark.graft.bpe.minWordCount`, default 1 = exact —
+    * what every oracle replays). The standard web-scale mitigation:
+    * a 100 TB corpus's distinct-word table is dominated by a hapax
+    * tail (typos, URLs, junk tokens) that contributes near-zero pair
+    * mass but all of the dictionary's cardinality — production
+    * trainers prune min_frequency before training (HF tokenizers'
+    * `min_frequency`), bounding both the distributed per-rank
+    * iteration table and the single-pass path's driver collect. */
+  val BpeMinWordCountConf = "spark.graft.bpe.minWordCount"
+
+  private def bpeMinWordCount(spark: SparkSession): Long = {
+    val v = spark.conf.get(BpeMinWordCountConf, "1").toLong
+    require(v >= 1L, s"$BpeMinWordCountConf must be >= 1, got $v")
+    v
+  }
+
   /** The corpus → (word, count) dictionary: the ONLY corpus-scale work
-    * in training, shared by both trainer paths. One explode + one
-    * shuffle; output is bounded by the distinct-word vocabulary. */
-  private def bpeWordCounts(spark: SparkSession, dir: String): DataFrame =
-    Docs.fanned(spark, dir)
+    * in training, shared by both trainer paths (so the dial applies to
+    * each identically). One explode + one shuffle; output is bounded
+    * by the distinct-word vocabulary, prunable via
+    * [[BpeMinWordCountConf]]. */
+  private def bpeWordCounts(spark: SparkSession, dir: String): DataFrame = {
+    val base = Docs.fanned(spark, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val mc = bpeMinWordCount(spark)
+    if (mc <= 1L) base else base.where(col("cnt") >= mc)
+  }
 
   private[graft] def bpeTrainedMergesDistributed(spark: SparkSession,
       dir: String, ranks: Int): Seq[(String, String, Long)] = {

@@ -140,6 +140,34 @@ class BpeTrainSpec extends SparkSpec {
     assert(m256 == referenceTrain(words, 256))
   }
 
+  test("minWordCount dial prunes the dictionary identically on both trainer paths") {
+    import org.apache.spark.sql.functions._
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minC = 950L
+    val pruned = words.filter(_._2 >= minC)
+    assert(pruned.nonEmpty && pruned.size < words.size,
+      s"pick a minCount that actually prunes (kept ${pruned.size}/${words.size})")
+    spark.conf.set(TextAnalysis.BpeMinWordCountConf, minC.toString)
+    try {
+      val want = referenceTrain(pruned, TextAnalysis.BpeTrainRanks)
+      val dist = TextAnalysis.bpeTrainedMergesDistributed(spark, sf, TextAnalysis.BpeTrainRanks)
+      val local = TextAnalysis.bpeTrainedMergesLocal(spark, sf, TextAnalysis.BpeTrainRanks)
+      assert(dist == want && local == want,
+        "dial-pruned training drifted between paths or from the reference")
+      assert(want != referenceTrain(words, TextAnalysis.BpeTrainRanks),
+        "cut too shallow to observe — raise minC so pruning changes the merges")
+      // the memoized/persisted entry is DIAL-KEYED: the dialed result…
+      assert(TextAnalysis.bpeTrainedMerges(spark, sf) == want)
+    } finally spark.conf.unset(TextAnalysis.BpeMinWordCountConf)
+    // …must not leak into the default path once the dial is unset
+    assert(TextAnalysis.bpeTrainedMerges(spark, sf)
+      == referenceTrain(words, TextAnalysis.BpeTrainRanks))
+  }
+
   test("trained merges persist as an IndexStore artifact: fresh process loads, not rebuilds") {
     val root = java.nio.file.Files.createTempDirectory("graft-bpe-store").toString
     spark.conf.set(graft.ops.IndexStore.RootConf, root)

@@ -185,6 +185,12 @@ class ZorderSpec extends SparkSpec {
     // ingest-b5-* untouched by batch 51 (prefix match is exact)
     Layout.zorderIngestBatch(spark, dir, 51L, delta.limit(10))
     assert(spark.read.parquet(dir).count() == want + 10)
+    // manifest maintenance was O(delta): one batch-keyed SEGMENT per
+    // batch (replay replaced b5's, never duplicated it), base intact
+    val segs = new java.io.File(s"$dir/${Layout.ManifestDir}").listFiles()
+      .filter(_.getName.startsWith("ingest-b")).map(_.getName).sorted
+    assert(segs.toSeq == Seq("ingest-b5.parquet", "ingest-b51.parquet"),
+      s"unexpected manifest segments: ${segs.mkString(",")}")
   }
 
   test("streaming layout ingest ≡ batch: rows land z-sorted, manifest exact, pruning live") {
