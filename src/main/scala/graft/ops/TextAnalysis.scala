@@ -956,6 +956,67 @@ object TextAnalysis {
        |       ngram, CAST(n AS BIGINT) AS n
        |FROM c ORDER BY n DESC, ngram LIMIT $VocabTopK""".stripMargin
 
+  // ------------------------------------ heavy hitters via count-min sketch
+
+  /** CMS geometry for [[corpusHeavyHittersSketch]]: ε = 0.001 of total
+    * gram mass per-estimate overshoot bound, confidence 0.99, fixed
+    * seed so the sketch — and therefore the gate — is fully
+    * deterministic (CMS update/merge is counter addition, commutative
+    * across any partitioning). Sketch size is CONSTANT in corpus size:
+    * depth×width counters ≈ 100 KB here. */
+  val CmsEps = 0.001
+  val CmsConfidence = 0.99
+  val CmsSeed = 42
+
+  /** `corpus_heavy_hitters_sketch`: the exact vocabulary heavy-hitters
+    * ([[corpusNgramCounts]]) with a COUNT-MIN-SKETCH gate — the
+    * missing member of the engine's sketch family (HLL distinct,
+    * approx percentile, Bloom membership, MinHash/SimHash similarity;
+    * CMS is the frequency one). The corpus's bigrams aggregate into
+    * ONE mergeable ~100 KB sketch (map-side combined like any partial
+    * agg — at 100 TB this replaces a vocabulary-cardinality count
+    * table wherever only heavy-hitter frequencies matter: the sketch
+    * is the shippable artifact, constant-size, unionable across
+    * shards/days exactly like the HLL daily table). Each exact top-K
+    * ngram's CMS estimate is then checked against the CMS contract —
+    * never an undercount, overshoot ≤ ε·totalCount — driver-side over
+    * the K=100 items (metadata scale), with totalCount read from the
+    * sketch itself (no extra corpus pass). The exact columns are
+    * oracle-pinned; the gate is oracle-visible, the
+    * `events_sketch_actives` discipline. */
+  def corpusHeavyHittersSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Docs.fanned(spark, dir)
+      .select(Docs.tokens(col("text")).as("toks"))
+      .select(explode(when(size(col("toks")) >= 2,
+        Docs.wordBigrams(col("toks")))).as("ngram"))
+    val skBytes = grams
+      .agg(count_min_sketch(col("ngram"), lit(CmsEps), lit(CmsConfidence),
+        lit(CmsSeed)).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val overshoot = math.ceil(CmsEps * cms.totalCount()).toLong
+    val exact = corpusNgramCounts(spark, dir).collect()
+    exact.map { r =>
+      val (rank, ngram, n) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val est = cms.estimateCount(ngram)
+      (rank, ngram, n, est >= n && est <= n + overshoot)
+    }.toSeq.toDF("rank", "ngram", "n", "cms_within_bound")
+      .orderBy("rank")
+  }
+
+  val corpusHeavyHittersSketchOracle: String =
+    s"""WITH t AS (SELECT list_filter(string_split(text,' '), x -> len(x)>0) AS toks
+       |           FROM documents),
+       |b AS (SELECT unnest(${Docs.wordBigramsSql("toks")}) AS ngram
+       |      FROM t WHERE len(toks) >= 2),
+       |c AS (SELECT ngram, count(*) AS n FROM b GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY n DESC, ngram) AS BIGINT) AS rank,
+       |       ngram, CAST(n AS BIGINT) AS n,
+       |       CAST(TRUE AS BOOLEAN) AS cms_within_bound
+       |FROM c ORDER BY n DESC, ngram LIMIT $VocabTopK""".stripMargin
+
   // ------------------------------------------- repetition quality signals
 
   /** `corpus_repetition`: per-document n-gram repetition signals, the
@@ -1524,6 +1585,7 @@ object TextAnalysis {
     "text_pii_scrub" -> (textPiiScrub _),
     "text_normalize" -> (textNormalize _),
     "corpus_ngram_counts" -> (corpusNgramCounts _),
+    "corpus_heavy_hitters_sketch" -> (corpusHeavyHittersSketch _),
     "corpus_repetition" -> (corpusRepetition _),
     "doc_tfidf" -> (docTfidf _),
     "text_chunk" -> (textChunk _),
@@ -1546,6 +1608,7 @@ object TextAnalysis {
     "text_pii_scrub" -> textPiiScrubOracle,
     "text_normalize" -> textNormalizeOracle,
     "corpus_ngram_counts" -> corpusNgramCountsOracle,
+    "corpus_heavy_hitters_sketch" -> corpusHeavyHittersSketchOracle,
     "corpus_repetition" -> corpusRepetitionOracle,
     "doc_tfidf" -> docTfidfOracle,
     "text_chunk" -> textChunkOracle,
