@@ -425,11 +425,15 @@ object Layout {
     val segment = new org.apache.hadoop.fs.Path(
       s"$path/$ManifestDir/ingest-b$batchId.parquet")
     // replay: this batch's manifest segment drops FIRST (its data
-    // files become invisible to readers), then its prior data files
+    // files become invisible to readers), then its prior data files —
+    // probed by their DETERMINISTIC contiguous names (k = 0,1,…),
+    // never a directory listing: a per-micro-batch listStatus would be
+    // O(layout files), the very cost the manifest removed from reads
     if (fs.exists(segment)) fs.delete(segment, false)
-    fs.listStatus(root)
-      .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
-      .foreach(st => fs.delete(st.getPath, false))
+    var k = 0
+    while (fs.delete(new org.apache.hadoop.fs.Path(root, s"$prefix$k.parquet"), false)) {
+      k += 1
+    }
     val tmp = new org.apache.hadoop.fs.Path(root, s".ingest_tmp_b$batchId")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     newEvents
