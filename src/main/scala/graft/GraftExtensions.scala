@@ -140,6 +140,13 @@ object GraftExtensions {
       // with FUNCTION_WITH_UNSUPPORTED_SYNTAX.
       TopK.TopKByScore(es(0), es(1), intLit("topk_by_score", "k", es(2)))
     },
+    fn("capped_sorted_ids",
+      "_FUNC_(id, cap) - aggregate: struct<width, ids> with the sorted id array " +
+        "complete iff width <= cap; aggregation state bounded at cap ids") { es =>
+      arity("capped_sorted_ids", "(id, cap)", es, 2)
+      graft.functions.CappedCollect.CappedSortedIds(
+        es(0), intLit("capped_sorted_ids", "cap", es(1)))
+    },
     // The confluent_* builders restate graft.functions.Confluent's
     // Column compositions as direct catalyst trees: a builder returning
     // a Column-derived expression hands the analyzer an opaque

@@ -129,6 +129,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql == api)
   }
 
+  test("capped_sorted_ids aggregate via SQL == Column API") {
+    val s = registered
+    val events = graft.ops.Sessions.events(s, sf)
+    events.createOrReplaceTempView("ext_events_cap")
+    val sql = s.sql(
+      """SELECT event_type, capped_sorted_ids(event_id, 5) AS bkt
+        |FROM ext_events_cap GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect().toSeq
+    val api = events.groupBy("event_type")
+      .agg(graft.functions.CappedCollect.capped_sorted_ids(col("event_id"), 5).as("bkt"))
+      .orderBy("event_type").collect().toSeq
+    assert(sql == api)
+    // the event-type groups are far wider than 5: width carries the
+    // true count, ids empty — the capped contract through SQL
+    assert(sql.forall { r =>
+      val bkt = r.getStruct(1)
+      bkt.getLong(0) > 5 && bkt.getSeq[Long](1).isEmpty
+    })
+  }
+
   test("avro + confluent functions via SQL round-trip the framing") {
     val s = registered
     val schema = """{"type":"record","name":"r","fields":[{"name":"x","type":"long"}]}"""
