@@ -437,6 +437,63 @@ class StreamingSpec extends SparkSpec {
       s"final attribution should be the straggler view 3, got ${fin.get(3)}")
   }
 
+  test("last-touch state survives a checkpoint restart (run 2 never re-reads run 1)") {
+    implicit val s = spark
+    import s.implicits._
+    val in = tmp("lt-rs-in"); val out = tmp("lt-rs-out"); val ck = tmp("lt-rs-ck")
+    def ts(min: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-03-01 08:00:00").getTime + min * 60000L)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    def land(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)],
+        mtime: Long): Unit = {
+      val stage = tmp(s"lt-rs-$name")
+      rows.toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(in, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    def run(): Unit = {
+      val tsType = spark.read.parquet(in).schema("ts").dataType
+      val stream = graft.ops.Sessions.normalizeTs(
+        spark.readStream.schema(EventStream.eventsSchema(tsType))
+          .option("maxFilesPerTrigger", 1).parquet(in))
+      val q = EventStream.lastTouchStream(stream).toDF().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); () }
+        .option("checkpointLocation", ck)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: a view and a click — provisional attribution to view 1
+    land("b0", Seq((1L, ts(0), 7L, "view", 1.0, "{}"),
+                   (2L, ts(20), 7L, "click", 1.0, "{}")), 1700000000000L)
+    run()
+    // run 2 from the SAME checkpoint sees ONLY the new files: an
+    // in-horizon straggler view (the true last touch) and a far-future
+    // event that marches the watermark past the click
+    land("b1", Seq((3L, ts(10), 7L, "view", 1.0, "{}")), 1700000060000L)
+    land("b2", Seq((4L, ts(400), 7L, "view", 1.0, "{}")), 1700000120000L)
+    // the watermark computed from b2 only applies to the NEXT batch,
+    // and NoTimeout groups run only when they have data — b3 is the
+    // user-7 batch that folds at the advanced watermark
+    land("b3", Seq((5L, ts(500), 7L, "view", 1.0, "{}")), 1700000180000L)
+    run()
+    val rows = spark.read.parquet(out).collect().filter(_.getLong(1) == 2L)
+    assert(rows.nonEmpty, "click 2 never emitted")
+    val fin = rows.maxBy(x => (x.getBoolean(6), x.getLong(5)))
+    assert(fin.getBoolean(6), "click did not finalize after the restart")
+    assert(fin.getLong(3) == 3L,
+      s"restart lost state: expected the straggler view 3, got ${fin.get(3)}")
+    // run 1's provisional attribution to view 1 is in the durable sink
+    // — proof run 2 refined recovered state rather than reprocessing
+    assert(rows.exists(r => !r.getBoolean(6) && !r.isNullAt(3) && r.getLong(3) == 1L))
+  }
+
   test("stateful duals fold late and equal-ts-reversed arrivals across micro-batches") {
     implicit val s = spark
     import s.implicits._
