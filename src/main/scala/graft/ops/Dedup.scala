@@ -56,7 +56,8 @@ object Dedup {
   }
 
   /** When true (`spark.conf.set(StrictCapConf, "true")`), a bucket wider
-    * than [[MaxBucketWidth]] FAILS the query instead of being silently
+    * than the ACTIVE cap ([[BucketCapConf]] if set, else
+    * [[MaxBucketWidth]]) FAILS the query instead of being silently
     * skipped. Off by default: the skip is the right degraded mode for
     * exploratory runs (and is always observable via "lsh_buckets"), but
     * on an oracle-checked corpus a silent drop would surface as a value
@@ -1321,8 +1322,11 @@ object Dedup {
     val full = baseStore.select(col("doc_id"), col("band"), col("sig"))
       .unionByName(deltaStore.select(col("doc_id"), col("band"), col("sig")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+    // the SAME dialed cap bandedCandidates applies — a session tuning
+    // spark.graft.lsh.maxBucketWidth must see (base ∪ extend) ≡ a full
+    // rebuild under its own dial, not under the default (r19 fix)
     val kept = full.withColumn("bucket_n", count(lit(1)).over(w))
-      .filter(col("bucket_n") <= MaxBucketWidth)
+      .filter(col("bucket_n") <= bucketCap(baseStore.sparkSession))
     val cands = deltaStore.select(col("doc_id").as("d_id"), col("band"), col("sig"))
       .join(kept, Seq("band", "sig"))
       .filter(col("doc_id") =!= col("d_id"))

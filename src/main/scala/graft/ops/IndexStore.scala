@@ -60,9 +60,13 @@ object IndexStore {
     new java.io.File("target/graft-index").getAbsolutePath
 
   /** Observability counters (also the spec's hook): how many artifacts
-    * this process BUILT (paid the construction passes) vs LOADED from
-    * a written artifact. A fresh process over an already-indexed
-    * snapshot should show loads>0, builds==0. */
+    * this process built AND GENUINELY COMMITTED vs loaded from a
+    * written artifact. A build that loses a commit race is NOT counted
+    * (r19 — its construction cost was paid but its bytes were
+    * discarded; the counter answers "who owns the committed
+    * artifacts", the question dedupe/debug sessions ask). A fresh
+    * process over an already-indexed snapshot should show loads>0,
+    * builds==0. */
   val builds = new AtomicLong
   val loads = new AtomicLong
 

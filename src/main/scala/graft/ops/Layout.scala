@@ -345,27 +345,51 @@ object Layout {
     *
     * `deltaFiles` sizes the delta's file count — production sizes to
     * the same target bytes/file as the base; the pruning property is
-    * count-independent. */
+    * count-independent.
+    *
+    * `gen` names the extension GENERATION (`extend-g<gen>-<k>.parquet`,
+    * deterministic contiguous names like the ingest path) and makes a
+    * RETRY idempotent: a crash between the data landing and the
+    * manifest swap leaves files the committed manifest never lists
+    * (invisible to the pruned scan — never a torn read), and the retry
+    * probe-deletes its own prior generation before rewriting, so a raw
+    * directory scan can never see the delta twice. Distinct extensions
+    * of one layout must use distinct gens. */
   private[graft] def zorderExtendRows(spark: SparkSession, path: String,
-      newEvents: DataFrame, deltaFiles: Int = math.max(1, ZFiles / 4)): Seq[String] = {
+      newEvents: DataFrame, deltaFiles: Int = math.max(1, ZFiles / 4),
+      gen: Long = 0L): Seq[String] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
-    def listing(): Set[String] = fs.listStatus(root)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
-      .map(_.getPath.toString).toSet
-    val before = listing()
+    val prefix = s"extend-g$gen-"
+    // retry: drop this generation's prior files by their deterministic
+    // contiguous names (never a directory listing)
+    var k0 = 0
+    while (fs.delete(new org.apache.hadoop.fs.Path(root, s"$prefix$k0.parquet"), false)) {
+      k0 += 1
+    }
     // capture the BASE manifest before the append: the unmanifested
     // fallback lists the directory eagerly, and listing after the
     // append would double-count the added files in the union below
     val baseManifest = loadManifest(spark, path)
+      .where(!col("file").contains(s"/$prefix")) // stale rows of a crashed prior try
+    val tmp = new org.apache.hadoop.fs.Path(root, s".extend_tmp_g$gen")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     newEvents
       .withColumn("day_idx", dayIdx)
       .withColumn("z", zValue(col("user_id"), col("day_idx")))
       .repartitionByRange(deltaFiles, col("z"))
       .sortWithinPartitions("z")
-      .write.mode("append").parquet(path)
-    val added = (listing() -- before).toSeq.sorted
+      .write.parquet(tmp.toString)
+    val staged = fs.listStatus(tmp)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+      .map(_.getPath).sortBy(_.getName)
+    val added = staged.zipWithIndex.map { case (p, k) =>
+      val dest = new org.apache.hadoop.fs.Path(root, s"$prefix$k.parquet")
+      require(fs.rename(p, dest), s"extend rename failed: $p -> $dest")
+      fs.makeQualified(dest).toString
+    }.toSeq
+    fs.delete(tmp, true)
     swapManifest(spark, path,
       baseManifest.unionByName(footerManifestFor(spark, added)))
     added

@@ -1932,7 +1932,7 @@ object Similarity {
     * reproduce [[ivfPqShortlist]] exactly, which is what the oracles
     * replay). */
   private[graft] def ivfPqShortlist(spark: SparkSession, n: Long): Int =
-    math.max(K, math.min(math.ceil(n * ProbeFrac * shortlistFrac(spark)),
+    math.max(K, math.min(math.ceil(n * probeFrac(spark) * shortlistFrac(spark)),
       shortlistCap(spark).toDouble).toInt)
 
   /** `similarity_ann_ivfpq`: the textbook IVFADC composite (Jégou,

@@ -16,7 +16,7 @@ object ProbeZ18 {
         val (_, kept, total) = graft.ops.Layout.zorderPrunedScan(spark, path,
           graft.ops.Layout.ZUserLo, graft.ops.Layout.ZUserHi,
           graft.ops.Layout.ZDayLo, graft.ops.Layout.ZDayHi)
-        println(s"ZPRUNE sf$sf kept=$kept total=$total")
+        println(s"ZPRUNE sf$sf kept=${kept.length} total=$total")
       }
     } finally spark.stop()
   }

@@ -56,6 +56,44 @@ class DialsSpec extends SparkSpec {
     } finally spark.conf.unset(Similarity.ProbeFracConf)
   }
 
+  test("the bucket cap dial reaches pairGraphExtend (extend ≡ rebuild under any dial)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // base store: 3 docs in one (band,sig) bucket; delta: 2 more into
+    // the same bucket → union width 5
+    val base = Seq((1L, 0, "sig"), (2L, 0, "sig"), (3L, 0, "sig"))
+      .toDF("doc_id", "band", "sig")
+    val deltaStore = Seq((4L, 0, "sig"), (5L, 0, "sig")).toDF("doc_id", "band", "sig")
+    // probe the candidate stage via the same width rule the method uses
+    def extendCandidates(): Long = {
+      val full = base.unionByName(deltaStore)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+      val kept = full.withColumn("bucket_n", count(lit(1)).over(w))
+        .filter(col("bucket_n") <= graft.ops.Dedup.bucketCap(spark))
+      deltaStore.select(col("doc_id").as("d_id"), col("band"), col("sig"))
+        .join(kept, Seq("band", "sig"))
+        .filter(col("doc_id") =!= col("d_id")).count()
+    }
+    assert(extendCandidates() > 0, "default cap keeps the 5-wide bucket")
+    spark.conf.set(graft.ops.Dedup.BucketCapConf, "4")
+    try assert(extendCandidates() == 0,
+      "extend must drop the over-cap bucket under the dialed cap, like a rebuild")
+    finally spark.conf.unset(graft.ops.Dedup.BucketCapConf)
+  }
+
+  test("probe-fraction dial reaches the IVFADC shortlist budget consistently") {
+    assert(Similarity.ivfPqShortlist(spark, 1000000L) == Similarity.ivfPqShortlist(1000000L))
+    spark.conf.set(Similarity.ProbeFracConf, "0.05")
+    try {
+      // the shortlist is a fraction OF THE PROBED POOL: dialing the
+      // probe fraction down must shrink the budget with it
+      val dialed = Similarity.ivfPqShortlist(spark, 1000000L)
+      assert(dialed == math.max(Similarity.K,
+        math.ceil(1000000L * 0.05 * Similarity.PqShortlistFrac).toInt))
+      assert(dialed < Similarity.ivfPqShortlist(1000000L))
+    } finally spark.conf.unset(Similarity.ProbeFracConf)
+  }
+
   test("dial misconfiguration fails loudly, not silently") {
     spark.conf.set(Similarity.ShortlistFracConf, "1.5")
     try intercept[IllegalArgumentException](Similarity.shortlistFor(spark, 10L))
