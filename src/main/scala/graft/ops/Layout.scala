@@ -243,6 +243,14 @@ object Layout {
   val ZUserLo = 3L; val ZUserHi = 7L
   val ZDayLo = 19730; val ZDayHi = 19736
 
+  /** Default manifest stat dimensions — the columns of the house
+    * z-curve. Every manifest API takes an explicit `statCols` so a
+    * second layout clustered on DIFFERENT columns carries its own
+    * stats; the manifest schema is self-describing (`<col>__min` /
+    * `<col>__max` pairs), so the read side recovers the dimensions
+    * from the manifest itself and never needs this list. */
+  val ZDims: Seq[String] = Seq("user_id", "day_idx")
+
   /** Days since epoch as an INT column — the timestamp dimension in a
     * stats-friendly physical type (Spark writes timestamps as INT96 by
     * default, whose parquet statistics are unusable; an int day index
@@ -353,15 +361,35 @@ object Layout {
     * manifest swap leaves files the committed manifest never lists
     * (invisible to the pruned scan — never a torn read), and the retry
     * probe-deletes its own prior generation before rewriting, so a raw
-    * directory scan can never see the delta twice. Distinct extensions
-    * of one layout must use distinct gens. */
+    * directory scan can never see the delta twice.
+    *
+    * Distinct extensions of one layout MUST use distinct gens, and the
+    * rule is enforced, not documented: `gen` has no default, and a gen
+    * whose files already exist is refused unless `retry = true` — a
+    * second distinct extension accidentally reusing a gen would
+    * otherwise silently delete the first one's committed data (r19
+    * ADVICE). A retry of a COMPLETED extension (same gen, committed
+    * manifest) first compensates the manifest — drops this
+    * generation's rows so its files go invisible — and only then
+    * probe-deletes them, so a concurrent reader never prunes to a
+    * deleted path. */
   private[graft] def zorderExtendRows(spark: SparkSession, path: String,
       newEvents: DataFrame, deltaFiles: Int = math.max(1, ZFiles / 4),
-      gen: Long = 0L): Seq[String] = {
+      gen: Long, retry: Boolean = false,
+      statCols: Seq[String] = ZDims): Seq[String] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
     val prefix = s"extend-g$gen-"
+    val prior = fs.exists(new org.apache.hadoop.fs.Path(root, s"${prefix}0.parquet"))
+    require(!prior || retry,
+      s"extend generation $gen already has data files under $path; " +
+        "distinct extensions must use distinct gens — pass retry=true " +
+        "only when REPLAYING this generation after a crash")
+    // manifest compensation BEFORE any data-file delete: if a prior
+    // try of this gen committed (its rows live in the manifest), drop
+    // them first so the files are invisible when they vanish
+    dropManifestRows(spark, path, s"/$prefix")
     // retry: drop this generation's prior files by their deterministic
     // contiguous names (never a directory listing)
     var k0 = 0
@@ -371,7 +399,7 @@ object Layout {
     // capture the BASE manifest before the append: the unmanifested
     // fallback lists the directory eagerly, and listing after the
     // append would double-count the added files in the union below
-    val baseManifest = loadManifest(spark, path)
+    val baseManifest = loadManifest(spark, path, statCols)
       .where(!col("file").contains(s"/$prefix")) // stale rows of a crashed prior try
     val tmp = new org.apache.hadoop.fs.Path(root, s".extend_tmp_g$gen")
     if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -391,8 +419,25 @@ object Layout {
     }.toSeq
     fs.delete(tmp, true)
     swapManifest(spark, path,
-      baseManifest.unionByName(footerManifestFor(spark, added)))
+      baseManifest.unionByName(footerManifestFor(spark, added, statCols)))
     added
+  }
+
+  /** Compensate a COMMITTED manifest for a replay: drop every row whose
+    * file path contains `marker` (a generation/batch file prefix) via a
+    * full swap. No-op when the manifest is absent/uncommitted (the
+    * footer-scan fallback always reflects directory truth) or already
+    * clean — so the O(manifest) swap is paid only on the rare
+    * replay-after-compaction path, never per batch. */
+  private def dropManifestRows(spark: SparkSession, path: String,
+      marker: String): Unit = {
+    val mf = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
+    val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(mf, "_SUCCESS"))) {
+      val rows = spark.read.parquet(mf.toString)
+      if (!rows.where(col("file").contains(marker)).isEmpty)
+        swapManifest(spark, path, rows.where(!col("file").contains(marker)))
+    }
   }
 
   /** Replace the manifest with `merged` WITHOUT routing its rows
@@ -441,7 +486,8 @@ object Layout {
     * compaction. */
   private[graft] def zorderIngestBatch(spark: SparkSession, path: String,
       batchId: Long, newEvents: DataFrame,
-      deltaFiles: Int = math.max(1, ZFiles / 8)): Seq[String] = {
+      deltaFiles: Int = math.max(1, ZFiles / 8),
+      statCols: Seq[String] = ZDims): Seq[String] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
@@ -454,6 +500,14 @@ object Layout {
     // never a directory listing: a per-micro-batch listStatus would be
     // O(layout files), the very cost the manifest removed from reads
     if (fs.exists(segment)) fs.delete(segment, false)
+    // replay AFTER COMPACTION (r19 ADVICE): writeManifest /
+    // zorderExtendRows fold every segment — including this batch's —
+    // into the base, so dropping the segment above no longer makes the
+    // batch's data invisible; the base rows must be compensated too,
+    // BEFORE the probe-delete below removes files the committed
+    // manifest still lists. No-op (one isEmpty probe of a
+    // metadata-scale frame) on the common uncompacted replay.
+    dropManifestRows(spark, path, s"/$prefix")
     var k = 0
     while (fs.delete(new org.apache.hadoop.fs.Path(root, s"$prefix$k.parquet"), false)) {
       k += 1
@@ -482,7 +536,7 @@ object Layout {
     // renamed to the batch-keyed single-file segment
     val segTmp = new org.apache.hadoop.fs.Path(root, s".ingest_seg_tmp_b$batchId")
     if (fs.exists(segTmp)) fs.delete(segTmp, true)
-    footerManifestFor(spark, added).coalesce(1).write.parquet(segTmp.toString)
+    footerManifestFor(spark, added, statCols).coalesce(1).write.parquet(segTmp.toString)
     val segPart = fs.listStatus(segTmp)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
     require(segPart.length == 1, s"expected one segment part, got ${segPart.length}")
@@ -507,7 +561,8 @@ object Layout {
     * Missing stats (a writer that recorded none) surface as nulls and
     * prune as always-overlap — pruning may only ever SKIP a file it
     * can prove empty of matches. */
-  private[graft] def footerManifest(spark: SparkSession, path: String): DataFrame = {
+  private[graft] def footerManifest(spark: SparkSession, path: String,
+      statCols: Seq[String] = ZDims): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
@@ -515,75 +570,91 @@ object Layout {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
         st.getLen > 0)
       .map(_.getPath.toString).sorted.toIndexedSeq
-    footerManifestFor(spark, files)
+    footerManifestFor(spark, files, statCols)
   }
 
   /** The distributed footer-stat job over an EXPLICIT file list — the
     * shared core of the full-layout build and the O(delta) incremental
-    * extension. */
+    * extension. Generic over `statCols` (r20): any set of INTEGRAL
+    * columns (int/long/date — everything parquet stores with a
+    * numeric min/max a Long can carry) becomes a `<col>__min` /
+    * `<col>__max` pair in the manifest, so a second layout clustered
+    * on different columns gets its own tight stats from the same job.
+    * `bytes`/`mtime` ride along so a manifest-backed FileIndex can
+    * materialize FileStatus entries with ZERO filesystem calls. */
   private[graft] def footerManifestFor(spark: SparkSession,
-      files: Seq[String]): DataFrame = {
+      files: Seq[String], statCols: Seq[String] = ZDims): DataFrame = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
     val ser = new org.apache.spark.util.SerializableConfiguration(hconf)
     val slices = math.max(1, math.min(files.length,
       spark.sparkContext.defaultParallelism))
+    val wanted = statCols.toSet
     // One manifest row PER ROW GROUP, not per file: per-row-group
     // bounds prune strictly tighter (a file whose groups cover
     // disjoint ranges straddling the box is skipped where a file-level
     // box would keep it) and match parquet's native stats granularity.
-    spark.createDataset(files).repartition(slices)
+    val raw = spark.createDataset(files).repartition(slices)
       .mapPartitions { it =>
         it.flatMap { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f), ser.value)
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(ser.value).getFileStatus(p)
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, ser.value)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try {
             val blocks = r.getFooter.getBlocks
             (0 until blocks.size()).map { b =>
               val cols = blocks.get(b).getColumns
-              var uMin: Option[Long] = None; var uMax: Option[Long] = None
-              var dMin: Option[Long] = None; var dMax: Option[Long] = None
+              val mins = scala.collection.mutable.Map.empty[String, Long]
+              val maxs = scala.collection.mutable.Map.empty[String, Long]
               (0 until cols.size()).foreach { c =>
                 val cc = cols.get(c)
-                val st = cc.getStatistics
-                if (st != null && st.hasNonNullValue) {
-                  cc.getPath.toDotString match {
-                    case "user_id" =>
-                      uMin = Some(st.genericGetMin.asInstanceOf[Number].longValue)
-                      uMax = Some(st.genericGetMax.asInstanceOf[Number].longValue)
-                    case "day_idx" =>
-                      dMin = Some(st.genericGetMin.asInstanceOf[Number].longValue)
-                      dMax = Some(st.genericGetMax.asInstanceOf[Number].longValue)
-                    case _ =>
+                val name = cc.getPath.toDotString
+                val stat = cc.getStatistics
+                if (wanted.contains(name) && stat != null && stat.hasNonNullValue) {
+                  (stat.genericGetMin, stat.genericGetMax) match {
+                    case (mn: Number, mx: Number) =>
+                      mins(name) = mn.longValue; maxs(name) = mx.longValue
+                    case _ => // non-numeric physical type: no stats row
                   }
                 }
               }
-              (f, b, uMin, uMax, dMin, dMax)
+              (f, b, st.getLen, st.getModificationTime, mins.toMap, maxs.toMap)
             }.toVector
           } finally r.close()
         }
       }
-      .toDF("file", "rg", "u_min", "u_max", "d_min", "d_max")
+      .toDF("file", "rg", "bytes", "mtime", "mins", "maxs")
+    // flatten the maps into the self-describing <col>__min/__max pairs
+    // (absent stats surface as NULL and prune as always-overlap)
+    raw.select(
+      col("file") +: col("rg") +: col("bytes") +: col("mtime") +:
+        statCols.flatMap(c => Seq(
+          element_at(col("mins"), c).as(s"${c}__min"),
+          element_at(col("maxs"), c).as(s"${c}__max"))): _*)
   }
 
   /** Build + commit the manifest beside the layout (overwrite mode —
     * the parquet committer's _SUCCESS is the commit marker, same
     * protocol as the layout write itself). */
-  private[graft] def writeManifest(spark: SparkSession, path: String): Unit =
-    footerManifest(spark, path)
+  private[graft] def writeManifest(spark: SparkSession, path: String,
+      statCols: Seq[String] = ZDims): Unit =
+    footerManifest(spark, path, statCols)
       .coalesce(1) // rows = files: metadata scale by construction
       .write.mode("overwrite").parquet(s"$path/$ManifestDir")
 
   /** The committed manifest, or a freshly-built one for a layout that
     * predates manifests (backfill — still the distributed job, never
-    * the driver loop). */
-  private[graft] def loadManifest(spark: SparkSession, path: String): DataFrame = {
+    * the driver loop). `statCols` matters only for the backfill; a
+    * committed manifest carries its own dimensions in its schema. */
+  private[graft] def loadManifest(spark: SparkSession, path: String,
+      statCols: Seq[String] = ZDims): DataFrame = {
     val mf = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
     val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(mf, "_SUCCESS")))
       spark.read.parquet(mf.toString)
-    else footerManifest(spark, path)
+    else footerManifest(spark, path, statCols)
   }
 
   /** File-level data skipping over the z-ordered layout, FROM THE
@@ -602,7 +673,27 @@ object Layout {
     * kept set is IDENTICAL to the legacy footer-read path's and that
     * the skip cannot happen on a hash-shuffled copy of the same rows. */
   private[graft] def zorderPrunedScan(spark: SparkSession, path: String,
-      uLo: Long, uHi: Long, dLo: Int, dHi: Int): (DataFrame, Seq[String], Int) = {
+      uLo: Long, uHi: Long, dLo: Int, dHi: Int): (DataFrame, Seq[String], Int) =
+    zorderPrunedScanBox(spark, path,
+      Seq(("user_id", uLo, uHi), ("day_idx", dLo.toLong, dHi.toLong)))
+
+  /** The generic conjunctive-box form (r20): prune on ANY subset of
+    * the manifest's stat dimensions. A bound whose column carries no
+    * stats in the manifest keeps every file (pruning may only skip
+    * provably empty files); the row predicate re-applies every bound
+    * regardless, so a stats gap degrades cost, never correctness.
+    *
+    * `schemaHint` feeds the kept-empty result: an empty frame is
+    * built from the KNOWN layout schema, never by re-reading an
+    * arbitrary manifest-listed file that a compaction/replay may have
+    * deleted since (r19 ADVICE); without a hint it falls back to one
+    * planning-time directory schema read. Also guards an entirely
+    * EMPTY manifest (zero files) instead of crashing. */
+  private[graft] def zorderPrunedScanBox(spark: SparkSession, path: String,
+      bounds: Seq[(String, Long, Long)],
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : (DataFrame, Seq[String], Int) = {
+    require(bounds.nonEmpty, "pruned scan needs at least one bound")
     // a row group overlaps when every dimension's [min,max] intersects
     // the box; ABSENT stats coalesce to always-overlap (pruning may
     // only skip provably empty files). The filter runs DISTRIBUTED
@@ -610,24 +701,32 @@ object Layout {
     // row per FILE reaches the driver, which must hold the kept names
     // regardless to construct the read (what a table format's planner
     // holds too).
-    val overlaps =
-      coalesce(col("u_max"), lit(Long.MaxValue)) >= uLo &&
-      coalesce(col("u_min"), lit(Long.MinValue)) <= uHi &&
-      coalesce(col("d_max"), lit(Long.MaxValue)) >= dLo &&
-      coalesce(col("d_min"), lit(Long.MinValue)) <= dHi
-    val perFile = loadManifest(spark, path)
+    val mf = loadManifest(spark, path, bounds.map(_._1))
+    val have = mf.columns.toSet
+    val overlaps = bounds.map { case (c, lo, hi) =>
+      if (have.contains(s"${c}__min"))
+        coalesce(col(s"${c}__max"), lit(Long.MaxValue)) >= lo &&
+          coalesce(col(s"${c}__min"), lit(Long.MinValue)) <= hi
+      else lit(true) // manifest predates this dimension: keep the file
+    }.reduce(_ && _)
+    val perFile = mf
       .groupBy(col("file"))
       .agg(max(when(overlaps, 1).otherwise(0)).as("k")) // any row group overlaps
       .collect()
     val kept = perFile.filter(_.getInt(1) == 1).map(_.getString(0)).sorted
     val total = perFile.length
-    val manifest = perFile // kept-empty fallback needs any file name
-    val pred = col("user_id").between(uLo, uHi) &&
-      col("day_idx").between(dLo, dHi)
+    val pred = bounds.map { case (c, lo, hi) => col(c).between(lo, hi) }
+      .reduce(_ && _)
     val df =
-      if (kept.isEmpty)
-        spark.read.parquet(manifest.head.getString(0)).where(lit(false))
-      else spark.read.parquet(kept.toIndexedSeq: _*).where(pred)
+      if (kept.nonEmpty) spark.read.parquet(kept.toIndexedSeq: _*).where(pred)
+      else schemaHint match {
+        case Some(s) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None =>
+          // schema from the layout DIRECTORY (robust to any single
+          // file having been compacted away), filtered to nothing
+          spark.read.parquet(path).where(lit(false))
+      }
     (df, kept.toIndexedSeq, total)
   }
 
@@ -636,7 +735,13 @@ object Layout {
     * path (kept-file sets must be identical) — not reachable from any
     * query. Each footer open increments [[driverFooterReads]]. */
   private[graft] def zorderPrunedScanFooters(spark: SparkSession, path: String,
-      uLo: Long, uHi: Long, dLo: Int, dHi: Int): (DataFrame, Seq[String], Int) = {
+      uLo: Long, uHi: Long, dLo: Int, dHi: Int): (DataFrame, Seq[String], Int) =
+    zorderPrunedScanFootersBox(spark, path,
+      Seq(("user_id", uLo, uHi), ("day_idx", dLo.toLong, dHi.toLong)))
+
+  private[graft] def zorderPrunedScanFootersBox(spark: SparkSession,
+      path: String, bounds: Seq[(String, Long, Long)])
+      : (DataFrame, Seq[String], Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
@@ -644,6 +749,7 @@ object Layout {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
         st.getLen > 0)
       .map(_.getPath.toString).sorted
+    val byCol = bounds.map { case (c, lo, hi) => c -> ((lo, hi)) }.toMap
     def overlaps(file: String): Boolean = {
       driverFooterReads.incrementAndGet()
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -654,34 +760,30 @@ object Layout {
         // any row group overlapping the box keeps the file
         (0 until blocks.size()).exists { b =>
           val cols = blocks.get(b).getColumns
-          var uOk = true; var dOk = true
+          var ok = true
           (0 until cols.size()).foreach { c =>
             val cc = cols.get(c)
-            val name = cc.getPath.toDotString
             val st = cc.getStatistics
-            if (st != null && st.hasNonNullValue) {
-              if (name == "user_id") {
+            byCol.get(cc.getPath.toDotString).foreach { case (lo, hi) =>
+              if (st != null && st.hasNonNullValue) {
                 val mn = st.genericGetMin.asInstanceOf[Number].longValue
                 val mx = st.genericGetMax.asInstanceOf[Number].longValue
-                uOk = mx >= uLo && mn <= uHi
-              } else if (name == "day_idx") {
-                val mn = st.genericGetMin.asInstanceOf[Number].longValue
-                val mx = st.genericGetMax.asInstanceOf[Number].longValue
-                dOk = mx >= dLo && mn <= dHi
+                ok = ok && mx >= lo && mn <= hi
               }
             }
           }
-          uOk && dOk
+          ok
         }
       } finally r.close()
     }
     val kept = files.filter(overlaps)
-    val pred = col("user_id").between(uLo, uHi) &&
-      col("day_idx").between(dLo, dHi)
+    val pred = bounds.map { case (c, lo, hi) => col(c).between(lo, hi) }
+      .reduce(_ && _)
     val df =
       if (kept.isEmpty)
         // no file can match: correct empty result, schema preserved
-        spark.read.parquet(files.head).where(lit(false))
+        // from the directory (never one arbitrary file)
+        spark.read.parquet(path).where(lit(false))
       else spark.read.parquet(kept.toIndexedSeq: _*).where(pred)
     (df, kept.toIndexedSeq, files.length)
   }

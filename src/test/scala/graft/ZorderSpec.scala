@@ -124,7 +124,7 @@ class ZorderSpec extends SparkSpec {
       .repartitionByRange(8, col("z")).sortWithinPartitions("z"), "ext")
     Layout.writeManifest(spark, dir)
 
-    val added = Layout.zorderExtendRows(spark, dir, delta, deltaFiles = 4)
+    val added = Layout.zorderExtendRows(spark, dir, delta, deltaFiles = 4, gen = 1L)
     assert(added.nonEmpty, "extension added no files")
 
     // manifest after extension ≡ a fresh full footer scan, row for row
@@ -155,7 +155,7 @@ class ZorderSpec extends SparkSpec {
     val base = eventsZ.where(col("day_idx") < cut).withColumn("z", lit(0L))
     val delta = eventsZ.where(col("day_idx") >= cut).drop("day_idx")
     val dir = stage(base, "extnm") // note: NO writeManifest — the backfill path
-    Layout.zorderExtendRows(spark, dir, delta, deltaFiles = 2)
+    Layout.zorderExtendRows(spark, dir, delta, deltaFiles = 2, gen = 1L)
     val loaded = Layout.loadManifest(spark, dir).collect().map(_.toSeq)
     val fresh = Layout.footerManifest(spark, dir).collect().map(_.toSeq)
     assert(loaded.toSet == fresh.toSet)
@@ -234,6 +234,115 @@ class ZorderSpec extends SparkSpec {
     assert(kept.length < total, "user-sorted layout should prune on the user box")
     assert(Layout.driverFooterReads.get() == before,
       "manifest-pruned scan opened parquet footers on the driver")
+  }
+
+  test("generalized dims: a second layout over (event_id, user_id) prunes and stays exact") {
+    // a DIFFERENT clustering: sort on event_id — its stats are tight,
+    // user_id's are not. Manifest carries BOTH as requested dims.
+    val dims = Seq("event_id", "user_id")
+    val dir = stage(eventsZ.repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id"), "dims2")
+    Layout.writeManifest(spark, dir, dims)
+    val nAll = spark.read.parquet(dir).count()
+    val boxes = Seq(
+      Seq(("event_id", 0L, nAll / 10), ("user_id", 0L, Long.MaxValue >> 1)),
+      Seq(("event_id", nAll / 2, nAll / 2 + 50L)),
+      Seq(("user_id", Layout.ZUserLo, Layout.ZUserHi)))
+    for (bounds <- boxes) {
+      val (df, viaManifest, total) = Layout.zorderPrunedScanBox(spark, dir, bounds)
+      val (_, viaFooters, tF) = Layout.zorderPrunedScanFootersBox(spark, dir, bounds)
+      assert(viaManifest == viaFooters, s"kept sets differ for $bounds")
+      assert(total == tF)
+      // pruned ≡ unpruned, row for row
+      val want = eventsZ
+        .where(bounds.map { case (c, lo, hi) => col(c).between(lo, hi) }
+          .reduce(_ && _))
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      val got = df.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"pruned scan drifted for $bounds")
+    }
+    // the event_id-sorted layout actually skips on an event_id box
+    val (_, kept, total) = Layout.zorderPrunedScanBox(spark, dir,
+      Seq(("event_id", 0L, nAll / 10)))
+    assert(kept.length < total, "event_id-clustered layout pruned nothing")
+  }
+
+  test("extend refuses a reused generation; retry=true replays it idempotently") {
+    val cut = 19745
+    val base = eventsZ.where(col("day_idx") < cut).withColumn("z", lit(0L))
+    val delta = eventsZ.where(col("day_idx") >= cut).drop("day_idx")
+    val dir = stage(base, "gencol")
+    Layout.writeManifest(spark, dir)
+    val want = eventsZ.count()
+    Layout.zorderExtendRows(spark, dir, delta, deltaFiles = 2, gen = 7L)
+    assert(spark.read.parquet(dir).count() == want)
+    // a SECOND distinct extension reusing gen 7 must fail loudly, and
+    // must not have deleted the first extension's data
+    val e = intercept[IllegalArgumentException] {
+      Layout.zorderExtendRows(spark, dir, delta.limit(5), deltaFiles = 1, gen = 7L)
+    }
+    assert(e.getMessage.contains("distinct gens"))
+    assert(spark.read.parquet(dir).count() == want, "refused extend lost data")
+    // an explicit RETRY of gen 7 replays without duplicating rows, and
+    // the manifest stays footer-exact (compensation before delete)
+    Layout.zorderExtendRows(spark, dir, delta, deltaFiles = 2, gen = 7L, retry = true)
+    assert(spark.read.parquet(dir).count() == want, "retry duplicated rows")
+    val loaded = Layout.loadManifest(spark, dir).collect().map(_.toSeq).toSet
+    val fresh = Layout.footerManifest(spark, dir).collect().map(_.toSeq).toSet
+    assert(loaded == fresh)
+  }
+
+  test("ingest replay AFTER manifest compaction cannot duplicate or orphan rows") {
+    val cut = 19745
+    val base = eventsZ.where(col("day_idx") < cut).withColumn("z", lit(0L))
+    val delta = eventsZ.where(col("day_idx") >= cut).drop("day_idx")
+    val dir = stage(base, "ingcmp")
+    Layout.writeManifest(spark, dir)
+    val want = eventsZ.count()
+    Layout.zorderIngestBatch(spark, dir, 5L, delta)
+    // COMPACTION folds batch 5's segment into the base manifest
+    Layout.writeManifest(spark, dir)
+    // replay batch 5 (foreachBatch crash-replay): the base rows for
+    // ingest-b5-* must be compensated before its files are rewritten
+    Layout.zorderIngestBatch(spark, dir, 5L, delta)
+    assert(spark.read.parquet(dir).count() == want,
+      "post-compaction replay duplicated rows")
+    val loaded = Layout.loadManifest(spark, dir).collect().map(_.toSeq).toSet
+    val fresh = Layout.footerManifest(spark, dir).collect().map(_.toSeq).toSet
+    assert(loaded == fresh, "manifest lists stale/duplicate rows after replay")
+    // every manifest-listed file exists: a concurrent reader can never
+    // prune to a deleted path
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = Layout.loadManifest(spark, dir).select("file")
+      .distinct().collect().map(_.getString(0))
+    assert(listed.forall(f => fs.exists(new org.apache.hadoop.fs.Path(f))),
+      "manifest lists a nonexistent file")
+    // pruning still live and exact
+    val (df, _, _) = Layout.zorderPrunedScan(spark, dir,
+      Layout.ZUserLo, Layout.ZUserHi, Layout.ZDayLo, Layout.ZDayHi)
+    val wantIds = eventsZ
+      .where(col("user_id").between(Layout.ZUserLo, Layout.ZUserHi) &&
+        col("day_idx").between(Layout.ZDayLo, Layout.ZDayHi))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(df.select("event_id").collect().map(_.getLong(0)).sorted.toSeq == wantIds)
+  }
+
+  test("kept-empty and empty-layout fallbacks: schema hint, no manifest.head crash") {
+    // an EMPTY layout (zero data files, committed empty manifest)
+    // previously crashed on manifest.head; with a schema hint it
+    // returns an explicitly-schemaed empty frame
+    val dir = java.nio.file.Files.createTempDirectory("graft-z-mt").toString
+    eventsZ.limit(0).write.mode("overwrite").parquet(s"$dir/seed") // schema donor
+    val hint = spark.read.parquet(s"$dir/seed").schema
+    val empty = s"$dir/layout"
+    new java.io.File(empty).mkdirs()
+    Layout.writeManifest(spark, empty) // zero files -> empty manifest
+    val (df, kept, total) = Layout.zorderPrunedScanBox(spark, empty,
+      Seq(("user_id", 0L, 10L)), schemaHint = Some(hint))
+    assert(kept.isEmpty && total == 0)
+    assert(df.schema == hint)
+    assert(df.count() == 0L)
   }
 
   test("z-value interleave: known bit patterns") {
