@@ -811,11 +811,35 @@ object Layout {
        |  AND CAST(ts AS DATE) - DATE '1970-01-01' BETWEEN $ZDayLo AND $ZDayHi
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** `q_zorder_scan_sql` (r20): the SAME box aggregate as
+    * [[qZorderScan]], but reached through the standard read surface —
+    * `spark.read.format("graftz")` + a SQL query over a temp view —
+    * instead of the private pruned-scan API. The WHERE clause travels
+    * SQL → Catalyst → `FileScanBuilder.pushFilters` →
+    * [[graft.sources.GraftZFileIndex.listFiles]], so manifest file
+    * skipping happens with zero graft-specific calls in the query
+    * (GraftZSpec pins the executed scan's file set against the
+    * manifest-kept set). Oracle: identical aggregate from the RAW
+    * events table — a pruning bug is a value mismatch. */
+  def qZorderScanSql(spark: SparkSession, dir: String): DataFrame = {
+    val path = zorderedEvents(spark, dir)
+    val view = s"graftz_events_${stageTag(dir)}"
+    spark.read.format("graftz").load(path).createOrReplaceTempView(view)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+         |FROM $view
+         |WHERE user_id BETWEEN $ZUserLo AND $ZUserHi
+         |  AND day_idx BETWEEN $ZDayLo AND $ZDayHi
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
     "layout_zorder" -> (layoutZorder _),
     "q_zorder_scan" -> (qZorderScan _),
+    "q_zorder_scan_sql" -> (qZorderScanSql _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -823,5 +847,6 @@ object Layout {
     "q_partition_prune" -> qPartitionPruneOracle,
     "layout_zorder" -> layoutZorderOracle,
     "q_zorder_scan" -> qZorderScanOracle,
+    "q_zorder_scan_sql" -> qZorderScanOracle, // same truth, different read path
   )
 }

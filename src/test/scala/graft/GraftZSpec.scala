@@ -1,0 +1,156 @@
+package graft
+
+import graft.ops.Layout
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** The `graftz` DSv2 source: manifest data-skipping reached through
+  * `spark.read.format("graftz")` and SQL. Values are oracle-checked
+  * (`q_zorder_scan_sql`); these pin what the oracle cannot see — the
+  * executed scan plans tasks for EXACTLY the manifest-kept files, the
+  * pruning engages from plain SQL, and an extended layout re-resolves.
+  */
+class GraftZSpec extends SparkSpec {
+
+  private def stage(df: org.apache.spark.sql.DataFrame, name: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-gz-$name").toString
+    df.write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def eventsZ = {
+    import graft.ops.Sessions
+    Sessions.events(spark, sf)
+      .withColumn("day_idx",
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")))
+  }
+
+  private def zLayout(name: String, files: Int = Layout.ZFiles): String = {
+    val zv = (0 until Layout.ZBits).map { i =>
+      shiftleft(shiftright(col("user_id"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("day_idx"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    val dir = stage(eventsZ.withColumn("z", zv)
+      .repartitionByRange(files, col("z")).sortWithinPartitions("z"), name)
+    Layout.writeManifest(spark, dir)
+    dir
+  }
+
+  /** Every batch scan in the executed plan, descending through AQE
+    * boundaries: QueryStageExec's materialized plan is NOT a child
+    * node, so a plain collect is silently vacuous past a shuffle. */
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+    p.collect {
+      case b: BatchScanExec => Seq(b)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+    }.flatten
+
+  /** Distinct files the executed plan's batch scans actually planned
+    * tasks for. */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    df.collect() // finalize AQE
+    allScans(df.queryExecution.executedPlan)
+      .flatMap(_.inputPartitions)
+      .collect { case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq }
+      .flatten.distinct.sorted
+  }
+
+  private val boxPred =
+    col("user_id").between(Layout.ZUserLo, Layout.ZUserHi) &&
+      col("day_idx").between(Layout.ZDayLo, Layout.ZDayHi)
+
+  test("graftz scan plans tasks for exactly the manifest-kept files") {
+    val dir = zLayout("exact")
+    val df = spark.read.format("graftz").load(dir).where(boxPred)
+    val scanned = scannedFiles(df)
+    val (_, kept, total) = Layout.zorderPrunedScan(spark, dir,
+      Layout.ZUserLo, Layout.ZUserHi, Layout.ZDayLo, Layout.ZDayHi)
+    assert(kept.length < total, "fixture layout must actually prune")
+    assert(scanned == kept, s"scan read ${scanned.length} files, manifest kept ${kept.length}")
+    // and the values equal the raw-table filter, row for row
+    val want = eventsZ.where(boxPred)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = df.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("unfiltered graftz read sees every row; single-dimension filters prune too") {
+    val dir = zLayout("unf")
+    val all = spark.read.format("graftz").load(dir)
+    assert(all.count() == eventsZ.count())
+    // one-dimension predicate: still prunes (the z curve keeps BOTH
+    // dims' file stats tight), still exact
+    val one = spark.read.format("graftz").load(dir)
+      .where(col("user_id") === Layout.ZUserLo)
+    val scanned = scannedFiles(one)
+    assert(scanned.length < Layout.ZFiles, "user_id equality pruned nothing")
+    assert(one.count() ==
+      eventsZ.where(col("user_id") === Layout.ZUserLo).count())
+  }
+
+  test("SQL over a graftz temp view prunes files and matches the DataFrame path") {
+    val dir = zLayout("sql")
+    spark.read.format("graftz").load(dir).createOrReplaceTempView("gz_sql_spec")
+    val q = spark.sql(
+      s"""SELECT event_type, count(*) AS n FROM gz_sql_spec
+         |WHERE user_id BETWEEN ${Layout.ZUserLo} AND ${Layout.ZUserHi}
+         |  AND day_idx BETWEEN ${Layout.ZDayLo} AND ${Layout.ZDayHi}
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    val scanned = scannedFiles(q)
+    val (_, kept, total) = Layout.zorderPrunedScan(spark, dir,
+      Layout.ZUserLo, Layout.ZUserHi, Layout.ZDayLo, Layout.ZDayHi)
+    assert(kept.length < total)
+    assert(scanned == kept, "SQL WHERE did not reach the manifest index")
+    val want = eventsZ.where(boxPred).groupBy("event_type").count()
+      .orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("an extended layout re-resolves: new files visible, pruning intact") {
+    val cut = 19745
+    val zv = (0 until Layout.ZBits).map { i =>
+      shiftleft(shiftright(col("user_id"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("day_idx"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    val dir = stage(eventsZ.where(col("day_idx") < cut).withColumn("z", zv)
+      .repartitionByRange(8, col("z")).sortWithinPartitions("z"), "ext")
+    Layout.writeManifest(spark, dir)
+    val delta = eventsZ.where(col("day_idx") >= cut).drop("day_idx")
+    Layout.zorderExtendRows(spark, dir, delta, deltaFiles = 2, gen = 1L)
+    // a FRESH read resolves a fresh table -> fresh manifest snapshot
+    val df = spark.read.format("graftz").load(dir)
+    assert(df.count() == eventsZ.count(), "extension rows not visible via graftz")
+    val past = spark.read.format("graftz").load(dir)
+      .where(col("day_idx") >= cut && col("day_idx") <= cut + 30)
+    val scanned = scannedFiles(past)
+    assert(scanned.nonEmpty && scanned.forall(_.contains("/extend-g1-")),
+      s"delta-only box read base files: ${scanned.filterNot(_.contains("/extend-g1-"))}")
+  }
+
+  test("graftz refuses writes, pointing at the layout maintenance ops") {
+    val dir = zLayout("ro", files = 2)
+    val e = intercept[Exception] {
+      eventsZ.limit(1).write.format("graftz").mode("append").save(dir)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("maintenance"))),
+      s"unexpected write failure: $e")
+  }
+
+  test("column pruning reaches the parquet scan through graftz") {
+    val dir = zLayout("prune", files = 2)
+    val df = spark.read.format("graftz").load(dir).select("event_type")
+    df.collect()
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    val read = scans.head.scan.readSchema().fieldNames.toSeq
+    assert(read == Seq("event_type"),
+      s"2-column projection read more than it needed: $read")
+  }
+}
