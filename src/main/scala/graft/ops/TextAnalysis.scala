@@ -507,6 +507,17 @@ object TextAnalysis {
     * iteration table and the single-pass path's driver collect. */
   val BpeMinWordCountConf = "spark.graft.bpe.minWordCount"
 
+  /** Ceiling on the dictionary cardinality [[bpeTrainedMergesLocal]]
+    * will collect to the driver (`spark.graft.bpe.maxDictWords`). At
+    * true web scale the UNPRUNED distinct-word dictionary is hundreds
+    * of millions of strings and the collect would kill the driver with
+    * a generic OOM long after the corpus shuffle completed; this guard
+    * counts first (on the persisted shuffle output — no recompute) and
+    * fails loudly, naming the [[BpeMinWordCountConf]] dial that prunes
+    * the hapax tail. Default sized for a multi-GB driver heap. */
+  val BpeMaxDictWordsConf = "spark.graft.bpe.maxDictWords"
+  val BpeMaxDictWordsDefault = 20000000L
+
   private def bpeMinWordCount(spark: SparkSession): Long = {
     val v = spark.conf.get(BpeMinWordCountConf, "1").toLong
     require(v >= 1L, s"$BpeMinWordCountConf must be >= 1, got $v")
@@ -600,9 +611,20 @@ object TextAnalysis {
     * round-trips. */
   private[graft] def bpeTrainedMergesLocal(spark: SparkSession, dir: String,
       ranks: Int): Seq[(String, String, Long)] = {
-    val words = bpeWordCounts(spark, dir).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    bpeTrainOnDict(words, ranks)
+    val dict = bpeWordCounts(spark, dir).persist()
+    try {
+      val bound = spark.conf
+        .get(BpeMaxDictWordsConf, BpeMaxDictWordsDefault.toString).toLong
+      val n = dict.count() // reads the persisted shuffle output, not the corpus
+      require(n <= bound,
+        s"BPE training dictionary has $n distinct words, above the " +
+          s"$BpeMaxDictWordsConf bound of $bound: the driver-side collect " +
+          s"would OOM. Raise $BpeMinWordCountConf (currently " +
+          s"${bpeMinWordCount(spark)}) to prune the hapax tail, or raise " +
+          s"the bound if the driver heap allows.")
+      val words = dict.collect().map(r => (r.getString(0), r.getLong(1)))
+      bpeTrainOnDict(words, ranks)
+    } finally dict.unpersist()
   }
 
   /** UTF-8 byte-order comparison — Spark UTF8String / DuckDB collation. */

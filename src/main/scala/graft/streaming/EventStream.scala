@@ -395,14 +395,17 @@ object EventStream {
     * rows match the batch operator exactly for any arrival order
     * whose lateness stays inside [[LatenessHorizon]].
     *
-    * NoTimeout (the [[sessionCounts]] convention): a group re-runs
-    * only when it has data, so the `finalized` flip rides the user's
-    * NEXT activity — until then the provisional emission already
-    * reflects every admitted event, so a consumer that keeps the
-    * latest emission per click is correct either way. A deployment
-    * that needs the flag without further traffic would switch to
-    * EventTimeTimeout with a per-group timeout at the click horizon —
-    * same fold, one more state field. */
+    * EventTimeTimeout (unlike [[sessionCounts]]'s NoTimeout): a group
+    * with a non-empty buffer arms a wake-up at its EARLIEST buffered
+    * instant, so when the global watermark (advanced by ANY key's
+    * traffic) passes a buffered click, the group re-runs with an empty
+    * batch and finalizes it — a user who goes silent after clicking
+    * still gets the `finalized` flip at the lateness horizon instead
+    * of waiting for their own next event. The timeout invocation runs
+    * the SAME fold on an empty arrival set, so it can only move
+    * buffered events into the durable carry exactly as a data-driven
+    * invocation at that watermark would — stream≡batch is unaffected,
+    * latency-to-finalized improves. */
   def lastTouchStream(events: DataFrame)(implicit spark: SparkSession)
       : Dataset[ClickAttribution] = {
     import spark.implicits._
@@ -414,19 +417,31 @@ object EventStream {
         col("event_id"), col("event_type"), col("ts"))
       .as[AttrEv]
     evs.groupByKey(_.user_id).flatMapGroupsWithState(
-      OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+      OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(
       (user: Long, batch: Iterator[AttrEv], state: GroupState[LastTouchState]) => {
-        val wm = state.getCurrentWatermarkMs() * 1000L
+        val wmMs = state.getCurrentWatermarkMs()
+        val wm = wmMs * 1000L
         val st = state.getOption.getOrElse(
           LastTouchState(0L, Long.MinValue, Long.MinValue, Nil))
-        val arrived = batch
-          .map(e => AttrBufEv(e.tsMicros, e.event_id, e.event_type == "view"))
-          .filter(_.tsMicros >= wm).toSeq
+        // A timeout invocation carries no data — it re-runs the fold at
+        // the advanced watermark so buffered events graduate on time.
+        val arrived =
+          if (state.hasTimedOut) Nil
+          else batch
+            .map(e => AttrBufEv(e.tsMicros, e.event_id, e.event_type == "view"))
+            .filter(_.tsMicros >= wm).toSeq
         val nSeen = st.nSeen + arrived.size
         val (safe, held) = (st.buf ++ arrived).partition(_.tsMicros < wm)
         val (vUs, vId, finals) =
           foldLastTouch(user, st.viewUs, st.viewId, safe, nSeen, fin = true)
         state.update(LastTouchState(nSeen, vUs, vId, held))
+        if (held.nonEmpty) {
+          // Wake when the watermark passes the earliest buffered event;
+          // must be strictly ahead of the current watermark. A stale
+          // wake-up on an already-drained buffer folds nothing — safe.
+          val wake = math.max(held.map(_.tsMicros).min / 1000L + 1L, wmMs + 1L)
+          state.setTimeoutTimestamp(wake)
+        }
         val (_, _, prov) = foldLastTouch(user, vUs, vId, held, nSeen, fin = false)
         (finals ++ prov).iterator
       })

@@ -127,7 +127,9 @@ class BpeTrainSpec extends SparkSpec {
     // point of the collected path (the distributed loop costs 2+ jobs
     // per rank; 320 ranks would be 600+).
     assert(j256 == j320, s"job count grew with rank count: $j256 vs $j320")
-    assert(j256 <= 4, s"collected trainer ran $j256 jobs — expected dictionary-collect only")
+    assert(j256 <= 6,
+      s"collected trainer ran $j256 jobs — expected dictionary shuffle + " +
+        "cardinality guard + collect only")
     // Greedy training is deterministic, so the longer run's prefix is
     // exactly the shorter run.
     assert(m320.take(256) == m256)
@@ -166,6 +168,42 @@ class BpeTrainSpec extends SparkSpec {
     // …must not leak into the default path once the dial is unset
     assert(TextAnalysis.bpeTrainedMerges(spark, sf)
       == referenceTrain(words, TextAnalysis.BpeTrainRanks))
+  }
+
+  test("maxDictWords guard trips loudly pre-collect, and a dialed prune passes it") {
+    import org.apache.spark.sql.functions._
+    val distinctWords = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Bound below the unpruned cardinality: the collect must be refused
+    // with an error that names the pruning dial, not a driver OOM.
+    val bound = 3L
+    assert(distinctWords.size > bound)
+    spark.conf.set(TextAnalysis.BpeMaxDictWordsConf, bound.toString)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        TextAnalysis.bpeTrainedMergesLocal(spark, sf, TextAnalysis.BpeTrainRanks)
+      }
+      assert(e.getMessage.contains(TextAnalysis.BpeMinWordCountConf),
+        s"guard error must name the pruning dial: ${e.getMessage}")
+      assert(e.getMessage.contains(TextAnalysis.BpeMaxDictWordsConf))
+      // Dialing minWordCount up prunes the dictionary under the bound;
+      // the same call then trains, and exactly on the pruned reference.
+      // smallest cutoff whose kept set fits the bound (tie-safe)
+      val minC = distinctWords.values.toSeq.distinct
+        .sorted(Ordering[Long].reverse)
+        .filter(c => distinctWords.count(_._2 >= c) <= bound)
+        .lastOption.getOrElse(fail("no cutoff fits the bound — raise it"))
+      val pruned = distinctWords.filter(_._2 >= minC)
+      assert(pruned.nonEmpty && pruned.size <= bound)
+      spark.conf.set(TextAnalysis.BpeMinWordCountConf, minC.toString)
+      try {
+        val got = TextAnalysis.bpeTrainedMergesLocal(spark, sf, TextAnalysis.BpeTrainRanks)
+        assert(got == referenceTrain(pruned, TextAnalysis.BpeTrainRanks))
+      } finally spark.conf.unset(TextAnalysis.BpeMinWordCountConf)
+    } finally spark.conf.unset(TextAnalysis.BpeMaxDictWordsConf)
   }
 
   test("trained merges persist as an IndexStore artifact: fresh process loads, not rebuilds") {

@@ -437,6 +437,46 @@ class StreamingSpec extends SparkSpec {
       s"final attribution should be the straggler view 3, got ${fin.get(3)}")
   }
 
+  test("last-touch finalizes a silent user's click via event-time timeout") {
+    implicit val s = spark
+    import s.implicits._
+    val in = tmp("lt-to-in")
+    def ts(min: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-04-01 08:00:00").getTime + min * 60000L)
+    // b1: user 7's view then click — and user 7 NEVER appears again.
+    // b2/b3: user 9 alone marches the watermark (2 h horizon) past the
+    // click. With NoTimeout the click's finalized flip would ride user
+    // 7's next activity — which never comes; EventTimeTimeout must wake
+    // the group on watermark alone and finalize it.
+    val b1 = Seq((1L, ts(0), 7L, "view", 1.0, "{}"),
+                 (2L, ts(20), 7L, "click", 1.0, "{}"))
+    val b2 = Seq((3L, ts(400), 9L, "view", 1.0, "{}"))
+    val b3 = Seq((4L, ts(401), 9L, "view", 1.0, "{}"))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      val stage = tmp(s"lt-to-stage$i")
+      b.toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(in, f"batch$i%03d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val tsType = spark.read.parquet(in).schema("ts").dataType
+    val stream = graft.ops.Sessions.normalizeTs(
+      spark.readStream.schema(EventStream.eventsSchema(tsType))
+        .option("maxFilesPerTrigger", 1).parquet(in))
+    EventStream.runToMemory(EventStream.lastTouchStream(stream).toDF(), "lt_to_mem")
+    val rows = spark.table("lt_to_mem").collect().filter(_.getLong(1) == 2L)
+    assert(rows.nonEmpty, "click 2 never emitted")
+    val fin = rows.maxBy(x => (x.getBoolean(6), x.getLong(5)))
+    assert(fin.getBoolean(6),
+      "click never finalized: the event-time timeout did not fire for the silent user")
+    assert(fin.getLong(3) == 1L,
+      s"timeout-path fold diverged: expected view 1, got ${fin.get(3)}")
+  }
+
   test("last-touch state survives a checkpoint restart (run 2 never re-reads run 1)") {
     implicit val s = spark
     import s.implicits._
