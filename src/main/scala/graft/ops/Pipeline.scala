@@ -149,6 +149,52 @@ object Pipeline {
       .orderBy(orderCols: _*)
   }
 
+  /** Writer-side schema EVOLUTION roundtrip (r20): one stream carrying
+    * frames from two producer GENERATIONS — even keys encoded under the
+    * original flat schema (id 42), odd keys under an EXTENDED schema
+    * (id 43) that appends a new string field `l_note` — decoded in ONE
+    * [[AvroCodec.from_avro_rows]] pass under the extended nullable
+    * reader. Old-generation rows resolve the added field to the
+    * reader's `"default": null`; new-generation rows carry their
+    * written value. This is the write-path dual of the reader-side
+    * resolution SchemaEvolutionSpec pins (the reference consumer's
+    * implicit evolution surface, `kafkaavro/consumer.go:178-189`): it
+    * proves the ENGINE'S OWN encoder produces frames that standard
+    * Avro resolution migrates, not just that the decoder accepts
+    * foreign generations. The extension is pure metadata — a second
+    * FixedField on the same compiled schema — so a rolling producer
+    * upgrade is a config push, not an encoder change. */
+  def avroEvolutionRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val oldId = 42; val newId = 43
+    val ext = lineitemFixed.copy(fields =
+      lineitemFixed.fields :+ graft.schema.FixedField("l_note", 16, "string", None))
+    val df = lineitem(spark, dir)
+    val oldFrames = df.where(col("l_orderkey") % 2 === 0).select(
+      AvroCodec.to_avro_confluent(lineitemFixed.fields.map(f => col(f.name)),
+        lineitemFixed.avroJson, oldId).as("value"))
+    val newFrames = df.where(col("l_orderkey") % 2 === 1)
+      .withColumn("l_note", concat(lit("n"), col("l_orderkey").cast("string")))
+      .select(AvroCodec.to_avro_confluent(ext.fields.map(f => col(f.name)),
+        ext.avroJson, newId).as("value"))
+    // barrier before the decode projection — the standard anti-recompute
+    // guard every sibling roundtrip documents.
+    barrier(oldFrames.union(newFrames))
+      .select(AvroCodec.from_avro_rows(col("value"),
+        Map(oldId -> lineitemFixed.avroJson, newId -> ext.avroJson),
+        ext.nullableAvroJson, ext.sparkSchema))
+      .orderBy(ext.fields.map(f => col(f.name)): _*)
+  }
+
+  val avroEvolutionOracle: String =
+    s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+       |       l_shipdate,
+       |       CASE WHEN l_orderkey % 2 = 1 THEN 'n' || CAST(l_orderkey AS VARCHAR)
+       |            ELSE NULL END AS l_note
+       |FROM lineitem
+       |ORDER BY ${(lineitemFixed.fields.map(_.name) :+ "l_note")
+                    .map(n => s"$n NULLS FIRST").mkString(", ")}""".stripMargin
+
   val avroNullableOracle: String =
     s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
        |       CASE WHEN l_orderkey % 5 = 0 THEN NULL ELSE l_quantity END AS l_quantity,
@@ -321,6 +367,7 @@ object Pipeline {
     "fixedwidth_compat_spacepad" -> (compatSpacePad _),
     "avro_confluent_roundtrip" -> (avroRoundtrip _),
     "avro_nullable_roundtrip" -> (avroNullableRoundtrip _),
+    "avro_evolution_roundtrip" -> (avroEvolutionRoundtrip _),
     "fixedwidth_toavro_fused" -> (fixedToAvroRoundtrip _),
     "fixedwidth_toavro_nullable_fused" -> (fixedToAvroNullableFused _),
     "fixedwidth_toavro_strict" -> (fixedToAvroStrict _),
@@ -335,6 +382,7 @@ object Pipeline {
     "fixedwidth_compat_spacepad" -> compatSpacePadOracle,
     "avro_confluent_roundtrip" -> identityOracle,
     "avro_nullable_roundtrip" -> avroNullableOracle,
+    "avro_evolution_roundtrip" -> avroEvolutionOracle,
     "fixedwidth_toavro_fused" -> identityOracle,
     "fixedwidth_toavro_nullable_fused" -> fixedToAvroNullableOracle,
     "fixedwidth_toavro_strict" -> fixedToAvroStrictOracle,
