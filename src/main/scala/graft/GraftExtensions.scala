@@ -147,6 +147,23 @@ object GraftExtensions {
       graft.functions.CappedCollect.CappedSortedIds(
         es(0), intLit("capped_sorted_ids", "cap", es(1)))
     },
+    fn("kll_sketch_agg",
+      "_FUNC_(value, k) - aggregate: KLL quantile sketch of a double column as BINARY " +
+        "(mergeable via kll_merge_agg, read via kll_quantile)") { es =>
+      arity("kll_sketch_agg", "(value, k)", es, 2)
+      graft.functions.KllSketch.KllSketchAgg(
+        es(0), intLit("kll_sketch_agg", "k", es(1)))
+    },
+    fn("kll_merge_agg",
+      "_FUNC_(sk) - aggregate: merge serialized KLL sketches into one BINARY sketch") { es =>
+      arity("kll_merge_agg", "(sk)", es, 1)
+      graft.functions.KllSketch.KllMergeAgg(es(0))
+    },
+    fn("kll_quantile",
+      "_FUNC_(sk, q) - value at rank ceil(q*n) of a serialized KLL sketch") { es =>
+      arity("kll_quantile", "(sk, q)", es, 2)
+      graft.functions.KllSketch.KllQuantile(es(0), es(1))
+    },
     // The confluent_* builders restate graft.functions.Confluent's
     // Column compositions as direct catalyst trees: a builder returning
     // a Column-derived expression hands the analyzer an opaque

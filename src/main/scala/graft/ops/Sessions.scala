@@ -638,6 +638,68 @@ object Sessions {
        |SELECT day, active_7d, CAST(TRUE AS BOOLEAN) AS sketch_within_bound
        |FROM wau ORDER BY day""".stripMargin
 
+  /** KLL geometry for [[eventsQuantilesKllDaily]]: k=256 concentrates
+    * rank error well inside ±1%; the gate allows 1.5% — the same
+    * ~3-sigma headroom [[SketchActivesBound]] gives HLL, loose enough
+    * to never flake under partial-merge order variation, tight enough
+    * to catch any wiring mistake. */
+  val KllK = 256
+  val KllRankTol = 0.015
+
+  /** `events_quantiles_kll_daily`: per-type quantiles via a DURABLE
+    * mergeable KLL sketch table — the 100 TB form of
+    * [[eventsQuantiles]]'s inline `percentile_approx`, and the
+    * quantile twin of [[eventsSketchActives]]'s daily HLL table. The
+    * event log is touched once into per-(type, day) sketches
+    * ([[graft.functions.KllSketch]], ~KB each, map-side combined like
+    * any partial agg); the per-type quantile then reads off a MERGE of
+    * the daily blobs — the stored sketch table answers arbitrary date
+    * ranges later without re-touching the log, which the built-in
+    * `percentile_approx` (sketch confined to one query's buffer)
+    * cannot. Emits the exact p50/p95 (oracle-pinned) next to the
+    * sketch's rank-interval gate: the returned value v spans empirical
+    * ranks (cdf(<v), cdf(<=v)], and the sketch meets its contract iff
+    * that interval comes within [[KllRankTol]] of the target — the
+    * [[QuantileApproxRankTol]] discipline, both bounds, tie-safe. */
+  def eventsQuantilesKllDaily(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KllSketch.{kll_merge_agg, kll_quantile, kll_sketch_agg}
+    val ev = events(spark, dir).select(col("event_type"), col("ts"), col("value"))
+    val daily = ev
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy("event_type", "day")
+      .agg(kll_sketch_agg(col("value"), KllK).as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(kll_merge_agg(col("sk")).as("sk"))
+      .select(col("event_type"),
+        kll_quantile(col("sk"), lit(0.5)).as("kll50"),
+        kll_quantile(col("sk"), lit(0.95)).as("kll95"))
+    val exact = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      percentile(col("value"), lit(0.5)).as("ex50"),
+      percentile(col("value"), lit(0.95)).as("ex95"))
+    val cdfAt = ev.join(broadcast(merged), "event_type")
+      .groupBy("event_type").agg(
+        avg(when(col("value") <  col("kll50"), 1.0d).otherwise(0.0d)).as("cdf50lo"),
+        avg(when(col("value") <= col("kll50"), 1.0d).otherwise(0.0d)).as("cdf50hi"),
+        avg(when(col("value") <  col("kll95"), 1.0d).otherwise(0.0d)).as("cdf95lo"),
+        avg(when(col("value") <= col("kll95"), 1.0d).otherwise(0.0d)).as("cdf95hi"))
+    def near(lo: Column, hi: Column, q: Double) =
+      lo - KllRankTol <= q && hi + KllRankTol >= q
+    exact.join(cdfAt, "event_type")
+      .select(col("event_type"), col("n"),
+        round(col("ex50"), 6).as("p50"), round(col("ex95"), 6).as("p95"),
+        (near(col("cdf50lo"), col("cdf50hi"), 0.5) &&
+          near(col("cdf95lo"), col("cdf95hi"), 0.95)).as("kll_within_bound"))
+      .orderBy("event_type")
+  }
+
+  val eventsQuantilesKllOracle: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       round(quantile_cont(value, 0.5), 6) AS p50,
+      |       round(quantile_cont(value, 0.95), 6) AS p95,
+      |       CAST(TRUE AS BOOLEAN) AS kll_within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Value-partition count for the salted exact-distinct shape. 16
     * bounds the final merge at 16 rows per group key while splitting a
     * hot key's distinct-value stream 16 ways; at a real cluster scale
@@ -780,6 +842,7 @@ object Sessions {
     "events_json_props" -> (eventsJsonProps _),
     "events_funnel" -> (eventsFunnel _),
     "events_quantiles" -> (eventsQuantiles _),
+    "events_quantiles_kll_daily" -> (eventsQuantilesKllDaily _),
     "events_retention" -> (eventsRetention _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_top_paths" -> (eventsTopPaths _),
@@ -799,6 +862,7 @@ object Sessions {
     "events_json_props" -> eventsJsonPropsOracle,
     "events_funnel" -> eventsFunnelOracle,
     "events_quantiles" -> eventsQuantilesOracle,
+    "events_quantiles_kll_daily" -> eventsQuantilesKllOracle,
     "events_retention" -> eventsRetentionOracle,
     "events_anomaly" -> eventsAnomalyOracle,
     "events_top_paths" -> eventsTopPathsOracle,

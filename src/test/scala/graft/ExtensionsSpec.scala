@@ -33,6 +33,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(lsql == 9L + 16L)
   }
 
+  test("kll sketch family via SQL == Column API == exact order statistic") {
+    val s = registered
+    import s.implicits._
+    // sized below compaction (n=300 < k=512) so the sketch is exact and
+    // its reads are arrival-order-independent — SQL == Column is then a
+    // strict equality, not a tolerance check (the compacting regime's
+    // bounds are KllSketchSpec's job).
+    val rows = (1 to 300).map(i => (i % 4, (i * 37 % 1000).toDouble))
+    val df = rows.toDF("g", "v")
+    df.createOrReplaceTempView("kllvals")
+    val sql = s.sql(
+      """SELECT kll_quantile(kll_merge_agg(sk), 0.5d) AS p50
+        |FROM (SELECT g, kll_sketch_agg(v, 512) AS sk FROM kllvals GROUP BY g)"""
+        .stripMargin).head().getDouble(0)
+    val api = df.groupBy("g")
+      .agg(graft.functions.KllSketch.kll_sketch_agg(col("v"), 512).as("sk"))
+      .agg(graft.functions.KllSketch.kll_merge_agg(col("sk")).as("sk"))
+      .select(graft.functions.KllSketch.kll_quantile(col("sk"), lit(0.5)))
+      .head().getDouble(0)
+    assert(sql == api)
+    val exact = rows.map(_._2).sorted.apply(149) // rank ceil(0.5*300) = 150
+    assert(api == exact)
+  }
+
   test("pq_adc via SQL == lookup arithmetic") {
     val s = registered
     // 2 subspaces x 4 codewords; codes pick entries 1 and 6
