@@ -700,6 +700,72 @@ object Sessions {
       |       CAST(TRUE AS BOOLEAN) AS kll_within_bound
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Day count of [[eventsKllRange]]'s re-aggregated window. */
+  val KllRangeDays = 7
+
+  /** `events_kll_range`: an arbitrary date-range quantile answered
+    * from the STORED daily sketch table — the payoff
+    * [[eventsQuantilesKllDaily]] promises. The per-(type, day) KLL
+    * table persists as a content-fingerprinted [[IndexStore]] artifact
+    * (load-not-rebuild across processes, like the BPE merges and ANN
+    * codebooks); this query then merges only the first
+    * [[KllRangeDays]]-day window's blobs per type — at 100 TB the
+    * sketch side of any range query is a few KB per (type, day)
+    * touched, ZERO log reads. The range bound rides as a broadcast
+    * single-row scalar (min day — no driver action, no re-shuffle).
+    * The exact side re-reads the log only to power the oracle-pinned
+    * columns and the rank-interval gate, the standard gated-approx
+    * discipline. */
+  def eventsKllRange(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KllSketch.{kll_merge_agg, kll_quantile, kll_sketch_agg}
+    val daily = IndexStore.loadOrBuild(spark, dir, "events", "kll_daily_v1") {
+      events(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+        .groupBy("event_type", "day")
+        .agg(kll_sketch_agg(col("value"), KllK).as("sk"))
+    }
+    val bounds = broadcast(daily.agg(min(col("day")).as("lo"))
+      .select(col("lo"), date_add(col("lo"), KllRangeDays - 1).as("hi")))
+    val merged = daily
+      .join(bounds, col("day").between(col("lo"), col("hi")))
+      .groupBy("event_type").agg(kll_merge_agg(col("sk")).as("sk"))
+      .select(col("event_type"),
+        kll_quantile(col("sk"), lit(0.5)).as("kll50"),
+        kll_quantile(col("sk"), lit(0.95)).as("kll95"))
+    val ev = events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .join(bounds, col("day").between(col("lo"), col("hi")))
+      .select(col("event_type"), col("value"))
+    val exact = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      percentile(col("value"), lit(0.5)).as("ex50"),
+      percentile(col("value"), lit(0.95)).as("ex95"))
+    val cdfAt = ev.join(broadcast(merged), "event_type")
+      .groupBy("event_type").agg(
+        avg(when(col("value") <  col("kll50"), 1.0d).otherwise(0.0d)).as("cdf50lo"),
+        avg(when(col("value") <= col("kll50"), 1.0d).otherwise(0.0d)).as("cdf50hi"),
+        avg(when(col("value") <  col("kll95"), 1.0d).otherwise(0.0d)).as("cdf95lo"),
+        avg(when(col("value") <= col("kll95"), 1.0d).otherwise(0.0d)).as("cdf95hi"))
+    def near(lo: Column, hi: Column, q: Double) =
+      lo - KllRankTol <= q && hi + KllRankTol >= q
+    exact.join(cdfAt, "event_type")
+      .select(col("event_type"), col("n"),
+        round(col("ex50"), 6).as("p50"), round(col("ex95"), 6).as("p95"),
+        (near(col("cdf50lo"), col("cdf50hi"), 0.5) &&
+          near(col("cdf95lo"), col("cdf95hi"), 0.95)).as("kll_within_bound"))
+      .orderBy("event_type")
+  }
+
+  val eventsKllRangeOracle: String =
+    s"""WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo FROM events),
+       |e AS (SELECT event_type, value FROM events, b
+       |      WHERE CAST(ts AS DATE) BETWEEN b.lo AND b.lo + ${KllRangeDays - 1})
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |       round(quantile_cont(value, 0.5), 6) AS p50,
+       |       round(quantile_cont(value, 0.95), 6) AS p95,
+       |       CAST(TRUE AS BOOLEAN) AS kll_within_bound
+       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Value-partition count for the salted exact-distinct shape. 16
     * bounds the final merge at 16 rows per group key while splitting a
     * hot key's distinct-value stream 16 ways; at a real cluster scale
@@ -843,6 +909,7 @@ object Sessions {
     "events_funnel" -> (eventsFunnel _),
     "events_quantiles" -> (eventsQuantiles _),
     "events_quantiles_kll_daily" -> (eventsQuantilesKllDaily _),
+    "events_kll_range" -> (eventsKllRange _),
     "events_retention" -> (eventsRetention _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_top_paths" -> (eventsTopPaths _),
@@ -863,6 +930,7 @@ object Sessions {
     "events_funnel" -> eventsFunnelOracle,
     "events_quantiles" -> eventsQuantilesOracle,
     "events_quantiles_kll_daily" -> eventsQuantilesKllOracle,
+    "events_kll_range" -> eventsKllRangeOracle,
     "events_retention" -> eventsRetentionOracle,
     "events_anomaly" -> eventsAnomalyOracle,
     "events_top_paths" -> eventsTopPathsOracle,

@@ -116,6 +116,23 @@ class KllSketchSpec extends SparkSpec {
     assert(row.isNullAt(0))
   }
 
+  test("events_kll_range daily sketch table persists: second call loads, not rebuilds") {
+    val root = java.nio.file.Files.createTempDirectory("graft-kll-store").toString
+    spark.conf.set(graft.ops.IndexStore.RootConf, root)
+    try {
+      val b0 = graft.ops.IndexStore.builds.get()
+      val r1 = graft.ops.Sessions.eventsKllRange(spark, sf).collect()
+      assert(r1.nonEmpty && r1.forall(_.getBoolean(4)), "range gate failed")
+      assert(graft.ops.IndexStore.builds.get() == b0 + 1,
+        "cold call must write exactly one sketch-table artifact")
+      val r2 = graft.ops.Sessions.eventsKllRange(spark, sf).collect()
+      assert(graft.ops.IndexStore.builds.get() == b0 + 1,
+        "warm call rebuilt the sketch table instead of loading it")
+      assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
+        "warm load diverged from the cold build")
+    } finally spark.conf.unset(graft.ops.IndexStore.RootConf)
+  }
+
   test("DataFrame build/merge/read: daily sketch table answers the merged quantile") {
     val s = spark
     import s.implicits._
