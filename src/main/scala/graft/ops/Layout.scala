@@ -255,7 +255,7 @@ object Layout {
     * stats-friendly physical type (Spark writes timestamps as INT96 by
     * default, whose parquet statistics are unusable; an int day index
     * carries exact min/max in every footer). */
-  private def dayIdx: Column =
+  private[graft] def dayIdx: Column =
     datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
 
   /** Morton/Z-value of two [[ZBits]]-bit dimensions: bit i of x lands
@@ -263,7 +263,7 @@ object Layout {
     * built-ins (shifts/and/sum — the bit positions are disjoint, so
     * `+` IS `|`), no custom expression needed; the oracle replays the
     * identical formula term-for-term. */
-  private def zValue(x: Column, y: Column): Column =
+  private[graft] def zValue(x: Column, y: Column): Column =
     (0 until ZBits).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
@@ -389,7 +389,7 @@ object Layout {
     // manifest compensation BEFORE any data-file delete: if a prior
     // try of this gen committed (its rows live in the manifest), drop
     // them first so the files are invisible when they vanish
-    dropManifestRows(spark, path, s"/$prefix")
+    dropManifestRows(spark, path, prefix)
     // retry: drop this generation's prior files by their deterministic
     // contiguous names (never a directory listing)
     var k0 = 0
@@ -400,7 +400,7 @@ object Layout {
     // fallback lists the directory eagerly, and listing after the
     // append would double-count the added files in the union below
     val baseManifest = loadManifest(spark, path, statCols)
-      .where(!col("file").contains(s"/$prefix")) // stale rows of a crashed prior try
+      .where(!fileNameHasPrefix(prefix)) // stale rows of a crashed prior try
     val tmp = new org.apache.hadoop.fs.Path(root, s".extend_tmp_g$gen")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     newEvents
@@ -423,20 +423,30 @@ object Layout {
     added
   }
 
+  /** Generation/batch-prefix predicate on manifest rows, matched
+    * against the file's FINAL path component only. A substring match
+    * on the full path would wipe the ENTIRE manifest when the layout
+    * ROOT itself contains the marker (e.g. a layout under
+    * `/data/ingest-b7-rerun/`): every row's path starts with the root,
+    * so the replay compensation would commit an empty base — silent
+    * loss of all committed data from every pruned read. */
+  private def fileNameHasPrefix(prefix: String): Column =
+    substring_index(col("file"), "/", -1).startsWith(prefix)
+
   /** Compensate a COMMITTED manifest for a replay: drop every row whose
-    * file path contains `marker` (a generation/batch file prefix) via a
-    * full swap. No-op when the manifest is absent/uncommitted (the
-    * footer-scan fallback always reflects directory truth) or already
-    * clean — so the O(manifest) swap is paid only on the rare
+    * file NAME starts with `prefix` (a generation/batch file prefix)
+    * via a full swap. No-op when the manifest is absent/uncommitted
+    * (the footer-scan fallback always reflects directory truth) or
+    * already clean — so the O(manifest) swap is paid only on the rare
     * replay-after-compaction path, never per batch. */
   private def dropManifestRows(spark: SparkSession, path: String,
-      marker: String): Unit = {
+      prefix: String): Unit = {
     val mf = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
     val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(mf, "_SUCCESS"))) {
-      val rows = spark.read.parquet(mf.toString)
-      if (!rows.where(col("file").contains(marker)).isEmpty)
-        swapManifest(spark, path, rows.where(!col("file").contains(marker)))
+      val rows = validateManifestSchema(spark.read.parquet(mf.toString), path)
+      if (!rows.where(fileNameHasPrefix(prefix)).isEmpty)
+        swapManifest(spark, path, rows.where(!fileNameHasPrefix(prefix)))
     }
   }
 
@@ -449,6 +459,16 @@ object Layout {
     * footer scan: degraded cost, never a torn read. */
   private def swapManifest(spark: SparkSession, path: String,
       merged: DataFrame): Unit = {
+    // mixed-schema-generation guard (maintenance path only — one
+    // metadata-scale probe): a base segment written by an older build
+    // null-fills the inventory columns under the merged read, and
+    // committing those rows would later plan zero-length FileStatus
+    // entries — base files silently vanishing from graftz reads
+    require(merged.where(col("file").isNull || col("bytes").isNull ||
+        col("mtime").isNull).isEmpty,
+      s"manifest merge for $path carries null inventory columns — the " +
+        "manifest dir mixes schema generations; rebuild it with " +
+        "Layout.writeManifest to fold every segment into the current schema")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mf = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
@@ -507,7 +527,7 @@ object Layout {
     // BEFORE the probe-delete below removes files the committed
     // manifest still lists. No-op (one isEmpty probe of a
     // metadata-scale frame) on the common uncompacted replay.
-    dropManifestRows(spark, path, s"/$prefix")
+    dropManifestRows(spark, path, prefix)
     var k = 0
     while (fs.delete(new org.apache.hadoop.fs.Path(root, s"$prefix$k.parquet"), false)) {
       k += 1
@@ -653,8 +673,30 @@ object Layout {
     val mf = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
     val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(mf, "_SUCCESS")))
-      spark.read.parquet(mf.toString)
+      validateManifestSchema(spark.read.parquet(mf.toString), path)
     else footerManifest(spark, path, statCols)
+  }
+
+  /** Refuse a committed manifest that predates the self-describing
+    * schema (r20: `bytes`/`mtime` inventory + `<col>__min/__max`
+    * stats). Without this, an old-format manifest surfaces as an
+    * AnalysisException deep inside extend's union — or worse, a
+    * manifest dir MIXING schema generations (an old base segment
+    * beside a new ingest segment) reads with parquet null-filling the
+    * missing inventory columns, and a null `bytes` plans a zero-length
+    * FileStatus: the base files silently vanish from graftz results.
+    * Schema-only check — zero extra jobs on the query path; the
+    * null-inventory (mixed-segment) case is caught where the rows are
+    * already materialized (manifest swap, graftz index load). */
+  private def validateManifestSchema(mf: DataFrame, path: String): DataFrame = {
+    val cols = mf.columns.toSet
+    val missing = Seq("file", "bytes", "mtime").filterNot(cols.contains)
+    require(missing.isEmpty && mf.columns.exists(_.endsWith("__min")),
+      s"committed manifest at $path/$ManifestDir predates the " +
+        s"self-describing schema (missing: ${missing.mkString(", ")}); " +
+        "rebuild it with Layout.writeManifest(spark, path, statCols) " +
+        "before reading or extending this layout")
+    mf
   }
 
   /** File-level data skipping over the z-ordered layout, FROM THE

@@ -299,26 +299,43 @@ object Sessions {
     * twice; the scan/shuffle below them dedups via ReuseExchange. */
   def eventsQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir).select(col("event_type"), col("value"))
+    val sketch = ev.groupBy("event_type").agg(
+        percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000)).as("ap"))
+      .select(col("event_type"), col("ap")(0).as("v50"), col("ap")(1).as("v95"))
+    rankGate(ev, sketch, QuantileApproxRankTol, "approx_ok")
+  }
+
+  /** The shared rank-interval gate behind every gated quantile sketch
+    * ([[eventsQuantiles]], [[eventsQuantilesKllDaily]],
+    * [[eventsKllRange]]): given (event_type, value) rows and a small
+    * per-type estimate frame (columns `v50`, `v95`), emit the exact
+    * per-type n/p50/p95 (the oracle-pinned columns) beside one boolean
+    * `gateName` — both estimates' empirical rank intervals
+    * (cdf(<v), cdf(<=v)] within `tol` of their targets (tie-safe; see
+    * [[QuantileApproxRankTol]]). The exact and estimate aggregates stay
+    * SEPARATE subplans each referenced once — a single shared aggregate
+    * fed to both the CDF pass and the final join would run the exact-
+    * percentile merge (the step that buffers every group member) twice;
+    * the scan/shuffle below them dedups via ReuseExchange. */
+  private def rankGate(ev: DataFrame, est: DataFrame, tol: Double,
+      gateName: String): DataFrame = {
     val exact = ev.groupBy("event_type").agg(
       count(lit(1)).as("n"),
       percentile(col("value"), lit(0.5)).as("ex50"),
       percentile(col("value"), lit(0.95)).as("ex95"))
-    val sketch = ev.groupBy("event_type").agg(
-      percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000)).as("ap"))
-    val cdfAt = ev.join(broadcast(sketch.select(col("event_type"),
-        col("ap")(0).as("ap50"), col("ap")(1).as("ap95"))), "event_type")
+    val cdfAt = ev.join(broadcast(est), "event_type")
       .groupBy("event_type").agg(
-        avg(when(col("value") <  col("ap50"), 1.0d).otherwise(0.0d)).as("cdf50lo"),
-        avg(when(col("value") <= col("ap50"), 1.0d).otherwise(0.0d)).as("cdf50hi"),
-        avg(when(col("value") <  col("ap95"), 1.0d).otherwise(0.0d)).as("cdf95lo"),
-        avg(when(col("value") <= col("ap95"), 1.0d).otherwise(0.0d)).as("cdf95hi"))
+        avg(when(col("value") <  col("v50"), 1.0d).otherwise(0.0d)).as("cdf50lo"),
+        avg(when(col("value") <= col("v50"), 1.0d).otherwise(0.0d)).as("cdf50hi"),
+        avg(when(col("value") <  col("v95"), 1.0d).otherwise(0.0d)).as("cdf95lo"),
+        avg(when(col("value") <= col("v95"), 1.0d).otherwise(0.0d)).as("cdf95hi"))
     def near(lo: Column, hi: Column, q: Double) =
-      lo - QuantileApproxRankTol <= q && hi + QuantileApproxRankTol >= q
+      lo - tol <= q && hi + tol >= q
     exact.join(cdfAt, "event_type")
       .select(col("event_type"), col("n"),
         round(col("ex50"), 6).as("p50"), round(col("ex95"), 6).as("p95"),
         (near(col("cdf50lo"), col("cdf50hi"), 0.5) &&
-          near(col("cdf95lo"), col("cdf95hi"), 0.95)).as("approx_ok"))
+          near(col("cdf95lo"), col("cdf95hi"), 0.95)).as(gateName))
       .orderBy("event_type")
   }
 
@@ -671,26 +688,10 @@ object Sessions {
     val merged = daily.groupBy("event_type")
       .agg(kll_merge_agg(col("sk")).as("sk"))
       .select(col("event_type"),
-        kll_quantile(col("sk"), lit(0.5)).as("kll50"),
-        kll_quantile(col("sk"), lit(0.95)).as("kll95"))
-    val exact = ev.groupBy("event_type").agg(
-      count(lit(1)).as("n"),
-      percentile(col("value"), lit(0.5)).as("ex50"),
-      percentile(col("value"), lit(0.95)).as("ex95"))
-    val cdfAt = ev.join(broadcast(merged), "event_type")
-      .groupBy("event_type").agg(
-        avg(when(col("value") <  col("kll50"), 1.0d).otherwise(0.0d)).as("cdf50lo"),
-        avg(when(col("value") <= col("kll50"), 1.0d).otherwise(0.0d)).as("cdf50hi"),
-        avg(when(col("value") <  col("kll95"), 1.0d).otherwise(0.0d)).as("cdf95lo"),
-        avg(when(col("value") <= col("kll95"), 1.0d).otherwise(0.0d)).as("cdf95hi"))
-    def near(lo: Column, hi: Column, q: Double) =
-      lo - KllRankTol <= q && hi + KllRankTol >= q
-    exact.join(cdfAt, "event_type")
-      .select(col("event_type"), col("n"),
-        round(col("ex50"), 6).as("p50"), round(col("ex95"), 6).as("p95"),
-        (near(col("cdf50lo"), col("cdf50hi"), 0.5) &&
-          near(col("cdf95lo"), col("cdf95hi"), 0.95)).as("kll_within_bound"))
-      .orderBy("event_type")
+        kll_quantile(col("sk"), lit(0.5)).as("v50"),
+        kll_quantile(col("sk"), lit(0.95)).as("v95"))
+    rankGate(ev.select(col("event_type"), col("value")), merged,
+      KllRankTol, "kll_within_bound")
   }
 
   val eventsQuantilesKllOracle: String =
@@ -730,30 +731,13 @@ object Sessions {
       .join(bounds, col("day").between(col("lo"), col("hi")))
       .groupBy("event_type").agg(kll_merge_agg(col("sk")).as("sk"))
       .select(col("event_type"),
-        kll_quantile(col("sk"), lit(0.5)).as("kll50"),
-        kll_quantile(col("sk"), lit(0.95)).as("kll95"))
+        kll_quantile(col("sk"), lit(0.5)).as("v50"),
+        kll_quantile(col("sk"), lit(0.95)).as("v95"))
     val ev = events(spark, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
       .join(bounds, col("day").between(col("lo"), col("hi")))
       .select(col("event_type"), col("value"))
-    val exact = ev.groupBy("event_type").agg(
-      count(lit(1)).as("n"),
-      percentile(col("value"), lit(0.5)).as("ex50"),
-      percentile(col("value"), lit(0.95)).as("ex95"))
-    val cdfAt = ev.join(broadcast(merged), "event_type")
-      .groupBy("event_type").agg(
-        avg(when(col("value") <  col("kll50"), 1.0d).otherwise(0.0d)).as("cdf50lo"),
-        avg(when(col("value") <= col("kll50"), 1.0d).otherwise(0.0d)).as("cdf50hi"),
-        avg(when(col("value") <  col("kll95"), 1.0d).otherwise(0.0d)).as("cdf95lo"),
-        avg(when(col("value") <= col("kll95"), 1.0d).otherwise(0.0d)).as("cdf95hi"))
-    def near(lo: Column, hi: Column, q: Double) =
-      lo - KllRankTol <= q && hi + KllRankTol >= q
-    exact.join(cdfAt, "event_type")
-      .select(col("event_type"), col("n"),
-        round(col("ex50"), 6).as("p50"), round(col("ex95"), 6).as("p95"),
-        (near(col("cdf50lo"), col("cdf50hi"), 0.5) &&
-          near(col("cdf95lo"), col("cdf95hi"), 0.95)).as("kll_within_bound"))
-      .orderBy("event_type")
+    rankGate(ev, merged, KllRankTol, "kll_within_bound")
   }
 
   val eventsKllRangeOracle: String =

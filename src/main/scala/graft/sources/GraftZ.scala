@@ -174,6 +174,16 @@ class GraftZFileIndex(spark: SparkSession, roots: Seq[Path])
           max(coalesce(col(s"${c}__max"), lit(Long.MaxValue))).as(s"${c}__max")))
     mf.groupBy(col("file")).agg(aggs.head, aggs.tail: _*).collect().toSeq
       .map { r =>
+        // a null inventory cell means the manifest dir mixes schema
+        // generations (an old segment null-filled under the merged
+        // read); a null bytes would otherwise unbox to a zero-length
+        // FileStatus and the file's rows would silently vanish
+        require(!r.isNullAt(r.fieldIndex("file")) &&
+            !r.isNullAt(r.fieldIndex("bytes")) &&
+            !r.isNullAt(r.fieldIndex("mtime")),
+          s"manifest under $root carries null inventory columns — it " +
+            "mixes schema generations; rebuild it with " +
+            "Layout.writeManifest before reading through graftz")
         val status = new FileStatus(r.getAs[Long]("bytes"), false, 1,
           128L * 1024 * 1024, r.getAs[Long]("mtime"),
           new Path(r.getAs[String]("file")))

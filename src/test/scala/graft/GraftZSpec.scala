@@ -21,16 +21,14 @@ class GraftZSpec extends SparkSpec {
 
   private def eventsZ = {
     import graft.ops.Sessions
-    Sessions.events(spark, sf)
-      .withColumn("day_idx",
-        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")))
+    Sessions.events(spark, sf).withColumn("day_idx", Layout.dayIdx)
   }
 
   private def zLayout(name: String, files: Int = Layout.ZFiles): String = {
-    val zv = (0 until Layout.ZBits).map { i =>
-      shiftleft(shiftright(col("user_id"), i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(col("day_idx"), i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+    // the ENGINE's own curve — not an inline copy that could silently
+    // drift from Layout.zValue and keep passing against a stale
+    // clustering
+    val zv = Layout.zValue(col("user_id"), col("day_idx"))
     val dir = stage(eventsZ.withColumn("z", zv)
       .repartitionByRange(files, col("z")).sortWithinPartitions("z"), name)
     Layout.writeManifest(spark, dir)
@@ -113,10 +111,7 @@ class GraftZSpec extends SparkSpec {
 
   test("an extended layout re-resolves: new files visible, pruning intact") {
     val cut = 19745
-    val zv = (0 until Layout.ZBits).map { i =>
-      shiftleft(shiftright(col("user_id"), i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(col("day_idx"), i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+    val zv = Layout.zValue(col("user_id"), col("day_idx"))
     val dir = stage(eventsZ.where(col("day_idx") < cut).withColumn("z", zv)
       .repartitionByRange(8, col("z")).sortWithinPartitions("z"), "ext")
     Layout.writeManifest(spark, dir)

@@ -26,10 +26,7 @@ class ZorderSpec extends SparkSpec {
   }
 
   test("z layout skips files; a hash-shuffled copy of the same rows cannot") {
-    val zv = (0 until Layout.ZBits).map { i =>
-      shiftleft(shiftright(col("user_id"), i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(col("day_idx"), i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+    val zv = Layout.zValue(col("user_id"), col("day_idx"))
     val zDir = stage(eventsZ.withColumn("z", zv)
       .repartitionByRange(Layout.ZFiles, col("z")).sortWithinPartitions("z"), "zord")
     val shufDir = stage(eventsZ.repartition(Layout.ZFiles, col("event_id")), "shuf")
@@ -191,6 +188,63 @@ class ZorderSpec extends SparkSpec {
       .filter(_.getName.startsWith("ingest-b")).map(_.getName).sorted
     assert(segs.toSeq == Seq("ingest-b5.parquet", "ingest-b51.parquet"),
       s"unexpected manifest segments: ${segs.mkString(",")}")
+  }
+
+  test("a layout ROOT containing the batch marker cannot wipe the manifest") {
+    // regression (r20): the replay compensation used to match the
+    // generation marker as a SUBSTRING of the full path — a layout
+    // under a directory named ingest-b7-* made every manifest row
+    // match, and the first ingest of batch 7 committed an empty base
+    // manifest (all committed data invisible to pruned/graftz reads)
+    val cut = 19745
+    val base = eventsZ.where(col("day_idx") < cut).withColumn("z", lit(0L))
+    val delta = eventsZ.where(col("day_idx") >= cut).drop("day_idx")
+    val parent = java.nio.file.Files.createTempDirectory("graft-z-marker")
+    val dir = parent.resolve("ingest-b7-rerun").resolve("layout").toString
+    base.write.mode("overwrite").parquet(dir)
+    Layout.writeManifest(spark, dir)
+    val baseFiles = Layout.loadManifest(spark, dir)
+      .select("file").distinct().count()
+    Layout.zorderIngestBatch(spark, dir, 7L, delta)
+    val afterFiles = Layout.loadManifest(spark, dir)
+      .select("file").distinct().count()
+    assert(afterFiles > baseFiles,
+      s"manifest wiped by the path marker: $afterFiles files vs $baseFiles base")
+    // manifest still equals footer truth, and the pruned read sees all rows
+    val loaded = Layout.loadManifest(spark, dir).collect().map(_.toSeq).toSet
+    val fresh = Layout.footerManifest(spark, dir).collect().map(_.toSeq).toSet
+    assert(loaded == fresh)
+    assert(spark.read.format("graftz").load(dir).count() == eventsZ.count())
+  }
+
+  test("a committed manifest predating the self-describing schema is refused loudly") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = stage(eventsZ.limit(100).withColumn("z", lit(0L)), "legacy")
+    // hand-write the r19-format manifest (no bytes/mtime inventory)
+    val oldSchema = StructType(Seq(
+      StructField("file", StringType), StructField("rg", IntegerType),
+      StructField("u_min", LongType), StructField("u_max", LongType),
+      StructField("d_min", IntegerType), StructField("d_max", IntegerType)))
+    spark.createDataFrame(
+        java.util.List.of(Row("file:///x/part-0.parquet", 0, 1L, 2L, 3, 4)),
+        oldSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/${Layout.ManifestDir}")
+    // without the guard this surfaced as an AnalysisException deep in
+    // extend's union — or SILENT row loss via null-filled inventory
+    // columns once segments mixed schema generations
+    val e = intercept[IllegalArgumentException] {
+      Layout.loadManifest(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("writeManifest"),
+      s"error must name the remedy: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.read.format("graftz").load(dir).count()
+    }
+    assert(e2.getMessage.contains("writeManifest"))
+    // the named remedy actually repairs it
+    Layout.writeManifest(spark, dir)
+    assert(spark.read.format("graftz").load(dir).count() == 100)
   }
 
   test("streaming layout ingest ≡ batch: rows land z-sorted, manifest exact, pruning live") {
