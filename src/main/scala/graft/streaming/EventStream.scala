@@ -122,6 +122,30 @@ object EventStream {
       .select(col("window.start").cast(org.apache.spark.sql.types.DateType).as("day"),
         col("active_est"))
 
+  /** Watermarked per-(type, day) quantile SKETCH on the live stream —
+    * the streaming half of the `events_quantiles_kll_daily`
+    * architecture, and the quantile twin of [[dailyActivesStream]]:
+    * the stream maintains ONE KLL sketch per open (type, day) window
+    * ([[graft.functions.KllSketch]] — state is groups × ~3k items,
+    * never raw values; a streaming exact-percentile would buffer every
+    * group member), per-type/day quantile estimates update each
+    * micro-batch, and the periodic batch pass stores the authoritative
+    * reaggregatable daily sketch table (`events_kll_range`'s IndexStore
+    * artifact). Late data beyond 1 day drops with the closed window's
+    * state, like [[dailyActivesStream]]. Day attribution reads the same
+    * pinned-UTC session zone invariant documented there. */
+  def kllDailyStream(events: DataFrame,
+      k: Int = graft.ops.Sessions.KllK): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", "1 day")
+      .groupBy(col("event_type"), window(col("ts"), "1 day"))
+      .agg(graft.functions.KllSketch.kll_sketch_agg(col("value"), k).as("sk"))
+      .select(col("event_type"),
+        col("window.start").cast(org.apache.spark.sql.types.DateType).as("day"),
+        graft.functions.KllSketch.kll_quantile(col("sk"), lit(0.5)).as("p50_est"),
+        graft.functions.KllSketch.kll_quantile(col("sk"), lit(0.95)).as("p95_est"))
+
   /** `ts` carries the watermark-marked attribute through to the
     * stateful operator (FlatMapGroupsWithStateExec only sees the
     * watermark if the marked column survives into its child output —

@@ -116,6 +116,25 @@ class KllSketchSpec extends SparkSpec {
     assert(row.isNullAt(0))
   }
 
+  test("daily sketch build plans a PARTIAL aggregate: map-side combine before the exchange") {
+    val s = spark
+    import s.implicits._
+    // what matters at 100 TB: each task reduces its slice to one ~3k-item
+    // sketch per open group BEFORE the shuffle, so only sketches move —
+    // a non-combining shape would shuffle every raw value to its group's
+    // reducer (the exact cost the mergeable sketch exists to avoid)
+    val df = (1 to 2000).map(i => (s"t${i % 3}", i % 7, i.toDouble))
+      .toDF("event_type", "day", "v")
+      .groupBy("event_type", "day").agg(kll_sketch_agg(col("v"), 64).as("sk"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_kll_sketch_agg"), p)
+    // and the blob-merge leg combines map-side too
+    val merged = df.groupBy("event_type")
+      .agg(graft.functions.KllSketch.kll_merge_agg(col("sk")))
+    val pm = merged.queryExecution.executedPlan.toString
+    assert(pm.contains("partial_kll_merge_agg"), pm)
+  }
+
   test("events_kll_range daily sketch table persists: second call loads, not rebuilds") {
     val root = java.nio.file.Files.createTempDirectory("graft-kll-store").toString
     spark.conf.set(graft.ops.IndexStore.RootConf, root)

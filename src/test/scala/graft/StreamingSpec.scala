@@ -689,6 +689,32 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch sketch mismatch: ${streamed.toSeq.sorted.take(3)} vs ${batch.toSeq.sorted.take(3)}")
   }
 
+  test("streaming KLL daily sketch ≡ batch per-(type,day) quantile estimates") {
+    import graft.functions.KllSketch.{kll_quantile, kll_sketch_agg}
+    val stream = EventStream.kllDailyStream(EventStream.readEvents(spark, eventsDir))
+    assert(stream.isStreaming)
+    EventStream.runToMemory(stream, "kll_daily")
+    // fixture groups sit far below k=256, so no compaction happens and
+    // the estimates are EXACT order statistics — arrival-order
+    // independent, strict equality (the compacting regime's tolerance
+    // bounds are KllSketchSpec's job)
+    val streamed = spark.table("kll_daily").collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    val batch = Sessions.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy("event_type", "day")
+      .agg(kll_sketch_agg(col("value"), graft.ops.Sessions.KllK).as("sk"))
+      .select(col("event_type"), col("day"),
+        kll_quantile(col("sk"), lit(0.5)).as("p50"),
+        kll_quantile(col("sk"), lit(0.95)).as("p95"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(streamed == batch,
+      s"stream/batch KLL mismatch: ${(streamed.toSet -- batch.toSet).take(3)}")
+  }
+
   test("streaming cluster assignment ≡ batch embedding_cluster (split across two batches)") {
     import graft.streaming.EmbedStream
     // replay the embeddings corpus as two micro-batches (split by
