@@ -90,6 +90,26 @@ class GraftZSpec extends SparkSpec {
       eventsZ.where(col("user_id") === Layout.ZUserLo).count())
   }
 
+  test("graftz prunes a layout over DIFFERENT stat columns (self-describing manifest)") {
+    // the DSv2 path must be dimension-agnostic: it learns the stat
+    // columns from the manifest schema, never from a hard-coded list
+    val dims = Seq("event_id", "user_id")
+    val dir = stage(eventsZ.repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id"), "gz-dims2")
+    Layout.writeManifest(spark, dir, dims)
+    val nAll = spark.read.parquet(dir).count()
+    val df = spark.read.format("graftz").load(dir)
+      .where(col("event_id").between(0L, nAll / 10))
+    val scanned = scannedFiles(df)
+    val (_, kept, total) = Layout.zorderPrunedScanBox(spark, dir,
+      Seq(("event_id", 0L, nAll / 10)))
+    assert(kept.length < total, "event_id-clustered fixture must prune")
+    assert(scanned == kept.sorted,
+      s"graftz kept ${scanned.length} files, box API kept ${kept.length}")
+    assert(df.count() ==
+      eventsZ.where(col("event_id").between(0L, nAll / 10)).count())
+  }
+
   test("SQL over a graftz temp view prunes files and matches the DataFrame path") {
     val dir = zLayout("sql")
     spark.read.format("graftz").load(dir).createOrReplaceTempView("gz_sql_spec")
