@@ -871,6 +871,76 @@ object TextAnalysis {
       |                ELSE '20' END)
       |ORDER BY doc_id""".stripMargin
 
+  /** Sample size of [[corpusSampleWeighted]]. */
+  val SampleWeightedK = 100
+
+  /** `corpus_sample_weighted`: PRIORITY SAMPLING (Duffield, Lund,
+    * Thorup — JACM 2007) of the corpus, weighted by document length —
+    * the importance-sampling primitive behind "keep a k-document
+    * training subsample where longer/higher-quality documents are
+    * proportionally likelier, with unbiased subset-sum weights".
+    * Each document draws priority q = w / u (u uniform in (0,1],
+    * w = n_chars); the k highest priorities are the sample, and each
+    * kept document's estimator weight is w_hat = max(w, tau) with tau
+    * the (k+1)-th priority — the DLT threshold that makes
+    * sum(w_hat · x) unbiased for any subset sum.
+    *
+    * Determinism (the property a DISTRIBUTED sampler needs anyway —
+    * re-running the pipeline must select the same sample): u is
+    * content-keyed, the first 32 bits of md5("wsmp:" || text), so the
+    * draw replays bit-identically in both engines. Exact-replay
+    * arithmetic: q = w·2³² / (v+1) — w·2³² is exact in a double
+    * (≤ 2⁵³), the division is one correctly-rounded IEEE op, so Spark
+    * and DuckDB rank the identical doubles and the top-k sets match
+    * value-for-value with no tolerance.
+    *
+    * 100 TB shape: the priority is a map-side projection over the
+    * corpus scan; top-(k+1) is a bounded TakeOrderedAndProject (each
+    * task keeps k+1 rows, one merge) — no corpus-scale sort, no RNG
+    * state to coordinate; the window/threshold arithmetic runs on the
+    * 101-row result. */
+  def corpusSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = conv(substring(md5(concat(lit("wsmp:"), col("text"))), 1, 8), 16, 10)
+      .cast(LongType)
+    val q = lit(4294967296.0) * col("n_chars") / (v + lit(1L))
+    val ranked = Docs.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), q.as("q"))
+      .orderBy(col("q").desc, col("doc_id")).limit(SampleWeightedK + 1)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("q").desc, col("doc_id"))))
+    val tau = ranked.where(col("rk") === SampleWeightedK + 1)
+      .select(col("q").as("tau"), lit(1).as("k"))
+    ranked.where(col("rk") <= SampleWeightedK)
+      .withColumn("k", lit(1))
+      .join(broadcast(tau), Seq("k"), "left_outer").drop("k", "rk")
+      .select(col("doc_id"), col("lang"), col("n_chars").as("weight"),
+        round(col("q"), 6).as("priority"),
+        round(greatest(col("n_chars").cast("double"),
+          coalesce(col("tau"), lit(0.0))), 6).as("w_hat"))
+      .orderBy(col("priority").desc, col("doc_id"))
+  }
+
+  val corpusSampleWeightedOracle: String = {
+    val fold = (1 to 8).map { j =>
+      s"(strpos('0123456789abcdef', substr(m,$j,1))-1)*${1L << (4 * (8 - j))}"
+    }.mkString(" + ")
+    s"""WITH h AS (SELECT doc_id, lang, n_chars,
+       |                  md5('wsmp:' || text) AS m FROM documents),
+       |p AS (SELECT doc_id, lang, n_chars,
+       |             CAST(4294967296 AS DOUBLE) * n_chars /
+       |               (CAST(($fold) AS BIGINT) + 1) AS q
+       |      FROM h),
+       |r AS (SELECT *, row_number() OVER (ORDER BY q DESC, doc_id) AS rk FROM p),
+       |tau AS (SELECT q AS tau FROM r WHERE rk = ${SampleWeightedK + 1})
+       |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+       |       round(q, 6) AS priority,
+       |       round(greatest(CAST(n_chars AS DOUBLE),
+       |             coalesce((SELECT tau FROM tau), 0.0)), 6) AS w_hat
+       |FROM r WHERE rk <= $SampleWeightedK
+       |ORDER BY priority DESC, doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------- PII scrub
 
   /** PII patterns shared by engine and oracle — restricted to syntax
@@ -1604,6 +1674,7 @@ object TextAnalysis {
     "corpus_bpe_train" -> (corpusBpeTrain _),
     "corpus_pack_bpe_learned" -> (corpusPackBpeLearned _),
     "corpus_sample" -> (corpusSample _),
+    "corpus_sample_weighted" -> (corpusSampleWeighted _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_normalize" -> (textNormalize _),
     "corpus_ngram_counts" -> (corpusNgramCounts _),
@@ -1627,6 +1698,7 @@ object TextAnalysis {
     "corpus_bpe_train" -> corpusBpeTrainOracle,
     "corpus_pack_bpe_learned" -> corpusPackBpeLearnedOracle,
     "corpus_sample" -> corpusSampleOracle,
+    "corpus_sample_weighted" -> corpusSampleWeightedOracle,
     "text_pii_scrub" -> textPiiScrubOracle,
     "text_normalize" -> textNormalizeOracle,
     "corpus_ngram_counts" -> corpusNgramCountsOracle,

@@ -176,6 +176,41 @@ class AsOfAndScrubSpec extends SparkSpec {
     }
   }
 
+  test("corpus_sample_weighted: DLT priority sampling — top-k by priority, threshold estimator") {
+    val out = TextAnalysis.corpusSampleWeighted(spark, sf).collect()
+    assert(out.length == TextAnalysis.SampleWeightedK)
+    // deterministic: same content → same sample
+    assert(out.toSeq == TextAnalysis.corpusSampleWeighted(spark, sf).collect().toSeq)
+    // brute-force replay of the draw: the kept set IS the k highest
+    // priorities (q = w·2^32/(v+1), v = first 32 md5 bits)
+    val docs = ops.Docs.documents(spark, sf)
+      .select("doc_id", "text", "n_chars").collect()
+    val byPriority = docs.map { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(("wsmp:" + r.getString(1)).getBytes("UTF-8"))
+      val v = java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16)
+      (r.getLong(0), 4294967296.0 * r.getLong(2) / (v + 1), r.getLong(2))
+    }.sortBy { case (id, q, _) => (-q, id) }
+    val wantIds = byPriority.take(TextAnalysis.SampleWeightedK).map(_._1).toSeq
+    assert(out.map(_.getLong(0)).toSeq == wantIds,
+      "kept set is not the k highest priorities")
+    // estimator contract: w_hat = max(w, tau) with tau the (k+1)-th
+    // priority — every kept doc's w_hat >= its weight, and the
+    // total-sum estimate sum(w_hat) lands near sum(w) (one fixed draw,
+    // generous band: the arithmetic sanity check, not a statistics test)
+    val tau = byPriority(TextAnalysis.SampleWeightedK)._2
+    out.foreach { r =>
+      val (w, wHat) = (r.getLong(2).toDouble, r.getDouble(4))
+      assert(math.abs(wHat - math.max(w, tau)) < 1e-6,
+        s"w_hat contract broken for doc ${r.getLong(0)}")
+    }
+    val trueSum = docs.map(_.getLong(2)).sum.toDouble
+    val estSum = out.map(_.getDouble(4)).sum
+    assert(estSum > trueSum * 0.5 && estSum < trueSum * 2.0,
+      s"DLT total estimate wildly off: $estSum vs $trueSum")
+  }
+
   test("text_pii_scrub removes every PII pattern it counted") {
     val out = TextAnalysis.textPiiScrub(spark, sf).collect()
     assert(out.length == ops.Docs.documents(spark, sf).count().toInt)
