@@ -164,6 +164,28 @@ object GraftExtensions {
       arity("kll_quantile", "(sk, q)", es, 2)
       graft.functions.KllSketch.KllQuantile(es(0), es(1))
     },
+    fn("theta_sketch_agg",
+      "_FUNC_(key, k) - aggregate: KMV/theta distinct sketch of a long key column as " +
+        "BINARY (union via theta_union_agg, read via theta_estimate/theta_intersect_estimate)") { es =>
+      arity("theta_sketch_agg", "(key, k)", es, 2)
+      graft.functions.ThetaSketch.ThetaSketchAgg(
+        es(0), intLit("theta_sketch_agg", "k", es(1)))
+    },
+    fn("theta_union_agg",
+      "_FUNC_(sk) - aggregate: union serialized theta sketches into one BINARY sketch") { es =>
+      arity("theta_union_agg", "(sk)", es, 1)
+      graft.functions.ThetaSketch.ThetaUnionAgg(es(0))
+    },
+    fn("theta_estimate",
+      "_FUNC_(sk) - distinct-count estimate of a serialized theta sketch") { es =>
+      arity("theta_estimate", "(sk)", es, 1)
+      graft.functions.ThetaSketch.ThetaEstimate(es(0))
+    },
+    fn("theta_intersect_estimate",
+      "_FUNC_(a, b) - set-intersection size estimate from two serialized theta sketches") { es =>
+      arity("theta_intersect_estimate", "(a, b)", es, 2)
+      graft.functions.ThetaSketch.ThetaIntersectEstimate(es(0), es(1))
+    },
     // The confluent_* builders restate graft.functions.Confluent's
     // Column compositions as direct catalyst trees: a builder returning
     // a Column-derived expression hands the analyzer an opaque

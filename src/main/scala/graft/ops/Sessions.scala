@@ -655,6 +655,62 @@ object Sessions {
        |SELECT day, active_7d, CAST(TRUE AS BOOLEAN) AS sketch_within_bound
        |FROM wau ORDER BY day""".stripMargin
 
+  /** Theta/KMV geometry for [[eventsRetentionSketch]]. k=1024 keeps the
+    * per-day sketch EXACT at the verify scale (sf0.01 has ~134 distinct
+    * users/day; even sf0.1's ~1336 only just exceeds it) while still a
+    * few KB — and at web scale bounds state at 8 KB/day regardless of
+    * user count. The 10% gate is ~3 standard errors of the intersection
+    * estimator at this k and the fixture's day-over-day overlap
+    * (RSE ≈ sqrt(|A ∪ B| / (k·|A ∩ B|)) ≈ 3.4% at |∪|/|∩| ≈ 1.2),
+    * the [[SketchActivesBound]] discipline. */
+  val ThetaK = 1024
+  val ThetaRetentionBound = 0.10
+
+  /** `events_retention_sketch`: day-over-day retained users via
+    * INTERSECTABLE theta/KMV sketches — the set-operation query the HLL
+    * lane ([[eventsSketchActives]]) cannot express: HLL sketches union
+    * but never intersect, so "users active on BOTH day d and d+1" from
+    * two per-day blobs needs KMV's comparable hash samples
+    * ([[graft.functions.ThetaSketch]]). The event log is touched ONCE
+    * into per-day sketches (a partially-aggregated `theta_sketch_agg` —
+    * map-side combined like any partial agg, ≤8 KB each); every
+    * consecutive-day estimate then reads off the tiny sketch table via
+    * a self-join on adjacent days — at 100 TB the retention matrix
+    * costs days² sketch comparisons of a few KB each, ZERO log
+    * re-reads, where the exact form's distinct-pair self-join
+    * re-shuffles user×day rows for every pair. The exact side here
+    * powers the oracle-pinned `retained` column and the gate (estimate
+    * within [[ThetaRetentionBound]]), the standard gated-approx
+    * discipline. */
+  def eventsRetentionSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaSketch.{theta_intersect_estimate, theta_sketch_agg}
+    val du = events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = du.groupBy("day").agg(theta_sketch_agg(col("user_id"), ThetaK).as("sk"))
+    val nextDay = daily.select(date_sub(col("day"), 1).as("day"), col("sk").as("sk_next"))
+    val est = daily.join(nextDay, Seq("day"))
+      .select(col("day"),
+        theta_intersect_estimate(col("sk"), col("sk_next")).as("est"))
+    val exact = du.dropDuplicates("day", "user_id").as("a")
+      .join(du.dropDuplicates("day", "user_id").as("b"),
+        col("b.day") === date_add(col("a.day"), 1) &&
+          col("a.user_id") === col("b.user_id"))
+      .groupBy(col("a.day").as("day"))
+      .agg(count(lit(1)).as("retained"))
+    exact.join(est, Seq("day"))
+      .select(col("day"), col("retained"),
+        (abs(col("est") - col("retained")) / col("retained")
+          <= ThetaRetentionBound).as("sketch_within_bound"))
+      .orderBy("day")
+  }
+
+  val eventsRetentionSketchOracle: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+      |SELECT a.day AS day, count(*) AS retained,
+      |       CAST(TRUE AS BOOLEAN) AS sketch_within_bound
+      |FROM du a JOIN du b ON b.day = a.day + 1 AND a.user_id = b.user_id
+      |GROUP BY a.day ORDER BY a.day""".stripMargin
+
   /** KLL geometry for [[eventsQuantilesKllDaily]]: k=256 concentrates
     * rank error well inside ±1%; the gate allows 1.5% — the same
     * ~3-sigma headroom [[SketchActivesBound]] gives HLL, loose enough
@@ -895,6 +951,7 @@ object Sessions {
     "events_quantiles_kll_daily" -> (eventsQuantilesKllDaily _),
     "events_kll_range" -> (eventsKllRange _),
     "events_retention" -> (eventsRetention _),
+    "events_retention_sketch" -> (eventsRetentionSketch _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_top_paths" -> (eventsTopPaths _),
     "events_histogram" -> (eventsHistogram _),
@@ -916,6 +973,7 @@ object Sessions {
     "events_quantiles_kll_daily" -> eventsQuantilesKllOracle,
     "events_kll_range" -> eventsKllRangeOracle,
     "events_retention" -> eventsRetentionOracle,
+    "events_retention_sketch" -> eventsRetentionSketchOracle,
     "events_anomaly" -> eventsAnomalyOracle,
     "events_top_paths" -> eventsTopPathsOracle,
     "events_histogram" -> eventsHistogramOracle,

@@ -57,6 +57,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(api == exact)
   }
 
+  test("theta sketch family via SQL == Column API == exact set arithmetic") {
+    val s = registered
+    import s.implicits._
+    // sized below capacity (300 distinct < k=512) so the sketches are
+    // exact sets and SQL == Column is strict equality against the true
+    // distinct/overlap counts (the estimating regime's bounds are
+    // ThetaSketchSpec's job).
+    val df = (1 to 900).map(i => (i % 2, (i % 300).toLong)).toDF("g", "u")
+    df.createOrReplaceTempView("thetakeys")
+    val sql = s.sql(
+      """SELECT theta_estimate(theta_union_agg(sk)) AS nd,
+        |       theta_intersect_estimate(min(sk), max(sk)) AS ni
+        |FROM (SELECT g, theta_sketch_agg(u, 512) AS sk
+        |      FROM thetakeys GROUP BY g)""".stripMargin).head()
+    import graft.functions.ThetaSketch.{theta_estimate, theta_intersect_estimate, theta_sketch_agg, theta_union_agg}
+    val api = df.groupBy("g")
+      .agg(theta_sketch_agg(col("u"), 512).as("sk"))
+      .agg(theta_union_agg(col("sk")).as("sku"),
+        min(col("sk")).as("a"), max(col("sk")).as("b"))
+      .select(
+        theta_estimate(col("sku")).as("nd"),
+        theta_intersect_estimate(col("a"), col("b")).as("ni"))
+      .head()
+    assert(sql == api)
+    // u = i%300 with 300 even means a residue's parity equals i's
+    // parity: group 0 holds exactly the 150 even residues, group 1 the
+    // 150 odd ones — union 300, overlap 0, both exact at this size.
+    assert(sql.getDouble(0) == 300.0)
+    assert(sql.getDouble(1) == 0.0)
+  }
+
   test("pq_adc via SQL == lookup arithmetic") {
     val s = registered
     // 2 subspaces x 4 codewords; codes pick entries 1 and 6

@@ -1,0 +1,124 @@
+package graft
+
+import graft.functions.ThetaSketch
+import graft.functions.ThetaSketch.{theta_intersect_estimate, theta_sketch_agg, theta_union_agg, ThetaBuffer}
+import org.apache.spark.sql.functions._
+
+/** The theta/KMV sketch's contracts: exactness below capacity (both
+  * the distinct and the intersection estimates), the ~1/sqrt(k) error
+  * bound in the estimating regime, mixed-k downsampling, the empty
+  * edge cases, the serialization roundtrip Spark's partial aggregation
+  * rides on — and the family's distinguishing property, that KMV state
+  * is a pure set so shard-merge equals one-pass BYTE-FOR-BYTE (KLL's
+  * compaction coin makes its merges order-visible; KMV's never are,
+  * which is what lets a per-day sketch table be content-fingerprinted
+  * deterministically). */
+class ThetaSketchSpec extends SparkSpec {
+
+  private def build(k: Int, keys: Iterable[Long]): ThetaBuffer = {
+    val buf = new ThetaBuffer(k)
+    keys.foreach(buf.update)
+    buf
+  }
+
+  test("below capacity the sketch is the exact distinct set") {
+    val buf = build(64, (1L to 50L) ++ (1L to 50L)) // duplicates collapse
+    assert(buf.set.size == 50)
+    assert(!buf.isFull)
+    assert(buf.estimate == 50.0)
+  }
+
+  test("estimating regime: distinct estimate within ~3 standard errors") {
+    // 100k distinct keys at k=1024: RSE ~ 1/sqrt(k-2) = 3.1%. The hash
+    // is deterministic, so this is a fixed number, not a flake risk —
+    // the 10% bound is ~3 sigma of headroom.
+    val n = 100000
+    val buf = build(1024, (1L to n.toLong).map(_ * 7919L))
+    assert(buf.isFull)
+    val rel = math.abs(buf.estimate - n) / n
+    assert(rel <= 0.10, s"estimate ${buf.estimate} off by ${rel * 100}%")
+  }
+
+  test("shard-merge equals one-pass byte-for-byte") {
+    val keys = (1L to 20000L).map(ThetaSketch.splitmix64) // arbitrary spread
+    val onePass = build(256, keys)
+    for (shards <- Seq(2, 7, 64)) {
+      val merged = new ThetaBuffer(0) // union aggregate's empty sentinel
+      keys.grouped(math.max(1, keys.length / shards)).foreach { g =>
+        merged.mergeFrom(build(256, g))
+      }
+      assert(java.util.Arrays.equals(merged.serialize(), onePass.serialize()),
+        s"merge of $shards shards differs from the one-pass sketch")
+    }
+  }
+
+  test("intersection is exact when both sketches are below capacity") {
+    val a = build(4096, 1L to 600L)
+    val b = build(4096, 401L to 1000L)
+    val est = ThetaSketch.intersectEstimate(a.serialize(), b.serialize())
+    assert(est == 200.0)
+  }
+
+  test("intersection estimate in the estimating regime tracks the true overlap") {
+    // |A|=60k, |B|=60k, |A∩B|=30k, k=2048:
+    // RSE ~ sqrt(|A∪B| / (k·|A∩B|)) = sqrt(90000/(2048·30000)) ≈ 3.8%;
+    // 12% is ~3 sigma. Deterministic hash, fixed outcome.
+    val a = build(2048, (1L to 60000L).map(_ * 1000003L))
+    val b = build(2048, (30001L to 90000L).map(_ * 1000003L))
+    assert(a.isFull && b.isFull)
+    val est = ThetaSketch.intersectEstimate(a.serialize(), b.serialize())
+    val rel = math.abs(est - 30000.0) / 30000.0
+    assert(rel <= 0.12, s"intersection estimate $est off by ${rel * 100}%")
+  }
+
+  test("mixed-k union downsamples to the smaller k and stays accurate") {
+    val big = build(2048, (1L to 50000L).map(_ * 31L))
+    val small = build(256, (25001L to 75000L).map(_ * 31L))
+    val u = new ThetaBuffer(0)
+    u.mergeFrom(big)
+    u.mergeFrom(small)
+    assert(u.k == 256)
+    assert(u.set.size == 256)
+    val rel = math.abs(u.estimate - 75000.0) / 75000.0
+    assert(rel <= 0.20, s"mixed-k union estimate ${u.estimate} off by ${rel * 100}%")
+  }
+
+  test("serialization roundtrip preserves the sketch exactly") {
+    val buf = build(128, (1L to 5000L).map(_ * 13L))
+    val back = ThetaSketch.deserialize(buf.serialize())
+    assert(back.k == buf.k)
+    assert(back.set.size == buf.set.size)
+    assert(java.util.Arrays.equals(back.serialize(), buf.serialize()))
+    assert(back.estimate == buf.estimate)
+  }
+
+  test("empty and sentinel edges: estimate 0, intersect 0, loud k=0 update") {
+    val empty = new ThetaBuffer(64)
+    assert(empty.estimate == 0.0)
+    val full = build(64, 1L to 1000L)
+    assert(ThetaSketch.intersectEstimate(empty.serialize(), full.serialize()) == 0.0)
+    assert(ThetaSketch.intersectEstimate(empty.serialize(), empty.serialize()) == 0.0)
+    val sentinel = new ThetaBuffer(0)
+    val e = intercept[IllegalArgumentException] { sentinel.update(1L) }
+    assert(e.getMessage.contains("uninitialized"))
+  }
+
+  test("DataFrame aggregate: per-group sketches union to the whole (exact regime)") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 900).map(i => (i % 3, (i % 300).toLong)).toDF("g", "u")
+    // 300 distinct keys < k=512: the unioned sketch is the exact set.
+    val est = df.groupBy("g").agg(theta_sketch_agg(col("u"), 512).as("sk"))
+      .agg(theta_union_agg(col("sk")).as("sk"))
+      .select(graft.functions.ThetaSketch.theta_estimate(col("sk")))
+      .head().getDouble(0)
+    assert(est == 300.0)
+    // and two disjoint-group sketches intersect to their true overlap
+    val byParity = df.withColumn("p", col("u") % 2)
+      .groupBy("p").agg(theta_sketch_agg(col("u"), 512).as("sk"))
+      .orderBy("p").collect()
+    val inter = ThetaSketch.intersectEstimate(
+      byParity(0).getAs[Array[Byte]]("sk"), byParity(1).getAs[Array[Byte]]("sk"))
+    assert(inter == 0.0, "even and odd key sketches must not intersect")
+  }
+}
