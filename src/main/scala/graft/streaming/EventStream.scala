@@ -146,6 +146,32 @@ object EventStream {
         graft.functions.KllSketch.kll_quantile(col("sk"), lit(0.5)).as("p50_est"),
         graft.functions.KllSketch.kll_quantile(col("sk"), lit(0.95)).as("p95_est"))
 
+  /** Watermarked per-day DISTINCT theta/KMV sketch on the live stream —
+    * the streaming half of the `events_retention_sketch` architecture,
+    * and the set-operation twin of [[dailyActivesStream]]: the stream
+    * maintains ONE ≤k-hash sketch per open day window
+    * ([[graft.functions.ThetaSketch]] — state is days × ≤8 KB, never
+    * per-user identity rows), and emits the day's estimate NEXT TO the
+    * mergeable blob itself, so a downstream consumer intersects
+    * consecutive days' blobs for live retention without touching the
+    * log. Because KMV state is a pure set (no compaction coin), the
+    * streamed blob is BYTE-IDENTICAL to the batch one-pass sketch of
+    * the same day — spec-pinned, the property that lets the streaming
+    * ingest feed the same content-fingerprinted sketch table the batch
+    * pass owns. Late data beyond 1 day drops with the closed window's
+    * state, like [[dailyActivesStream]]; day attribution reads the same
+    * pinned-UTC session zone invariant documented there. */
+  def thetaDailyStream(events: DataFrame,
+      k: Int = graft.ops.Sessions.ThetaK): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(graft.functions.ThetaSketch.theta_sketch_agg(col("user_id"), k).as("sk"))
+      .select(col("window.start").cast(DateType).as("day"),
+        graft.functions.ThetaSketch.theta_estimate(col("sk")).as("active_est"),
+        col("sk"))
+
   /** `ts` carries the watermark-marked attribute through to the
     * stateful operator (FlatMapGroupsWithStateExec only sees the
     * watermark if the marked column survives into its child output —

@@ -715,6 +715,46 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch KLL mismatch: ${(streamed.toSet -- batch.toSet).take(3)}")
   }
 
+  test("streaming theta daily sketch ≡ batch blobs BYTE-FOR-BYTE; blobs intersect to retention") {
+    import graft.functions.ThetaSketch
+    import graft.functions.ThetaSketch.theta_sketch_agg
+    val stream = EventStream.thetaDailyStream(EventStream.readEvents(spark, eventsDir))
+    assert(stream.isStreaming)
+    EventStream.runToMemory(stream, "theta_daily")
+    val streamed = spark.table("theta_daily").collect()
+      .map(r => r.getDate(0).toLocalDate ->
+        ((r.getDouble(1), r.getAs[Array[Byte]]("sk").toSeq))).toMap
+    val batch = Sessions.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(theta_sketch_agg(col("user_id"), graft.ops.Sessions.ThetaK).as("sk"))
+      .collect()
+      .map(r => r.getDate(0).toLocalDate ->
+        ((ThetaSketch.deserialize(r.getAs[Array[Byte]]("sk")).estimate,
+          r.getAs[Array[Byte]]("sk").toSeq))).toMap
+    // KMV state is a pure set: incremental micro-batch folding and the
+    // one-pass batch build land on the SAME bytes, not just the same
+    // estimate — the property that lets streaming ingest feed the batch
+    // pass's content-fingerprinted sketch table.
+    assert(streamed == batch,
+      s"stream/batch theta mismatch on days ${
+        (streamed.keySet ++ batch.keySet).filter(d => streamed.get(d) != batch.get(d)).take(3)}")
+    // and the streamed blobs answer retention: consecutive-day
+    // intersections match the oracle-checked batch query's exact column
+    // (k=1024 > the fixture's daily distinct — exact regime)
+    val exact = graft.ops.Sessions.eventsRetentionSketch(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val days = streamed.keySet.toSeq.sorted
+    days.sliding(2).foreach {
+      case Seq(d1, d2) if java.time.temporal.ChronoUnit.DAYS.between(d1, d2) == 1 =>
+        val est = ThetaSketch.intersectEstimate(
+          streamed(d1)._2.toArray, streamed(d2)._2.toArray)
+        assert(est == exact(d1).toDouble,
+          s"streamed-blob retention $est != exact ${exact(d1)} on $d1")
+      case _ => ()
+    }
+  }
+
   test("streaming cluster assignment ≡ batch embedding_cluster (split across two batches)") {
     import graft.streaming.EmbedStream
     // replay the embeddings corpus as two micro-batches (split by

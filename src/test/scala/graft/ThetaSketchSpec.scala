@@ -103,6 +103,22 @@ class ThetaSketchSpec extends SparkSpec {
     assert(e.getMessage.contains("uninitialized"))
   }
 
+  test("daily sketch build plans a PARTIAL aggregate: map-side combine before the exchange") {
+    val s = spark
+    import s.implicits._
+    // at 100 TB each task reduces its slice to one ≤k-hash sketch per
+    // open day BEFORE the shuffle, so only sketches move — a
+    // non-combining shape would shuffle every raw user_id row to its
+    // day's reducer, the exact cost the mergeable sketch avoids
+    val df = (1 to 2000).map(i => (i % 7, (i % 300).toLong)).toDF("day", "u")
+      .groupBy("day").agg(theta_sketch_agg(col("u"), 64).as("sk"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_theta_sketch_agg"), p)
+    val merged = df.agg(theta_union_agg(col("sk")))
+    val pm = merged.queryExecution.executedPlan.toString
+    assert(pm.contains("partial_theta_union_agg"), pm)
+  }
+
   test("DataFrame aggregate: per-group sketches union to the whole (exact regime)") {
     val s = spark
     import s.implicits._
