@@ -711,6 +711,63 @@ object Sessions {
       |FROM du a JOIN du b ON b.day = a.day + 1 AND a.user_id = b.user_id
       |GROUP BY a.day ORDER BY a.day""".stripMargin
 
+  /** Gap of [[eventsRetentionRange]]'s day pair: first range day vs
+    * the day a week later. */
+  val RetentionRangeGapDays = 7
+
+  /** `events_retention_range`: week-apart retained users answered from
+    * the STORED daily theta sketch table — the payoff
+    * [[eventsRetentionSketch]] promises, and the set-operation twin of
+    * [[eventsKllRange]]. The per-day sketch table persists as a
+    * content-fingerprinted [[IndexStore]] artifact (load-not-rebuild
+    * across processes, like the KLL daily table and the ANN
+    * codebooks); this query then intersects exactly TWO ≤8 KB blobs —
+    * at 100 TB any day-pair retention question is two blob reads and
+    * an O(k) merge walk, ZERO log reads, where the exact form
+    * re-shuffles both days' user sets per question. The range bounds
+    * ride as a broadcast single-row scalar (min day — no driver
+    * action); the exact side re-reads the log only to power the
+    * oracle-pinned `retained` column and the gate, the standard
+    * gated-approx discipline. */
+  def eventsRetentionRange(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaSketch.{theta_intersect_estimate, theta_sketch_agg}
+    val daily = IndexStore.loadOrBuild(spark, dir, "events", "theta_daily_v1") {
+      events(spark, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy("day").agg(theta_sketch_agg(col("user_id"), ThetaK).as("sk"))
+    }
+    val bounds = broadcast(daily.agg(min(col("day")).as("day_lo"))
+      .select(col("day_lo"),
+        date_add(col("day_lo"), RetentionRangeGapDays).as("day_hi")))
+    val est = daily
+      .join(bounds, col("day") === col("day_lo") || col("day") === col("day_hi"))
+      .agg(theta_intersect_estimate(
+        max(when(col("day") === col("day_lo"), col("sk"))),
+        max(when(col("day") === col("day_hi"), col("sk")))).as("est"))
+    val du = events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .dropDuplicates("day", "user_id")
+    val exact = du.join(bounds, col("day") === col("day_lo")).select(col("user_id"))
+      .join(du.join(bounds, col("day") === col("day_hi")).select(col("user_id")),
+        Seq("user_id"))
+      .agg(count(lit(1)).as("retained"))
+    exact.crossJoin(broadcast(est)).crossJoin(bounds)
+      .select(col("day_lo"), col("day_hi"), col("retained"),
+        (abs(col("est") - col("retained")) / col("retained")
+          <= ThetaRetentionBound).as("sketch_within_bound"))
+  }
+
+  val eventsRetentionRangeOracle: String =
+    s"""WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo FROM events),
+       |u1 AS (SELECT DISTINCT e.user_id FROM events e, b
+       |       WHERE CAST(e.ts AS DATE) = b.lo),
+       |u2 AS (SELECT DISTINCT e.user_id FROM events e, b
+       |       WHERE CAST(e.ts AS DATE) = b.lo + $RetentionRangeGapDays)
+       |SELECT b.lo AS day_lo, b.lo + $RetentionRangeGapDays AS day_hi,
+       |       (SELECT count(*) FROM u1 JOIN u2 USING (user_id)) AS retained,
+       |       CAST(TRUE AS BOOLEAN) AS sketch_within_bound
+       |FROM b""".stripMargin
+
   /** KLL geometry for [[eventsQuantilesKllDaily]]: k=256 concentrates
     * rank error well inside ±1%; the gate allows 1.5% — the same
     * ~3-sigma headroom [[SketchActivesBound]] gives HLL, loose enough
@@ -952,6 +1009,7 @@ object Sessions {
     "events_kll_range" -> (eventsKllRange _),
     "events_retention" -> (eventsRetention _),
     "events_retention_sketch" -> (eventsRetentionSketch _),
+    "events_retention_range" -> (eventsRetentionRange _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_top_paths" -> (eventsTopPaths _),
     "events_histogram" -> (eventsHistogram _),
@@ -974,6 +1032,7 @@ object Sessions {
     "events_kll_range" -> eventsKllRangeOracle,
     "events_retention" -> eventsRetentionOracle,
     "events_retention_sketch" -> eventsRetentionSketchOracle,
+    "events_retention_range" -> eventsRetentionRangeOracle,
     "events_anomaly" -> eventsAnomalyOracle,
     "events_top_paths" -> eventsTopPathsOracle,
     "events_histogram" -> eventsHistogramOracle,

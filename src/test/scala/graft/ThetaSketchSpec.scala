@@ -121,6 +121,23 @@ class ThetaSketchSpec extends SparkSpec {
     assert(pm.contains("partial_theta_union_agg"), pm)
   }
 
+  test("events_retention_range daily sketch table persists: second call loads, not rebuilds") {
+    val root = java.nio.file.Files.createTempDirectory("graft-theta-store").toString
+    spark.conf.set(graft.ops.IndexStore.RootConf, root)
+    try {
+      val b0 = graft.ops.IndexStore.builds.get()
+      val r1 = graft.ops.Sessions.eventsRetentionRange(spark, sf).collect()
+      assert(r1.length == 1 && r1.head.getBoolean(3), "range gate failed")
+      assert(graft.ops.IndexStore.builds.get() == b0 + 1,
+        "cold call must write exactly one sketch-table artifact")
+      val r2 = graft.ops.Sessions.eventsRetentionRange(spark, sf).collect()
+      assert(graft.ops.IndexStore.builds.get() == b0 + 1,
+        "warm call rebuilt the sketch table instead of loading it")
+      assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
+        "warm load diverged from the cold build")
+    } finally spark.conf.unset(graft.ops.IndexStore.RootConf)
+  }
+
   test("DataFrame aggregate: per-group sketches union to the whole (exact regime)") {
     val s = spark
     import s.implicits._
