@@ -739,11 +739,17 @@ object Sessions {
     val bounds = broadcast(daily.agg(min(col("day")).as("day_lo"))
       .select(col("day_lo"),
         date_add(col("day_lo"), RetentionRangeGapDays).as("day_hi")))
-    val est = daily
-      .join(bounds, col("day") === col("day_lo") || col("day") === col("day_hi"))
-      .agg(theta_intersect_estimate(
-        max(when(col("day") === col("day_lo"), col("sk"))),
-        max(when(col("day") === col("day_hi"), col("sk")))).as("est"))
+    // two broadcast equi-joins pick the two blobs; aggregating the (0 or
+    // 1 row) pair keeps the output one row even when day_hi has no
+    // sketch — no events that day means the true intersection is 0, and
+    // the coalesce makes the estimate say so instead of going null
+    val est = daily.join(bounds, col("day") === col("day_lo"))
+      .select(col("sk").as("sk_lo"))
+      .crossJoin(daily.join(bounds, col("day") === col("day_hi"))
+        .select(col("sk").as("sk_hi")))
+      .agg(coalesce(
+        max(theta_intersect_estimate(col("sk_lo"), col("sk_hi"))),
+        lit(0.0)).as("est"))
     val du = events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .dropDuplicates("day", "user_id")
@@ -751,10 +757,15 @@ object Sessions {
       .join(du.join(bounds, col("day") === col("day_hi")).select(col("user_id")),
         Seq("user_id"))
       .agg(count(lit(1)).as("retained"))
+    // zero-retained day pairs are representable here (this agg always
+    // emits one row, unlike eventsRetentionSketch's inner join): the
+    // gate then demands an exactly-zero estimate — no common sample
+    // hash exists without a common user — rather than dividing by zero
     exact.crossJoin(broadcast(est)).crossJoin(bounds)
       .select(col("day_lo"), col("day_hi"), col("retained"),
-        (abs(col("est") - col("retained")) / col("retained")
-          <= ThetaRetentionBound).as("sketch_within_bound"))
+        when(col("retained") === 0, col("est") === 0.0)
+          .otherwise(abs(col("est") - col("retained")) / col("retained")
+            <= ThetaRetentionBound).as("sketch_within_bound"))
   }
 
   val eventsRetentionRangeOracle: String =

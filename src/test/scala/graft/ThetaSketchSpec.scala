@@ -138,6 +138,37 @@ class ThetaSketchSpec extends SparkSpec {
     } finally spark.conf.unset(graft.ops.IndexStore.RootConf)
   }
 
+  test("retention range edges: missing week-later day and zero overlap gate TRUE, never null") {
+    val s = spark
+    import s.implicits._
+    def write(rows: Seq[(Long, String, Long)], prefix: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix).toString
+      rows.map { case (id, ts, u) =>
+        (id, java.sql.Timestamp.valueOf(ts), u, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      d
+    }
+    // (a) the log spans 3 days, so day_lo+7 has no sketch row: the true
+    // intersection is 0 and the gate must say so, not go null (the
+    // oracle hard-codes TRUE — a null here is a silent verify mismatch)
+    val short = write(Seq((1L, "2024-01-01 10:00:00", 7L),
+      (2L, "2024-01-03 10:00:00", 8L)), "graft-rr-short")
+    val a = graft.ops.Sessions.eventsRetentionRange(spark, short).collect()
+    assert(a.length == 1, "must emit exactly one row")
+    assert(a.head.getLong(2) == 0L && !a.head.isNullAt(3) && a.head.getBoolean(3),
+      s"missing-day edge: ${a.head}")
+    // (b) both days exist with disjoint users: retained = 0 is
+    // representable here (global agg) — the gate demands an exactly-zero
+    // estimate instead of dividing by zero
+    val disjoint = write(Seq((1L, "2024-01-01 10:00:00", 7L),
+      (2L, "2024-01-08 10:00:00", 8L)), "graft-rr-disj")
+    val b = graft.ops.Sessions.eventsRetentionRange(spark, disjoint).collect()
+    assert(b.length == 1, "must emit exactly one row")
+    assert(b.head.getLong(2) == 0L && !b.head.isNullAt(3) && b.head.getBoolean(3),
+      s"zero-overlap edge: ${b.head}")
+  }
+
   test("DataFrame aggregate: per-group sketches union to the whole (exact regime)") {
     val s = spark
     import s.implicits._
