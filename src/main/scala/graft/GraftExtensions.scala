@@ -186,6 +186,11 @@ object GraftExtensions {
       arity("theta_intersect_estimate", "(a, b)", es, 2)
       graft.functions.ThetaSketch.ThetaIntersectEstimate(es(0), es(1))
     },
+    fn("theta_anotb_estimate",
+      "_FUNC_(a, b) - set-difference size estimate |A \\ B| from two serialized theta sketches") { es =>
+      arity("theta_anotb_estimate", "(a, b)", es, 2)
+      graft.functions.ThetaSketch.ThetaANotBEstimate(es(0), es(1))
+    },
     // The confluent_* builders restate graft.functions.Confluent's
     // Column compositions as direct catalyst trees: a builder returning
     // a Column-derived expression hands the analyzer an opaque

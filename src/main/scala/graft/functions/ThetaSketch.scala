@@ -26,7 +26,10 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
   *    one (exact set-union of retained hashes, re-trimmed to k);
   *  - `theta_estimate(sk)`             — distinct-count estimate;
   *  - `theta_intersect_estimate(a, b)` — |A ∩ B| estimate from two
-  *    blobs.
+  *    blobs;
+  *  - `theta_anotb_estimate(a, b)`     — |A \ B| estimate from two
+  *    blobs (set difference — churn from the same per-day table whose
+  *    intersection gives retention).
   *
   * Structure: hash each key through splitmix64 (public-domain finalizer,
   * Steele/Lea/Flood 2014) and keep the k smallest DISTINCT values under
@@ -168,6 +171,39 @@ object ThetaSketch {
     if (!hasTheta) common.toDouble else common.toDouble / unit(thetaLong)
   }
 
+  /** |A \ B| estimate — the third set operation (union, intersection,
+    * DIFFERENCE), same comparable-sample argument as
+    * [[intersectEstimate]]: below the capped theta both samples are
+    * uniform theta-samples of the key universe, so the A-sample hashes
+    * absent from B's sample are a theta-sample of A \ B. Count them,
+    * divide by the capped theta. Exact when both sketches are below
+    * capacity. Identity with the intersection (pinned in
+    * [[graft.ThetaSketchSpec]]): at a common capped theta,
+    * a_not_b(A,B) + intersect(A,B) = |{x ∈ sample_A : x < theta_cap}| /
+    * theta_cap, so churn + retention reconstructs the day's actives. */
+  def aNotBEstimate(a: Array[Byte], b: Array[Byte]): Double = {
+    val (sa, fa, ta) = sampleOf(a)
+    val (sb, fb, tb) = sampleOf(b)
+    val hasTheta = fa || fb
+    val thetaLong =
+      if (fa && fb) { if (java.lang.Long.compareUnsigned(ta, tb) < 0) ta else tb }
+      else if (fa) ta else tb
+    var i = 0
+    var j = 0
+    var only = 0L
+    while (i < sa.length) {
+      val h = sa(i)
+      if (hasTheta && java.lang.Long.compareUnsigned(h, thetaLong) >= 0) {
+        i = sa.length // samples are ascending: everything past theta is out
+      } else {
+        while (j < sb.length && java.lang.Long.compareUnsigned(sb(j), h) < 0) j += 1
+        if (j >= sb.length || sb(j) != h) only += 1
+        i += 1
+      }
+    }
+    if (!hasTheta) only.toDouble else only.toDouble / unit(thetaLong)
+  }
+
   // ----------------------------------------------------------- aggregates
 
   /** `theta_sketch_agg(key, k)`: long key column → serialized sketch. */
@@ -287,6 +323,24 @@ object ThetaSketch {
     override def prettyName: String = "theta_intersect_estimate"
   }
 
+  /** `theta_anotb_estimate(a, b)`: |A \ B| estimate from two serialized
+    * sketches — exact when both are below capacity. */
+  case class ThetaANotBEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+    override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      aNotBEstimate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): ThetaANotBEstimate =
+      copy(left = l, right = r)
+    override def prettyName: String = "theta_anotb_estimate"
+  }
+
   // ------------------------------------------------------------ column API
 
   def theta_sketch_agg(key: Column, k: Int): Column =
@@ -302,5 +356,9 @@ object ThetaSketch {
 
   def theta_intersect_estimate(a: Column, b: Column): Column =
     ColumnBridge.column(ThetaIntersectEstimate(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def theta_anotb_estimate(a: Column, b: Column): Column =
+    ColumnBridge.column(ThetaANotBEstimate(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -711,6 +711,62 @@ object Sessions {
       |FROM du a JOIN du b ON b.day = a.day + 1 AND a.user_id = b.user_id
       |GROUP BY a.day ORDER BY a.day""".stripMargin
 
+  /** Gate for [[eventsChurnSketch]]. The difference estimator's RSE
+    * scales with sqrt(|A ∪ B| / (k·|A \ B|)) — churned users are the
+    * SMALL slice of a day's actives on this fixture (sf0.1: ~146
+    * churned of ~1336 actives/day), so at the same k the relative
+    * error runs wider than retention's. Measured on the deterministic
+    * hash draw at sf0.1: max 8.5% / mean 3.2% over 29 day pairs
+    * (tools/ChurnProbe), so 15% leaves ~1.75x headroom against
+    * innocuous re-rolls; sf0.001/0.01 are below capacity and exact. */
+  val ThetaChurnBound = 0.15
+
+  /** `events_churn_sketch`: day-over-day CHURNED users (active on day d,
+    * gone on day d+1) via theta set-DIFFERENCE — the third set operation
+    * off the same per-day sketch table whose intersection powers
+    * [[eventsRetentionSketch]]: union (actives), intersect (retention),
+    * a-not-b (churn) now all read from one stored artifact. The log is
+    * touched once into per-day sketches (partial-agg map-side combine,
+    * ≤8 KB each); every consecutive-day churn estimate is an O(k) merge
+    * walk over two blobs — at 100 TB the whole churn series costs days
+    * sketch comparisons and ZERO log re-reads, where the exact form
+    * re-shuffles user×day rows per day pair. The exact side powers the
+    * oracle-pinned `churned` column and the gate (estimate within
+    * [[ThetaChurnBound]]), the standard gated-approx discipline.
+    * Days whose successor day has no events at all drop (no sketch to
+    * difference against — same edge as the retention sketch's inner
+    * join), as do all-retained days (the exact inner count group). */
+  def eventsChurnSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaSketch.{theta_anotb_estimate, theta_sketch_agg}
+    val du = events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = du.groupBy("day").agg(theta_sketch_agg(col("user_id"), ThetaK).as("sk"))
+    val nextDay = daily.select(date_sub(col("day"), 1).as("day"), col("sk").as("sk_next"))
+    val est = daily.join(nextDay, Seq("day"))
+      .select(col("day"),
+        theta_anotb_estimate(col("sk"), col("sk_next")).as("est"))
+    val du1 = du.dropDuplicates("day", "user_id")
+    val nextUsers = du1.select(date_sub(col("day"), 1).as("day"), col("user_id"))
+    val exact = du1
+      .join(nextUsers, Seq("day", "user_id"), "left_anti")
+      .groupBy("day").agg(count(lit(1)).as("churned"))
+    exact.join(est, Seq("day"))
+      .select(col("day"), col("churned"),
+        (abs(col("est") - col("churned")) / col("churned")
+          <= ThetaChurnBound).as("sketch_within_bound"))
+      .orderBy("day")
+  }
+
+  val eventsChurnSketchOracle: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+      |SELECT a.day AS day, count(*) AS churned,
+      |       CAST(TRUE AS BOOLEAN) AS sketch_within_bound
+      |FROM du a
+      |WHERE EXISTS (SELECT 1 FROM du d WHERE d.day = a.day + 1)
+      |  AND NOT EXISTS (SELECT 1 FROM du b
+      |                  WHERE b.day = a.day + 1 AND b.user_id = a.user_id)
+      |GROUP BY a.day ORDER BY a.day""".stripMargin
+
   /** Gap of [[eventsRetentionRange]]'s day pair: first range day vs
     * the day a week later. */
   val RetentionRangeGapDays = 7
@@ -1020,6 +1076,7 @@ object Sessions {
     "events_kll_range" -> (eventsKllRange _),
     "events_retention" -> (eventsRetention _),
     "events_retention_sketch" -> (eventsRetentionSketch _),
+    "events_churn_sketch" -> (eventsChurnSketch _),
     "events_retention_range" -> (eventsRetentionRange _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_top_paths" -> (eventsTopPaths _),
@@ -1043,6 +1100,7 @@ object Sessions {
     "events_kll_range" -> eventsKllRangeOracle,
     "events_retention" -> eventsRetentionOracle,
     "events_retention_sketch" -> eventsRetentionSketchOracle,
+    "events_churn_sketch" -> eventsChurnSketchOracle,
     "events_retention_range" -> eventsRetentionRangeOracle,
     "events_anomaly" -> eventsAnomalyOracle,
     "events_top_paths" -> eventsTopPathsOracle,

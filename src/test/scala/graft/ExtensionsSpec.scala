@@ -86,6 +86,22 @@ class ExtensionsSpec extends SparkSpec {
     // 150 odd ones — union 300, overlap 0, both exact at this size.
     assert(sql.getDouble(0) == 300.0)
     assert(sql.getDouble(1) == 0.0)
+    // set DIFFERENCE completes the algebra: disjoint groups, so each
+    // group's a-not-b is its full 150; exact at this size, SQL == API
+    val diffSql = s.sql(
+      """SELECT theta_anotb_estimate(min(sk), max(sk)) AS ab,
+        |       theta_anotb_estimate(max(sk), min(sk)) AS ba
+        |FROM (SELECT g, theta_sketch_agg(u, 512) AS sk
+        |      FROM thetakeys GROUP BY g)""".stripMargin).head()
+    import graft.functions.ThetaSketch.theta_anotb_estimate
+    val diffApi = df.groupBy("g")
+      .agg(theta_sketch_agg(col("u"), 512).as("sk"))
+      .agg(min(col("sk")).as("a"), max(col("sk")).as("b"))
+      .select(theta_anotb_estimate(col("a"), col("b")).as("ab"),
+        theta_anotb_estimate(col("b"), col("a")).as("ba"))
+      .head()
+    assert(diffSql == diffApi)
+    assert(diffSql.getDouble(0) == 150.0 && diffSql.getDouble(1) == 150.0)
   }
 
   test("pq_adc via SQL == lookup arithmetic") {

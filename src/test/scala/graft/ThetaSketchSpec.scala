@@ -73,6 +73,49 @@ class ThetaSketchSpec extends SparkSpec {
     assert(rel <= 0.12, s"intersection estimate $est off by ${rel * 100}%")
   }
 
+  test("a_not_b is exact when both sketches are below capacity") {
+    val a = build(4096, 1L to 600L)
+    val b = build(4096, 401L to 1000L)
+    assert(ThetaSketch.aNotBEstimate(a.serialize(), b.serialize()) == 400.0)
+    assert(ThetaSketch.aNotBEstimate(b.serialize(), a.serialize()) == 400.0)
+    // disjoint: difference is all of A; subset: difference is empty
+    val c = build(4096, 2000L to 2599L)
+    assert(ThetaSketch.aNotBEstimate(a.serialize(), c.serialize()) == 600.0)
+    val sub = build(4096, 100L to 199L)
+    assert(ThetaSketch.aNotBEstimate(sub.serialize(), a.serialize()) == 0.0)
+    // exact decomposition below capacity: retained + churned = |A|
+    assert(ThetaSketch.intersectEstimate(a.serialize(), b.serialize())
+      + ThetaSketch.aNotBEstimate(a.serialize(), b.serialize()) == 600.0)
+  }
+
+  test("a_not_b estimate tracks the true difference and completes the intersection") {
+    // same geometry as the intersection test: |A\B| = 30k of |A| = 60k.
+    // RSE ~ sqrt(|A∪B| / (k·|A\B|)) = sqrt(90000/(2048·30000)) ≈ 3.8%;
+    // 12% is ~3 sigma. Deterministic hash, fixed outcome.
+    val a = build(2048, (1L to 60000L).map(_ * 1000003L))
+    val b = build(2048, (30001L to 90000L).map(_ * 1000003L))
+    val diff = ThetaSketch.aNotBEstimate(a.serialize(), b.serialize())
+    val rel = math.abs(diff - 30000.0) / 30000.0
+    assert(rel <= 0.12, s"a_not_b estimate $diff off by ${rel * 100}%")
+    // decomposition at the shared capped theta: every A-sample hash
+    // below theta_cap is counted exactly once as retained or churned,
+    // so intersect + a_not_b is itself an estimator of |A| (at theta_cap
+    // rather than theta_A) — churn + retention adds up to the day's
+    // actives within the same sampling error
+    val inter = ThetaSketch.intersectEstimate(a.serialize(), b.serialize())
+    val relSum = math.abs((inter + diff) - 60000.0) / 60000.0
+    assert(relSum <= 0.12,
+      s"intersect $inter + a_not_b $diff should estimate |A|=60000, off by ${relSum * 100}%")
+  }
+
+  test("a_not_b empty edges: empty \\ X = 0, X \\ empty = estimate of X") {
+    val empty = new ThetaBuffer(64)
+    val x = build(64, 1L to 50L)
+    assert(ThetaSketch.aNotBEstimate(empty.serialize(), x.serialize()) == 0.0)
+    assert(ThetaSketch.aNotBEstimate(x.serialize(), empty.serialize()) == 50.0)
+    assert(ThetaSketch.aNotBEstimate(empty.serialize(), empty.serialize()) == 0.0)
+  }
+
   test("mixed-k union downsamples to the smaller k and stays accurate") {
     val big = build(2048, (1L to 50000L).map(_ * 31L))
     val small = build(256, (25001L to 75000L).map(_ * 31L))
