@@ -269,6 +269,22 @@ object Layout {
         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
 
+  /** N-dimensional Morton interleave: bit i of dimension j lands at
+    * position i·d + j, so for d = 2 this IS [[zValue]] bit-for-bit
+    * (spec-pinned). `bitsPerDim` caps at 62/d so the curve always fits
+    * a positive long; values past 2^bitsPerDim alias into the low bits
+    * — identically for every row, degrading CLUSTERING only, never
+    * correctness (pruning consults real footer stats and the row
+    * predicate re-applies). Same clustering caveat for negatives. */
+  private[graft] def zValueN(dims: Seq[Column], bits: Int = ZBits): Column = {
+    require(dims.nonEmpty, "zValueN needs at least one dimension")
+    val d = dims.length
+    val b = math.min(bits, 62 / d)
+    (for { i <- 0 until b; (dim, j) <- dims.zipWithIndex } yield
+      shiftleft(shiftright(dim, i).bitwiseAND(lit(1L)), i * d + j))
+      .reduce(_ + _)
+  }
+
   private def zTermsSql(x: String, y: String): String =
     (0 until ZBits).map(i =>
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
@@ -322,6 +338,45 @@ object Layout {
         path
       }
     }
+
+  /** PUBLIC write surface for a Z-ordered layout (r20): what
+    * [[stageZorder]] hand-rolls for the fixture dims, as the API a
+    * user calls for ANY dimension set — `zorderWrite(spark, df, path,
+    * Seq("a", "b", "c"))` writes `df` clustered on the N-dim Morton
+    * curve of those columns and commits the manifest with the same
+    * columns as stat dimensions, so `spark.read.format("graftz")`
+    * prunes on every one of them immediately. The curve column is
+    * internal — it never lands in the written schema (projecting it
+    * away after the range-partition + sort preserves both).
+    *
+    * Dimensions must be integral (the Morton interleave is bit
+    * arithmetic and the manifest carries long bounds) — rejected
+    * loudly; derive an int first for anything else (`dayIdx`-style
+    * for timestamps). At 100 TB: one range-exchange on the curve
+    * (sampled bounds, AQE-compatible), a per-task sort, and the
+    * O(files) distributed footer job — the identical cost profile as
+    * the fixture stage, file count set by `nFiles` to target
+    * file/row-group size. */
+  def zorderWrite(spark: SparkSession, df: DataFrame, path: String,
+      dims: Seq[String], nFiles: Int = ZFiles): Unit = {
+    require(dims.nonEmpty, "zorderWrite needs at least one dimension")
+    val missing = dims.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"zorderWrite dims absent from the frame: ${missing.mkString(", ")}")
+    val integral = Set("byte", "short", "integer", "long")
+    val bad = dims.filterNot(c => integral.contains(df.schema(c).dataType.typeName))
+    require(bad.isEmpty,
+      s"zorderWrite dims must be integral (byte/short/int/long), got: " +
+        bad.map(c => s"$c: ${df.schema(c).dataType.typeName}").mkString(", ") +
+        " — derive an int dimension first (e.g. a day/hour index for timestamps)")
+    val zc = "__graft_z"
+    df.withColumn(zc, zValueN(dims.map(col)))
+      .repartitionByRange(nFiles, col(zc))
+      .sortWithinPartitions(zc)
+      .select(df.columns.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+    writeManifest(spark, path, dims)
+  }
 
   // -------------------------------------------- Z-order stats manifest
 
@@ -876,12 +931,80 @@ object Layout {
          |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  // ------------------------------------------------ 3-dim Z-order layout
+
+  /** The 3-dim layout's dimensions: user, day index, hour of day —
+    * the third is scale-invariant (0-23 at any SF) and independent of
+    * the first two, so the 3-dim box stays non-empty at every fixture
+    * scale where an id-range third dimension (ids correlate with time)
+    * empties. */
+  val Z3Dims: Seq[String] = Seq("user_id", "day_idx", "hour_idx")
+
+  /** The `q_zorder_scan_3d` box: [[ZUserLo]]-[[ZUserHi]] ×
+    * [[ZDayLo]]-[[ZDayHi]] × business hours. */
+  val ZHourLo = 9; val ZHourHi = 17
+
+  private val stagedZorder3 = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Events z-ordered on THREE dimensions via the public
+    * [[zorderWrite]] API — the staged half of `q_zorder_scan_3d`. */
+  private[graft] def zordered3Events(spark: SparkSession, dir: String): String =
+    stagedZorder3.get(dir).getOrElse(stageZorder3(spark, dir))
+
+  private def stageZorder3(spark: SparkSession, dir: String): String =
+    stagedZorder3.synchronized {
+      stagedZorder3.get(dir).getOrElse {
+        val path = s"${stageRoot(dir)}/events_zorder3"
+        zorderWrite(spark,
+          Sessions.events(spark, dir)
+            .withColumn("day_idx", dayIdx)
+            .withColumn("hour_idx", hour(col("ts"))),
+          path, Z3Dims)
+        stagedZorder3.put(dir, path)
+        path
+      }
+    }
+
+  /** `q_zorder_scan_3d` (r20): per-type counts/sums inside a
+    * THREE-dimensional predicate box — (user, day, hour) — over a
+    * layout written by the public [[zorderWrite]] API and read through
+    * the standard `spark.read.format("graftz")` surface. What it
+    * proves beyond [[qZorderScanSql]]: the N-dim Morton curve + the
+    * self-describing manifest make a THIRD pruning dimension pure
+    * config (one `Seq` argument), and the pushdown path prunes a
+    * conjunctive box across all three. Oracle: identical aggregate
+    * from the RAW events table — a curve/manifest/pushdown bug on any
+    * dimension is a value mismatch. */
+  def qZorderScan3d(spark: SparkSession, dir: String): DataFrame = {
+    val path = zordered3Events(spark, dir)
+    val view = s"graftz3_events_${stageTag(dir)}"
+    spark.read.format("graftz").load(path).createOrReplaceTempView(view)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+         |FROM $view
+         |WHERE user_id BETWEEN $ZUserLo AND $ZUserHi
+         |  AND day_idx BETWEEN $ZDayLo AND $ZDayHi
+         |  AND hour_idx BETWEEN $ZHourLo AND $ZHourHi
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val qZorderScan3dOracle: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+       |FROM events
+       |WHERE user_id BETWEEN $ZUserLo AND $ZUserHi
+       |  AND CAST(ts AS DATE) - DATE '1970-01-01' BETWEEN $ZDayLo AND $ZDayHi
+       |  AND EXTRACT(hour FROM ts) BETWEEN $ZHourLo AND $ZHourHi
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
     "layout_zorder" -> (layoutZorder _),
     "q_zorder_scan" -> (qZorderScan _),
     "q_zorder_scan_sql" -> (qZorderScanSql _),
+    "q_zorder_scan_3d" -> (qZorderScan3d _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -890,5 +1013,6 @@ object Layout {
     "layout_zorder" -> layoutZorderOracle,
     "q_zorder_scan" -> qZorderScanOracle,
     "q_zorder_scan_sql" -> qZorderScanOracle, // same truth, different read path
+    "q_zorder_scan_3d" -> qZorderScan3dOracle,
   )
 }

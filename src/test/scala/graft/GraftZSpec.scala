@@ -147,6 +147,73 @@ class GraftZSpec extends SparkSpec {
       s"delta-only box read base files: ${scanned.filterNot(_.contains("/extend-g1-"))}")
   }
 
+  test("zValueN over two dims IS the house curve bit-for-bit") {
+    // the N-dim interleave at d=2 (bit i of dim j at i*2+j) must equal
+    // zValue's layout (x at 2i, y at 2i+1) on every fixture row — a
+    // drift here silently re-clusters every layout the write API stages
+    val n = eventsZ
+      .where(Layout.zValueN(Seq(col("user_id"), col("day_idx"))) =!=
+        Layout.zValue(col("user_id"), col("day_idx")))
+      .count()
+    assert(n == 0, s"$n rows disagree between zValueN(d=2) and zValue")
+  }
+
+  test("zorderWrite: public API stages a 3-dim layout graftz prunes on every dimension") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gz-w3").toString
+    val src = eventsZ.withColumn("hour_idx", hour(col("ts")))
+    Layout.zorderWrite(spark, src, dir, Layout.Z3Dims, nFiles = 16)
+    // the internal curve column never lands in the written schema
+    val written = spark.read.parquet(dir)
+    assert(!written.columns.contains("__graft_z"), written.columns.mkString(","))
+    assert(written.count() == src.count())
+    // day and hour each prune ALONE — the hour dimension is exactly
+    // what no 2-dim (user, day) curve could make tight. (user_id does
+    // NOT prune at this fixture scale: 15 users = 4 bits of entropy
+    // spread every 3rd low bit position, so every file spans the full
+    // user range — a clustering-granularity artifact, not a bug; the
+    // full-box assertions below still hold through that dimension.)
+    val dayKept = scannedFiles(spark.read.format("graftz").load(dir)
+      .where(col("day_idx").between(Layout.ZDayLo, Layout.ZDayHi))).length
+    assert(dayKept < 16, "day_idx box pruned nothing")
+    val hourKept = scannedFiles(spark.read.format("graftz").load(dir)
+      .where(col("hour_idx").between(Layout.ZHourLo, Layout.ZHourHi))).length
+    assert(hourKept < 16, "hour_idx box pruned nothing")
+    // the full conjunctive box prunes strictly beyond either single
+    // dimension: executed scan ≡ manifest-kept set, pruned ≡ unpruned
+    // row-for-row against the source frame
+    val box = spark.read.format("graftz").load(dir).where(
+      col("user_id").between(Layout.ZUserLo, Layout.ZUserHi) &&
+        col("day_idx").between(Layout.ZDayLo, Layout.ZDayHi) &&
+        col("hour_idx").between(Layout.ZHourLo, Layout.ZHourHi))
+    val scanned = scannedFiles(box)
+    val (_, kept, total) = Layout.zorderPrunedScanBox(spark, dir, Seq(
+      ("user_id", Layout.ZUserLo, Layout.ZUserHi),
+      ("day_idx", Layout.ZDayLo.toLong, Layout.ZDayHi.toLong),
+      ("hour_idx", Layout.ZHourLo.toLong, Layout.ZHourHi.toLong)))
+    assert(kept.length < total, "3-dim box must prune the 3-dim layout")
+    assert(kept.length < math.min(dayKept, hourKept),
+      s"conjunctive box (${kept.length}) should beat single dims ($dayKept, $hourKept)")
+    assert(scanned == kept.sorted)
+    val want = src.where(
+      col("user_id").between(Layout.ZUserLo, Layout.ZUserHi) &&
+        col("day_idx").between(Layout.ZDayLo, Layout.ZDayHi) &&
+        col("hour_idx").between(Layout.ZHourLo, Layout.ZHourHi))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(box.select("event_id").collect().map(_.getLong(0)).sorted.toSeq == want)
+  }
+
+  test("zorderWrite refuses absent and non-integral dimensions loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gz-wbad").toString
+    val missing = intercept[IllegalArgumentException] {
+      Layout.zorderWrite(spark, eventsZ, dir, Seq("user_id", "nope"))
+    }
+    assert(missing.getMessage.contains("nope"))
+    val typed = intercept[IllegalArgumentException] {
+      Layout.zorderWrite(spark, eventsZ, dir, Seq("user_id", "ts"))
+    }
+    assert(typed.getMessage.contains("integral") && typed.getMessage.contains("ts"))
+  }
+
   test("graftz refuses writes, pointing at the layout maintenance ops") {
     val dir = zLayout("ro", files = 2)
     val e = intercept[Exception] {
