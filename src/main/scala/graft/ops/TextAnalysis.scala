@@ -871,6 +871,55 @@ object TextAnalysis {
       |                ELSE '20' END)
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-stratum quota of [[corpusSampleStratified]]: sized so the
+    * fixture exercises BOTH quota regimes — most languages carry more
+    * than 70 documents (genuine selection) while the smallest stratum
+    * at sf0.01 (fr, 64 docs) undersatisfies and emits whole. */
+  val StratifiedK = 70
+
+  /** `corpus_sample_stratified`: exact per-language QUOTA sampling —
+    * the third sampling family member (rate-based [[corpusSample]],
+    * size-weighted [[corpusSampleWeighted]], and now per-stratum
+    * balanced): keep exactly [[StratifiedK]] documents per language
+    * (all of them when a stratum runs short), selected by a
+    * content-keyed deterministic uniform so the same corpus always
+    * yields the same sample on any cluster — the "balance the training
+    * mix across languages/domains" primitive.
+    *
+    * 100 TB shape: ONE partial-aggregated `topk_by_score` per stratum —
+    * each task keeps a bounded k-heap per language map-side and only
+    * those heaps shuffle (strata count × k rows), where the textbook
+    * `row_number() OVER (PARTITION BY lang ORDER BY …)` form the
+    * oracle replays would shuffle and sort the ENTIRE corpus. Score =
+    * first 32 md5 bits as a double (≤ 2³² — exact in both engines, no
+    * tolerance), doc_id ascending tie-break in both. */
+  def corpusSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopK.topk_by_score
+    val v = conv(substring(md5(concat(lit("ssmp:"), col("text"))), 1, 8), 16, 10)
+      .cast(LongType)
+    Docs.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), v.cast("double").as("score"))
+      .groupBy("lang")
+      .agg(topk_by_score(col("score"), col("doc_id"), StratifiedK).as("picks"))
+      .select(col("lang"), posexplode(col("picks")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"), col("col.score").as("score"))
+      .orderBy("lang", "rk")
+  }
+
+  val corpusSampleStratifiedOracle: String = {
+    val fold = (1 to 8).map { j =>
+      s"(strpos('0123456789abcdef', substr(m,$j,1))-1)*${1L << (4 * (8 - j))}"
+    }.mkString(" + ")
+    s"""WITH h AS (SELECT doc_id, lang, md5('ssmp:' || text) AS m FROM documents),
+       |p AS (SELECT doc_id, lang, CAST(($fold) AS DOUBLE) AS score FROM h),
+       |r AS (SELECT *, row_number() OVER
+       |        (PARTITION BY lang ORDER BY score DESC, doc_id) AS rk FROM p)
+       |SELECT lang, rk, doc_id, score
+       |FROM r WHERE rk <= $StratifiedK
+       |ORDER BY lang, rk""".stripMargin
+  }
+
   /** Sample size of [[corpusSampleWeighted]]. */
   val SampleWeightedK = 100
 
@@ -1675,6 +1724,7 @@ object TextAnalysis {
     "corpus_pack_bpe_learned" -> (corpusPackBpeLearned _),
     "corpus_sample" -> (corpusSample _),
     "corpus_sample_weighted" -> (corpusSampleWeighted _),
+    "corpus_sample_stratified" -> (corpusSampleStratified _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_normalize" -> (textNormalize _),
     "corpus_ngram_counts" -> (corpusNgramCounts _),
@@ -1699,6 +1749,7 @@ object TextAnalysis {
     "corpus_pack_bpe_learned" -> corpusPackBpeLearnedOracle,
     "corpus_sample" -> corpusSampleOracle,
     "corpus_sample_weighted" -> corpusSampleWeightedOracle,
+    "corpus_sample_stratified" -> corpusSampleStratifiedOracle,
     "text_pii_scrub" -> textPiiScrubOracle,
     "text_normalize" -> textNormalizeOracle,
     "corpus_ngram_counts" -> corpusNgramCountsOracle,

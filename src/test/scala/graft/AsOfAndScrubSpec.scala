@@ -211,6 +211,42 @@ class AsOfAndScrubSpec extends SparkSpec {
       s"DLT total estimate wildly off: $estSum vs $trueSum")
   }
 
+  test("corpus_sample_stratified: exact per-language quota, bounded-aggregate plan") {
+    val out = TextAnalysis.corpusSampleStratified(spark, sf).collect()
+    // quota contract: every stratum emits min(stratum size, k) rows
+    val strata = ops.Docs.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    strata.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0L) == math.min(n, TextAnalysis.StratifiedK.toLong),
+        s"stratum $lang: ${got.getOrElse(lang, 0L)} of $n docs (k=${TextAnalysis.StratifiedK})")
+    }
+    // deterministic: same content → same sample
+    assert(out.toSeq == TextAnalysis.corpusSampleStratified(spark, sf).collect().toSeq)
+    // the kept set per stratum IS the k best content-keyed scores —
+    // brute-force replay of one stratum's draw
+    val lang0 = strata.keys.min
+    val byScore = ops.Docs.documents(spark, sf)
+      .where(org.apache.spark.sql.functions.col("lang") === lang0)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(("ssmp:" + r.getString(1)).getBytes("UTF-8"))
+        (r.getLong(0), java.lang.Long.parseLong(
+          md.take(4).map("%02x".format(_)).mkString, 16).toDouble)
+      }.sortBy { case (id, s) => (-s, id) }
+    val wantIds = byScore.take(TextAnalysis.StratifiedK).map(_._1).toSeq
+    assert(out.filter(_.getString(0) == lang0).map(_.getLong(2)).toSeq == wantIds,
+      s"stratum $lang0 kept set is not its k best scores")
+    // 100 TB shape: the per-stratum selection is a PARTIAL topk
+    // aggregate (bounded k-heap per language map-side) — only heaps
+    // shuffle, never the corpus; a window row_number would sort it all
+    val p = TextAnalysis.corpusSampleStratified(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_topk_by_score"), p)
+  }
+
   test("text_pii_scrub removes every PII pattern it counted") {
     val out = TextAnalysis.textPiiScrub(spark, sf).collect()
     assert(out.length == ops.Docs.documents(spark, sf).count().toInt)
