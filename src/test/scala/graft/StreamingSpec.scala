@@ -744,6 +744,10 @@ class StreamingSpec extends SparkSpec {
     // (k=1024 > the fixture's daily distinct — exact regime)
     val exact = graft.ops.Sessions.eventsRetentionSketch(spark, sf).collect()
       .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    // the set-difference dual: streamed blobs must also answer CHURN
+    // (the a_not_b lane) against the oracle-checked batch query
+    val churn = graft.ops.Sessions.eventsChurnSketch(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
     val days = streamed.keySet.toSeq.sorted
     days.sliding(2).foreach {
       case Seq(d1, d2) if java.time.temporal.ChronoUnit.DAYS.between(d1, d2) == 1 =>
@@ -754,6 +758,13 @@ class StreamingSpec extends SparkSpec {
         // the blobs' intersection must agree
         val want = exact.getOrElse(d1, 0L).toDouble
         assert(est == want, s"streamed-blob retention $est != exact $want on $d1")
+        // churn: all-retained days drop from the batch query the same
+        // way → exact 0 (k=1024 > daily distinct, exact regime)
+        val estChurn = ThetaSketch.aNotBEstimate(
+          streamed(d1)._2.toArray, streamed(d2)._2.toArray)
+        val wantChurn = churn.getOrElse(d1, 0L).toDouble
+        assert(estChurn == wantChurn,
+          s"streamed-blob churn $estChurn != exact $wantChurn on $d1")
       case _ => ()
     }
   }
