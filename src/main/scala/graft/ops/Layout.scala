@@ -86,6 +86,17 @@ object Layout {
   private val stagedBuckets = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private val stagedPartitions = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-(sf dir) staging memo: lock-free probe, then a LOCKED build
+    * with a post-lock recheck — a contender that queued behind the
+    * stager must never overwrite the layout the winner's query is
+    * already reading (the TrieMap.getOrElseUpdate racing-thunk hazard
+    * every staged layout here shares). */
+  private def stagedPath(cache: scala.collection.concurrent.TrieMap[String, String],
+      dir: String)(build: => String): String =
+    cache.get(dir).getOrElse(cache.synchronized {
+      cache.get(dir).getOrElse { val p = build; cache.put(dir, p); p }
+    })
+
   /** Write orders + lineitem as co-bucketed catalog tables (external,
     * path under the stage root) and return their table names. The
     * pre-write repartition on the bucket key makes each write task own
@@ -133,24 +144,13 @@ object Layout {
     * path. One file per day: repartition on the partition column first
     * for the same one-task-one-directory reason as the buckets. */
   private def partitionedEvents(spark: SparkSession, dir: String): String =
-    // Same shape as bucketedTables/stageBuckets: memo probe, then a
-    // LOCKED stage with a post-lock recheck. TrieMap.getOrElseUpdate
-    // evaluates a racing thunk in every contender and resolves with
-    // putIfAbsent after — the loser's overwrite would delete the day
-    // directories out from under the winner's already-running scan.
-    stagedPartitions.get(dir).getOrElse(stagePartitions(spark, dir))
-
-  private def stagePartitions(spark: SparkSession, dir: String): String =
-    stagedPartitions.synchronized {
-      stagedPartitions.get(dir).getOrElse {
-        val path = s"${stageRoot(dir)}/events_by_day"
-        Sessions.events(spark, dir)
-          .withColumn("day", to_date(col("ts")))
-          .repartition(col("day"))
-          .write.mode("overwrite").partitionBy("day").parquet(path)
-        stagedPartitions.put(dir, path)
-        path
-      }
+    stagedPath(stagedPartitions, dir) {
+      val path = s"${stageRoot(dir)}/events_by_day"
+      Sessions.events(spark, dir)
+        .withColumn("day", to_date(col("ts")))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      path
     }
 
   /** The exchange-free co-bucketed join, exposed for the plan spec:
@@ -318,25 +318,19 @@ object Layout {
     * space-filling curve makes predicates on EITHER OR BOTH dimensions
     * skip files. */
   private[graft] def zorderedEvents(spark: SparkSession, dir: String): String =
-    stagedZorder.get(dir).getOrElse(stageZorder(spark, dir))
-
-  private def stageZorder(spark: SparkSession, dir: String): String =
-    stagedZorder.synchronized {
-      stagedZorder.get(dir).getOrElse {
-        val path = s"${stageRoot(dir)}/events_zorder"
-        Sessions.events(spark, dir)
-          .withColumn("day_idx", dayIdx)
-          .withColumn("z", zValue(col("user_id"), col("day_idx")))
-          .repartitionByRange(ZFiles, col("z"))
-          .sortWithinPartitions("z")
-          .write.mode("overwrite").parquet(path)
-        // The stats manifest is written WITH the layout — the min/max
-        // are known the moment the files land, and a layout that moves
-        // carries its manifest with it (the lakehouse-format shape).
-        writeManifest(spark, path)
-        stagedZorder.put(dir, path)
-        path
-      }
+    stagedPath(stagedZorder, dir) {
+      val path = s"${stageRoot(dir)}/events_zorder"
+      Sessions.events(spark, dir)
+        .withColumn("day_idx", dayIdx)
+        .withColumn("z", zValue(col("user_id"), col("day_idx")))
+        .repartitionByRange(ZFiles, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(path)
+      // The stats manifest is written WITH the layout — the min/max
+      // are known the moment the files land, and a layout that moves
+      // carries its manifest with it (the lakehouse-format shape).
+      writeManifest(spark, path)
+      path
     }
 
   /** PUBLIC write surface for a Z-ordered layout (r20): what
@@ -352,13 +346,18 @@ object Layout {
     * Dimensions must be integral (the Morton interleave is bit
     * arithmetic and the manifest carries long bounds) — rejected
     * loudly; derive an int first for anything else (`dayIdx`-style
-    * for timestamps). At 100 TB: one range-exchange on the curve
-    * (sampled bounds, AQE-compatible), a per-task sort, and the
-    * O(files) distributed footer job — the identical cost profile as
-    * the fixture stage, file count set by `nFiles` to target
-    * file/row-group size. */
+    * for timestamps). `bitsPerDim` defaults to the widest curve that
+    * fits a positive long (62/d bits per dimension — 62 for one dim,
+    * 31 for two, 20 for three), so wide id columns cluster on their
+    * HIGH bits instead of silently aliasing at the house fixture
+    * width; pass it explicitly only to trade curve resolution for
+    * cheaper expressions on provably narrow dims. At 100 TB: one
+    * range-exchange on the curve (sampled bounds, AQE-compatible), a
+    * per-task sort, and the O(files) distributed footer job — the
+    * identical cost profile as the fixture stage, file count set by
+    * `nFiles` to target file/row-group size. */
   def zorderWrite(spark: SparkSession, df: DataFrame, path: String,
-      dims: Seq[String], nFiles: Int = ZFiles): Unit = {
+      dims: Seq[String], nFiles: Int = ZFiles, bitsPerDim: Int = 62): Unit = {
     require(dims.nonEmpty, "zorderWrite needs at least one dimension")
     val missing = dims.filterNot(df.columns.contains)
     require(missing.isEmpty,
@@ -370,7 +369,13 @@ object Layout {
         bad.map(c => s"$c: ${df.schema(c).dataType.typeName}").mkString(", ") +
         " — derive an int dimension first (e.g. a day/hour index for timestamps)")
     val zc = "__graft_z"
-    df.withColumn(zc, zValueN(dims.map(col)))
+    // withColumn REPLACES an existing column of the same name — a user
+    // column called __graft_z would be silently overwritten with curve
+    // values and written back corrupted; refuse instead
+    require(!df.columns.contains(zc),
+      s"zorderWrite: the frame already carries a column named $zc, " +
+        "which collides with the internal curve column — rename it first")
+    df.withColumn(zc, zValueN(dims.map(col), bitsPerDim))
       .repartitionByRange(nFiles, col(zc))
       .sortWithinPartitions(zc)
       .select(df.columns.map(col): _*)
@@ -949,20 +954,14 @@ object Layout {
   /** Events z-ordered on THREE dimensions via the public
     * [[zorderWrite]] API — the staged half of `q_zorder_scan_3d`. */
   private[graft] def zordered3Events(spark: SparkSession, dir: String): String =
-    stagedZorder3.get(dir).getOrElse(stageZorder3(spark, dir))
-
-  private def stageZorder3(spark: SparkSession, dir: String): String =
-    stagedZorder3.synchronized {
-      stagedZorder3.get(dir).getOrElse {
-        val path = s"${stageRoot(dir)}/events_zorder3"
-        zorderWrite(spark,
-          Sessions.events(spark, dir)
-            .withColumn("day_idx", dayIdx)
-            .withColumn("hour_idx", hour(col("ts"))),
-          path, Z3Dims)
-        stagedZorder3.put(dir, path)
-        path
-      }
+    stagedPath(stagedZorder3, dir) {
+      val path = s"${stageRoot(dir)}/events_zorder3"
+      zorderWrite(spark,
+        Sessions.events(spark, dir)
+          .withColumn("day_idx", dayIdx)
+          .withColumn("hour_idx", hour(col("ts"))),
+        path, Z3Dims)
+      path
     }
 
   /** `q_zorder_scan_3d` (r20): per-type counts/sums inside a

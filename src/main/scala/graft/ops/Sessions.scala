@@ -736,7 +736,17 @@ object Sessions {
     * Days whose successor day has no events at all drop (no sketch to
     * difference against — same edge as the retention sketch's inner
     * join), as do all-retained days (the exact inner count group). */
-  def eventsChurnSketch(spark: SparkSession, dir: String): DataFrame = {
+  def eventsChurnSketch(spark: SparkSession, dir: String): DataFrame =
+    eventsChurnDetail(spark, dir)
+      .select(col("day"), col("churned"),
+        (abs(col("est") - col("churned")) / col("churned")
+          <= ThetaChurnBound).as("sketch_within_bound"))
+      .orderBy("day")
+
+  /** (day, churned, est) — the query above minus the gate projection,
+    * shared with tools/ChurnProbe so the measured headroom prices THIS
+    * pipeline, never a drifted copy. */
+  private[graft] def eventsChurnDetail(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ThetaSketch.{theta_anotb_estimate, theta_sketch_agg}
     val du = events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id"))
@@ -751,10 +761,6 @@ object Sessions {
       .join(nextUsers, Seq("day", "user_id"), "left_anti")
       .groupBy("day").agg(count(lit(1)).as("churned"))
     exact.join(est, Seq("day"))
-      .select(col("day"), col("churned"),
-        (abs(col("est") - col("churned")) / col("churned")
-          <= ThetaChurnBound).as("sketch_within_bound"))
-      .orderBy("day")
   }
 
   val eventsChurnSketchOracle: String =

@@ -15,7 +15,7 @@ object Z3Probe {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     val src = Sessions.events(spark, dir)
-      .withColumn("day_idx", datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")))
+      .withColumn("day_idx", Layout.dayIdx)
       .withColumn("hour_idx", hour(col("ts")))
     val path = java.nio.file.Files.createTempDirectory("z3probe").toString
     Layout.zorderWrite(spark, src, path, Layout.Z3Dims, nFiles = 16)
