@@ -629,6 +629,159 @@ object Layout {
     added
   }
 
+  /** Result of [[zorderDeleteBox]]: whole files dropped without being
+    * read, straddling files rewritten, files the box never touched —
+    * and, on a replay of an already-committed generation, the orphan
+    * data files the vacuum removed. */
+  case class ZDeleteStats(filesDropped: Int, filesRewritten: Int,
+      filesUntouched: Int, vacuumed: Int = 0)
+
+  /** DELETE FROM the z-ordered layout: remove every row inside the
+    * conjunctive bound box — the GDPR / right-to-be-forgotten shape,
+    * and the reason a training-data layout z-orders on user id in the
+    * first place. The manifest classifies every file WITHOUT reading
+    * it: a file whose every row group provably sits inside the box on
+    * every bounded dimension is DROPPED whole (never scanned — at
+    * 100 TB a user purge touches metadata plus the straddling
+    * boundary files only); a file any of whose row groups straddles
+    * the box is REWRITTEN without its matching rows (re-clustered on
+    * the manifest's own stat dimensions); a file the box cannot reach
+    * is untouched, byte-for-byte. NULL dimension values never match a
+    * box (SQL BETWEEN semantics), so rewritten files keep their
+    * null-dimension rows.
+    *
+    * Single-writer maintenance op (the extend/ingest contract), commit
+    * order chosen so a MANIFEST reader never sees a partial delete:
+    * rewritten files land under a dot-temp and rename in FIRST (the
+    * committed manifest does not list them — invisible); the manifest
+    * swap is the atomic switch (lists new + untouched, drops the
+    * box's files); the obsolete data files delete LAST. A reader
+    * holding the pre-swap manifest snapshot can transiently fail on a
+    * just-deleted path (bounded staleness, never wrong rows); a crash
+    * between the swap and the old-file deletion leaves ORPHANS the
+    * committed manifest no longer lists — invisible to every manifest
+    * reader, and a `retry = true` replay of the same gen detects the
+    * committed generation and completes exactly that cleanup (the
+    * vacuum), never re-deleting rows. A crash BEFORE the swap leaves
+    * this generation's files unlisted (invisible); the retry
+    * probe-deletes them by their deterministic contiguous names and
+    * re-runs, with the source files still intact — the swap is the
+    * point of no return, and the old files outlive it.
+    *
+    * A bound on a dimension the manifest carries no stats for proves
+    * nothing: every file classifies as straddling and rewrites —
+    * degraded cost, never a missed or extra deletion (the row
+    * predicate is the truth). */
+  def zorderDeleteBox(spark: SparkSession, path: String,
+      bounds: Seq[(String, Long, Long)], gen: Long,
+      retry: Boolean = false, deltaFiles: Int = 0): ZDeleteStats = {
+    require(bounds.nonEmpty, "zorderDeleteBox needs at least one bound")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val prefix = s"delete-g$gen-"
+    val mfDir = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
+    val committed = fs.exists(new org.apache.hadoop.fs.Path(mfDir, "_SUCCESS"))
+    if (committed) {
+      val rows = validateManifestSchema(spark.read.parquet(mfDir.toString), path)
+      if (!rows.where(fileNameHasPrefix(prefix)).isEmpty) {
+        // this generation's swap landed: rows already gone; the only
+        // legal replay is the orphan vacuum (re-running the rewrite
+        // would need the deleted source files)
+        require(retry,
+          s"delete generation $gen already committed under $path; " +
+            "pass retry=true to complete its orphan vacuum")
+        val listed = rows.select(col("file")).distinct()
+          .collect().map(_.getString(0)).toSet
+        val orphans = fs.listStatus(root)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(st => fs.makeQualified(st.getPath))
+          .filterNot(p => listed.contains(p.toString))
+        orphans.foreach(fs.delete(_, false))
+        return ZDeleteStats(0, 0, listed.size, vacuumed = orphans.length)
+      }
+    }
+    val prior = fs.exists(new org.apache.hadoop.fs.Path(root, s"${prefix}0.parquet"))
+    require(!prior || retry,
+      s"delete generation $gen already has data files under $path; " +
+        "distinct deletes must use distinct gens — pass retry=true " +
+        "only when REPLAYING this generation after a crash")
+    var k0 = 0
+    while (fs.delete(new org.apache.hadoop.fs.Path(root, s"$prefix$k0.parquet"), false)) {
+      k0 += 1
+    }
+    val mf = loadManifest(spark, path, bounds.map(_._1))
+    val have = mf.columns.toSet
+    val overlapsC = bounds.map { case (c, lo, hi) =>
+      if (have.contains(s"${c}__min"))
+        coalesce(col(s"${c}__max"), lit(Long.MaxValue)) >= lo &&
+          coalesce(col(s"${c}__min"), lit(Long.MinValue)) <= hi
+      else lit(true)
+    }.reduce(_ && _)
+    // provable containment needs REAL stats on every bounded dim —
+    // a null stat or an unknown dimension can never prove a row in
+    val insideC = bounds.map { case (c, lo, hi) =>
+      if (have.contains(s"${c}__min"))
+        col(s"${c}__min").isNotNull && col(s"${c}__max").isNotNull &&
+          col(s"${c}__min") >= lo && col(s"${c}__max") <= hi
+      else lit(false)
+    }.reduce(_ && _)
+    val perFile = mf.groupBy(col("file")).agg(
+        max(when(overlapsC, 1).otherwise(0)).as("ov"),
+        min(when(insideC, 1).otherwise(0)).as("ins"))
+      .collect()
+    val dropped = perFile.filter(r => r.getInt(1) == 1 && r.getInt(2) == 1)
+      .map(_.getString(0)).sorted
+    val rewrite = perFile.filter(r => r.getInt(1) == 1 && r.getInt(2) == 0)
+      .map(_.getString(0)).sorted
+    val untouched = perFile.count(_.getInt(1) == 0)
+    if (dropped.isEmpty && rewrite.isEmpty)
+      return ZDeleteStats(0, 0, untouched)
+    val statCols = mf.columns.filter(_.endsWith("__min"))
+      .map(_.stripSuffix("__min")).toSeq
+    val pred = bounds.map { case (c, lo, hi) => col(c).between(lo, hi) }
+      .reduce(_ && _)
+    val newFiles: Seq[String] = if (rewrite.isEmpty) Nil else {
+      val tmp = new org.apache.hadoop.fs.Path(root, s".delete_tmp_g$gen")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val src = spark.read.parquet(rewrite.toIndexedSeq: _*)
+      val zc = "__graft_z"
+      val nOut = if (deltaFiles > 0) deltaFiles else rewrite.length
+      src.where(!coalesce(pred, lit(false)))
+        .withColumn(zc, zValueN(statCols.map(col), 62))
+        .repartitionByRange(nOut, col(zc))
+        .sortWithinPartitions(zc)
+        .select(src.columns.map(col): _*)
+        .write.parquet(tmp.toString)
+      val staged = fs.listStatus(tmp)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          st.getLen > 0)
+        .map(_.getPath).sortBy(_.getName)
+      val added = staged.zipWithIndex.map { case (p, k) =>
+        val dest = new org.apache.hadoop.fs.Path(root, s"$prefix$k.parquet")
+        require(fs.rename(p, dest), s"delete rename failed: $p -> $dest")
+        fs.makeQualified(dest).toString
+      }.toSeq
+      fs.delete(tmp, true)
+      added
+    }
+    // the atomic switch: untouched rows survive, the box's files drop,
+    // the rewrites appear — routed as an anti JOIN, never an isin
+    // literal list (the removed set is O(touched files); the manifest
+    // side stays distributed)
+    import spark.implicits._
+    val removedDf = broadcast((dropped ++ rewrite).toSeq.toDF("file"))
+    val base = mf.join(removedDf, Seq("file"), "left_anti")
+    swapManifest(spark, path,
+      if (newFiles.nonEmpty)
+        base.unionByName(footerManifestFor(spark, newFiles, statCols))
+      else base)
+    (dropped ++ rewrite).foreach { f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false)
+    }
+    ZDeleteStats(dropped.length, rewrite.length, untouched)
+  }
+
   /** Per-file (user_id, day_idx) min/max from parquet footers, as a
     * DISTRIBUTED job over the file list: the driver lists once; the
     * footer range-reads — the expensive half against object storage —
@@ -692,7 +845,15 @@ object Layout {
                 val cc = cols.get(c)
                 val name = cc.getPath.toDotString
                 val stat = cc.getStatistics
-                if (wanted.contains(name) && stat != null && stat.hasNonNullValue) {
+                // stats only for NULL-FREE row groups: min/max never
+                // describe null cells, so a group mixing nulls with
+                // in-box values would classify as provably-inside and
+                // a box DELETE would drop its null rows — rows no box
+                // can match. Null presence (or an unset null count)
+                // widens to no-stats: unprunable and uncontainable,
+                // degraded cost, never a wrong row.
+                if (wanted.contains(name) && stat != null && stat.hasNonNullValue &&
+                    stat.isNumNullsSet && stat.getNumNulls == 0) {
                   (stat.genericGetMin, stat.genericGetMax) match {
                     case (mn: Number, mx: Number) =>
                       mins(name) = mn.longValue; maxs(name) = mx.longValue
@@ -997,7 +1158,51 @@ object Layout {
        |  AND EXTRACT(hour FROM ts) BETWEEN $ZHourLo AND $ZHourHi
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val stagedZorderDel = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** A fresh 2-dim layout with the standard box DELETED — the staged
+    * half of `q_zorder_delete`, built entirely by the public APIs
+    * ([[zorderWrite]] then [[zorderDeleteBox]]). */
+  private[graft] def zorderedDeletedEvents(spark: SparkSession, dir: String): String =
+    stagedPath(stagedZorderDel, dir) {
+      val path = s"${stageRoot(dir)}/events_zorder_del"
+      zorderWrite(spark,
+        Sessions.events(spark, dir).withColumn("day_idx", dayIdx),
+        path, ZDims)
+      zorderDeleteBox(spark, path, Seq(
+        ("user_id", ZUserLo, ZUserHi),
+        ("day_idx", ZDayLo.toLong, ZDayHi.toLong)), gen = 1L)
+      path
+    }
+
+  /** `q_zorder_delete` (late r20): per-type counts/sums over a layout
+    * the standard (user, day) box was DELETED FROM via
+    * [[zorderDeleteBox]] — the GDPR purge read back through the
+    * standard `graftz` surface. The oracle computes the complement
+    * aggregate from the RAW table, so BOTH failure modes are value
+    * mismatches: a row the delete missed (inside the box but still
+    * readable) and a row it over-deleted (outside the box but gone —
+    * e.g. a whole-file drop that was not actually provably inside). */
+  def qZorderDelete(spark: SparkSession, dir: String): DataFrame = {
+    val path = zorderedDeletedEvents(spark, dir)
+    spark.read.format("graftz").load(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast(DecimalType(18, 2))
+          .cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val qZorderDeleteOracle: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+       |FROM events
+       |WHERE NOT (user_id BETWEEN $ZUserLo AND $ZUserHi
+       |       AND CAST(ts AS DATE) - DATE '1970-01-01' BETWEEN $ZDayLo AND $ZDayHi)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_delete" -> (qZorderDelete _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
     "layout_zorder" -> (layoutZorder _),
@@ -1007,6 +1212,7 @@ object Layout {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_zorder_delete" -> qZorderDeleteOracle,
     "q_bucketed_join" -> qBucketedJoinOracle,
     "q_partition_prune" -> qPartitionPruneOracle,
     "layout_zorder" -> layoutZorderOracle,
