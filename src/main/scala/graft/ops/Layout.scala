@@ -448,10 +448,14 @@ object Layout {
         "only when REPLAYING this generation after a crash")
     // manifest compensation BEFORE any data-file delete: if a prior
     // try of this gen committed (its rows live in the manifest), drop
-    // them first so the files are invisible when they vanish
-    dropManifestRows(spark, path, prefix)
-    // retry: drop this generation's prior files by their deterministic
-    // contiguous names (never a directory listing)
+    // them first so the files are invisible when they vanish — and
+    // delete exactly the files those rows named (a later DELETE may
+    // have punched gaps into the contiguous numbering)
+    dropManifestRows(spark, path, prefix).foreach { f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false)
+    }
+    // retry: drop this generation's remaining (uncommitted) files by
+    // their deterministic contiguous names (never a directory listing)
     var k0 = 0
     while (fs.delete(new org.apache.hadoop.fs.Path(root, s"$prefix$k0.parquet"), false)) {
       k0 += 1
@@ -461,23 +465,13 @@ object Layout {
     // append would double-count the added files in the union below
     val baseManifest = loadManifest(spark, path, statCols)
       .where(!fileNameHasPrefix(prefix)) // stale rows of a crashed prior try
-    val tmp = new org.apache.hadoop.fs.Path(root, s".extend_tmp_g$gen")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    newEvents
-      .withColumn("day_idx", dayIdx)
-      .withColumn("z", zValue(col("user_id"), col("day_idx")))
-      .repartitionByRange(deltaFiles, col("z"))
-      .sortWithinPartitions("z")
-      .write.parquet(tmp.toString)
-    val staged = fs.listStatus(tmp)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
-      .map(_.getPath).sortBy(_.getName)
-    val added = staged.zipWithIndex.map { case (p, k) =>
-      val dest = new org.apache.hadoop.fs.Path(root, s"$prefix$k.parquet")
-      require(fs.rename(p, dest), s"extend rename failed: $p -> $dest")
-      fs.makeQualified(dest).toString
-    }.toSeq
-    fs.delete(tmp, true)
+    val added = stageRenameIn(fs, root, s".extend_tmp_g$gen", prefix, tmp =>
+      newEvents
+        .withColumn("day_idx", dayIdx)
+        .withColumn("z", zValue(col("user_id"), col("day_idx")))
+        .repartitionByRange(deltaFiles, col("z"))
+        .sortWithinPartitions("z")
+        .write.parquet(tmp.toString))
     swapManifest(spark, path,
       baseManifest.unionByName(footerManifestFor(spark, added, statCols)))
     added
@@ -495,19 +489,26 @@ object Layout {
 
   /** Compensate a COMMITTED manifest for a replay: drop every row whose
     * file NAME starts with `prefix` (a generation/batch file prefix)
-    * via a full swap. No-op when the manifest is absent/uncommitted
-    * (the footer-scan fallback always reflects directory truth) or
-    * already clean — so the O(manifest) swap is paid only on the rare
+    * via a full swap, returning the dropped rows' file names so the
+    * caller can delete exactly the files the manifest listed — a
+    * contiguous-name probe alone stops at the first gap, and a DELETE
+    * that dropped/rewrote some of a generation's files leaves gaps.
+    * No-op (Nil) when the manifest is absent/uncommitted (the
+    * footer-scan fallback always reflects directory truth) or already
+    * clean — so the O(manifest) swap is paid only on the rare
     * replay-after-compaction path, never per batch. */
   private def dropManifestRows(spark: SparkSession, path: String,
-      prefix: String): Unit = {
+      prefix: String): Seq[String] = {
     val mf = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
     val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(mf, "_SUCCESS"))) {
       val rows = validateManifestSchema(spark.read.parquet(mf.toString), path)
-      if (!rows.where(fileNameHasPrefix(prefix)).isEmpty)
+      val hit = rows.where(fileNameHasPrefix(prefix))
+        .select(col("file")).distinct().collect().map(_.getString(0)).toSeq
+      if (hit.nonEmpty)
         swapManifest(spark, path, rows.where(!fileNameHasPrefix(prefix)))
-    }
+      hit
+    } else Nil
   }
 
   /** Replace the manifest with `merged` WITHOUT routing its rows
@@ -563,7 +564,16 @@ object Layout {
     * batch-keyed name is also what makes the replay idempotent at the
     * manifest level (the replay replaces its own segment). Segment
     * count grows with batches; [[zorderExtendRows]]' full swap is the
-    * compaction. */
+    * compaction.
+    *
+    * Interaction with [[zorderDeleteBox]]: a replay re-lands the
+    * batch's ORIGINAL rows — if a delete purged rows of this batch
+    * between the original landing and the replay, the replay
+    * resurrects them (and the manifest-assisted cleanup above removes
+    * the delete's rewrites of this batch's files, dropping the other
+    * survivors they carried). Schedule deletes only past the stream's
+    * committed checkpoint — the single-writer discipline compaction
+    * already requires. */
   private[graft] def zorderIngestBatch(spark: SparkSession, path: String,
       batchId: Long, newEvents: DataFrame,
       deltaFiles: Int = math.max(1, ZFiles / 8),
@@ -587,31 +597,23 @@ object Layout {
     // BEFORE the probe-delete below removes files the committed
     // manifest still lists. No-op (one isEmpty probe of a
     // metadata-scale frame) on the common uncompacted replay.
-    dropManifestRows(spark, path, prefix)
+    dropManifestRows(spark, path, prefix).foreach { f =>
+      // delete exactly the files the manifest listed for this batch —
+      // a later zorderDeleteBox may have dropped/rewritten SOME of
+      // them, and the contiguous probe below stops at the first gap
+      fs.delete(new org.apache.hadoop.fs.Path(f), false)
+    }
     var k = 0
     while (fs.delete(new org.apache.hadoop.fs.Path(root, s"$prefix$k.parquet"), false)) {
       k += 1
     }
-    val tmp = new org.apache.hadoop.fs.Path(root, s".ingest_tmp_b$batchId")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    newEvents
-      .withColumn("day_idx", dayIdx)
-      .withColumn("z", zValue(col("user_id"), col("day_idx")))
-      .repartitionByRange(deltaFiles, col("z"))
-      .sortWithinPartitions("z")
-      .write.parquet(tmp.toString)
-    val staged = fs.listStatus(tmp)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
-        st.getLen > 0)
-      .map(_.getPath).sortBy(_.getName)
-    val added = staged.zipWithIndex.map { case (p, k) =>
-      val dest = new org.apache.hadoop.fs.Path(root, s"$prefix$k.parquet")
-      require(fs.rename(p, dest), s"ingest rename failed: $p -> $dest")
-      // qualified (scheme-carrying) names, matching what listStatus
-      // yields — manifest rows must compare equal across both builders
-      fs.makeQualified(dest).toString
-    }.toSeq
-    fs.delete(tmp, true)
+    val added = stageRenameIn(fs, root, s".ingest_tmp_b$batchId", prefix, tmp =>
+      newEvents
+        .withColumn("day_idx", dayIdx)
+        .withColumn("z", zValue(col("user_id"), col("day_idx")))
+        .repartitionByRange(deltaFiles, col("z"))
+        .sortWithinPartitions("z")
+        .write.parquet(tmp.toString))
     // O(delta) segment: stats of the added files only, staged and
     // renamed to the batch-keyed single-file segment
     val segTmp = new org.apache.hadoop.fs.Path(root, s".ingest_seg_tmp_b$batchId")
@@ -636,6 +638,67 @@ object Layout {
   case class ZDeleteStats(filesDropped: Int, filesRewritten: Int,
       filesUntouched: Int, vacuumed: Int = 0)
 
+  /** Per-row-group overlap predicate against a conjunctive box over a
+    * manifest's self-describing stat columns — shared by the pruned
+    * scan and the delete classifier. A null stat or an unknown
+    * dimension widens to always-overlap: pruning may only ever skip a
+    * file it can PROVE empty of matches. */
+  private def overlapsBox(have: Set[String],
+      bounds: Seq[(String, Long, Long)]): Column =
+    bounds.map { case (c, lo, hi) =>
+      if (have.contains(s"${c}__min"))
+        coalesce(col(s"${c}__max"), lit(Long.MaxValue)) >= lo &&
+          coalesce(col(s"${c}__min"), lit(Long.MinValue)) <= hi
+      else lit(true)
+    }.reduce(_ && _)
+
+  /** Stage a frame into `.tmpName` under the layout root, then rename
+    * its non-empty parquet parts in as `prefix0.parquet, prefix1…` —
+    * the deterministic contiguous naming every maintenance op's replay
+    * relies on. Shared by extend, ingest and delete. Returns the
+    * QUALIFIED destination names (what listStatus yields — manifest
+    * rows must compare equal across both builders). */
+  private def stageRenameIn(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, tmpName: String, prefix: String,
+      write: org.apache.hadoop.fs.Path => Unit): Seq[String] = {
+    val tmp = new org.apache.hadoop.fs.Path(root, tmpName)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    write(tmp)
+    val staged = fs.listStatus(tmp)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        st.getLen > 0)
+      .map(_.getPath).sortBy(_.getName)
+    val added = staged.zipWithIndex.map { case (p, k) =>
+      val dest = new org.apache.hadoop.fs.Path(root, s"$prefix$k.parquet")
+      require(fs.rename(p, dest), s"stage rename failed: $p -> $dest")
+      fs.makeQualified(dest).toString
+    }.toSeq
+    fs.delete(tmp, true)
+    added
+  }
+
+  /** Delete every top-level data file the COMMITTED manifest does not
+    * list. Unlisted files are invisible to every manifest reader —
+    * garbage from a crashed prior maintenance op (a delete that died
+    * between its swap and its old-file cleanup, an extend/ingest that
+    * died between rename-in and swap; the single-writer contract means
+    * no live op owns them, and a crashed op's retry re-stages from its
+    * own source). Returns the count removed. */
+  private def vacuumUnlisted(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, listed: Set[String]): Int = {
+    val orphans = fs.listStatus(root)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => fs.makeQualified(st.getPath))
+      .filterNot(p => listed.contains(p.toString))
+    orphans.foreach(fs.delete(_, false))
+    orphans.length
+  }
+
+  /** Name of the dot-directory that holds originals mid-replacement —
+    * invisible to the footer-scan fallback (top-level files only) and
+    * to every parquet directory read (dot-prefixed). */
+  private val TrashDir = ".graft_trash"
+
   /** DELETE FROM the z-ordered layout: remove every row inside the
     * conjunctive bound box — the GDPR / right-to-be-forgotten shape,
     * and the reason a training-data layout z-orders on user id in the
@@ -644,80 +707,84 @@ object Layout {
     * every bounded dimension is DROPPED whole (never scanned — at
     * 100 TB a user purge touches metadata plus the straddling
     * boundary files only); a file any of whose row groups straddles
-    * the box is REWRITTEN without its matching rows (re-clustered on
-    * the manifest's own stat dimensions); a file the box cannot reach
-    * is untouched, byte-for-byte. NULL dimension values never match a
-    * box (SQL BETWEEN semantics), so rewritten files keep their
-    * null-dimension rows.
+    * the box is REWRITTEN IN PLACE without its matching rows — the
+    * replacement keeps the file's NAME, so file lineage survives
+    * (an ingest batch's `ingest-b<id>-k` replay discipline keeps
+    * working, and old and new content never coexist under different
+    * names, so the footer-scan fallback can never double-count); a
+    * file the box cannot reach is untouched, byte-for-byte. NULL
+    * dimension values never match a box (SQL BETWEEN semantics), so
+    * rewritten files keep their null-dimension rows.
     *
-    * Single-writer maintenance op (the extend/ingest contract), commit
-    * order chosen so a MANIFEST reader never sees a partial delete:
-    * rewritten files land under a dot-temp and rename in FIRST (the
-    * committed manifest does not list them — invisible); the manifest
-    * swap is the atomic switch (lists new + untouched, drops the
-    * box's files); the obsolete data files delete LAST. A reader
-    * holding the pre-swap manifest snapshot can transiently fail on a
-    * just-deleted path (bounded staleness, never wrong rows); a crash
-    * between the swap and the old-file deletion leaves ORPHANS the
-    * committed manifest no longer lists — invisible to every manifest
-    * reader, and a `retry = true` replay of the same gen detects the
-    * committed generation and completes exactly that cleanup (the
-    * vacuum), never re-deleting rows. A crash BEFORE the swap leaves
-    * this generation's files unlisted (invisible); the retry
-    * probe-deletes them by their deterministic contiguous names and
-    * re-runs, with the source files still intact — the swap is the
-    * point of no return, and the old files outlive it.
+    * IDEMPOTENT BY CONTENT — no generation bookkeeping: re-running
+    * any delete converges (already-purged boxes classify as
+    * no-overlap or filter to a no-op), so there is no gen to reuse
+    * and no retry flag. Crash recovery is two prologues every
+    * invocation runs:
+    *
+    *  - TRASH RESTORE: replacement is rename(src → .graft_trash/name)
+    *    then rename(staged → src); a crash between the pair leaves
+    *    the trash copy with src missing — restored before anything
+    *    else (no data-loss window: the original outlives the swap in
+    *    the trash until the final cleanup); a trash entry whose src
+    *    exists is a completed replacement's leftover — removed;
+    *  - START-VACUUM ([[vacuumUnlisted]], committed manifests only):
+    *    a crash between the manifest swap and the dropped-file
+    *    cleanup leaves unlisted orphans — invisible to every manifest
+    *    reader and removed by the NEXT maintenance touch, so a
+    *    drop-only purge always completes without any marker of its
+    *    own.
+    *
+    * Commit order: stage every replacement under a dot-temp →
+    * per-file trash-and-rename-in (a manifest reader catching the
+    * instant between the pair transiently misses that one file —
+    * bounded staleness; one holding the pre-swap snapshot reads the
+    * already-filtered replacement, fewer rows, never wrong ones) →
+    * manifest swap (the atomic switch: straddler rows re-stated from
+    * fresh footers, dropped files' rows gone) → delete dropped files
+    * and trash. Single-writer maintenance op (the extend/ingest
+    * contract); with streaming ingest, schedule deletes only past the
+    * stream's committed checkpoint — a later replay of a touched
+    * batch re-lands its ORIGINAL rows (resurrecting purged ones; the
+    * lineage-preserving rewrite means it at least replaces its own
+    * files exactly, duplicating nothing).
     *
     * A bound on a dimension the manifest carries no stats for proves
     * nothing: every file classifies as straddling and rewrites —
     * degraded cost, never a missed or extra deletion (the row
-    * predicate is the truth). */
+    * predicate is the truth). `statCols` matters only when the layout
+    * has NO committed manifest (the backfill, same as extend): a
+    * committed manifest carries its own dimensions, and the rewritten
+    * manifest always keeps ALL of them, never just the bounded ones. */
   def zorderDeleteBox(spark: SparkSession, path: String,
-      bounds: Seq[(String, Long, Long)], gen: Long,
-      retry: Boolean = false, deltaFiles: Int = 0): ZDeleteStats = {
+      bounds: Seq[(String, Long, Long)],
+      statCols: Seq[String] = ZDims): ZDeleteStats = {
     require(bounds.nonEmpty, "zorderDeleteBox needs at least one bound")
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
-    val prefix = s"delete-g$gen-"
+    // prologue 1: restore / clean the trash of a crashed prior delete
+    val trash = new org.apache.hadoop.fs.Path(root, TrashDir)
+    if (fs.exists(trash)) fs.listStatus(trash).foreach { t =>
+      val orig = new org.apache.hadoop.fs.Path(root, t.getPath.getName)
+      if (!fs.exists(orig))
+        require(fs.rename(t.getPath, orig), s"trash restore failed: ${t.getPath}")
+      else fs.delete(t.getPath, false)
+    }
     val mfDir = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
     val committed = fs.exists(new org.apache.hadoop.fs.Path(mfDir, "_SUCCESS"))
-    if (committed) {
+    var vacuumed = 0
+    val mf = if (committed) {
       val rows = validateManifestSchema(spark.read.parquet(mfDir.toString), path)
-      if (!rows.where(fileNameHasPrefix(prefix)).isEmpty) {
-        // this generation's swap landed: rows already gone; the only
-        // legal replay is the orphan vacuum (re-running the rewrite
-        // would need the deleted source files)
-        require(retry,
-          s"delete generation $gen already committed under $path; " +
-            "pass retry=true to complete its orphan vacuum")
-        val listed = rows.select(col("file")).distinct()
-          .collect().map(_.getString(0)).toSet
-        val orphans = fs.listStatus(root)
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map(st => fs.makeQualified(st.getPath))
-          .filterNot(p => listed.contains(p.toString))
-        orphans.foreach(fs.delete(_, false))
-        return ZDeleteStats(0, 0, listed.size, vacuumed = orphans.length)
-      }
-    }
-    val prior = fs.exists(new org.apache.hadoop.fs.Path(root, s"${prefix}0.parquet"))
-    require(!prior || retry,
-      s"delete generation $gen already has data files under $path; " +
-        "distinct deletes must use distinct gens — pass retry=true " +
-        "only when REPLAYING this generation after a crash")
-    var k0 = 0
-    while (fs.delete(new org.apache.hadoop.fs.Path(root, s"$prefix$k0.parquet"), false)) {
-      k0 += 1
-    }
-    val mf = loadManifest(spark, path, bounds.map(_._1))
+      // prologue 2: complete any crashed prior op's dropped-file
+      // cleanup — unlisted top-level files are invisible garbage
+      val listed = rows.select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSet
+      vacuumed = vacuumUnlisted(fs, root, listed)
+      rows
+    } else loadManifest(spark, path, statCols)
     val have = mf.columns.toSet
-    val overlapsC = bounds.map { case (c, lo, hi) =>
-      if (have.contains(s"${c}__min"))
-        coalesce(col(s"${c}__max"), lit(Long.MaxValue)) >= lo &&
-          coalesce(col(s"${c}__min"), lit(Long.MinValue)) <= hi
-      else lit(true)
-    }.reduce(_ && _)
+    val overlapsC = overlapsBox(have, bounds)
     // provable containment needs REAL stats on every bounded dim —
     // a null stat or an unknown dimension can never prove a row in
     val insideC = bounds.map { case (c, lo, hi) =>
@@ -736,50 +803,80 @@ object Layout {
       .map(_.getString(0)).sorted
     val untouched = perFile.count(_.getInt(1) == 0)
     if (dropped.isEmpty && rewrite.isEmpty)
-      return ZDeleteStats(0, 0, untouched)
-    val statCols = mf.columns.filter(_.endsWith("__min"))
+      return ZDeleteStats(0, 0, untouched, vacuumed)
+    // the rewritten manifest keeps EVERY dimension the manifest
+    // carries, never just the bounded subset
+    val dims = mf.columns.filter(_.endsWith("__min"))
       .map(_.stripSuffix("__min")).toSeq
     val pred = bounds.map { case (c, lo, hi) => col(c).between(lo, hi) }
       .reduce(_ && _)
-    val newFiles: Seq[String] = if (rewrite.isEmpty) Nil else {
-      val tmp = new org.apache.hadoop.fs.Path(root, s".delete_tmp_g$gen")
+    val replaced: Seq[String] = if (rewrite.isEmpty) Nil else {
+      // ONE distributed job stages every straddler's replacement,
+      // keyed back to its source by index (partitionBy on an int key —
+      // path-valued partition dirs would need escape-exact matching):
+      // each source file filters to at most one replacement part, rows
+      // kept in the file's own z order (no cross-file mixing — the
+      // lineage property the in-place rename preserves)
+      val tmp = new org.apache.hadoop.fs.Path(root, ".delete_tmp")
       if (fs.exists(tmp)) fs.delete(tmp, true)
+      // keyed by the path's FINAL component: input_file_name() renders
+      // the scheme differently from makeQualified (file:/// vs file:/),
+      // and all straddlers share the layout root so names are unique
+      val srcIdx = typedLit(rewrite.zipWithIndex.map { case (f, i) =>
+        f.substring(f.lastIndexOf('/') + 1) -> i
+      }.toMap)
+      val idxc = "__graft_srcidx"
       val src = spark.read.parquet(rewrite.toIndexedSeq: _*)
-      val zc = "__graft_z"
-      val nOut = if (deltaFiles > 0) deltaFiles else rewrite.length
-      src.where(!coalesce(pred, lit(false)))
-        .withColumn(zc, zValueN(statCols.map(col), 62))
-        .repartitionByRange(nOut, col(zc))
-        .sortWithinPartitions(zc)
-        .select(src.columns.map(col): _*)
-        .write.parquet(tmp.toString)
-      val staged = fs.listStatus(tmp)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
-          st.getLen > 0)
-        .map(_.getPath).sortBy(_.getName)
-      val added = staged.zipWithIndex.map { case (p, k) =>
-        val dest = new org.apache.hadoop.fs.Path(root, s"$prefix$k.parquet")
-        require(fs.rename(p, dest), s"delete rename failed: $p -> $dest")
-        fs.makeQualified(dest).toString
-      }.toSeq
+      src.withColumn(idxc,
+          element_at(srcIdx, substring_index(input_file_name(), "/", -1)))
+        .where(!coalesce(pred, lit(false)))
+        .repartition(rewrite.length, col(idxc))
+        .sortWithinPartitions(idxc, dims: _*)
+        .write.partitionBy(idxc).parquet(tmp.toString)
+      // a mapping miss files rows under the null-partition dir and the
+      // rename loop below would read that as "every row matched" —
+      // silent data loss; refuse instead
+      require(!fs.exists(new org.apache.hadoop.fs.Path(tmp,
+          s"$idxc=__HIVE_DEFAULT_PARTITION__")),
+        "delete rewrite could not attribute rows to their source files")
+      if (!fs.exists(trash)) fs.mkdirs(trash)
+      val kept = rewrite.zipWithIndex.flatMap { case (f, i) =>
+        val srcPath = new org.apache.hadoop.fs.Path(f)
+        val partDir = new org.apache.hadoop.fs.Path(tmp, s"$idxc=$i")
+        val parts = if (fs.exists(partDir))
+          fs.listStatus(partDir).filter(st => st.isFile &&
+            st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+        else Array.empty[org.apache.hadoop.fs.FileStatus]
+        require(parts.length <= 1, s"expected one replacement part for $f")
+        // original into the trash FIRST (it outlives the swap there —
+        // the no-data-loss invariant the prologue restore relies on)
+        require(fs.rename(srcPath,
+          new org.apache.hadoop.fs.Path(trash, srcPath.getName)),
+          s"trash rename failed: $f")
+        if (parts.isEmpty) None // every row matched: the file vanishes
+        else {
+          require(fs.rename(parts.head.getPath, srcPath),
+            s"replacement rename failed -> $f")
+          Some(f)
+        }
+      }
       fs.delete(tmp, true)
-      added
+      kept
     }
-    // the atomic switch: untouched rows survive, the box's files drop,
-    // the rewrites appear — routed as an anti JOIN, never an isin
-    // literal list (the removed set is O(touched files); the manifest
-    // side stays distributed)
+    // the atomic switch: untouched rows survive as-is, the box's
+    // files' rows drop, the replacements' fresh footer stats appear —
+    // routed as an anti JOIN, never an isin literal list (the removed
+    // set is O(touched files); the manifest side stays distributed)
     import spark.implicits._
     val removedDf = broadcast((dropped ++ rewrite).toSeq.toDF("file"))
     val base = mf.join(removedDf, Seq("file"), "left_anti")
     swapManifest(spark, path,
-      if (newFiles.nonEmpty)
-        base.unionByName(footerManifestFor(spark, newFiles, statCols))
+      if (replaced.nonEmpty)
+        base.unionByName(footerManifestFor(spark, replaced, dims))
       else base)
-    (dropped ++ rewrite).foreach { f =>
-      fs.delete(new org.apache.hadoop.fs.Path(f), false)
-    }
-    ZDeleteStats(dropped.length, rewrite.length, untouched)
+    dropped.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    fs.delete(trash, true)
+    ZDeleteStats(dropped.length, rewrite.length, untouched, vacuumed)
   }
 
   /** Per-file (user_id, day_idx) min/max from parquet footers, as a
@@ -965,13 +1062,7 @@ object Layout {
     // regardless to construct the read (what a table format's planner
     // holds too).
     val mf = loadManifest(spark, path, bounds.map(_._1))
-    val have = mf.columns.toSet
-    val overlaps = bounds.map { case (c, lo, hi) =>
-      if (have.contains(s"${c}__min"))
-        coalesce(col(s"${c}__max"), lit(Long.MaxValue)) >= lo &&
-          coalesce(col(s"${c}__min"), lit(Long.MinValue)) <= hi
-      else lit(true) // manifest predates this dimension: keep the file
-    }.reduce(_ && _)
+    val overlaps = overlapsBox(mf.columns.toSet, bounds)
     val perFile = mf
       .groupBy(col("file"))
       .agg(max(when(overlaps, 1).otherwise(0)).as("k")) // any row group overlaps
@@ -1171,7 +1262,7 @@ object Layout {
         path, ZDims)
       zorderDeleteBox(spark, path, Seq(
         ("user_id", ZUserLo, ZUserHi),
-        ("day_idx", ZDayLo.toLong, ZDayHi.toLong)), gen = 1L)
+        ("day_idx", ZDayLo.toLong, ZDayHi.toLong)))
       path
     }
 

@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * oracle checks the complement aggregate (missed AND over-deleted rows
   * are value mismatches); these pin what the oracle cannot see: a
   * provably-inside file drops WITHOUT being read (staged by corrupting
-  * it first), untouched files survive byte-identical, null-dimension
-  * rows outlive any box, replay semantics (committed gen → vacuum-only;
-  * uncommitted gen files → redo; gen reuse refused), and the manifest
-  * ends as exactly the surviving file set.
+  * it first), straddlers rewrite IN PLACE under their own names (file
+  * lineage — what keeps ingest-batch replays compensable), untouched
+  * files survive byte-identical, null-dimension rows outlive any box,
+  * the op is idempotent by content, and both crash prologues recover
+  * (trash restore, orphan vacuum).
   */
 class ZDeleteSpec extends SparkSpec {
 
@@ -39,7 +40,7 @@ class ZDeleteSpec extends SparkSpec {
     Layout.loadManifest(spark, dir).select("file").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
 
-  test("delete drops provably-inside files WITHOUT reading them, rewrites straddlers exactly") {
+  test("delete drops provably-inside files WITHOUT reading them; straddlers keep their names") {
     val dir = userLayout("drop")
     val maxUser = eventsZ.agg(max("user_id")).head().getLong(0)
     val (uLo, uHi) = (0L, maxUser / 2)
@@ -56,11 +57,11 @@ class ZDeleteSpec extends SparkSpec {
     val victim = new org.apache.hadoop.fs.Path(inside.head)
     val out = fs.create(victim, true)
     out.write("not a parquet file".getBytes("UTF-8")); out.close()
-    val untouchedBefore = dataFiles(dir).filterNot(inside.contains)
+    val namesBefore = dataFiles(dir)
+    val untouchedBefore = namesBefore.filterNot(inside.contains)
       .map(f => f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
         .getModificationTime)
-    val stats = Layout.zorderDeleteBox(spark, dir,
-      Seq(("user_id", uLo, uHi)), gen = 1L)
+    val stats = Layout.zorderDeleteBox(spark, dir, Seq(("user_id", uLo, uHi)))
     assert(stats.filesDropped >= inside.length,
       s"expected >= ${inside.length} dropped, got $stats")
     // survivors: exactly the raw complement, row-for-row
@@ -69,89 +70,130 @@ class ZDeleteSpec extends SparkSpec {
     val want = eventsZ.where(!col("user_id").between(uLo, uHi))
       .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == want)
-    // manifest == directory truth, and the box's files are gone
+    // manifest == directory truth; the box's files are gone; NO new
+    // names appeared — rewrites happen in place (file lineage)
     assert(manifestFiles(dir) == dataFiles(dir))
     assert(!dataFiles(dir).contains(inside.head))
+    assert(dataFiles(dir).forall(namesBefore.contains),
+      "delete must never mint new file names")
     // files the box never reached survive byte-identical (same mtime)
     untouchedBefore.foreach { case (f, mtime) =>
       if (dataFiles(dir).contains(f))
         assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
           .getModificationTime == mtime, s"untouched file rewritten: $f")
     }
-    // straddling files were rewritten, not dropped: some survivors are
-    // this generation's files whenever a file straddled the boundary
-    if (stats.filesRewritten > 0)
-      assert(dataFiles(dir).exists(_.contains("/delete-g1-")))
+    // no trash residue after a clean completion
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".graft_trash")))
   }
 
-  test("replay semantics: committed gen vacuums orphans only; gen reuse is refused") {
-    val dir = userLayout("replay")
-    // a gen leaves a committed marker only through its REWRITE files
-    // (a drop-only delete is naturally idempotent — re-running it
-    // deletes nothing), so pick a bound that provably STRADDLES a
-    // file: hi one below some multi-user file's max
-    val span = Layout.loadManifest(spark, dir)
+  test("delete is idempotent by content: re-running the same box changes nothing") {
+    val dir = userLayout("idem")
+    val box = Seq(("user_id", 0L, 3L))
+    val s1 = Layout.zorderDeleteBox(spark, dir, box)
+    assert(s1.filesDropped + s1.filesRewritten > 0)
+    val files1 = dataFiles(dir)
+    val rows1 = spark.read.format("graftz").load(dir)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = Layout.zorderDeleteBox(spark, dir, box)
+    assert(s2.filesDropped == 0, s"re-run dropped files: $s2")
+    val rows2 = spark.read.format("graftz").load(dir)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows2 == rows1, "idempotent re-run changed rows")
+    assert(dataFiles(dir) == files1 ||
+      dataFiles(dir).forall(files1.contains), // a re-filter may drop an empty file
+      "re-run minted new files")
+    assert(manifestFiles(dir) == dataFiles(dir))
+  }
+
+  test("trash prologue: a crash between the rename pair restores the original") {
+    val dir = userLayout("trash")
+    // simulate the mid-replacement crash: move a file into the trash
+    // with no replacement renamed in (src missing, trash populated)
+    val f0 = dataFiles(dir).head
+    val trash = new org.apache.hadoop.fs.Path(dir, ".graft_trash")
+    fs.mkdirs(trash)
+    val srcPath = new org.apache.hadoop.fs.Path(f0)
+    require(fs.rename(srcPath, new org.apache.hadoop.fs.Path(trash, srcPath.getName)))
+    assert(!dataFiles(dir).contains(f0))
+    // any delete invocation restores it before doing its own work
+    val stats = Layout.zorderDeleteBox(spark, dir,
+      Seq(("user_id", Long.MaxValue - 1, Long.MaxValue)))
+    assert(stats.filesDropped == 0 && stats.filesRewritten == 0)
+    assert(dataFiles(dir).contains(f0), "trashed original not restored")
+    val total = spark.read.format("graftz").load(dir).count()
+    assert(total == eventsZ.count(), "rows lost through the trash window")
+  }
+
+  test("drop-only delete crash after the swap: the purged file is vacuumed by ANY next touch") {
+    val dir = userLayout("droponly")
+    // a drop-only delete leaves no marker — the start-vacuum, not any
+    // same-generation bookkeeping, must complete its cleanup
+    val byFile = Layout.loadManifest(spark, dir)
       .groupBy("file")
       .agg(min("user_id__min").as("mn"), max("user_id__max").as("mx"))
-      .collect().filter(r => !r.isNullAt(1) && r.getLong(1) < r.getLong(2))
-    assert(span.nonEmpty, "fixture must yield a multi-user file")
-    val hi = span.map(_.getLong(2)).min - 1
+      .collect().filter(r => !r.isNullAt(1))
+    val f0 = byFile.minBy(_.getLong(1)) // the lowest-user file
     val stats = Layout.zorderDeleteBox(spark, dir,
-      Seq(("user_id", 0L, hi)), gen = 7L)
-    assert(stats.filesRewritten > 0, s"bound $hi must straddle a file: $stats")
-    val filesAfter = dataFiles(dir)
-    val rowsAfter = spark.read.format("graftz").load(dir).count()
-    // reusing a committed gen without retry is a loud error
-    val e = intercept[IllegalArgumentException] {
-      Layout.zorderDeleteBox(spark, dir, Seq(("user_id", 0L, hi)), gen = 7L)
-    }
-    assert(e.getMessage.contains("retry=true"))
-    // retry of the committed gen: pure vacuum, nothing else moves
-    val replay = Layout.zorderDeleteBox(spark, dir,
-      Seq(("user_id", 0L, hi)), gen = 7L, retry = true)
-    assert(replay.vacuumed == 0 && dataFiles(dir) == filesAfter)
-    // plant an orphan (the crash-between-swap-and-delete window) —
-    // the vacuum removes exactly it
-    val orphan = new org.apache.hadoop.fs.Path(dir, "orphan-leftover.parquet")
-    val o = fs.create(orphan, true); o.write(Array[Byte](1, 2, 3)); o.close()
-    val replay2 = Layout.zorderDeleteBox(spark, dir,
-      Seq(("user_id", 0L, hi)), gen = 7L, retry = true)
-    assert(replay2.vacuumed == 1, s"expected one orphan vacuumed: $replay2")
-    assert(dataFiles(dir) == filesAfter)
-    assert(spark.read.format("graftz").load(dir).count() == rowsAfter)
+      Seq(("user_id", f0.getLong(1), f0.getLong(2))))
+    assert(stats.filesDropped >= 1)
+    // simulate the crash-after-swap orphan: re-create the dropped file
+    // on disk (the manifest no longer lists it)
+    val ghost = new org.apache.hadoop.fs.Path(f0.getString(0))
+    val o = fs.create(ghost, true); o.write("ghost".getBytes("UTF-8")); o.close()
+    assert(!manifestFiles(dir).contains(f0.getString(0)))
+    // a LATER delete (disjoint box) start-vacuums it — the purge
+    // completes without anyone remembering the earlier call
+    val later = Layout.zorderDeleteBox(spark, dir,
+      Seq(("user_id", Long.MaxValue - 1, Long.MaxValue)))
+    assert(later.vacuumed == 1, s"crash orphan not vacuumed: $later")
+    assert(!dataFiles(dir).contains(f0.getString(0)))
   }
 
-  test("crash before the swap: uncommitted gen files are probe-deleted and the delete redoes") {
-    val dir = userLayout("crash")
-    // simulate the pre-swap crash artifact: a gen file on disk the
-    // committed manifest never lists
-    val stray = new org.apache.hadoop.fs.Path(dir, "delete-g3-0.parquet")
-    val o = fs.create(stray, true); o.write(Array[Byte](9)); o.close()
-    val e = intercept[IllegalArgumentException] {
-      Layout.zorderDeleteBox(spark, dir, Seq(("user_id", 0L, 1L)), gen = 3L)
-    }
-    assert(e.getMessage.contains("retry=true"))
+  test("ingest replay after a delete touched its files: lineage holds, no duplication") {
+    // the in-place rewrite keeps every straddler under its own
+    // ingest-b<id>-k name, so a foreachBatch replay's cleanup removes
+    // exactly the batch's files and re-lands the batch — resurrecting
+    // its purged rows (the documented semantics) but duplicating
+    // NOTHING, because no other file ever absorbed the batch's rows
+    val cut = 19745
+    val base = eventsZ.where(col("day_idx") < cut).withColumn("z", lit(0L))
+    val delta = eventsZ.where(col("day_idx") >= cut).drop("day_idx")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zdel-ing").toString
+    base.write.mode("overwrite").parquet(dir)
+    Layout.writeManifest(spark, dir)
+    val added = Layout.zorderIngestBatch(spark, dir, 9L, delta, deltaFiles = 3)
+    assert(added.size >= 2, s"need a multi-file batch, got $added")
+    // compact segments into the base (the delete classifies from the
+    // committed manifest view)
+    Layout.writeManifest(spark, dir)
+    // a box that rewrites at least the batch's FIRST file
+    val firstSpan = Layout.loadManifest(spark, dir)
+      .where(col("file") === added.head)
+      .agg(min("user_id__min"), max("user_id__max")).head()
     val stats = Layout.zorderDeleteBox(spark, dir,
-      Seq(("user_id", 0L, 1L)), gen = 3L, retry = true)
+      Seq(("user_id", firstSpan.getLong(0), firstSpan.getLong(1) - 1)))
     assert(stats.filesDropped + stats.filesRewritten > 0)
-    val got = spark.read.format("graftz").load(dir)
-      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
-    val want = eventsZ.where(!col("user_id").between(0L, 1L))
-      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
-    assert(got == want)
+    // replay batch 9: must not collide and must land the full batch
+    val replayed = Layout.zorderIngestBatch(spark, dir, 9L, delta, deltaFiles = 3)
+    assert(replayed.nonEmpty)
     assert(manifestFiles(dir) == dataFiles(dir))
+    // every original delta row is back exactly once
+    val gotDelta = spark.read.parquet(dir)
+      .where(col("day_idx") >= cut)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val wantDelta = delta.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotDelta == wantDelta, "replayed batch rows wrong or duplicated")
   }
 
   test("null-dimension rows outlive any box (a box can never match null)") {
     val s = spark
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-zdel-null").toString
-    // ids 100+ carry NULL user_id; every non-null user is inside the box
+    // ids 30+ carry NULL user_id; every non-null user is inside the box
     val rows = (0L until 40L).map(i => (i, if (i < 30) Some(i % 5) else None))
       .toDF("event_id", "user_id")
     Layout.zorderWrite(spark, rows, dir, Seq("user_id"), nFiles = 4)
-    val stats = Layout.zorderDeleteBox(spark, dir,
-      Seq(("user_id", 0L, 4L)), gen = 1L)
+    val stats = Layout.zorderDeleteBox(spark, dir, Seq(("user_id", 0L, 4L)))
     assert(stats.filesDropped + stats.filesRewritten > 0)
     val got = spark.read.format("graftz").load(dir)
       .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
@@ -165,7 +207,7 @@ class ZDeleteSpec extends SparkSpec {
     // layout: nothing is provable, so no file may be dropped whole —
     // and the row predicate still deletes exactly the box
     val stats = Layout.zorderDeleteBox(spark, dir,
-      Seq(("day_idx", Layout.ZDayLo.toLong, Layout.ZDayHi.toLong)), gen = 2L)
+      Seq(("day_idx", Layout.ZDayLo.toLong, Layout.ZDayHi.toLong)))
     assert(stats.filesDropped == 0, s"unprovable dim must never drop whole files: $stats")
     assert(stats.filesRewritten > 0)
     val got = spark.read.format("graftz").load(dir)
