@@ -699,6 +699,84 @@ object Layout {
     * to every parquet directory read (dot-prefixed). */
   private val TrashDir = ".graft_trash"
 
+  /** OPTIMIZE the z-layout: rewrite every listed data file into
+    * `nFiles` freshly z-clustered ones — the small-file compaction a
+    * micro-batch ingest stream needs (each `zorderIngestBatch` lands
+    * its own small file set; after thousands of batches the layout is
+    * all boundary files and the curve's locality is gone; this is
+    * Delta's OPTIMIZE ZORDER BY / Iceberg rewrite_data_files).
+    * Clusters on the manifest's own stat dimensions (or `statCols` for
+    * an unmanifested backfill) and commits a single-segment manifest —
+    * also the DATA-file counterpart of the manifest-segment compaction
+    * `writeManifest` performs.
+    *
+    * Same commit discipline as the sibling ops: new files stage under
+    * a dot-temp and rename in as `compact-g<gen>-k` (unlisted —
+    * invisible to manifest readers), the swap flips the manifest to
+    * exactly the new files, the old files delete last. Crash before
+    * the swap → the new files are unlisted orphans ([[zorderDeleteBox]]'s
+    * start-vacuum or a retry of this gen removes them); crash after →
+    * the OLD files are the unlisted orphans, same cleanup. Distinct
+    * compactions need distinct gens (the extend rule, enforced);
+    * `retry = true` replays a crashed gen. Single-writer maintenance
+    * op; the fallback reader's double-count caveat during the swap
+    * instant is [[zorderDeleteBox]]'s, documented there. */
+  def zorderCompact(spark: SparkSession, path: String, gen: Long,
+      nFiles: Int = ZFiles, retry: Boolean = false,
+      statCols: Seq[String] = ZDims): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val prefix = s"compact-g$gen-"
+    val mfDir = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
+    val committed = fs.exists(new org.apache.hadoop.fs.Path(mfDir, "_SUCCESS"))
+    if (!committed) {
+      // unmanifested layout: the footer fallback below lists the
+      // directory, so a crashed prior try's leftovers would read as
+      // DATA — probe-delete them first, behind the extend-rule guard
+      val prior = fs.exists(new org.apache.hadoop.fs.Path(root, s"${prefix}0.parquet"))
+      require(!prior || retry,
+        s"compact generation $gen already has data files under $path; " +
+          "distinct compactions must use distinct gens — pass retry=true " +
+          "only when REPLAYING this generation after a crash")
+      var k0 = 0
+      while (fs.delete(new org.apache.hadoop.fs.Path(root, s"$prefix$k0.parquet"), false)) {
+        k0 += 1
+      }
+    }
+    val mf =
+      if (committed) validateManifestSchema(spark.read.parquet(mfDir.toString), path)
+      else loadManifest(spark, path, statCols)
+    val listed = mf.select(col("file")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    // a committed compact of this gen means `listed` IS this gen's
+    // output — re-running it would rewrite its own files to the same
+    // names mid-read (data loss); refused, and the retry is the
+    // orphan vacuum only. A CRASHED gen left only unlisted leftovers
+    // (removed by the vacuum below), safe to redo.
+    val genCommitted = listed.exists(
+      f => f.substring(f.lastIndexOf('/') + 1).startsWith(prefix))
+    require(!genCommitted || retry,
+      s"compact generation $gen is already committed under $path; " +
+        "distinct compactions must use distinct gens — retry=true " +
+        "only completes a crashed gen's orphan vacuum")
+    if (committed) { vacuumUnlisted(fs, root, listed.toSet); () }
+    if (genCommitted)
+      return // retry of a COMPLETED compact: the vacuum above was the work
+    val dims = mf.columns.filter(_.endsWith("__min"))
+      .map(_.stripSuffix("__min")).toSeq
+    val src = spark.read.parquet(listed.toIndexedSeq: _*)
+    val zc = "__graft_z"
+    val added = stageRenameIn(fs, root, s".compact_tmp_g$gen", prefix, tmp =>
+      src.withColumn(zc, zValueN(dims.map(col), 62))
+        .repartitionByRange(nFiles, col(zc))
+        .sortWithinPartitions(zc)
+        .select(src.columns.map(col): _*)
+        .write.parquet(tmp.toString))
+    swapManifest(spark, path, footerManifestFor(spark, added, dims))
+    listed.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+  }
+
   /** DELETE FROM the z-ordered layout: remove every row inside the
     * conjunctive bound box — the GDPR / right-to-be-forgotten shape,
     * and the reason a training-data layout z-orders on user id in the
@@ -1292,7 +1370,47 @@ object Layout {
        |       AND CAST(ts AS DATE) - DATE '1970-01-01' BETWEEN $ZDayLo AND $ZDayHi)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val stagedZorderCmp = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** A layout built as base + two ingest batches, then COMPACTED back
+    * to [[ZFiles]] freshly clustered files — the staged half of
+    * `q_zorder_compact`, built entirely by the public maintenance
+    * verbs (write → ingest ×2 → compact). */
+  private[graft] def zorderedCompactedEvents(spark: SparkSession, dir: String): String =
+    stagedPath(stagedZorderCmp, dir) {
+      val path = s"${stageRoot(dir)}/events_zorder_cmp"
+      val ev = Sessions.events(spark, dir).withColumn("day_idx", dayIdx)
+      zorderWrite(spark, ev.where(col("day_idx") < 19740), path, ZDims)
+      zorderIngestBatch(spark, path, 1L,
+        ev.where(col("day_idx") >= 19740 && col("day_idx") < 19750).drop("day_idx"))
+      zorderIngestBatch(spark, path, 2L,
+        ev.where(col("day_idx") >= 19750).drop("day_idx"))
+      zorderCompact(spark, path, gen = 1L)
+      path
+    }
+
+  /** `q_zorder_compact` (late r20): the same box aggregate as
+    * [[qZorderScan]], read through graftz off a layout that was built
+    * by the full maintenance lifecycle — write, two ingest batches,
+    * then [[zorderCompact]] back to a single clustered file set. The
+    * oracle computes the aggregate from the RAW table, so a compaction
+    * that loses, duplicates or corrupts any row — from the base OR
+    * either batch — is a value mismatch; the pruning properties of the
+    * compacted layout are ZorderSpec's job. */
+  def qZorderCompact(spark: SparkSession, dir: String): DataFrame = {
+    val path = zorderedCompactedEvents(spark, dir)
+    spark.read.format("graftz").load(path)
+      .where(col("user_id").between(ZUserLo, ZUserHi) &&
+        col("day_idx").between(ZDayLo, ZDayHi))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast(DecimalType(18, 2))
+          .cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_compact" -> (qZorderCompact _),
     "q_zorder_delete" -> (qZorderDelete _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
@@ -1303,6 +1421,7 @@ object Layout {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_zorder_compact" -> qZorderScanOracle, // compaction must preserve the same truth
     "q_zorder_delete" -> qZorderDeleteOracle,
     "q_bucketed_join" -> qBucketedJoinOracle,
     "q_partition_prune" -> qPartitionPruneOracle,

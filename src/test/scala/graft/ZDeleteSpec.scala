@@ -185,6 +185,50 @@ class ZDeleteSpec extends SparkSpec {
     assert(gotDelta == wantDelta, "replayed batch rows wrong or duplicated")
   }
 
+  test("compact merges the ingest batches' small files back to the target count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zcmp").toString
+    val ev = eventsZ
+    Layout.zorderWrite(spark, ev.where(col("day_idx") < 19740), dir,
+      Layout.ZDims, nFiles = 8)
+    Layout.zorderIngestBatch(spark, dir, 1L,
+      ev.where(col("day_idx") >= 19740).drop("day_idx"), deltaFiles = 4)
+    val before = dataFiles(dir)
+    assert(before.length == 12, s"expected 8 base + 4 batch files: $before")
+    Layout.zorderCompact(spark, dir, gen = 1L, nFiles = 4)
+    val after = dataFiles(dir)
+    assert(after.length == 4 && after.forall(_.contains("/compact-g1-")),
+      s"unexpected post-compact files: $after")
+    assert(manifestFiles(dir) == after)
+    // every row survives exactly once, across base and batch alike
+    val got = spark.read.format("graftz").load(dir)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = ev.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, "compaction lost or duplicated rows")
+    // the compacted layout still prunes (fresh clustering, fresh stats)
+    val (_, kept, total) = Layout.zorderPrunedScan(spark, dir,
+      Layout.ZUserLo, Layout.ZUserHi, Layout.ZDayLo, Layout.ZDayHi)
+    assert(total == 4 && kept.length < total, s"compacted layout must prune: $kept")
+    // gen reuse refused; retry of the committed gen is a vacuum no-op
+    val e = intercept[IllegalArgumentException] {
+      Layout.zorderCompact(spark, dir, gen = 1L)
+    }
+    assert(e.getMessage.contains("retry=true"))
+    Layout.zorderCompact(spark, dir, gen = 1L, retry = true)
+    assert(dataFiles(dir) == after)
+  }
+
+  test("compact crash before the swap: unlisted leftovers cleaned, redo converges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zcmp-crash").toString
+    Layout.zorderWrite(spark, eventsZ, dir, Layout.ZDims, nFiles = 6)
+    // the crash artifact: an unlisted gen file (renamed in, never swapped)
+    val stray = new org.apache.hadoop.fs.Path(dir, "compact-g5-0.parquet")
+    val o = fs.create(stray, true); o.write(Array[Byte](7)); o.close()
+    Layout.zorderCompact(spark, dir, gen = 5L, nFiles = 3)
+    val after = dataFiles(dir)
+    assert(after.length == 3 && manifestFiles(dir) == after)
+    assert(spark.read.format("graftz").load(dir).count() == eventsZ.count())
+  }
+
   test("null-dimension rows outlive any box (a box can never match null)") {
     val s = spark
     import s.implicits._
