@@ -574,6 +574,42 @@ object Layout {
     * survivors they carried). Schedule deletes only past the stream's
     * committed checkpoint — the single-writer discipline compaction
     * already requires. */
+  /** Durable registry of every batch id ever committed into the
+    * layout — the txn-version record that closes the at-least-once
+    * replay window once a COMPACTION has absorbed a batch's rows into
+    * files that carry no batch lineage (the one maintenance op that
+    * breaks the name-prefix replay discipline; a DELETE's in-place
+    * rewrite preserves it). A top-level dot file: invisible to every
+    * data listing (not `.parquet`), outside the manifest dir (so the
+    * swap never destroys it), ignored by the vacuum. Written via
+    * stage-and-rename; a lost registry only widens back to today's
+    * behavior (no refusal), never corrupts data. */
+  private def batchRegistry(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, ".graft_batches")
+
+  private def readBatchRegistry(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Set[Long] = {
+    val p = batchRegistry(root)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.toLong).toSet
+      finally in.close()
+    }
+  }
+
+  private def addToBatchRegistry(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, id: Long): Unit = {
+    val all = readBatchRegistry(fs, root) + id
+    val tmp = new org.apache.hadoop.fs.Path(root, ".graft_batches_tmp")
+    val out = fs.create(tmp, true)
+    out.write(all.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    fs.delete(batchRegistry(root), false)
+    require(fs.rename(tmp, batchRegistry(root)), "batch registry swap failed")
+  }
+
   private[graft] def zorderIngestBatch(spark: SparkSession, path: String,
       batchId: Long, newEvents: DataFrame,
       deltaFiles: Int = math.max(1, ZFiles / 8),
@@ -584,6 +620,29 @@ object Layout {
     val prefix = s"ingest-b$batchId-"
     val segment = new org.apache.hadoop.fs.Path(
       s"$path/$ManifestDir/ingest-b$batchId.parquet")
+    // replay-window guard: a batch this layout already committed whose
+    // lineage has vanished ENTIRELY — no segment, no manifest rows, no
+    // data files under its prefix — was absorbed by a compaction (its
+    // rows live on in files the replay cannot replace) or fully purged
+    // by a delete (re-landing would resurrect what GDPR removed);
+    // either way a re-land would silently duplicate/resurrect rows, so
+    // it is refused. Replays BEFORE maintenance (segment present), or
+    // after folds/deletes that keep any prefix lineage, replace their
+    // own files exactly as before.
+    if (readBatchRegistry(fs, root).contains(batchId) && !fs.exists(segment) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(root, s"${prefix}0.parquet"))) {
+      val mfP = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
+      val hasRows =
+        fs.exists(new org.apache.hadoop.fs.Path(mfP, "_SUCCESS")) &&
+          !validateManifestSchema(spark.read.parquet(mfP.toString), path)
+            .where(fileNameHasPrefix(prefix)).isEmpty
+      require(hasRows,
+        s"batch $batchId was committed into $path and its file lineage " +
+          "has since been absorbed (compaction) or fully purged (delete) " +
+          "— the at-least-once replay window is closed; re-landing would " +
+          "duplicate or resurrect rows. Schedule maintenance only past " +
+          "the stream's committed checkpoint.")
+    }
     // replay: this batch's manifest segment drops FIRST (its data
     // files become invisible to readers), then its prior data files —
     // probed by their DETERMINISTIC contiguous names (k = 0,1,…),
@@ -628,6 +687,7 @@ object Layout {
     require(fs.rename(segPart.head.getPath, segment),
       s"segment rename failed -> $segment")
     fs.delete(segTmp, true)
+    addToBatchRegistry(fs, root, batchId)
     added
   }
 
@@ -720,7 +780,11 @@ object Layout {
     * compactions need distinct gens (the extend rule, enforced);
     * `retry = true` replays a crashed gen. Single-writer maintenance
     * op; the fallback reader's double-count caveat during the swap
-    * instant is [[zorderDeleteBox]]'s, documented there. */
+    * instant is [[zorderDeleteBox]]'s, documented there. Compaction
+    * ABSORBS every batch's rows into lineage-free files, closing those
+    * batches' at-least-once replay windows — [[zorderIngestBatch]]
+    * refuses a replay of an absorbed batch (the batch registry), so
+    * run compaction only past the stream's committed checkpoint. */
   def zorderCompact(spark: SparkSession, path: String, gen: Long,
       nFiles: Int = ZFiles, retry: Boolean = false,
       statCols: Seq[String] = ZDims): Unit = {

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * the op is idempotent by content, and both crash prologues recover
   * (trash restore, orphan vacuum).
   */
-class ZDeleteSpec extends SparkSpec {
+class ZDeleteSpec extends SparkSpec with ZLayoutTestOps {
 
   private def eventsZ = {
     import graft.ops.Sessions
@@ -27,18 +27,6 @@ class ZDeleteSpec extends SparkSpec {
     Layout.zorderWrite(spark, eventsZ, dir, Seq("user_id"), nFiles = 8)
     dir
   }
-
-  private def fs = new org.apache.hadoop.fs.Path("/")
-    .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def dataFiles(dir: String): Seq[String] =
-    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => fs.makeQualified(st.getPath).toString).sorted.toSeq
-
-  private def manifestFiles(dir: String): Seq[String] =
-    Layout.loadManifest(spark, dir).select("file").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
 
   test("delete drops provably-inside files WITHOUT reading them; straddlers keep their names") {
     val dir = userLayout("drop")

@@ -13,15 +13,7 @@ import org.apache.spark.sql.functions._
   * delete rework fixed (replay/lineage conflicts) lives between ops,
   * not inside one.
   */
-class ZLifecycleFuzzSpec extends SparkSpec {
-
-  private def fs = new org.apache.hadoop.fs.Path("/")
-    .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def dataFiles(dir: String): Seq[String] =
-    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => fs.makeQualified(st.getPath).toString).sorted.toSeq
+class ZLifecycleFuzzSpec extends SparkSpec with ZLayoutTestOps {
 
   test("random ingest/extend/delete/compact sequence tracks the row-set model exactly") {
     val s = spark
@@ -52,29 +44,71 @@ class ZLifecycleFuzzSpec extends SparkSpec {
 
     var nextGen = 1L
     var nextBatch = 1L
+    // every landed batch and its EXACT rows, for at-least-once replays
+    var landed = Map.empty[Long, Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]]
     def check(step: String): Unit = {
-      val got = spark.read.format("graftz").load(dir)
+      val rows = spark.read.format("graftz").load(dir)
         .select("event_id", "user_id", "day_idx").collect()
-        .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
-      assert(got == model,
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2))))
+      // count BEFORE toMap: a duplicated row (the double-count/replay
+      // symptom this fuzz hunts) would dedup silently under the key
+      assert(rows.length == model.size,
+        s"$step: ${rows.length} rows vs model ${model.size} — duplicates or loss")
+      val got = rows.toMap
+      assert(got == model, {
+        val wrongVal = model.keySet.intersect(got.keySet)
+          .filter(k => got(k) != model(k)).take(5)
+          .map(k => s"$k: got ${got(k)} want ${model(k)}")
         s"$step: layout diverged from model — " +
           s"missing=${(model.keySet -- got.keySet).take(5)} " +
-          s"extra=${(got.keySet -- model.keySet).take(5)}")
-      val mfFiles = Layout.loadManifest(spark, dir).select("file").distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
-      assert(mfFiles == dataFiles(dir), s"$step: manifest != directory")
+          s"extra=${(got.keySet -- model.keySet).take(5)} " +
+          s"valueMismatch=$wrongVal"
+      })
+      assert(manifestFiles(dir) == dataFiles(dir), s"$step: manifest != directory")
     }
     check("initial write")
 
-    for (step <- 1 to 16) {
-      rnd.nextInt(4) match {
+    for (step <- 1 to 20) {
+      rnd.nextInt(5) match {
         case 0 => // ingest a batch
           val rows = mkRows(10 + rnd.nextInt(30))
           Layout.zorderIngestBatch(spark, dir, nextBatch, df(rows),
             deltaFiles = 1 + rnd.nextInt(3))
+          landed += nextBatch -> rows
           nextBatch += 1
           // ingest segments leave the manifest view mixed until a
           // compaction; fold them so delete/graftz see one truth
+          Layout.writeManifest(spark, dir)
+          check(s"step $step: ingest")
+        case 4 if landed.nonEmpty => // at-least-once REPLAY of a prior batch
+          // the replay path the delete rework had to keep working. Two
+          // legal outcomes: the batch's file lineage survives (prefix
+          // rows/files exist — deletes rewrite in place, folds keep
+          // rows) and the replay replaces its own files, re-landing the
+          // ORIGINAL rows; or a compaction ABSORBED the batch (or a
+          // delete fully purged it) and the replay-window guard REFUSES
+          // — silently re-landing there is exactly the duplication this
+          // fuzz first caught. Both outcomes model-checked.
+          val (bid, rows) = landed.toSeq.sortBy(_._1)
+            .apply(rnd.nextInt(landed.size))
+          try {
+            Layout.zorderIngestBatch(spark, dir, bid, df(rows),
+              deltaFiles = 1 + rnd.nextInt(3))
+            rows.foreach { r => model += r._1 ->
+              ((r._3, r._2.toLocalDateTime.toLocalDate.toEpochDay.toInt)) }
+            Layout.writeManifest(spark, dir)
+            check(s"step $step: replay batch $bid")
+          } catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("replay window is closed") =>
+              check(s"step $step: replay batch $bid refused (window closed)")
+          }
+        case 4 => // no batch landed yet: fall through to an ingest
+          val rows = mkRows(10 + rnd.nextInt(30))
+          Layout.zorderIngestBatch(spark, dir, nextBatch, df(rows),
+            deltaFiles = 1 + rnd.nextInt(3))
+          landed += nextBatch -> rows
+          nextBatch += 1
           Layout.writeManifest(spark, dir)
           check(s"step $step: ingest")
         case 1 => // extend (append-only maintenance path)
