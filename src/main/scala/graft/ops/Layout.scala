@@ -759,6 +759,41 @@ object Layout {
     * to every parquet directory read (dot-prefixed). */
   private val TrashDir = ".graft_trash"
 
+  /** VACUUM the layout as a standalone verb: run the two crash
+    * prologues every delete/compact already runs — restore/clean the
+    * replacement trash, then remove every top-level data file the
+    * COMMITTED manifest does not list (a crashed prior op's invisible
+    * garbage). A no-op (0) on an unmanifested layout, where directory
+    * truth is the only truth and nothing can be proven garbage.
+    * Returns the orphan count removed. Single-writer maintenance op
+    * like its siblings. */
+  /** Prologue shared by delete and the standalone vacuum: restore any
+    * original stranded mid-replacement (src missing, trash populated)
+    * and clean completed replacements' leftovers. */
+  private def restoreTrash(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val trash = new org.apache.hadoop.fs.Path(root, TrashDir)
+    if (fs.exists(trash)) fs.listStatus(trash).foreach { t =>
+      val orig = new org.apache.hadoop.fs.Path(root, t.getPath.getName)
+      if (!fs.exists(orig))
+        require(fs.rename(t.getPath, orig), s"trash restore failed: ${t.getPath}")
+      else fs.delete(t.getPath, false)
+    }
+  }
+
+  def zorderVacuum(spark: SparkSession, path: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    restoreTrash(fs, root)
+    val mfDir = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(mfDir, "_SUCCESS"))) 0
+    else {
+      val listed = validateManifestSchema(spark.read.parquet(mfDir.toString), path)
+        .select(col("file")).distinct().collect().map(_.getString(0)).toSet
+      vacuumUnlisted(fs, root, listed)
+    }
+  }
+
   /** OPTIMIZE the z-layout: rewrite every listed data file into
     * `nFiles` freshly z-clustered ones — the small-file compaction a
     * micro-batch ingest stream needs (each `zorderIngestBatch` lands
@@ -907,12 +942,7 @@ object Layout {
     val fs = root.getFileSystem(hconf)
     // prologue 1: restore / clean the trash of a crashed prior delete
     val trash = new org.apache.hadoop.fs.Path(root, TrashDir)
-    if (fs.exists(trash)) fs.listStatus(trash).foreach { t =>
-      val orig = new org.apache.hadoop.fs.Path(root, t.getPath.getName)
-      if (!fs.exists(orig))
-        require(fs.rename(t.getPath, orig), s"trash restore failed: ${t.getPath}")
-      else fs.delete(t.getPath, false)
-    }
+    restoreTrash(fs, root)
     val mfDir = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
     val committed = fs.exists(new org.apache.hadoop.fs.Path(mfDir, "_SUCCESS"))
     var vacuumed = 0

@@ -173,6 +173,28 @@ class ZDeleteSpec extends SparkSpec with ZLayoutTestOps {
     assert(gotDelta == wantDelta, "replayed batch rows wrong or duplicated")
   }
 
+  test("standalone vacuum: restores the trash, removes orphans, no-ops unmanifested") {
+    val dir = userLayout("vac")
+    val f0 = dataFiles(dir).head
+    // stage both crash artifacts at once: a stranded trash original and
+    // an unlisted orphan
+    val trash = new org.apache.hadoop.fs.Path(dir, ".graft_trash")
+    fs.mkdirs(trash)
+    val srcPath = new org.apache.hadoop.fs.Path(f0)
+    require(fs.rename(srcPath, new org.apache.hadoop.fs.Path(trash, srcPath.getName)))
+    val orphan = new org.apache.hadoop.fs.Path(dir, "orphan-x.parquet")
+    val o = fs.create(orphan, true); o.write(Array[Byte](1)); o.close()
+    val n = Layout.zorderVacuum(spark, dir)
+    assert(n == 1, s"expected exactly the planted orphan vacuumed, got $n")
+    assert(dataFiles(dir).contains(f0), "trashed original not restored")
+    assert(!dataFiles(dir).exists(_.contains("orphan-x")))
+    assert(spark.read.format("graftz").load(dir).count() == eventsZ.count())
+    // unmanifested layout: nothing provable, vacuum must be a no-op
+    val plain = java.nio.file.Files.createTempDirectory("graft-vac-unmf").toString
+    eventsZ.limit(10).write.mode("overwrite").parquet(plain)
+    assert(Layout.zorderVacuum(spark, plain) == 0)
+  }
+
   test("compact merges the ingest batches' small files back to the target count") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zcmp").toString
     val ev = eventsZ
