@@ -540,6 +540,61 @@ object Layout {
     require(fs.rename(tmp, mf), s"manifest swap failed: $tmp -> $mf")
   }
 
+  /** Durable registry of every NON-EMPTY batch id ever committed into
+    * the layout — the txn-version record that closes the at-least-once
+    * replay window once a COMPACTION has absorbed a batch's rows into
+    * files that carry no batch lineage (the one maintenance op that
+    * breaks the name-prefix replay discipline; a DELETE's in-place
+    * rewrite preserves it). Empty batches are never registered: they
+    * have no rows to duplicate and their replay is always a harmless
+    * no-op. A top-level dot file: invisible to every data listing
+    * (not `.parquet`), outside the manifest dir (so the swap never
+    * destroys it), ignored by the vacuum. A lost registry only widens
+    * back to no-refusal behavior, never corrupts data — and the
+    * read side falls back to the staged temp copy, so even the swap's
+    * delete-then-rename instant cannot lose it. */
+  private def batchRegistry(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, ".graft_batches")
+
+  private def batchRegistryTmp(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, ".graft_batches_tmp")
+
+  private def readBatchRegistry(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Set[Long] = {
+    // the tmp copy is COMPLETE before the main file is ever deleted,
+    // so falling back to it closes the swap's crash instant
+    val p = if (fs.exists(batchRegistry(root))) batchRegistry(root)
+      else if (fs.exists(batchRegistryTmp(root))) batchRegistryTmp(root)
+      else return Set.empty
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map(_.toLong).toSet
+    finally in.close()
+  }
+
+  private def addToBatchRegistry(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, id: Long): Unit = {
+    val prior = readBatchRegistry(fs, root)
+    if (prior.contains(id)) return // a replay re-registers nothing
+    val out = fs.create(batchRegistryTmp(root), true)
+    out.write((prior + id).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    fs.delete(batchRegistry(root), false)
+    require(fs.rename(batchRegistryTmp(root), batchRegistry(root)),
+      "batch registry swap failed")
+  }
+
+  /** In-flight marker a replaying ingest writes BEFORE its destructive
+    * steps: a crash mid-replay (lineage already removed, re-land not
+    * yet committed) would otherwise be indistinguishable from
+    * compaction absorption, and the guard would permanently refuse the
+    * recovery retry. Removed at commit; [[zorderCompact]] clears any
+    * stale markers when it closes replay windows, so a marker
+    * abandoned across a (schedule-violating) compaction cannot bypass
+    * the guard afterwards. */
+  private def ingestMarker(root: org.apache.hadoop.fs.Path, id: Long) =
+    new org.apache.hadoop.fs.Path(root, s".graft_ingest_b$id")
+
   /** IDEMPOTENT batch ingest into a z-ordered layout — the unit the
     * streaming dual replays. The batch's files carry DETERMINISTIC
     * names (`ingest-b<batchId>-<k>.parquet`, staged to a dot-temp dir
@@ -574,42 +629,6 @@ object Layout {
     * survivors they carried). Schedule deletes only past the stream's
     * committed checkpoint — the single-writer discipline compaction
     * already requires. */
-  /** Durable registry of every batch id ever committed into the
-    * layout — the txn-version record that closes the at-least-once
-    * replay window once a COMPACTION has absorbed a batch's rows into
-    * files that carry no batch lineage (the one maintenance op that
-    * breaks the name-prefix replay discipline; a DELETE's in-place
-    * rewrite preserves it). A top-level dot file: invisible to every
-    * data listing (not `.parquet`), outside the manifest dir (so the
-    * swap never destroys it), ignored by the vacuum. Written via
-    * stage-and-rename; a lost registry only widens back to today's
-    * behavior (no refusal), never corrupts data. */
-  private def batchRegistry(root: org.apache.hadoop.fs.Path) =
-    new org.apache.hadoop.fs.Path(root, ".graft_batches")
-
-  private def readBatchRegistry(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Set[Long] = {
-    val p = batchRegistry(root)
-    if (!fs.exists(p)) Set.empty
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).map(_.toLong).toSet
-      finally in.close()
-    }
-  }
-
-  private def addToBatchRegistry(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, id: Long): Unit = {
-    val all = readBatchRegistry(fs, root) + id
-    val tmp = new org.apache.hadoop.fs.Path(root, ".graft_batches_tmp")
-    val out = fs.create(tmp, true)
-    out.write(all.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-    out.close()
-    fs.delete(batchRegistry(root), false)
-    require(fs.rename(tmp, batchRegistry(root)), "batch registry swap failed")
-  }
-
   private[graft] def zorderIngestBatch(spark: SparkSession, path: String,
       batchId: Long, newEvents: DataFrame,
       deltaFiles: Int = math.max(1, ZFiles / 8),
@@ -622,15 +641,18 @@ object Layout {
       s"$path/$ManifestDir/ingest-b$batchId.parquet")
     // replay-window guard: a batch this layout already committed whose
     // lineage has vanished ENTIRELY — no segment, no manifest rows, no
-    // data files under its prefix — was absorbed by a compaction (its
-    // rows live on in files the replay cannot replace) or fully purged
-    // by a delete (re-landing would resurrect what GDPR removed);
-    // either way a re-land would silently duplicate/resurrect rows, so
-    // it is refused. Replays BEFORE maintenance (segment present), or
-    // after folds/deletes that keep any prefix lineage, replace their
+    // data files under its prefix, and no in-flight marker of its own
+    // crashed replay — was absorbed by a compaction (its rows live on
+    // in files the replay cannot replace) or fully purged by a delete
+    // (re-landing would resurrect what GDPR removed); either way a
+    // re-land would silently duplicate/resurrect rows, so it is
+    // refused. Replays BEFORE maintenance (segment present), after
+    // folds/deletes that keep any prefix lineage, or RETRIES of a
+    // replay that crashed mid-flight (marker present) replace their
     // own files exactly as before.
     if (readBatchRegistry(fs, root).contains(batchId) && !fs.exists(segment) &&
-        !fs.exists(new org.apache.hadoop.fs.Path(root, s"${prefix}0.parquet"))) {
+        !fs.exists(new org.apache.hadoop.fs.Path(root, s"${prefix}0.parquet")) &&
+        !fs.exists(ingestMarker(root, batchId))) {
       val mfP = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
       val hasRows =
         fs.exists(new org.apache.hadoop.fs.Path(mfP, "_SUCCESS")) &&
@@ -643,6 +665,9 @@ object Layout {
           "duplicate or resurrect rows. Schedule maintenance only past " +
           "the stream's committed checkpoint.")
     }
+    // in-flight marker BEFORE any destructive step: a crash between
+    // the lineage removal below and the commit must stay retryable
+    fs.create(ingestMarker(root, batchId), true).close()
     // replay: this batch's manifest segment drops FIRST (its data
     // files become invisible to readers), then its prior data files —
     // probed by their DETERMINISTIC contiguous names (k = 0,1,…),
@@ -687,7 +712,14 @@ object Layout {
     require(fs.rename(segPart.head.getPath, segment),
       s"segment rename failed -> $segment")
     fs.delete(segTmp, true)
-    addToBatchRegistry(fs, root, batchId)
+    // registered AFTER the segment rename (the prefix files are already
+    // on disk, so a crash in this gap leaves the marker and lineage —
+    // the retry path); empty batches never register (nothing to
+    // duplicate, their replay is always a harmless no-op). Row-level
+    // emptiness, not file count: a 0-row batch still writes a
+    // footer-only parquet file that passes the length filter.
+    if (added.nonEmpty && !newEvents.isEmpty) addToBatchRegistry(fs, root, batchId)
+    fs.delete(ingestMarker(root, batchId), false)
     added
   }
 
@@ -759,14 +791,6 @@ object Layout {
     * to every parquet directory read (dot-prefixed). */
   private val TrashDir = ".graft_trash"
 
-  /** VACUUM the layout as a standalone verb: run the two crash
-    * prologues every delete/compact already runs — restore/clean the
-    * replacement trash, then remove every top-level data file the
-    * COMMITTED manifest does not list (a crashed prior op's invisible
-    * garbage). A no-op (0) on an unmanifested layout, where directory
-    * truth is the only truth and nothing can be proven garbage.
-    * Returns the orphan count removed. Single-writer maintenance op
-    * like its siblings. */
   /** Prologue shared by delete and the standalone vacuum: restore any
     * original stranded mid-replacement (src missing, trash populated)
     * and clean completed replacements' leftovers. */
@@ -781,6 +805,14 @@ object Layout {
     }
   }
 
+  /** VACUUM the layout as a standalone verb: run the two crash
+    * prologues every delete/compact already runs — restore/clean the
+    * replacement trash, then remove every top-level data file the
+    * COMMITTED manifest does not list (a crashed prior op's invisible
+    * garbage). A no-op (0) on an unmanifested layout, where directory
+    * truth is the only truth and nothing can be proven garbage.
+    * Returns the orphan count removed. Single-writer maintenance op
+    * like its siblings. */
   def zorderVacuum(spark: SparkSession, path: String): Int = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -874,6 +906,12 @@ object Layout {
         .write.parquet(tmp.toString))
     swapManifest(spark, path, footerManifestFor(spark, added, dims))
     listed.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    // compaction closes every batch's replay window — clear any stale
+    // in-flight marker so an abandoned crashed replay cannot bypass
+    // the guard after its rows were absorbed
+    fs.listStatus(root)
+      .filter(st => st.isFile && st.getPath.getName.startsWith(".graft_ingest_b"))
+      .foreach(st => fs.delete(st.getPath, false))
   }
 
   /** DELETE FROM the z-ordered layout: remove every row inside the

@@ -239,6 +239,63 @@ class ZDeleteSpec extends SparkSpec with ZLayoutTestOps {
     assert(spark.read.format("graftz").load(dir).count() == eventsZ.count())
   }
 
+  test("replay-window guard: absorbed batch refused; crashed replay and empty batch stay retryable") {
+    val cut = 19745
+    val base = eventsZ.where(col("day_idx") < cut).withColumn("z", lit(0L))
+    val delta = eventsZ.where(col("day_idx") >= cut).drop("day_idx")
+    def freshDir(tag: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft-zguard-$tag").toString
+      base.write.mode("overwrite").parquet(d)
+      Layout.writeManifest(spark, d)
+      d
+    }
+    // (a) ABSORBED: land a batch, fold, compact — its rows now live in
+    // lineage-free compact files; a replay must be refused, loudly
+    val dirA = freshDir("abs")
+    Layout.zorderIngestBatch(spark, dirA, 1L, delta, deltaFiles = 2)
+    Layout.writeManifest(spark, dirA)
+    Layout.zorderCompact(spark, dirA, gen = 1L, nFiles = 4)
+    val e = intercept[IllegalArgumentException] {
+      Layout.zorderIngestBatch(spark, dirA, 1L, delta, deltaFiles = 2)
+    }
+    assert(e.getMessage.contains("replay window is closed"))
+    assert(spark.read.format("graftz").load(dirA).count() == eventsZ.count(),
+      "refused replay must leave the layout untouched")
+    // (b) CRASHED MID-REPLAY: land a batch (unfolded — its rows live
+    // only in its segment), then simulate the crash state a replay
+    // leaves after its destructive steps: segment and prefix files
+    // gone, in-flight marker present. The retry must proceed and
+    // re-land the batch exactly once.
+    val dirB = freshDir("crash")
+    val added2 = Layout.zorderIngestBatch(spark, dirB, 2L, delta, deltaFiles = 2)
+    val seg2 = new org.apache.hadoop.fs.Path(
+      s"$dirB/${Layout.ManifestDir}/ingest-b2.parquet")
+    fs.delete(seg2, false)
+    added2.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    fs.create(new org.apache.hadoop.fs.Path(dirB, ".graft_ingest_b2"), true).close()
+    Layout.zorderIngestBatch(spark, dirB, 2L, delta, deltaFiles = 2)
+    Layout.writeManifest(spark, dirB)
+    val got = spark.read.parquet(dirB).where(col("day_idx") >= cut)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = delta.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, "crashed-replay retry lost or duplicated the batch")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dirB, ".graft_ingest_b2")),
+      "in-flight marker must clear at commit")
+    // (c) EMPTY batch: never registered, so its replay after a fold is
+    // a harmless no-op, not a refusal
+    val dirC = freshDir("empty")
+    val before = spark.read.format("graftz").load(dirC).count()
+    Layout.zorderIngestBatch(spark, dirC, 3L, delta.limit(0), deltaFiles = 1)
+    Layout.writeManifest(spark, dirC)
+    Layout.zorderIngestBatch(spark, dirC, 3L, delta.limit(0), deltaFiles = 1)
+    assert(spark.read.format("graftz").load(dirC).count() == before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dirC, ".graft_batches")) ||
+      !scala.io.Source.fromInputStream(
+        fs.open(new org.apache.hadoop.fs.Path(dirC, ".graft_batches")), "UTF-8")
+        .getLines().contains("3"),
+      "empty batch must never register")
+  }
+
   test("null-dimension rows outlive any box (a box can never match null)") {
     val s = spark
     import s.implicits._
