@@ -31,9 +31,12 @@ object AllTypes {
 
   val fixed: FixedSchema = FixedSchema.fromJson(schemaJson)
 
-  /** Deterministic all-types projection of lineitem. */
+  /** Deterministic all-types projection of lineitem. Reads the FANNED
+    * scan ([[Pipeline.lineitemFanned]], a no-op at real scale): the
+    * single-row-group fixture otherwise runs the render below the
+    * barrier on one core (r21). */
   def source(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lineitem.parquet").select(
+    Pipeline.lineitemFanned(spark, dir).select(
       (col("l_linenumber") % 2 === 0).as("f_bool"),
       concat(col("l_returnflag"), col("l_linestatus"), lit("ab")).cast(BinaryType).as("f_bytes"),
       col("l_linenumber").as("f_int"),
@@ -85,7 +88,7 @@ object AllTypes {
   /** Corrupt-record handling: lines of linenumber 7 are truncated before
     * parsing; strict validation must null them out and count them. */
   def corruptScan(spark: SparkSession, dir: String): DataFrame = {
-    val li = Pipeline.lineitem(spark, dir)
+    val li = Pipeline.lineitemFanned(spark, dir)
     val value = FixedWidth.renderValue(Pipeline.lineitemFixed)
     val broken = Pipeline.barrier(li.select(
       when(col("l_linenumber") === 7, substring(value, 1, 20)).otherwise(value).as("value")))

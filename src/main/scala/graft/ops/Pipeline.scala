@@ -44,6 +44,19 @@ object Pipeline {
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
 
+  /** [[lineitem]] with the scan fanned out to cluster parallelism
+    * ([[Similarity.fanOut]] — a NO-OP once the scan has >=
+    * defaultParallelism splits, the 100 TB case). The fixture tables
+    * are single-row-group parquet files, so every render/encode
+    * projection below the first exchange otherwise runs on ONE core
+    * while the rest idle (r21 job-timeline measurement: the
+    * scan+render job of every ingest leg ran 0.6-0.9 s single-task at
+    * sf0.1/32 — the largest single job in each of those queries). Keyed
+    * by l_orderkey so the placement is deterministic under retry (the
+    * [[barrier]] rationale). */
+  private[ops] def lineitemFanned(spark: SparkSession, dir: String): DataFrame =
+    Similarity.fanOut(spark, dir, "lineitem", lineitem(spark, dir), col("l_orderkey"))
+
   // The fixture has ~12k duplicate (l_orderkey, l_linenumber) pairs but
   // no fully-duplicate rows: only ordering by EVERY column is a total
   // order, which the hash compare needs once a shuffle scrambles ties.
@@ -86,7 +99,7 @@ object Pipeline {
     * test its first 12 chars. (File inputs keep the filter: there the
     * pushdown lands IN the text scan, where it is free.) */
   def fixedwidthRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val rendered = barrier(FixedWidth.render(lineitem(spark, dir), lineitemFixed))
+    val rendered = barrier(FixedWidth.render(lineitemFanned(spark, dir), lineitemFixed))
     FixedWidthParser.parse(rendered, lineitemFixed, Strict, dropFooter = false)
       .orderBy(orderCols: _*)
   }
@@ -94,7 +107,7 @@ object Pipeline {
   /** typed rows → Avro binary + Confluent frame → unframe → decode ≡ input. */
   def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val schemaId = 42
-    val df = lineitem(spark, dir)
+    val df = lineitemFanned(spark, dir)
     val framed = df.select(
       AvroCodec.to_avro_confluent(lineitemFixed.fields.map(f => col(f.name)),
         lineitemFixed.avroJson, schemaId).as("value"))
@@ -126,7 +139,7 @@ object Pipeline {
     * last). */
   def avroNullableRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val schemaId = 77
-    val nulled = lineitem(spark, dir).select(
+    val nulled = lineitemFanned(spark, dir).select(
       col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
       when(col("l_orderkey") % 5 === 0, lit(null)).otherwise(col("l_quantity"))
         .as("l_quantity"),
@@ -168,7 +181,7 @@ object Pipeline {
     val oldId = 42; val newId = 43
     val ext = lineitemFixed.copy(fields =
       lineitemFixed.fields :+ graft.schema.FixedField("l_note", 16, "string", None))
-    val df = lineitem(spark, dir)
+    val df = lineitemFanned(spark, dir)
     val oldFrames = df.where(col("l_orderkey") % 2 === 0).select(
       AvroCodec.to_avro_confluent(lineitemFixed.fields.map(f => col(f.name)),
         lineitemFixed.avroJson, oldId).as("value"))
@@ -213,7 +226,7 @@ object Pipeline {
     * the same correctness gate as the chain it shortcuts. */
   def fixedToAvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val schemaId = 42
-    val rendered = barrier(FixedWidth.render(lineitem(spark, dir), lineitemFixed))
+    val rendered = barrier(FixedWidth.render(lineitemFanned(spark, dir), lineitemFixed))
     val framed = FixedWidthParser.toAvro(rendered, lineitemFixed, schemaId,
       dropFooter = false)
     barrier(framed.select(AvroCodec.from_avro_rows(col("value"),
@@ -233,7 +246,7 @@ object Pipeline {
     * in FixedAvroSpec (observations are not part of a query's rows). */
   def fixedToAvroStrict(spark: SparkSession, dir: String): DataFrame = {
     val schemaId = 42
-    val rendered = barrier(FixedWidth.render(lineitem(spark, dir), lineitemFixed))
+    val rendered = barrier(FixedWidth.render(lineitemFanned(spark, dir), lineitemFixed))
     val corrupted = rendered.select(
       when(trim(substring(col("value"), 1, 12)).cast("long") % 7 === 0,
         substring(col("value"), 1, 20)).otherwise(col("value")).as("value"))
@@ -259,7 +272,7 @@ object Pipeline {
     * same end-to-end DuckDB value gate as the flat fused path. */
   def fixedToAvroNullableFused(spark: SparkSession, dir: String): DataFrame = {
     val schemaId = 43
-    val rendered = barrier(FixedWidth.render(lineitem(spark, dir), lineitemFixed))
+    val rendered = barrier(FixedWidth.render(lineitemFanned(spark, dir), lineitemFixed))
     // l_quantity is chars 41..50 (after 12+12+12+4); overlay with spaces
     val corrupted = rendered.select(
       when(trim(substring(col("value"), 1, 12)).cast("long") % 5 === 0,
@@ -286,7 +299,7 @@ object Pipeline {
   /** typed rows → snappy OCF files (one per partition) → read back ≡ input. */
   def ocfRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = Scratch.dir(spark, "ocf")
-    Ocf.write(lineitem(spark, dir), lineitemFixed, out)
+    Ocf.write(lineitemFanned(spark, dir), lineitemFixed, out)
     Ocf.read(spark, out, lineitemFixed).orderBy(orderCols: _*)
   }
 
@@ -298,7 +311,7 @@ object Pipeline {
     val registry = new InMemorySchemaRegistry
     val (keyId, valueId) =
       KafkaStage.registerSubjects(registry, "lineitem", lineitemFixed)
-    val staged = KafkaStage.stage(lineitem(spark, dir), lineitemFixed,
+    val staged = KafkaStage.stage(lineitemFanned(spark, dir), lineitemFixed,
       schemaId = valueId, topic = "lineitem", keySchemaId = keyId)
     barrier(KafkaConsume.decode(staged, registry, lineitemFixed, knownIds = Seq(valueId)))
       .orderBy(orderCols: _*)
@@ -308,7 +321,7 @@ object Pipeline {
     * text source (footer line appended to exercise S3), parse strict. */
   def fixedwidthFileScan(spark: SparkSession, dir: String): DataFrame = {
     val out = Scratch.dir(spark, "fw")
-    FixedWidth.write(lineitem(spark, dir), lineitemFixed, out)
+    FixedWidth.write(lineitemFanned(spark, dir), lineitemFixed, out)
     // An actual footer file (13 asterisks — `len > 12`, the
     // strictly-greater fine print) lands in the scanned directory, so
     // the S3 drop path is exercised BY THIS QUERY as the doc above
@@ -326,7 +339,7 @@ object Pipeline {
   def compatParse(spark: SparkSession, dir: String): DataFrame = {
     // Zero-padded numerics: space-padded ones are a strconv failure → 0
     // under compat (faithful to the reference; covered by unit tests).
-    val rendered = barrier(FixedWidth.render(lineitem(spark, dir), lineitemFixed,
+    val rendered = barrier(FixedWidth.render(lineitemFanned(spark, dir), lineitemFixed,
       zeroPadNumerics = true))
     FixedWidthParser.parse(rendered, lineitemFixed, Compat, dropFooter = false)
       .orderBy(orderCols: _*)
@@ -347,7 +360,7 @@ object Pipeline {
     * 26 chars — no padding — so it parses to Unix seconds (F1) and
     * doubles as the ordering tiebreaker. */
   def compatSpacePad(spark: SparkSession, dir: String): DataFrame = {
-    val rendered = barrier(FixedWidth.render(lineitem(spark, dir), lineitemFixed))
+    val rendered = barrier(FixedWidth.render(lineitemFanned(spark, dir), lineitemFixed))
     FixedWidthParser.parse(rendered, lineitemFixed, Compat, dropFooter = false)
       .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
   }

@@ -37,6 +37,18 @@ object Relational {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** [[t]] with the scan fanned out to cluster parallelism
+    * ([[Similarity.fanOut]] — a NO-OP once the scan has >=
+    * defaultParallelism splits, the 100 TB case). Used by the queries
+    * whose per-row scan-adjacent compute dominates (md5 checksums,
+    * decimal partial aggregation, HLL sketches): the single-row-group
+    * fixture parquet otherwise runs that compute on ONE core (r21
+    * job-timeline: table_checksum's scan job 0.80 s single-task at
+    * sf0.1/32 with 31 cores idle). */
+  private def tFanned(spark: SparkSession, dir: String, name: String,
+      key: String): DataFrame =
+    Similarity.fanOut(spark, dir, name, t(spark, dir, name), col(key))
+
   /** Exact 2-dp decimal view of a double money column (shared with
     * the other money-carrying operator modules — the house convention
     * lives HERE, once). */
@@ -49,7 +61,7 @@ object Relational {
   /** TPC-H Q1 shape: full-scan hash agg on lineitem. One shuffle of 6
     * groups; everything else is map-side partial aggregation. */
   def q1Pricing(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
+    tFanned(spark, dir, "lineitem", "l_orderkey")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2))
@@ -368,7 +380,7 @@ object Relational {
     // unsigned conv result fits a signed long exactly — identical to
     // the oracle's positional arithmetic.
     val v = conv(substring(h, 1, 15), 16, 10).cast("long")
-    t(spark, dir, "lineitem")
+    tFanned(spark, dir, "lineitem", "l_orderkey")
       .select(v.as("v"))
       .agg(count(lit(1)).as("n_rows"), bit_xor(col("v")).as("checksum"),
         pmod(sum(col("v").cast(DecimalType(38, 0))), lit(1L << 60))
@@ -403,7 +415,7 @@ object Relational {
       col("l_returnflag"), col("l_linestatus"),
       col("l_shipdate").cast("date").cast("string"))
     val v = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
-    t(spark, dir, "lineitem")
+    tFanned(spark, dir, "lineitem", "l_orderkey")
       .select(trunc(col("l_shipdate").cast("date"), "mm").as("ship_month"), v.as("v"))
       .groupBy("ship_month")
       .agg(count(lit(1)).as("n_rows"), bit_xor(col("v")).as("checksum"),

@@ -85,9 +85,12 @@ object SetOps {
     * estimate's <2% error on this fixture stays pinned in SetOpsSpec. */
   val ApproxDistinctBound = 0.05
 
-  /** Raw estimate vs exact — the spec pins <=2% on the fixture here. */
+  /** Raw estimate vs exact — the spec pins <=2% on the fixture here.
+    * Fanned scan ([[Similarity.fanOut]], no-op at scale): the HLL +
+    * exact-distinct partial aggregation otherwise runs single-core on
+    * the single-row-group fixture parquet (r21). */
   private[graft] def qApproxDistinctRaw(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "orders")
+    Similarity.fanOut(spark, dir, "orders", t(spark, dir, "orders"), col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
         countDistinct(col("o_custkey")).as("exact_custs"))

@@ -1614,14 +1614,34 @@ object TextAnalysis {
     * filter's domain (absent from the output; the oracle's WHERE
     * mirrors it). */
   def corpusLmScore(spark: SparkSession, dir: String): DataFrame = {
+    // r21 REWORK (guide §2.3/§2.4): the old plan evaluated the trigram
+    // explode FOUR times — under c3 (exchange on tri), under c2
+    // (exchange on the 2-char prefix of the full occurrence stream),
+    // and TWICE under the per-doc scoring join (the threshold histogram
+    // and the final projection both consume perDoc, which has no
+    // exchange of its own to reuse) — with zero exchange reuse: per-
+    // branch column pruning makes each copy's exchange non-canonical-
+    // equal. Two fixes, both result-identical:
+    //  1. c2 derives from c3 (every occurrence of a trigram contributes
+    //     to its prefix's count, so Σ c3 per prefix is the same sum) —
+    //     that removes one full explode AND one occurrence-scale
+    //     shuffle, replacing them with a |distinct trigrams| shuffle;
+    //     c3's own exchange is referenced twice with identical columns,
+    //     so the second reference rides a ReusedExchange.
+    //  2. perDoc gains a tiny reuse-point exchange (one row per doc —
+    //     corpus metadata) so the histogram branch and the final
+    //     projection share ONE evaluation of the scoring join instead
+    //     of recomputing the explode+join per consumer.
+    // Net at 100 TB: two corpus passes → down from four, one
+    // occurrence-scale shuffle → down from two. Oracle unchanged.
     val t = Docs.fanned(spark, dir)
       .where(length(col("text")) >= 3)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), length(col("text")) - 2),
         i => col("text").substr(i, lit(3)))).as("tri"))
     val c3 = t.groupBy("tri").agg(count(lit(1)).as("c3"))
-    val c2 = t.groupBy(substring(col("tri"), 1, 2).as("pre"))
-      .agg(count(lit(1)).as("c2"))
+    val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("pre"))
+      .agg(sum(col("c3")).as("c2"))
     // trigram → scaled conditional probability; every trigram's prefix
     // exists in c2 by construction (counted over the same rows), so
     // the join is total and the division denominator never 0
@@ -1631,11 +1651,18 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tri"), sum(col("p")).as("score_sum"))
       .withColumn("si", expr("score_sum div n_tri"))
+    // Reuse point on ALL columns (the Pipeline.barrier rationale):
+    // keyed on a subset, per-branch column pruning would narrow one
+    // copy's exchange and break canonical equality — full-row hash
+    // keeps both consumers' subtrees identical so AQE stage reuse
+    // serves the second from the first's shuffle files.
+    val perDocShared = perDoc.repartition(
+      spark.sparkContext.defaultParallelism, perDoc.columns.map(col): _*)
     // Exact percentile selection on the integer grid: histogram of the
     // floored scores (grid-bounded), running count, threshold = the
     // smallest score whose cumulative count reaches rank
     // (N·LmDropPct) div 100 + 1 — i.e. the r-th smallest score.
-    val hist = perDoc.groupBy("si").agg(count(lit(1)).as("cnt"))
+    val hist = perDocShared.groupBy("si").agg(count(lit(1)).as("cnt"))
     val cumWin = org.apache.spark.sql.expressions.Window.orderBy("si")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
@@ -1644,7 +1671,7 @@ object TextAnalysis {
       .crossJoin(broadcast(nDocs))
       .where(col("cum") >= expr(s"(n_docs * $LmDropPct) div 100 + 1"))
       .agg(min(col("si")).as("thr"))
-    perDoc.crossJoin(broadcast(thr))
+    perDocShared.crossJoin(broadcast(thr))
       .select(col("doc_id"), col("n_tri"), col("score_sum"),
         round(col("score_sum").cast(DoubleType) / col("n_tri"), 6).as("avg_score"),
         (col("si") >= col("thr")).as("keep"))
