@@ -65,6 +65,32 @@ object Dedup {
     * attributable error at the source. */
   val StrictCapConf = "spark.graft.lsh.strictCap"
 
+  /** Conf gate for [[reusePoint]] (`spark.graft.dedup.shareSignatures`,
+    * default on): off = the pre-r21 recompute-per-consumer plans, for
+    * A/B and for corpora where re-deriving a cheap signature beats
+    * shuffling it. */
+  val ShareSignaturesConf = "spark.graft.dedup.shareSignatures"
+
+  /** Reuse-point exchange for a computed signature/shingle frame that
+    * several subtrees of ONE query consume (the banded-signature pass
+    * plus both sides of the exact-verify join). Without it each
+    * consumer re-evaluates the whole computation above the fan-out
+    * exchange — AQE's runtime stage reuse only dedupes EXCHANGE
+    * subtrees, so a map-side shingle/simhash/minhash pipeline with no
+    * exchange of its own runs once PER CONSUMER (r21 measured: three
+    * full shingle passes per minhash query, three md5-per-token
+    * simhash passes per simhash query). One hash exchange on the join
+    * key makes the computed frame a shared stage: consumers read its
+    * shuffle files, and every downstream doc-id join reuses the
+    * partitioning so the exchange replaces (not adds to) the join's
+    * own. Guide §2.4/§8: move the computed bytes once instead of
+    * recomputing them per consumer. */
+  private[graft] def reusePoint(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.conf.get(ShareSignaturesConf, "true").toBoolean) df
+    else df.repartition(spark.sparkContext.defaultParallelism, col(key))
+  }
+
   /** Banded-signature candidate generation with the bucket-width cap:
     * input is (id, band, sig), output deduplicated (a, b) id pairs with
     * a < b from rows sharing a (band, sig) bucket of tolerable width.
@@ -263,6 +289,14 @@ object Dedup {
     * frame — factored so the incremental path's spec can run the same
     * rebuild over arbitrary corpus subsets. */
   private[graft] def pairGraphOver(sh: DataFrame): DataFrame =
+    // r21 note: a [[reusePoint]] shared-shingle stage was measured here
+    // (and on the ngram/simhash twins) and REJECTED: wall-neutral at 8
+    // cores and ~10% worse at 32 — the three consumer branches overlap
+    // on otherwise-idle cores, while the extra exchange lengthens the
+    // critical path, and at scale the shingle-array payload outweighs
+    // the tokenize recompute it saves. dedup_embedding keeps its shared
+    // stage (vectors are cheaper to move than re-derive; measured 35%
+    // faster at BOTH core counts).
     verifyJaccard(minhashCandidates(sh), sh, JaccardThreshold)
 
   val dedupMinhashOracle: String =
@@ -448,22 +482,25 @@ object Dedup {
   def dot(a: Column, b: Column): Column = graft.functions.VectorOps.vec_dot(a, b)
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val n = normed(spark, dir)
+    // r21: ONE shared (vec_id, v) stage feeds the banding pass and both
+    // verify-join sides (previously the joins consumed the UNfanned
+    // widened frame — each side re-cast the floats below its own join
+    // exchange). The reuse exchange doubles as the fan-out the banding
+    // needed anyway; norms move ABOVE the shared stage (one vec_norm
+    // per vector per side) so all three consumers' subtrees stay
+    // byte-identical for AQE stage reuse.
+    val base = reusePoint(embeddings(spark, dir).select(col("vec_id"),
+      col("embedding").cast(org.apache.spark.sql.types.ArrayType(DoubleType)).as("v")),
+      "vec_id")
+    val n = base.withColumn("nrm", graft.functions.VectorOps.vec_norm(col("v")))
     // All 2048 plane dots + band signatures in ONE compiled pass per
     // vector (HyperplaneSignBands): every formulation over built-in
     // higher-order functions either recomputes the dot array per
     // element or interprets 2048 boxed lambdas per row.
     val bands = graft.functions.VectorOps.vec_lsh_bands(col("v"), hyperplanes, HyperRows)
-    // The signature projection runs at the corpus SCAN's partitioning —
-    // one split for a sub-128 MB embeddings file, so without the
-    // explicit exchange all 2048 dots/row land on a single core (and
-    // the bandedCandidates self-join executes that subplan TWICE). Same
-    // single-task collapse [[Similarity.fanOut]] fixes for the topk/IVF
-    // joins; a no-op at 100 TB where the scan fans out naturally.
-    val nf = Similarity.fanOut(spark, dir, "embeddings", n, col("vec_id"))
     // Id-only candidate shuffle (the 64-double vectors re-attach only to
     // the deduplicated candidate pairs for exact verification).
-    val banded = nf.select(col("vec_id"), posexplode(bands).as(Seq("band", "sig")))
+    val banded = base.select(col("vec_id"), posexplode(bands).as(Seq("band", "sig")))
     val cands = bandedCandidates(banded, "vec_id")
       .select(col("a").as("vec_a"), col("b").as("vec_b"))
     cands
@@ -1119,7 +1156,8 @@ object Dedup {
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
       .select(col("doc_a"), explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val sh = Docs.shingled(Docs.fanned(spark, dir))
+    // r21: shared shingle stage for the two verify-join sides.
+    val sh = reusePoint(Docs.shingled(Docs.fanned(spark, dir)), "doc_id")
     val inter = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType)
     val na = size(col("sa.sh"))
     val nb = size(col("sb.sh"))
