@@ -806,13 +806,26 @@ object Bench {
       case n if n.startsWith("multimodal") => "multimodal"
       case _ => "text" // text_*, corpus_* (rest), doc_*
     }
-    val families = results.groupBy { case (k, _, _, _, _, _) => familyOf(k) }
-      .toSeq.sortBy(_._1).map { case (fam, rs) =>
+    val famGroups = results.groupBy { case (k, _, _, _, _, _) => familyOf(k) }
+      .toSeq.sortBy(_._1)
+    val families = famGroups.map { case (fam, rs) =>
         val names = rs.map(_._1).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
         "\"" + fam + "\":{\"n\":" + rs.size +
           ",\"sum_median_s\":" + fmt(rs.map(_._2).sum) +
           ",\"sum_min_s\":" + fmt(rs.map(_._3).sum) +
           ",\"queries\":" + names + "}"
+      }.mkString("{", ",", "}")
+    // Headline-fallback form WITHOUT the per-family name arrays: at 129
+    // queries the name lists alone are ~2.7 KB, so the r16 "bounded by
+    // the family count" claim silently broke — the r20 driver record
+    // came back parsed:null AGAIN because the final fallback printed a
+    // 3.3 KB line into the 2 KB tail. The name lists live in
+    // bench_details/bench_canonical.json; the headline only needs the
+    // sums. (r21 measurement-contract fix, noted in OPTIMIZATION_r21.md.)
+    val familiesCompact = famGroups.map { case (fam, rs) =>
+        "\"" + fam + "\":{\"n\":" + rs.size +
+          ",\"sum_median_s\":" + fmt(rs.map(_._2).sum) +
+          ",\"sum_min_s\":" + fmt(rs.map(_._3).sum) + "}"
       }.mkString("{", ",", "}")
     val flagged = results
       .filter { case (_, m, mn, _, _, _) => m > mn * 1.5 && m - mn > 0.3 }
@@ -990,7 +1003,7 @@ object Bench {
       "full" -> (() => headline(qs, if (errors.nonEmpty) errs else "", legsPtr = true)),
       "errors -> count" -> (() => headline(qs, if (errors.nonEmpty) errsCount else "", legsPtr = true)),
       "drop legs pointer" -> (() => headline(qs, if (errors.nonEmpty) errsCount else "", legsPtr = false)),
-      "queries -> FAMILY rollup" -> (() => headline(families, if (errors.nonEmpty) errsCount else "", legsPtr = false)))
+      "queries -> FAMILY rollup" -> (() => headline(familiesCompact, if (errors.nonEmpty) errsCount else "", legsPtr = false)))
     var line = steps.head._2()
     for ((what, mk) <- steps.tail if bytesOf(line) > Budget) {
       line = mk()
