@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench-headline contract (r22): the round driver JSON-parses the
+// LAST line of the bench's stdout tail, and for 21 rounds every BENCH
+// record came back `parsed: null` because sbt (a) logged the forked
+// process's stdout through its logger — prefixing the headline with
+// "[info] " — and (b) appended its own "[success] Total time ..." line
+// AFTER it. StdoutOutput passes the forked JVM's stdout through raw
+// (no prefix); showSuccess := false drops the trailing [success] line,
+// so the headline JSON is the final unprefixed stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1011,7 +1011,15 @@ object Bench {
         s"(full record in bench_details/bench_canonical.json); now " +
         s"${bytesOf(line)} bytes")
     }
-    println(line)
+    // Print AFTER spark.stop() and flush (r22): the driver JSON-parses
+    // the LAST stdout line, and stop() can emit late executor/netty
+    // lines that would land after the headline in a 2>&1 capture.
+    // build.sbt's `run / outputStrategy := StdoutOutput` +
+    // `showSuccess := false` guarantee no sbt "[info] " prefix and no
+    // trailing "[success]" line — the headline is the final stdout
+    // line, verbatim.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

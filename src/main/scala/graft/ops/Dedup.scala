@@ -489,9 +489,18 @@ object Dedup {
     // needed anyway; norms move ABOVE the shared stage (one vec_norm
     // per vector per side) so all three consumers' subtrees stay
     // byte-identical for AQE stage reuse.
-    val base = reusePoint(embeddings(spark, dir).select(col("vec_id"),
-      col("embedding").cast(org.apache.spark.sql.types.ArrayType(DoubleType)).as("v")),
-      "vec_id")
+    val widened = embeddings(spark, dir).select(col("vec_id"),
+      col("embedding").cast(org.apache.spark.sql.types.ArrayType(DoubleType)).as("v"))
+    val shared = reusePoint(widened, "vec_id")
+    // Conf-off fallback (r22, per ADVICE r21): with shareSignatures
+    // off, reusePoint returns the UNrepartitioned frame — which here
+    // would also drop the pre-r21 Similarity.fanOut and regress to the
+    // single-split banding collapse fixed in earlier rounds. The off
+    // path must mean "pre-r21 plan", not "no fan-out at all".
+    val base =
+      if (shared eq widened)
+        Similarity.fanOut(spark, dir, "embeddings", widened, col("vec_id"))
+      else shared
     val n = base.withColumn("nrm", graft.functions.VectorOps.vec_norm(col("v")))
     // All 2048 plane dots + band signatures in ONE compiled pass per
     // vector (HyperplaneSignBands): every formulation over built-in

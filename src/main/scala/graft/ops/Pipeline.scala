@@ -104,10 +104,18 @@ object Pipeline {
       .orderBy(orderCols: _*)
   }
 
-  /** typed rows → Avro binary + Confluent frame → unframe → decode ≡ input. */
+  /** typed rows → Avro binary + Confluent frame → unframe → decode ≡ input.
+    *
+    * UNfanned scan (r22): r21 put [[lineitemFanned]] here and the
+    * canonical record regressed 1.38 → 1.89 s — the fan-out exchange
+    * shuffles the full 11-column frame just to parallelize a direct
+    * encode projection that costs less than the shuffle itself, and
+    * the [[barrier]] below already provides the post-encode spread.
+    * (The render-based siblings keep the fan-out: their per-row render
+    * is ~an order heavier than this encode.) */
   def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val schemaId = 42
-    val df = lineitemFanned(spark, dir)
+    val df = lineitem(spark, dir)
     val framed = df.select(
       AvroCodec.to_avro_confluent(lineitemFixed.fields.map(f => col(f.name)),
         lineitemFixed.avroJson, schemaId).as("value"))
@@ -181,7 +189,14 @@ object Pipeline {
     val oldId = 42; val newId = 43
     val ext = lineitemFixed.copy(fields =
       lineitemFixed.fields :+ graft.schema.FixedField("l_note", 16, "string", None))
-    val df = lineitemFanned(spark, dir)
+    // UNfanned scan (r22): the r21 fan-out pushed BELOW the generation
+    // split (filter pushdown through RepartitionByExpression), so the
+    // full 11-column frame shuffled once PER BRANCH
+    // (plans/r21/avro_evolution_roundtrip_after.txt nodes 3+7) —
+    // canonical 1.17 → 1.85 s. The direct encode is cheaper than a
+    // full-width exchange of its input; the union barrier below
+    // spreads the decode.
+    val df = lineitem(spark, dir)
     val oldFrames = df.where(col("l_orderkey") % 2 === 0).select(
       AvroCodec.to_avro_confluent(lineitemFixed.fields.map(f => col(f.name)),
         lineitemFixed.avroJson, oldId).as("value"))

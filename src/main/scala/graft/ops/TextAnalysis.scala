@@ -1577,6 +1577,17 @@ object TextAnalysis {
     * selection is an exact integer both engines agree on. */
   val LmDropPct = 8L
 
+  /** Conf gate for [[corpusLmScore]]'s perDoc reuse-point exchange
+    * (`spark.graft.text.lmSharePerDoc`): on = one shared evaluation of
+    * the trigram scoring join feeds both the threshold histogram and
+    * the final projection (one fewer corpus-scale pass — the 100 TB
+    * shape); off = each consumer recomputes it (wins at high local
+    * core counts, where AQE races the in-flight stage cache and the
+    * branches overlap on otherwise-idle cores). Results identical
+    * either way (the exchange is plan shape only). */
+  val LmScoreSharePerDocConf = "spark.graft.text.lmSharePerDoc"
+  private[ops] val LmScoreSharePerDocDefault = "false"
+
   /** `corpus_lm_score`: statistical language-model quality filter —
     * the model-based sibling of the rule-based
     * [[corpusQualityFilter]] (CCNet filters on LM perplexity; this is
@@ -1656,8 +1667,24 @@ object TextAnalysis {
     // copy's exchange and break canonical equality — full-row hash
     // keeps both consumers' subtrees identical so AQE stage reuse
     // serves the second from the first's shuffle files.
-    val perDocShared = perDoc.repartition(
-      spark.sparkContext.defaultParallelism, perDoc.columns.map(col): _*)
+    //
+    // CONF-GATED as of r22 (VERDICT r21 #2), mirroring
+    // [[Dedup.ShareSignaturesConf]]: at high local core counts AQE
+    // materializes the two consumer branches CONCURRENTLY, the
+    // in-flight stage cache misses for the duplicate, and the extra
+    // exchange lengthens the critical path (canonical 32-core record:
+    // 2.15 → 2.70 s, the round's understated regression). Under
+    // serialized stage materialization (8 cores: wall 2.2 → 1.5 s,
+    // cpuT 10.2 → 6.1 s) the reuse fires and the plan does one
+    // scoring-join evaluation instead of two — which is also the
+    // 100 TB shape, where a second corpus-scale pass dwarfs one
+    // doc-count exchange. Default = the measured 32-core A/B winner
+    // (see OPTIMIZATION_r22.md); production clusters with deep
+    // queues should enable it.
+    val perDocShared =
+      if (!spark.conf.get(LmScoreSharePerDocConf, LmScoreSharePerDocDefault).toBoolean) perDoc
+      else perDoc.repartition(
+        spark.sparkContext.defaultParallelism, perDoc.columns.map(col): _*)
     // Exact percentile selection on the integer grid: histogram of the
     // floored scores (grid-bounded), running count, threshold = the
     // smallest score whose cumulative count reaches rank
